@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line with per-query and
+total wall-clock seconds.
+
+Timing protocol: one warm-up pass of a trivial action to absorb JVM/
+session start-up, then each query is executed once with a count()-style
+materialization (collect for small results) and timed individually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "ref_q1_top_host",
+    "ref_q2_distinct_hosts",
+    "ref_q3_avg_reply_size",
+    "a1_requests_per_host",
+    "a6_top3_hosts_per_window",
+    "t4_sliding_window_counts",
+    "t4_session_windows",
+    "events_json_props",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from flink_exercise_spark import registry
+    from flink_exercise_spark.session import get_spark
+
+    spark = get_spark(app_name="flink-exercise-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = registry.specs()
+    names = [n for n in HEADLINE if n in specs]
+    extra = sorted(set(specs) - set(names))
+    names += [n for n in extra if "stub" not in specs[n].tags]
+
+    # Warm up the session (JVM classloading, codegen caches).
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,330 @@
+"""Aggregation operators — SURVEY.md §2.3 (A1–A7) and §2.6 (Q1–Q3).
+
+The reference expresses each query as keyed *running* aggregation whose
+per-record partials are reduced by a tumbling all-window (max/maxBy);
+in Spark the composition collapses to a windowed GROUP BY with the same
+final answer (SURVEY.md §3.4). Every operator is a pure
+DataFrame -> DataFrame function, so the identical expression runs under
+Structured Streaming (see flink_exercise_spark.streaming).
+
+Scale notes (100 TB): all aggregations here are hash aggregates with
+map-side partial reduction, so the shuffle carries one row per
+(window, key) — not per event. ``count(DISTINCT)`` over a high-cardinality
+key is the one shuffle-heavy op: Spark plans it as a two-pass expand +
+hash agg; at extreme cardinality switch to ``approx_count_distinct``
+(registered separately) which shuffles HLL sketches only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from flink_exercise_spark.functions.scalars import floor_avg, win_start
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table
+
+WINDOW_31D = "31 days"
+_WIN_SECS = 31 * 86400
+# DuckDB-side twin of functions.scalars.win_start (epoch-aligned tumble).
+_ORACLE_WIN = f"CAST(floor(epoch(ts)/{_WIN_SECS})*{_WIN_SECS} AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Operator library (DataFrame -> DataFrame, mode-agnostic)
+# ---------------------------------------------------------------------------
+
+def requests_per_host(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """A1 — keyed running count (StreamingJob.scala:149-151).
+
+    The reference pre-projects ``(host, 1)`` before the shuffle
+    (StreamingJob.scala:150); Catalyst's column pruning through the
+    Exchange makes that automatic here.
+    """
+    return events.groupBy(key).agg(F.count(F.lit(1)).alias("n_requests"))
+
+
+def count_events(events: DataFrame) -> DataFrame:
+    """A2 — global element count (StreamingJob.scala:153-155)."""
+    return events.groupBy().agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def first_event_per_host(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """A3 — stateful distinct / first-record-per-key
+    (StreamingJob.scala:157-165, ``filterWithState`` over Set state).
+
+    Batch form: deterministic "first" = minimum event_id per key (the
+    reference's notion of "first seen" is arrival order, which a batch
+    engine must pin to a total order to be reproducible).
+    """
+    return events.groupBy(key).agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+    )
+
+
+def distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """A3+A4 — count of distinct keys (StreamingJob.scala:167-169)."""
+    return events.groupBy().agg(F.countDistinct(key).alias("n_unique_users"))
+
+
+def windowed_distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """A5/Q2 — windowed count-distinct (StreamingJob.scala:94-96).
+
+    The reference's "31-day window max over a running distinct count"
+    is exactly the windowed COUNT(DISTINCT): the running count is
+    monotone, so its window-max is the window-final count.
+    """
+    return events.groupBy(win_start("ts", WINDOW_31D)).agg(
+        F.countDistinct(key).alias("n_unique_users")
+    )
+
+
+def top_host_per_window(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """A6/Q1 — windowed arg-max (StreamingJob.scala:91-92 ``maxBy``).
+
+    ``max_by`` over a (count, key) struct gives a deterministic
+    tie-break (highest key wins), matching the oracle's
+    ``ORDER BY n_requests DESC, user_id DESC LIMIT 1`` per window.
+    """
+    counts = events.groupBy(win_start("ts", WINDOW_31D), F.col(key)).agg(
+        F.count(F.lit(1)).alias("n_requests")
+    )
+    return counts.groupBy("window_start").agg(
+        F.max_by(key, F.struct("n_requests", key)).alias("top_user"),
+        F.max("n_requests").alias("n_requests"),
+    )
+
+
+def top_k_hosts_per_window(
+    events: DataFrame, k: int = 3, key: str = "user_id"
+) -> DataFrame:
+    """A6 generalized — top-k per window via ranking window function."""
+    counts = events.groupBy(win_start("ts", WINDOW_31D), F.col(key)).agg(
+        F.count(F.lit(1)).alias("n_requests")
+    )
+    order = W.partitionBy("window_start").orderBy(
+        F.desc("n_requests"), F.desc(key)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(order))
+        .filter(F.col("rank") <= k)
+        .select("window_start", F.col(key), "n_requests", "rank")
+    )
+
+
+def windowed_floor_avg(events: DataFrame, value: str = "value") -> DataFrame:
+    """A7/Q3 — windowed average with the reference's exact semantics
+    (StreamingJob.scala:97-107): NULL sizes count as 0 in numerator AND
+    denominator (``getOrElse(0)``, StreamingJob.scala:97) and the mean
+    is floor-divided (Long division in the manual WindowFunction).
+    """
+    return events.groupBy(win_start("ts", WINDOW_31D)).agg(
+        floor_avg(value).alias("avg_value_floor")
+    )
+
+
+def windowed_avg(events: DataFrame, value: str = "value") -> DataFrame:
+    """A7 idiomatic variant — true SQL AVG (NULLs excluded)."""
+    return events.groupBy(win_start("ts", WINDOW_31D)).agg(
+        F.round(F.avg(value), 4).alias("avg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry entries (driver-checked surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ref_q1_top_host",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_ORACLE_WIN} AS window_start, user_id,
+             count(*) AS n_requests
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id AS top_user, n_requests
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY window_start
+            ORDER BY n_requests DESC, user_id DESC) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+    doc="Reference Q1: client with most requests per 31-day window",
+    tags=("reference", "events"),
+)
+def q_ref_q1(spark, sf_dir):
+    return top_host_per_window(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "ref_q2_distinct_hosts",
+    oracle=f"""
+    SELECT {_ORACLE_WIN} AS window_start,
+           count(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY 1
+    """,
+    doc="Reference Q2: number of unique clients per 31-day window",
+    tags=("reference", "events"),
+)
+def q_ref_q2(spark, sf_dir):
+    return windowed_distinct_hosts(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "ref_q3_avg_reply_size",
+    oracle=f"""
+    SELECT {_ORACLE_WIN} AS window_start,
+           CAST(floor(sum(coalesce(value, 0)) / count(*)) AS BIGINT)
+             AS avg_value_floor
+    FROM events GROUP BY 1
+    """,
+    doc="Reference Q3: floor-average response size per 31-day window "
+        "(exact semantics incl. NULL-as-0)",
+    tags=("reference", "events"),
+)
+def q_ref_q3(spark, sf_dir):
+    return windowed_floor_avg(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "ref_q3_avg_idiomatic",
+    oracle=f"""
+    SELECT {_ORACLE_WIN} AS window_start,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="Q3 idiomatic variant: true AVG",
+    tags=("reference", "events"),
+)
+def q_ref_q3_idiomatic(spark, sf_dir):
+    return windowed_avg(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "a1_requests_per_host",
+    oracle="SELECT user_id, count(*) AS n_requests FROM events GROUP BY 1",
+    doc="A1: keyed count",
+    tags=("aggregate", "events"),
+)
+def q_a1(spark, sf_dir):
+    return requests_per_host(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "a2_count_events",
+    oracle="SELECT count(*) AS n_events FROM events",
+    doc="A2: global count",
+    tags=("aggregate", "events"),
+)
+def q_a2(spark, sf_dir):
+    return count_events(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "a3_first_event_per_host",
+    oracle="""
+    SELECT user_id, min(event_id) AS first_event_id,
+           arg_min(event_type, event_id) AS first_event_type
+    FROM events GROUP BY 1
+    """,
+    doc="A3: stateful distinct -> deterministic first record per key",
+    tags=("aggregate", "events"),
+)
+def q_a3(spark, sf_dir):
+    return first_event_per_host(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "a4_distinct_hosts",
+    oracle="SELECT count(DISTINCT user_id) AS n_unique_users FROM events",
+    doc="A4: global distinct-key count",
+    tags=("aggregate", "events"),
+)
+def q_a4(spark, sf_dir):
+    return distinct_hosts(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "a4_approx_distinct_hosts",
+    oracle=None,  # HLL estimate: engine-specific, rows-only check
+    doc="A4 at scale: HyperLogLog distinct (shuffles sketches, not keys)",
+    tags=("aggregate", "events", "approx"),
+)
+def q_a4_approx(spark, sf_dir):
+    ev = load_table(prep(spark), sf_dir, "events")
+    return ev.groupBy().agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_unique_users_approx")
+    )
+
+
+@register(
+    "a6_top3_hosts_per_window",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_ORACLE_WIN} AS window_start, user_id,
+             count(*) AS n_requests
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, n_requests, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY window_start
+            ORDER BY n_requests DESC, user_id DESC) AS rn
+          FROM c)
+    WHERE rn <= 3
+    """,
+    doc="A6 generalized: top-k clients per window",
+    tags=("aggregate", "events", "topk"),
+)
+def q_a6_top3(spark, sf_dir):
+    return top_k_hosts_per_window(load_table(prep(spark), sf_dir, "events"), k=3)
+
+
+@register(
+    "events_type_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY 1
+    """,
+    doc="Grouped multi-aggregate over event_type (P6/P7 projections)",
+    tags=("aggregate", "events"),
+)
+def q_type_stats(spark, sf_dir):
+    ev = load_table(prep(spark), sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS max_k,
+           count(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events GROUP BY 1
+    """,
+    doc="JSON scalar extraction over events.props (get_json_object)",
+    tags=("aggregate", "events", "json"),
+)
+def q_json_props(spark, sf_dir):
+    ev = load_table(prep(spark), sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.get_json_object("props", "$.k")).alias("n_with_k"),
+    )

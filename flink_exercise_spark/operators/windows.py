@@ -1,0 +1,109 @@
+"""Event-time window operators — SURVEY.md §2.4 (T4 superset).
+
+The reference uses only tumbling all-windows (``timeWindowAll(31d)``,
+StreamingJob.scala:91,95,98); Spark's ``window()`` / ``session_window()``
+give sliding and session variants with the same declarative shape, so we
+surface all three as engine operators.
+
+Scale notes: a sliding window of size S and slide s replicates every row
+S/s times *logically*, but Spark's TimeWindow expands windows before the
+hash aggregate, so the shuffle still carries only (window, key) partial
+rows. Session windows aggregate via a sort-merge per key — the expensive
+shape; at 100 TB keep the per-key event count bounded (watermark + state
+TTL in streaming mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table
+
+
+def sliding_window_counts(
+    events: DataFrame, size: str = "7 days", slide: str = "1 day"
+) -> DataFrame:
+    """Tumbling -> sliding generalization of the reference's T4."""
+    w = F.window("ts", size, slide)
+    return events.groupBy(
+        F.unix_timestamp(w["start"]).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based), batch form.
+
+    ``session_window`` starts a new session when an event arrives >= gap
+    after the previous one; window start is the first event's timestamp.
+    """
+    return events.groupBy(
+        "user_id", F.session_window("ts", gap).alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        "user_id",
+        F.unix_timestamp(F.col("sw")["start"]).alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "t4_sliding_window_counts",
+    # A sliding (7d, 1d) window holds ts iff start = floor(ts/1d)*1d - k*1d
+    # for k in 0..6 — enumerate memberships with generate_series.
+    oracle="""
+    SELECT window_start, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM (
+      SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) - k*86400
+               AS window_start,
+             user_id
+      FROM events CROSS JOIN generate_series(0, 6) t(k)
+    )
+    GROUP BY 1
+    """,
+    doc="Sliding event-time window (7d size, 1d slide) counts",
+    tags=("window", "events"),
+)
+def q_sliding(spark, sf_dir):
+    return sliding_window_counts(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "t4_session_windows",
+    # Gaps-and-islands: a new session starts where the gap from the
+    # previous event (per user) is >= 30 min (Spark session semantics:
+    # the window is [start, last+gap), an event at exactly prev+gap is
+    # outside it).
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Per-user session windows, 30-minute gap",
+    tags=("window", "events"),
+)
+def q_sessions(spark, sf_dir):
+    return session_windows(load_table(prep(spark), sf_dir, "events"))

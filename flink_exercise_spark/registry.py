@@ -1,0 +1,98 @@
+"""Central query registry: the engine's public query surface.
+
+Every operator from SURVEY.md §2 (and every extension operator) registers
+here with BOTH a Spark callable and, where SQL-expressible, an equivalent
+ANSI-SQL oracle string for DuckDB. ``__spark_entry__.py`` re-exports this
+registry verbatim, so the set of queries the driver checks and the set
+the engine ships are one and the same.
+
+Parity conventions (engine <-> oracle), load-bearing for the driver's
+order-insensitive value-hash compare:
+- Every computed column is aliased to the same name on both sides.
+- Event-time windows are emitted as ``window_start`` BIGINT epoch
+  seconds: Spark ``unix_timestamp(window.start)`` (timezone-independent
+  for TimestampType) == DuckDB ``floor(epoch(ts)/W)*W`` since Spark
+  tumbling windows align to the Unix epoch.
+- DuckDB ``sum(INTEGER)`` returns HUGEINT and ``floor`` returns DOUBLE;
+  oracles cast both to BIGINT to match Spark's long.
+- Double aggregates are rounded identically on both sides (sum-order
+  differences between engines live far below the rounded digit).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: SparkQuery
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: add a (spark, sf_dir) -> DataFrame query to the registry."""
+
+    def wrap(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return wrap
+
+
+def queries() -> dict[str, SparkQuery]:
+    _load_all_modules()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    _load_all_modules()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def specs() -> dict[str, QuerySpec]:
+    _load_all_modules()
+    return dict(REGISTRY)
+
+
+_LOADED = False
+
+
+def _load_all_modules() -> None:
+    """Import every operator module so decorators populate REGISTRY."""
+    global _LOADED
+    if _LOADED:
+        return
+    # Imported here (not at module top) so registry.py has no import
+    # cycle with the operator modules that import ``register`` from it.
+    from flink_exercise_spark.operators import (  # noqa: F401
+        aggregates,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        windows,
+    )
+
+    _LOADED = True

@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference (StreamingJob.scala:73-83) configures its environment with
+a --cores CLI arg and event-time mode. Our equivalent is a builder that
+bakes in the configs a 1000-executor/100 TB deployment would want and
+that local[N] testing tolerates:
+
+- AQE on (adaptive partition coalescing + skew-join handling): replaces
+  the reference's hand-pinned parallelism (StreamingJob.scala:87,92,96).
+- Arrow transfer on, for the few Pandas-UDF operators (multimodal).
+- Session timezone pinned to UTC so event-time window math is identical
+  across engines (the DuckDB oracle computes on naive timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver fixtures carry TIMESTAMP(NANOS) parquet columns, which
+    # Spark's reader rejects; read them as long nanos and convert in the
+    # loader (sources/tables.py) — runtime-mutable, also set by prep().
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # At 100 TB this is sized per-cluster; locally 2*cores keeps every
+    # shuffle wide enough to exercise exchange paths without tiny-task
+    # overhead. AQE coalesces the excess at runtime.
+    "spark.sql.shuffle.partitions": "64",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # Broadcast threshold: dim tables (region/nation/customer/part/
+    # supplier) stay broadcast-able well past sf100.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.shuffle.spill.compress": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "flink-exercise-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is supplied, mirroring the reference's
+    ``--cores`` parameter (StreamingJob.scala:74).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    merged = dict(DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable engine conf to an externally-owned session.
+
+    The correctness driver hands us its own SparkSession; window math and
+    timestamp casts must still agree with the UTC-naive DuckDB oracle, so
+    pin the session timezone (runtime-mutable conf only).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

@@ -1,0 +1,69 @@
+"""Parquet table sources for the driver's star-schema fixtures.
+
+Reference analog: StreamingJob.scala:85 (``env.readTextFile``) is the
+only source in the reference; our engine's primary source is columnar
+Parquet, read through Spark's vectorized reader so filters and column
+pruning push into the scan (verify with ``df.explain`` -> PushedFilters/
+ReadSchema).
+
+At 100 TB these tables would be partitioned/bucketed at write time; the
+loader is a thin seam where a catalog (Hive/Unity/Glue) or bucketed
+layout would slot in without touching operator code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor; fact tables shuffle on their join/group keys.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+# Fixture columns written as parquet TIMESTAMP(NANOS), which Spark reads
+# as long nanos under spark.sql.legacy.parquet.nanosAsLong (set by
+# session.prep). Converted here to TimestampType (microsecond precision,
+# exact integer division — double division would lose low bits on
+# ~1.7e18 nano values).
+NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (``<sf_dir>/<name>.parquet``)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANOS_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
