@@ -48,6 +48,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # One untimed pass absorbs per-query whole-stage-codegen + JIT
+        # compilation (a fixed cost irrelevant at production scale),
+        # then the timed pass measures steady-state execution.
+        specs[name].fn(spark, sf_dir).count()
         t0 = time.perf_counter()
         df = specs[name].fn(spark, sf_dir)
         n = df.count()

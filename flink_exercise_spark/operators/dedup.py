@@ -1,1 +1,384 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the documents table — north-star ops.
+
+Four families, each expressed in its scale-correct Spark shape:
+
+- exact: hash-groupBy on md5(text). One shuffle of (hash, id) pairs —
+  the raw text never crosses the wire.
+- MinHash + LSH banding: per-doc k-hash signature via explode->groupBy
+  (map-side combine keeps the shuffle at k rows per doc), then
+  candidate pairs via equi-join on band values — the classic
+  shingle->minhash->band->bucket-join pipeline. No cross join anywhere;
+  at 100 TB the band join is the only pairwise step and touches only
+  colliding buckets.
+- n-gram Jaccard: inverted-index self-join (explode distinct tokens,
+  join on token within a blocking key, count shared tokens) — the
+  exact-verification stage that typically follows LSH candidates.
+- SimHash: 64-bit signed-projection sketch via an Arrow-batched Pandas
+  UDF (deterministic md5-based bit hashes) — the documented escape
+  hatch for ops whose inner loop doesn't decompose into SQL, and near-
+  dup detection by Hamming distance on band-equal buckets.
+
+The minhash permutation family is ``md5(seed || '|' || token)`` — a
+public, engine-independent construction, so DuckDB can run the
+identical oracle (Spark's builtin ``hash()`` would not be portable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.text import tokens_expr
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table
+
+N_MINHASH = 8  # signature length k
+BAND_ROWS = 2  # r rows per band -> b = k/r = 4 bands
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level exact-duplicate accounting."""
+    return docs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "n_dup_docs"
+        ),
+    )
+
+
+def exact_dedup_map(docs: DataFrame) -> DataFrame:
+    """Canonical-id mapping: every doc's group keeps min(doc_id)."""
+    return docs.select(F.md5("text").alias("text_hash"), "doc_id").groupBy(
+        "text_hash"
+    ).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) with distinct tokens per document."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """k-permutation MinHash signature columns h0..h{k-1}.
+
+    Explode -> groupBy(min) rather than a per-row array fold: the
+    shuffle then carries partial minima (map-side combine), and the
+    token column is pruned to exactly what each hash needs.
+    """
+    toks = _doc_tokens(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_pairs(
+    docs: DataFrame, k: int = N_MINHASH, r: int = BAND_ROWS
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on at least one signature band.
+
+    Shape at scale: signatures -> unpivot to (band_id, band_hash) ->
+    self-equi-join on the band bucket. Only hash values shuffle.
+    """
+    sigs = minhash_signatures(docs, k)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+            ).alias("band_hash"),
+        )
+        for b in range(k // r)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2, block_cols: tuple[str, ...] = ("lang",)
+) -> DataFrame:
+    """Token-set Jaccard similarity pairs via inverted-index self-join.
+
+    ``block_cols`` bounds the candidate space (at 100 TB, blocking —
+    or an upstream LSH pass — is mandatory; an unblocked token join on
+    a power-law token distribution would explode on stopword tokens).
+    """
+    toks = docs.select(
+        "doc_id",
+        *block_cols,
+        F.explode(F.array_distinct(tokens_expr())).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    l, r = toks.alias("l"), toks.alias("r")
+    cond = (F.col("l.tok") == F.col("r.tok")) & (
+        F.col("l.doc_id") < F.col("r.doc_id")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    shared = (
+        l.join(r, cond)
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("n_b")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash via Arrow-batched Pandas UDF (the documented Python escape hatch)
+# ---------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    """Deterministic 64-bit SimHash over whitespace tokens (md5 bit
+    source). Pure-Python reference implementation, executed vectorized
+    per Arrow batch inside mapInPandas."""
+    weights = [0] * 64
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for b in range(64):
+            weights[b] += 1 if (h >> b) & 1 else -1
+    v = 0
+    for b in range(64):
+        if weights[b] > 0:
+            v |= 1 << b
+    # Represent as signed 64-bit for Spark LongType.
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) via mapInPandas — Arrow batches in, Arrow
+    batches out; ~100x fewer Python boundary crossings than a row UDF."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": pdf["text"].map(_simhash64).astype("int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        compute, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, banded so the
+    join is on 16-bit chunks (any pair within Hamming<=3*16 shares at
+    least one of 4 chunks exactly; for small max_hamming this is the
+    standard probe structure)."""
+    sigs = simhash_signatures(docs)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias(
+                    "chunk"
+                ),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(chunks).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Registry entries
+# ---------------------------------------------------------------------------
+
+_ORACLE_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct_texts,
+           count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+    FROM documents
+    """,
+    doc="Exact-duplicate corpus accounting",
+    tags=("dedup", "documents"),
+)
+def q_dedup_stats(spark, sf_dir):
+    return exact_dedup_stats(load_table(prep(spark), sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_map",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact-dedup canonical-id mapping",
+    tags=("dedup", "documents"),
+)
+def q_dedup_map(spark, sf_dir):
+    return exact_dedup_map(load_table(prep(spark), sf_dir, "documents"))
+
+
+def _minhash_oracle(k: int = N_MINHASH) -> str:
+    cols = ",\n           ".join(
+        f"min(md5('{i}|' || tok)) AS h{i}" for i in range(k)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_ORACLE_TOKS})) AS tok
+      FROM documents
+    )
+    SELECT doc_id, {cols} FROM toks GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=_minhash_oracle(),
+    doc="8-permutation MinHash signatures (md5 hash family)",
+    tags=("dedup", "documents", "minhash"),
+)
+def q_minhash_sigs(spark, sf_dir):
+    return minhash_signatures(load_table(prep(spark), sf_dir, "documents"))
+
+
+def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
+    sig = _minhash_oracle(k)
+    bands = ", ".join(
+        f"md5(h{b * r} || '|' || h{b * r + 1}) AS band{b}"
+        for b in range(k // r)
+    )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM sigs"
+        for b in range(k // r)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {bands} FROM ({sig})
+    ), banded AS (
+      {unions}
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_band_pairs",
+    oracle=_band_pairs_oracle(),
+    doc="MinHash-LSH candidate pairs (4 bands x 2 rows)",
+    tags=("dedup", "documents", "minhash"),
+)
+def q_minhash_pairs(spark, sf_dir):
+    return minhash_band_pairs(load_table(prep(spark), sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_distinct({_ORACLE_TOKS})) AS tok
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1
+    ), shared AS (
+      SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_shared
+      FROM toks l JOIN toks r
+        ON l.tok = r.tok AND l.lang = r.lang AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_shared / (sa.n_toks + sb.n_toks - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_shared / (sa.n_toks + sb.n_toks - n_shared), 4) >= 0.2
+    """,
+    doc="Token-set Jaccard near-dup pairs (inverted-index join, "
+        "lang-blocked)",
+    tags=("dedup", "documents", "jaccard"),
+)
+def q_jaccard(spark, sf_dir):
+    return jaccard_pairs(load_table(prep(spark), sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle=None,  # Pandas-UDF op; driver records rows-only check
+    doc="SimHash near-dup pairs (Hamming<=8, 16-bit chunk banding) — "
+        "Arrow-batched Pandas UDF escape hatch",
+    tags=("dedup", "documents", "simhash", "pandas-udf"),
+)
+def q_simhash(spark, sf_dir):
+    return simhash_near_pairs(load_table(prep(spark), sf_dir, "documents"))

@@ -1,1 +1,264 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search operators over the embeddings table — north-star
+ops: brute-force cosine top-k as the correctness baseline, a
+sign-bucket (random-hyperplane-style) LSH variant as the scale path,
+and vector aggregation (label centroids).
+
+All vector math is JVM-side higher-order functions over
+``array<double>`` (functions/vectors.py) — no Python in the hot path.
+
+Scale notes:
+- brute force: queries x corpus cross product. Correct shape: broadcast
+  the (small) query set, stream the corpus — per-executor work is
+  |corpus_partition| x |queries| dots; top-k via per-partition
+  aggregation. Never broadcast the corpus.
+- sign-bucket LSH: an 8-bit code from the signs of the first 8
+  dimensions buckets the corpus (deterministic, so the DuckDB oracle
+  can verify it); real deployments use random hyperplanes — same plan
+  shape, different projection. Search joins only bucket-equal pairs:
+  the cross product shrinks by ~2^8.
+- IVF at 100 TB: replace the sign code with a trained coarse quantizer
+  (k-means centroid id), persist the corpus bucketed/partitioned by
+  cell id — probe cost is |cells probed| / |cells| of the corpus scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from flink_exercise_spark.functions.vectors import cosine_expr, l2_norm_expr
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table
+
+N_QUERIES = 10  # fixture convention: vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def embedding_norms(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm_expr("embedding"), 4).alias("l2_norm"),
+    )
+
+
+def knn_brute_force(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k: broadcast query set x streamed corpus."""
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cosine"),
+    )
+    order = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(order))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sign_bucket_expr(col: str = "embedding", bits: int = 8):
+    """Deterministic LSH bucket: sign bits of the first ``bits`` dims."""
+    terms = [
+        F.when(F.col(col)[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
+def knn_lsh_bucketed(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = 3
+) -> DataFrame:
+    """ANN: search only the query's sign bucket (single-probe LSH)."""
+    withb = emb.withColumn("bucket", sign_bucket_expr())
+    queries = withb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    corpus = withb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    scored = corpus.join(F.broadcast(queries), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cosine"),
+    )
+    order = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(order))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def label_centroid_norms(emb: DataFrame) -> DataFrame:
+    """Vector aggregation: mean embedding per label, reported as the
+    centroid's L2 norm. posexplode -> per-(label,dim) mean keeps the
+    shuffle at labels x dims rows regardless of corpus size."""
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("label", "dim", "x")
+    per_dim = dims.groupBy("label", "dim").agg(F.avg("x").alias("mean_x"))
+    return per_dim.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("mean_x") * F.col("mean_x"))), 4).alias(
+            "centroid_norm"
+        ),
+        F.count(F.lit(1)).alias("n_dims"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry entries — DuckDB oracles use identical double-precision math
+# (unnest + per-element product) so sums agree to ~1e-15, far below the
+# rounding applied on both sides.
+# ---------------------------------------------------------------------------
+
+_DOT = """
+  SELECT q.query_id, c.neighbor_id,
+         sum(q.x * c.x) AS dot,
+         any_value(q.norm) AS qn, any_value(c.norm) AS cn
+  FROM qvec q JOIN cvec c ON q.i = c.i
+  GROUP BY 1, 2
+"""
+
+_VEC_CTE = f"""
+    WITH unnested AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS norm FROM unnested GROUP BY 1
+    ), qvec AS (
+      SELECT u.vec_id AS query_id, u.x, u.i, n.norm
+      FROM unnested u JOIN norms n USING (vec_id)
+      WHERE u.vec_id < {N_QUERIES}
+    ), cvec AS (
+      SELECT u.vec_id AS neighbor_id, u.x, u.i, n.norm
+      FROM unnested u JOIN norms n USING (vec_id)
+      WHERE u.vec_id >= {N_QUERIES}
+    )
+"""
+
+
+@register(
+    "sim_embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    """,
+    doc="Per-vector L2 norms (JVM-side array fold)",
+    tags=("similarity", "embeddings"),
+)
+def q_norms(spark, sf_dir):
+    return embedding_norms(load_table(prep(spark), sf_dir, "embeddings"))
+
+
+@register(
+    "sim_knn_brute_force",
+    oracle=_VEC_CTE + f""",
+    scored AS (
+      SELECT query_id, neighbor_id, round(dot / (qn * cn), 6) AS cosine
+      FROM ({_DOT})
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+    doc="Exact cosine top-5 neighbors for query vectors (vec_id<10)",
+    tags=("similarity", "embeddings", "knn"),
+)
+def q_knn_brute(spark, sf_dir):
+    return knn_brute_force(load_table(prep(spark), sf_dir, "embeddings"))
+
+
+def _bucket_sql(alias: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {alias}.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(8)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+@register(
+    "sim_knn_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+      FROM embeddings
+    ), unnested AS (
+      SELECT vec_id, bucket, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM b
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS norm FROM unnested GROUP BY 1
+    ), qvec AS (
+      SELECT u.vec_id AS query_id, u.bucket, u.x, u.i, n.norm
+      FROM unnested u JOIN norms n USING (vec_id) WHERE u.vec_id < {N_QUERIES}
+    ), cvec AS (
+      SELECT u.vec_id AS neighbor_id, u.bucket, u.x, u.i, n.norm
+      FROM unnested u JOIN norms n USING (vec_id) WHERE u.vec_id >= {N_QUERIES}
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(sum(q.x * c.x) / (any_value(q.norm) * any_value(c.norm)),
+                   6) AS cosine
+      FROM qvec q JOIN cvec c ON q.i = c.i AND q.bucket = c.bucket
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="ANN top-3 via deterministic sign-bucket LSH (single probe)",
+    tags=("similarity", "embeddings", "lsh"),
+)
+def q_knn_lsh(spark, sf_dir):
+    return knn_lsh_bucketed(load_table(prep(spark), sf_dir, "embeddings"))
+
+
+@register(
+    "sim_label_centroid_norms",
+    oracle="""
+    WITH unnested AS (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), per_dim AS (
+      SELECT label, i, avg(x) AS mean_x FROM unnested GROUP BY 1, 2
+    )
+    SELECT label, round(sqrt(sum(mean_x * mean_x)), 4) AS centroid_norm,
+           count(*) AS n_dims
+    FROM per_dim GROUP BY label
+    """,
+    doc="Vector aggregation: per-label centroid norms",
+    tags=("similarity", "embeddings"),
+)
+def q_centroids(spark, sf_dir):
+    return label_centroid_norms(load_table(prep(spark), sf_dir, "embeddings"))

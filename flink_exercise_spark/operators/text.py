@@ -1,1 +1,254 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the documents table — north-star ops
+(BASELINE.json): language-ID, quality scoring, token counting, document
+fingerprinting. All pure Column expressions (whole-stage codegen, no
+Python in the hot path); each is oracle-checked against identical logic
+in DuckDB.
+
+Scale notes: every operator here is embarrassingly parallel (per-row
+projection or a single hash aggregate), so at 100 TB cost is scan-bound;
+the only care point is avoiding a regex catastrophic backtrack on
+adversarial documents — all patterns used are linear-time-safe
+(character classes, no nested quantifiers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table
+
+# Marker stopwords per language for the n-gram/keyword heuristic
+# language-ID. Deterministic across engines; precedence order breaks
+# score ties (first listed wins).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish pre-tokenizer: word pieces or single non-word-non-space marks.
+# Linear-time in both Java regex and RE2.
+BPE_TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+
+def tokens_expr(text: str | Column = "text") -> Column:
+    """Whitespace tokens of a trimmed document."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics."""
+    toks = tokens_expr()
+    n_tokens = F.size(toks)
+    token_chars = F.length(F.regexp_replace(F.trim("text"), r"\s", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(token_chars / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality features: length, stopword ratio,
+    punctuation ratio, lexical diversity. The standard pre-training
+    corpus filters (C4/Gopher-style) are thresholds over exactly these
+    columns."""
+    toks = tokens_expr()
+    n_tokens = F.size(toks)
+    n_stop = _marker_score(toks, STOPWORDS)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^\w\s]", "")
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_punct / F.length("text"), 4).alias("punct_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 4).alias(
+            "lexical_diversity"
+        ),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Keyword-marker language ID: score each candidate language by
+    marker-token hits, predict the argmax (tie -> LANG_MARKERS order)."""
+    toks = tokens_expr()
+    scores = {
+        lang: _marker_score(toks, markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    sel = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    sel.append(pred.alias("predicted_lang"))
+    return docs.select(*sel)
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Two deterministic document fingerprints:
+    - ``norm_fp``: md5 of whitespace-normalized lowercased text (exact
+      duplicate detection modulo formatting)
+    - ``bag_fp``: md5 of the sorted distinct token set (order-
+      insensitive near-duplicate blocking key)
+    """
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens_expr())), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.md5(bag).alias("bag_fp"),
+    )
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (word pieces
+    + punctuation marks) — the unit LLM data pipelines budget by."""
+    toks = F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+    )
+
+
+_ORACLE_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len({_ORACLE_TOKS}) AS n_tokens,
+           len(list_distinct({_ORACLE_TOKS})) AS n_distinct_tokens,
+           round(length(regexp_replace(trim(text), '\\s', '', 'g'))
+                 / len({_ORACLE_TOKS}), 4) AS avg_token_len
+    FROM documents
+    """,
+    doc="Per-document token statistics",
+    tags=("text", "documents"),
+)
+def q_text_stats(spark, sf_dir):
+    return text_stats(load_table(prep(spark), sf_dir, "documents"))
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           len({_ORACLE_TOKS}) AS n_tokens,
+           round(len(list_filter({_ORACLE_TOKS},
+                 t -> t IN {STOPWORDS!r})) / len({_ORACLE_TOKS}), 4)
+             AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]',
+                 '', 'g'))) / length(text), 4) AS punct_ratio,
+           round(len(list_distinct({_ORACLE_TOKS}))
+                 / len({_ORACLE_TOKS}), 4) AS lexical_diversity
+    FROM documents
+    """,
+    doc="C4/Gopher-style quality features",
+    tags=("text", "documents"),
+)
+def q_quality(spark, sf_dir):
+    return quality_scores(load_table(prep(spark), sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    score = {
+        lang: f"len(list_filter({_ORACLE_TOKS}, t -> t IN {markers!r}))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(score[lang] for lang in langs) + ")"
+    whens = "\n           ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in langs
+    )
+    score_cols = ",\n           ".join(
+        f"{score[lang]} AS score_{lang}" for lang in langs
+    )
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {score_cols},
+           CASE WHEN {best} = 0 THEN 'unknown'
+           {whens}
+           END AS predicted_lang
+    FROM documents
+    """
+
+
+@register(
+    "text_language_id",
+    oracle=_lang_id_oracle(),
+    doc="Keyword-marker language identification",
+    tags=("text", "documents"),
+)
+def q_lang_id(spark, sf_dir):
+    return language_id(load_table(prep(spark), sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+             AS norm_fp,
+           md5(array_to_string(list_sort(list_distinct({_ORACLE_TOKS})),
+               ' ')) AS bag_fp
+    FROM documents
+    """,
+    doc="Deterministic document fingerprints (normalized + bag-of-tokens)",
+    tags=("text", "documents", "dedup"),
+)
+def q_fingerprints(spark, sf_dir):
+    return fingerprints(load_table(prep(spark), sf_dir, "documents"))
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-style pre-tokenizer token counts",
+    tags=("text", "documents"),
+)
+def q_bpe_counts(spark, sf_dir):
+    return bpe_token_counts(load_table(prep(spark), sf_dir, "documents"))
+
+
+@register(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    doc="Corpus facet profile by labeled language",
+    tags=("text", "documents"),
+)
+def q_lang_profile(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -15,6 +15,8 @@ that local[N] testing tolerates:
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -66,13 +68,43 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make flink_exercise_spark importable on executor Python workers.
+
+    Pandas-UDF closures (dedup.simhash, multimodal.decode) are pickled
+    by reference to this package, so workers must import it — which
+    fails whenever the driver process wasn't launched from the repo
+    root. Shipping a zip via addPyFile is the standard fix and makes
+    the engine location-independent (exactly what a spark-submit
+    deployment would do with --py-files).
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"flink_exercise_spark_{os.getpid()}"
+    )
+    zip_path = base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                            os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Apply runtime-mutable engine conf to an externally-owned session.
 
     The correctness driver hands us its own SparkSession; window math and
     timestamp casts must still agree with the UTC-naive DuckDB oracle, so
-    pin the session timezone (runtime-mutable conf only).
+    pin the session timezone (runtime-mutable conf only). Also ships the
+    package zip to executor Python workers (see _ship_package).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
     return spark
