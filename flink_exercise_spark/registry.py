@@ -94,5 +94,6 @@ def _load_all_modules() -> None:
         text,
         windows,
     )
+    from flink_exercise_spark.sources import clf  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,168 @@
+"""Structured Streaming variants of the reference queries — SURVEY.md
+§2.4 / §3.4.
+
+The reference is a continuous DataStream job: per-record punctuated
+watermarks (StreamingJob.scala:56-65), 31-day event-time tumbling
+windows, keyed running aggregates that emit every update. The Spark
+mapping:
+
+- watermark: ``withWatermark(ts, delay)`` — max(event time) − delay,
+  advanced per micro-batch instead of per record (accepted model
+  difference, SURVEY.md §4.2); delay 0s reproduces the reference's
+  drop-all-out-of-order behavior.
+- running aggregates (A1/A4): ``outputMode("update")`` re-emits each
+  changed key per micro-batch = Flink's continuous emission.
+- windowed finals (Q1-Q3): the same operator functions as batch —
+  every operator in operators/ is DataFrame -> DataFrame, and Spark's
+  unified API runs the identical expression incrementally with state.
+- stateful distinct (A3): ``dropDuplicates`` over the key, backed by
+  the keyed state store (+ ``dropDuplicatesWithinWatermark`` for TTL).
+
+State at scale: windowed aggregation state is (window x key) rows in
+the state store; with a watermark, expired windows are evicted each
+batch. Streaming dedup state is one row per distinct key — bound it
+with dropDuplicatesWithinWatermark when keys churn (at 100 TB/day the
+unbounded variant OOMs the state store; the reference has the same
+latent issue with its per-key Set state, StreamingJob.scala:158-164).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.aggregates import WINDOW_31D
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import NANOS_TS_COLUMNS, load_table
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events fixture (schema from the batch
+    loader, including the nanos->timestamp conversion)."""
+    prep(spark)
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    for col in NANOS_TS_COLUMNS["events"]:
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+            )
+    _ = batch  # schema parity check hook
+    return df
+
+
+def windowed_host_counts(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Q1 partial, streaming: per-(window, host) counts. The final
+    arg-max is a second stateful aggregation, which Spark restricts;
+    production shape is counts -> sink -> cheap batch arg-max over the
+    sink table (or update-mode + downstream max), tested that way."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", WINDOW_31D).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "user_id",
+            "n_requests",
+        )
+    )
+
+
+def windowed_floor_avg_stream(
+    events: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Q3 streaming: identical expression to the batch operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", WINDOW_31D).alias("w"))
+        .agg(
+            F.floor(
+                F.sum(F.coalesce(F.col("value"), F.lit(0.0)))
+                / F.count(F.lit(1))
+            ).alias("avg_value_floor")
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "avg_value_floor",
+        )
+    )
+
+
+def streaming_distinct_hosts(events: DataFrame) -> DataFrame:
+    """A3 streaming: stateful first-record-per-host via the keyed state
+    store (exactly the reference's filterWithState semantics)."""
+    return events.dropDuplicates(["user_id"])
+
+
+def running_host_counts(events: DataFrame) -> DataFrame:
+    """A1 streaming with Flink's continuous-emission semantics:
+    update-mode re-emits each host's new running count per batch."""
+    return events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_requests"))
+
+
+def stateful_first_seen(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """A3/T5 as a *custom* stateful operator: per-key boolean state,
+    emit only the first record seen per user — a faithful port of the
+    reference's ``filterWithState[Set[String]]``
+    (StreamingJob.scala:157-165), expressed with
+    ``applyInPandasWithState`` (Arrow-batched keyed state).
+
+    ``dropDuplicates`` is the built-in that subsumes this; the custom
+    form is the documented escape hatch for stateful logic the
+    built-ins can't express (counters with TTL, CEP-ish transitions).
+    State size: one boolean per key — identical to the reference's
+    degenerate <=1-element Set per key (SURVEY.md §2.3 A3 note).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            # key already emitted once; consume and emit nothing
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.nsmallest(1, "event_id")
+        state.update((True,))
+        if first is not None:
+            yield first[["user_id", "event_id", "ts", "event_type"]]
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, event_id long, ts timestamp, "
+                         "event_type string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    table: str,
+    mode: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Execute a bounded stream to completion into a memory sink
+    (availableNow trigger = process everything, then stop)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()

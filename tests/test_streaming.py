@@ -1,0 +1,165 @@
+"""Streaming-semantics tests (SURVEY.md §5.2 item 4): the reference
+queries through readStream must equal their batch answers at end of
+stream, plus watermark late-data behavior on a crafted 2-file replay."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.aggregates import (
+    requests_per_host,
+    top_host_per_window,
+    windowed_floor_avg,
+)
+from flink_exercise_spark.sources.tables import load_table
+from flink_exercise_spark.streaming.jobs import (
+    events_stream,
+    run_to_memory,
+    running_host_counts,
+    streaming_distinct_hosts,
+    windowed_floor_avg_stream,
+    windowed_host_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _rows(spark, sql):
+    return {tuple(r) for r in spark.sql(sql).collect()}
+
+
+def test_q1_counts_stream_equals_batch(spark):
+    stream = windowed_host_counts(events_stream(spark, SF_SMOKE))
+    run_to_memory(stream, "q1_counts", "complete")
+    got = _rows(spark, "SELECT window_start, user_id, n_requests FROM q1_counts")
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exp = {
+        (r["window_start"], r["user_id"], r["n_requests"])
+        for r in ev.groupBy(
+            F.unix_timestamp(F.window("ts", "31 days")["start"]).alias(
+                "window_start"
+            ),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .collect()
+    }
+    assert got == exp
+
+    # arg-max over the sink table == batch Q1 (production shape for the
+    # second aggregation stage)
+    spark.sql(
+        """
+        SELECT window_start,
+               max_by(user_id, struct(n_requests, user_id)) AS top_user,
+               max(n_requests) AS n_requests
+        FROM q1_counts GROUP BY window_start
+        """
+    ).createOrReplaceTempView("q1_final")
+    got_final = _rows(spark, "SELECT * FROM q1_final")
+    exp_final = {
+        tuple(r) for r in top_host_per_window(ev).collect()
+    }
+    assert got_final == exp_final
+
+
+def test_q3_floor_avg_stream_equals_batch(spark):
+    stream = windowed_floor_avg_stream(events_stream(spark, SF_SMOKE))
+    run_to_memory(stream, "q3_stream", "complete")
+    got = _rows(spark, "SELECT window_start, avg_value_floor FROM q3_stream")
+    exp = {
+        tuple(r)
+        for r in windowed_floor_avg(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == exp
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    stream = streaming_distinct_hosts(events_stream(spark, SF_SMOKE))
+    run_to_memory(stream, "dedup_stream", "append")
+    n = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0]["n"]
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert n == ev.select("user_id").distinct().count()
+
+
+def test_update_mode_running_counts(spark):
+    """Flink continuous-emission semantics: update mode's final emission
+    per key equals the batch count."""
+    stream = running_host_counts(events_stream(spark, SF_SMOKE))
+    run_to_memory(stream, "running_counts", "update")
+    # single availableNow batch -> one emission per key, already final
+    got = _rows(spark, "SELECT user_id, n_requests FROM running_counts")
+    exp = {
+        tuple(r)
+        for r in requests_per_host(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == exp
+
+
+def test_custom_stateful_first_seen(spark):
+    """applyInPandasWithState port of the reference's filterWithState:
+    one emission per user, and (single-batch case) it's the min-event_id
+    record, matching the deterministic batch A3 operator."""
+    from flink_exercise_spark.streaming.jobs import stateful_first_seen
+
+    stream = stateful_first_seen(events_stream(spark, SF_SMOKE))
+    run_to_memory(stream, "first_seen", "append")
+    got = spark.sql("SELECT user_id, event_id FROM first_seen")
+    ev = load_table(spark, SF_SMOKE, "events")
+    exp = ev.groupBy("user_id").agg(F.min("event_id").alias("event_id"))
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in exp.collect()
+    }
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T3 semantics: with a 0-second watermark, an event older than the
+    watermark arriving in a later micro-batch is dropped from append-
+    mode windowed aggregation (reference: punctuated assigner + no
+    allowed lateness, StreamingJob.scala:56-65)."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, name))
+        # distinct mtimes => deterministic file-source ordering
+        time.sleep(1.1)
+
+    jan = dt.datetime(2024, 1, 10)
+    feb_late = dt.datetime(2024, 2, 25)
+    mar = dt.datetime(2024, 3, 20)
+    # batch 1: jan + mar events -> watermark jumps past Feb window end
+    write_batch("b1", [(jan, 1), (mar, 2)])
+    # batch 2: late Feb event — behind the watermark, must be dropped
+    write_batch("b2", [(feb_late, 3)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "31 days").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "n")
+    )
+    run_to_memory(stream, "late_test", "append")
+    got = {
+        (r["ws"], r["n"])
+        for r in spark.sql("SELECT ws, n FROM late_test").collect()
+    }
+    # Jan window emitted with exactly 1 event; the late Feb event's
+    # window never accumulates it. (Mar window may be withheld in
+    # append mode until a higher watermark — not asserted.)
+    jan_ws = int(jan.replace(tzinfo=dt.timezone.utc).timestamp()
+                 // (31 * 86400) * (31 * 86400))
+    assert (jan_ws, 1) in got
+    feb_ws = int(feb_late.replace(tzinfo=dt.timezone.utc).timestamp()
+                 // (31 * 86400) * (31 * 86400))
+    assert all(not (ws == feb_ws and n == 1) for ws, n in got)
