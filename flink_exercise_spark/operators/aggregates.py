@@ -85,16 +85,30 @@ def windowed_distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFram
 def top_host_per_window(events: DataFrame, key: str = "user_id") -> DataFrame:
     """A6/Q1 — windowed arg-max (StreamingJob.scala:91-92 ``maxBy``).
 
-    ``max_by`` over a (count, key) struct gives a deterministic
-    tie-break (highest key wins), matching the oracle's
+    Deterministic tie-break: highest key wins, matching the oracle's
     ``ORDER BY n_requests DESC, user_id DESC LIMIT 1`` per window.
+
+    Plan note: ``max_by(key, struct(count, key))`` would be the obvious
+    spelling, but struct-ordered aggregates can't use a hash-aggregate
+    buffer — Spark falls back to SortAggregate (full sort of the
+    per-key counts at every scale). Packing (count, key) into one
+    BIGINT keeps the whole query in two-phase HashAggregate; valid
+    while both values fit 32 bits (counts < 2^31 per window-key and a
+    non-negative integral key < 2^31 — the fixtures' domain; for
+    string keys use ``top_k_hosts_per_window`` which sorts only the
+    already-reduced counts).
     """
     counts = events.groupBy(win_start("ts", WINDOW_31D), F.col(key)).agg(
         F.count(F.lit(1)).alias("n_requests")
     )
-    return counts.groupBy("window_start").agg(
-        F.max_by(key, F.struct("n_requests", key)).alias("top_user"),
-        F.max("n_requests").alias("n_requests"),
+    packed = F.col("n_requests") * F.lit(4294967296) + F.col(key)
+    best = counts.groupBy("window_start").agg(
+        F.max(packed).alias("packed")
+    )
+    return best.select(
+        "window_start",
+        F.expr("packed % 4294967296").cast("long").alias("top_user"),
+        F.expr("packed div 4294967296").cast("long").alias("n_requests"),
     )
 
 

@@ -33,10 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_exercise_spark.operators.text import tokens_expr
+from flink_exercise_spark.operators.text import shingles_expr
 from flink_exercise_spark.registry import register
 from flink_exercise_spark.session import prep
-from flink_exercise_spark.sources.tables import load_table
+from flink_exercise_spark.sources.tables import load_table, spread
 
 N_MINHASH = 8  # signature length k
 BAND_ROWS = 2  # r rows per band -> b = k/r = 4 bands
@@ -63,21 +63,28 @@ def exact_dedup_map(docs: DataFrame) -> DataFrame:
     )
 
 
-def _doc_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, tok) with distinct tokens per document."""
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens_expr())).alias("tok")
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) with distinct word 3-gram shingles per document.
+
+    Shingles are the similarity unit (see text.shingles_expr for the
+    measured 4-orders-of-magnitude candidate-pair reduction vs
+    unigrams on the fixture corpus). Documents with < 3 tokens have no
+    shingles and drop out of signature/pair queries — identical
+    behavior in the DuckDB oracles.
+    """
+    return spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(shingles_expr())).alias("tok")
     )
 
 
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    """k-permutation MinHash signature columns h0..h{k-1}.
+    """k-permutation MinHash signature columns h0..h{k-1} over shingles.
 
     Explode -> groupBy(min) rather than a per-row array fold: the
     shuffle then carries partial minima (map-side combine), and the
-    token column is pruned to exactly what each hash needs.
+    shingle column is pruned to exactly what each hash needs.
     """
-    toks = _doc_tokens(docs)
+    toks = _doc_shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
         for i in range(k)
@@ -126,16 +133,18 @@ def minhash_band_pairs(
 def jaccard_pairs(
     docs: DataFrame, threshold: float = 0.2, block_cols: tuple[str, ...] = ("lang",)
 ) -> DataFrame:
-    """Token-set Jaccard similarity pairs via inverted-index self-join.
+    """Shingle-set Jaccard similarity pairs via inverted-index self-join.
 
     ``block_cols`` bounds the candidate space (at 100 TB, blocking —
-    or an upstream LSH pass — is mandatory; an unblocked token join on
-    a power-law token distribution would explode on stopword tokens).
+    or an upstream LSH pass — is mandatory; an unblocked join on a
+    power-law term distribution would explode on its head terms; with
+    shingles the head is already orders of magnitude lighter than with
+    unigrams).
     """
-    toks = docs.select(
+    toks = spread(docs, "doc_id").select(
         "doc_id",
         *block_cols,
-        F.explode(F.array_distinct(tokens_expr())).alias("tok"),
+        F.explode(F.array_distinct(shingles_expr())).alias("tok"),
     )
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     l, r = toks.alias("l"), toks.alias("r")
@@ -177,15 +186,29 @@ def jaccard_pairs(
 # SimHash via Arrow-batched Pandas UDF (the documented Python escape hatch)
 # ---------------------------------------------------------------------------
 
-def _simhash64(text: str) -> int:
+def _simhash64(text: str, _cache: dict | None = None) -> int:
     """Deterministic 64-bit SimHash over whitespace tokens (md5 bit
-    source). Pure-Python reference implementation, executed vectorized
-    per Arrow batch inside mapInPandas."""
-    weights = [0] * 64
+    source), executed vectorized per Arrow batch inside mapInPandas.
+
+    ``_cache`` memoizes token -> ±1 bit vectors across a batch: corpus
+    vocabularies are Zipfian, so most md5+bit-expansion work repeats
+    (measured ~2x on the fixtures; far more on natural text)."""
+    import numpy as np
+
+    if _cache is None:
+        _cache = {}
+    weights = np.zeros(64, dtype=np.int64)
     for tok in text.split():
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-        for b in range(64):
-            weights[b] += 1 if (h >> b) & 1 else -1
+        bits = _cache.get(tok)
+        if bits is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = np.fromiter(
+                ((1 if (h >> b) & 1 else -1) for b in range(64)),
+                dtype=np.int64,
+                count=64,
+            )
+            _cache[tok] = bits
+        weights += bits
     v = 0
     for b in range(64):
         if weights[b] > 0:
@@ -199,15 +222,18 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     batches out; ~100x fewer Python boundary crossings than a row UDF."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "simhash": pdf["text"].map(_simhash64).astype("int64"),
+                    "simhash": pdf["text"]
+                    .map(lambda t: _simhash64(t, cache))
+                    .astype("int64"),
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return spread(docs.select("doc_id", "text"), "doc_id").mapInPandas(
         compute, schema="doc_id long, simhash long"
     )
 
@@ -256,7 +282,16 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
 # Registry entries
 # ---------------------------------------------------------------------------
 
-_ORACLE_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+# 1-based n-gram shingles, the exact twin of text.shingles_expr (n=3).
+_ORACLE_SHINGLE_CTE = """
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tok
+      FROM (SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents)
+"""
 
 
 @register(
@@ -294,8 +329,7 @@ def _minhash_oracle(k: int = N_MINHASH) -> str:
     )
     return f"""
     WITH toks AS (
-      SELECT doc_id, unnest(list_distinct({_ORACLE_TOKS})) AS tok
-      FROM documents
+      {_ORACLE_SHINGLE_CTE}
     )
     SELECT doc_id, {cols} FROM toks GROUP BY doc_id
     """
@@ -304,7 +338,8 @@ def _minhash_oracle(k: int = N_MINHASH) -> str:
 @register(
     "dedup_minhash_signatures",
     oracle=_minhash_oracle(),
-    doc="8-permutation MinHash signatures (md5 hash family)",
+    doc="8-permutation MinHash signatures over 3-gram shingles "
+        "(md5 hash family)",
     tags=("dedup", "documents", "minhash"),
 )
 def q_minhash_sigs(spark, sf_dir):
@@ -337,7 +372,8 @@ def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
 @register(
     "dedup_minhash_band_pairs",
     oracle=_band_pairs_oracle(),
-    doc="MinHash-LSH candidate pairs (4 bands x 2 rows)",
+    doc="MinHash-LSH candidate pairs over 3-gram shingles "
+        "(4 bands x 2 rows)",
     tags=("dedup", "documents", "minhash"),
 )
 def q_minhash_pairs(spark, sf_dir):
@@ -348,8 +384,7 @@ def q_minhash_pairs(spark, sf_dir):
     "dedup_jaccard_pairs",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, lang, unnest(list_distinct({_ORACLE_TOKS})) AS tok
-      FROM documents
+      {_ORACLE_SHINGLE_CTE}
     ), sizes AS (
       SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1
     ), shared AS (

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from flink_exercise_spark.registry import register
 from flink_exercise_spark.session import prep
-from flink_exercise_spark.sources.tables import load_table
+from flink_exercise_spark.sources.tables import load_table, spread
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, format string, width int, height int, "
@@ -108,7 +108,9 @@ def decode_features(with_payload: DataFrame) -> DataFrame:
                 }
             )
 
-    return with_payload.mapInPandas(run, schema=DECODED_SCHEMA)
+    return spread(with_payload, "doc_id").mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )
 
 
 @register(

@@ -427,7 +427,7 @@ def q_setops(spark, sf_dir):
     both = building.intersect(ordered).select(
         F.lit("both").alias("side"), "c_custkey"
     )
-    only = building.exceptAll(ordered).distinct().select(
+    only = building.subtract(ordered).select(
         F.lit("only_building").alias("side"), "c_custkey"
     )
     return both.unionAll(only)

@@ -30,7 +30,7 @@ from pyspark.sql import Window as W
 from flink_exercise_spark.functions.vectors import cosine_expr, l2_norm_expr
 from flink_exercise_spark.registry import register
 from flink_exercise_spark.session import prep
-from flink_exercise_spark.sources.tables import load_table
+from flink_exercise_spark.sources.tables import load_table, spread
 
 N_QUERIES = 10  # fixture convention: vec_id < 10 are the query vectors
 TOP_K = 5
@@ -51,7 +51,9 @@ def knn_brute_force(
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    corpus = emb.filter(F.col("vec_id") >= n_queries).select(
+    corpus = spread(
+        emb.filter(F.col("vec_id") >= n_queries), "vec_id"
+    ).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
@@ -91,7 +93,7 @@ def knn_lsh_bucketed(
         F.col("embedding").alias("q_emb"),
         "bucket",
     )
-    corpus = withb.filter(F.col("vec_id") >= n_queries).select(
+    corpus = spread(withb.filter(F.col("vec_id") >= n_queries), "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         "bucket",
@@ -115,7 +117,7 @@ def label_centroid_norms(emb: DataFrame) -> DataFrame:
     """Vector aggregation: mean embedding per label, reported as the
     centroid's L2 norm. posexplode -> per-(label,dim) mean keeps the
     shuffle at labels x dims rows regardless of corpus size."""
-    dims = emb.select(
+    dims = spread(emb, "vec_id").select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     ).toDF("label", "dim", "x")
     per_dim = dims.groupBy("label", "dim").agg(F.avg("x").alias("mean_x"))

@@ -43,6 +43,31 @@ def tokens_expr(text: str | Column = "text") -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def shingles_expr(text: str | Column = "text", n: int = 3) -> Column:
+    """Word n-gram shingles (1-based positions, matching the DuckDB
+    oracle's ``t[i] || ' ' || t[i+1] ...``).
+
+    Shingles, not unigrams, are the dedup unit: on a small shared
+    vocabulary nearly all documents share most *words* (measured on the
+    fixtures: unigram MinHash banding yields 7.5M candidate pairs at
+    sf0.1 vs 907 with 3-gram shingles), while n-gram overlap isolates
+    genuinely duplicated passages — the Gopher/RefinedWeb-style
+    construction.
+
+    Documents shorter than n tokens produce no shingles (guarded:
+    Spark's ``sequence(1, size-n+1)`` would count *down* when
+    size < n).
+    """
+    toks = tokens_expr(text)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 

@@ -30,10 +30,13 @@ DEFAULT_CONF: dict[str, str] = {
     # Spark's reader rejects; read them as long nanos and convert in the
     # loader (sources/tables.py) — runtime-mutable, also set by prep().
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # At 100 TB this is sized per-cluster; locally 2*cores keeps every
-    # shuffle wide enough to exercise exchange paths without tiny-task
-    # overhead. AQE coalesces the excess at runtime.
-    "spark.sql.shuffle.partitions": "64",
+    # At 100 TB this is sized per-cluster (target ~128 MB per post-AQE
+    # task); locally it tracks core count — oversizing costs real time
+    # in tiny-task scheduling at fixture scale. AQE coalesces runtime
+    # excess either way.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    ),
     "spark.sql.files.maxPartitionBytes": "128m",
     # Broadcast threshold: dim tables (region/nation/customer/part/
     # supplier) stay broadcast-able well past sf100.

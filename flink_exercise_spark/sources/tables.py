@@ -59,6 +59,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to the session's default parallelism ahead of a
+    per-row-expensive stage (explode, Pandas UDF, array fold).
+
+    Why: a small single-file parquet input arrives as ONE partition, so
+    an expensive projection runs on one core no matter how many the
+    machine has (measured: the sf0.1 shingle explode took 6.6 s on 1 of
+    32 cores). At 100 TB inputs split naturally and this shuffle is a
+    cheap no-op relative to the work it parallelizes; pass key columns
+    to keep a downstream groupBy/join co-partitioned.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -1,0 +1,94 @@
+"""Behavioral tests for dedup operators on crafted corpora with known
+duplicate structure (the fixture corpus has no labeled duplicates, so
+the oracle-parity tests check engine parity, and these check the
+operators actually *find* what they claim to find)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.dedup import (
+    exact_dedup_map,
+    exact_dedup_stats,
+    jaccard_pairs,
+    minhash_band_pairs,
+    minhash_signatures,
+    simhash_near_pairs,
+    simhash_signatures,
+    _simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the late afternoon sun"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one word differs
+FAR = (
+    "completely different content about distributed query engines "
+    "processing petabytes of shuffled columnar data every single day"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE, "en", "s0"),
+        (1, BASE, "en", "s1"),        # exact dup of 0
+        (2, NEAR, "en", "s0"),        # near dup of 0
+        (3, FAR, "en", "s0"),
+        (4, "tiny doc", "en", "s0"),  # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_stats_and_map(corpus):
+    stats = exact_dedup_stats(corpus).collect()[0]
+    assert (stats["n_docs"], stats["n_distinct_texts"], stats["n_dup_docs"]) == (5, 4, 1)
+    m = {r["canonical_doc_id"]: r["n_copies"] for r in exact_dedup_map(corpus).collect()}
+    assert m[0] == 2  # docs 0 and 1 collapse to canonical 0
+
+
+def test_minhash_identical_docs_identical_sigs(corpus):
+    sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+            for r in minhash_signatures(corpus).collect()}
+    assert sigs[0] == sigs[1]             # exact dups: all hashes equal
+    shared_near = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert shared_near >= 1               # near dup: most minima survive
+    shared_far = sum(a == b for a, b in zip(sigs[0], sigs[3]))
+    assert shared_far == 0                # disjoint shingles: none
+    assert 4 not in sigs                  # <3 tokens -> no signature
+
+
+def test_band_pairs_find_dups_not_far(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_band_pairs(corpus).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_scores(corpus):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs(corpus, threshold=0.1).collect()}
+    assert got[(0, 1)] == 1.0
+    assert 0.3 < got[(0, 2)] < 1.0        # one word changed -> high but <1
+    assert (0, 3) not in got
+
+
+def test_simhash_python_kernel_deterministic():
+    a = _simhash64(BASE)
+    assert a == _simhash64(BASE)
+    assert a != _simhash64(FAR)
+    assert -(1 << 63) <= a < (1 << 63)
+
+
+def test_simhash_near_pairs(corpus, spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(corpus).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs(corpus, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    # near-dup should be within a few bits; far doc should not pair at
+    # hamming<=10 unless chunks coincidentally collide
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 10
+    assert (0, 3) not in pairs

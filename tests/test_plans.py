@@ -1,0 +1,98 @@
+"""Plan-shape tests: scale rules enforced as assertions (SURVEY.md §4.2,
+the 100 TB design review in executable form). A query that returns right
+answers through a wrong plan (no pushdown, shuffled dim join, cartesian)
+fails here even though the oracle tests pass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_only,
+    formatted_plan,
+)
+from flink_exercise_spark.registry import specs
+from flink_exercise_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_q6_filters_push_into_scan(spark):
+    """TPC-H Q6's predicates must reach the parquet reader."""
+    df = specs()["tpch_q6_forecast_revenue"].fn(spark, SF_SMOKE)
+    assert_pushed_filters(
+        df,
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_quantity,24.0)",
+        "GreaterThanOrEqual(l_discount,0.03)",
+    )
+
+
+def test_q6_column_pruning(spark):
+    """Q6 must read only the 4 referenced columns of lineitem's 11."""
+    df = specs()["tpch_q6_forecast_revenue"].fn(spark, SF_SMOKE)
+    assert_read_schema_only(
+        df, "lineitem", "l_quantity", "l_extendedprice", "l_discount",
+        "l_shipdate",
+    )
+
+
+def test_q3_broadcasts_dimension(spark):
+    """The customer side of TPC-H Q3 must broadcast, not shuffle."""
+    df = specs()["tpch_q3_shipping_priority"].fn(spark, SF_SMOKE)
+    assert_broadcast_join(df, at_least=1)
+
+
+def test_q5_broadcasts_all_dims(spark):
+    """Q5's 6-table chain: every dim join broadcast (4+), no cartesian."""
+    df = specs()["tpch_q5_local_supplier_volume"].fn(spark, SF_SMOKE)
+    assert_broadcast_join(df, at_least=4)
+    assert_no_cartesian(df)
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    """Brute-force kNN: the query set broadcasts; the corpus streams.
+    (BroadcastNestedLoopJoin over the small side is the accepted shape
+    for an un-keyed cross score.)"""
+    df = specs()["sim_knn_brute_force"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "Broadcast" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition top-k + driver merge), not a full sort."""
+    df = specs()["sort_limit_top_orders"].fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_agg_is_partial_final(spark):
+    """A1 grouped count: two-phase hash aggregate (map-side combine),
+    so the shuffle carries one row per key, not per event."""
+    df = specs()["a1_requests_per_host"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_events_scan_prunes_for_counts(spark):
+    """Q2 windowed distinct: scan must read only ts + user_id."""
+    df = specs()["ref_q2_distinct_hosts"].fn(spark, SF_SMOKE)
+    assert_read_schema_only(df, "events", "ts", "user_id")
+
+
+def test_reference_queries_hash_aggregate_only(spark):
+    """The reference queries must plan as (codegen-able) hash
+    aggregates — no SortAggregate fallback. Q1's arg-max is the
+    regression this guards: a struct-ordered max_by silently planned
+    as SortAggregate (full sort of per-key counts) until rewritten to
+    a packed-BIGINT max (operators/aggregates.py)."""
+    for name in ["ref_q1_top_host", "ref_q2_distinct_hosts",
+                 "ref_q3_avg_reply_size"]:
+        plan = formatted_plan(specs()[name].fn(spark, SF_SMOKE))
+        assert "SortAggregate" not in plan, f"{name}:\n{plan}"
+        assert "HashAggregate" in plan, f"{name}:\n{plan}"

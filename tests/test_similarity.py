@@ -1,0 +1,91 @@
+"""Behavioral tests for similarity operators on crafted vectors with
+known neighbor structure, plus an LSH recall measurement against brute
+force on the fixture embeddings."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.similarity import (
+    embedding_norms,
+    knn_brute_force,
+    knn_lsh_bucketed,
+    label_centroid_norms,
+    sign_bucket_expr,
+)
+from flink_exercise_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # query
+        (10, [1.0, 0.01, 0.0, 0.0], 0),  # nearly parallel -> top neighbor
+        (11, [0.7, 0.7, 0.0, 0.0], 0),   # 45 degrees
+        (12, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal
+        (13, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_norms(vectors):
+    norms = {r["vec_id"]: r["l2_norm"] for r in embedding_norms(vectors).collect()}
+    assert norms[0] == 1.0
+    assert abs(norms[11] - round(math.sqrt(0.98), 4)) < 1e-9
+
+
+def test_knn_ordering_exact(vectors):
+    got = [
+        (r["neighbor_id"], r["cosine"])
+        for r in knn_brute_force(vectors, n_queries=1, k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [n for n, _ in got] == [10, 11, 12, 13]
+    assert got[0][1] > 0.999
+    assert abs(got[1][1] - round(1 / math.sqrt(2), 6)) < 1e-4
+    assert got[2][1] == 0.0
+    assert got[3][1] == -1.0
+
+
+def test_sign_bucket_deterministic(vectors):
+    b = {
+        r["vec_id"]: r["bucket"]
+        for r in vectors.withColumn("bucket", sign_bucket_expr(bits=4)).collect()
+    }
+    # signs: [+,+,+,+] -> 15 for vec 0/10/11 (0.0 counts as +)
+    assert b[0] == b[10] == b[11] == 15
+    assert b[13] != 15                    # negative first dim clears bit 0
+
+
+def test_centroids(vectors):
+    got = {r["label"]: r["centroid_norm"] for r in label_centroid_norms(vectors).collect()}
+    # label 1: mean([0,1,0,0], [-1,0,0,0]) = [-0.5, 0.5, 0, 0], norm ~0.7071
+    assert abs(got[1] - 0.7071) < 1e-3
+
+
+def test_lsh_recall_on_fixtures(spark):
+    """Single-probe sign-bucket ANN must hit a reasonable fraction of
+    the true top-3 on the fixture corpus (random ~unit vectors, 256
+    buckets over 500-2000 vectors -> recall is luck-of-the-bucket; the
+    floor asserts the machinery proper, not SOTA recall)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    true = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_force(emb, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh_bucketed(emb, k=3).collect()
+    }
+    assert approx  # every query with a non-empty bucket returns rows
+    # all approx hits must be genuine corpus vectors scored correctly:
+    # spot-check containment of approx top-1 in the bucket-restricted
+    # candidate set is implied by construction; assert overlap exists
+    assert len(true & approx) >= 1
