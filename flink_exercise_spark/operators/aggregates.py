@@ -187,6 +187,66 @@ def q_ref_q2(spark, sf_dir):
     return windowed_distinct_hosts(load_table(prep(spark), sf_dir, "events"))
 
 
+def cumulative_distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Q2, reference-EXACT semantics: the reference pipes a stateful
+    first-occurrence filter into a global running count and takes the
+    window max (StreamingJob.scala:94-96) — i.e. each window reports
+    the cumulative distinct-host count from stream start through window
+    end, not the per-window distinct count. The two coincide on the
+    single-window NASA month; they diverge on multi-window data, so
+    both are registered (windowed variant: ref_q2_distinct_hosts).
+    """
+    firsts = events.groupBy(key).agg(F.min("ts").alias("first_ts"))
+    new_per_window = firsts.groupBy(
+        win_start("first_ts", WINDOW_31D)
+    ).agg(F.count(F.lit(1)).alias("new_hosts"))
+    # The reference's all-window fires for EVERY window containing
+    # events, reporting the running count there even when no new host
+    # appeared — so anchor on the set of event windows, not just the
+    # windows where a host first appears.
+    event_windows = events.groupBy(win_start("ts", WINDOW_31D)).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).select("window_start")
+    joined = event_windows.join(new_per_window, "window_start", "left").select(
+        "window_start",
+        F.coalesce("new_hosts", F.lit(0)).alias("new_hosts"),
+    )
+    cum = W.orderBy("window_start").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return joined.select(
+        "window_start",
+        F.sum("new_hosts").over(cum).alias("n_unique_clients_cumulative"),
+    )
+
+
+@register(
+    "ref_q2_cumulative_distinct",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+    ), new_per_window AS (
+      SELECT CAST(floor(epoch(first_ts)/{_WIN_SECS})*{_WIN_SECS} AS BIGINT)
+               AS window_start,
+             count(*) AS new_hosts
+      FROM firsts GROUP BY 1
+    ), event_windows AS (
+      SELECT DISTINCT {_ORACLE_WIN} AS window_start FROM events
+    )
+    SELECT w.window_start,
+           CAST(sum(coalesce(n.new_hosts, 0)) OVER (ORDER BY w.window_start
+             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_unique_clients_cumulative
+    FROM event_windows w LEFT JOIN new_per_window n USING (window_start)
+    """,
+    doc="Reference Q2 exact semantics: cumulative distinct clients at "
+        "each window end (running-count window-max composition)",
+    tags=("reference", "events"),
+)
+def q_ref_q2_cumulative(spark, sf_dir):
+    return cumulative_distinct_hosts(load_table(prep(spark), sf_dir, "events"))
+
+
 @register(
     "ref_q3_avg_reply_size",
     oracle=f"""

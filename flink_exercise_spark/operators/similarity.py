@@ -129,6 +129,41 @@ def label_centroid_norms(emb: DataFrame) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup by semantic
+    similarity): candidate pairs from sign-bucket blocking, verified by
+    exact cosine >= threshold.
+
+    Scale shape: the bucket equi-join replaces the all-pairs cross
+    product (2^bits reduction); a multi-probe or random-hyperplane
+    variant raises recall at the same plan shape. At 100 TB the bucket
+    id becomes a partition key so each bucket's pair join is a
+    partition-local sort-merge.
+    """
+    withb = emb.select(
+        "vec_id", "embedding", sign_bucket_expr().alias("bucket")
+    )
+    l = withb.alias("l")
+    r = withb.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(cosine_expr("l.embedding", "r.embedding"), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry entries — DuckDB oracles use identical double-precision math
 # (unnest + per-element product) so sums agree to ~1e-15, far below the
@@ -243,6 +278,43 @@ def _bucket_sql(alias: str) -> str:
 )
 def q_knn_lsh(spark, sf_dir):
     return knn_lsh_bucketed(load_table(prep(spark), sf_dir, "embeddings"))
+
+
+@register(
+    "sim_embedding_near_dup_pairs",
+    # Threshold 0.35 sits inside the fixture corpus's in-bucket cosine
+    # tail (max ~0.43), so the query returns a small non-empty pair set
+    # (random embeddings carry no true semantic dups).
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+      FROM embeddings
+    ), u AS (
+      SELECT vec_id, bucket, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM b
+    ), n AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS norm FROM u GROUP BY 1
+    ), p AS (
+      SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, sum(l.x * r.x) AS dot
+      FROM u l JOIN u r
+        ON l.i = r.i AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(dot / (na.norm * nb.norm), 6) AS cosine
+    FROM p
+    JOIN n na ON na.vec_id = vec_a
+    JOIN n nb ON nb.vec_id = vec_b
+    WHERE round(dot / (na.norm * nb.norm), 6) >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs (sign-bucket blocked + exact "
+        "cosine verify)",
+    tags=("similarity", "embeddings", "dedup"),
+)
+def q_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(
+        load_table(prep(spark), sf_dir, "embeddings"), threshold=0.35
+    )
 
 
 @register(
