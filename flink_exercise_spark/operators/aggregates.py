@@ -381,6 +381,60 @@ def q_type_stats(spark, sf_dir):
 
 
 @register(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY 1
+    """,
+    doc="Exact interpolated percentiles per event_type (batch analytic; "
+        "at stream/100TB scale use approx_percentile sketches)",
+    tags=("aggregate", "events", "percentile"),
+)
+def q_percentiles(spark, sf_dir):
+    ev = load_table(prep(spark), sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "a1_running_counts_analytic",
+    # Batch rendering of Flink's per-record update stream (A1): the
+    # running count/sum each record would have emitted, via OVER
+    # windows with a deterministic (ts, event_id) order.
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w AS BIGINT) AS running_count,
+           round(sum(value) OVER w, 2) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="A1 continuous-emission semantics in batch: per-record running "
+        "aggregates via analytic windows",
+    tags=("aggregate", "events", "analytic"),
+)
+def q_running_counts(spark, sf_dir):
+    ev = load_table(prep(spark), sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("running_count"),
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
     "events_json_props",
     oracle="""
     SELECT event_type,

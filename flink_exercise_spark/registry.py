@@ -87,6 +87,8 @@ def _load_all_modules() -> None:
     # cycle with the operator modules that import ``register`` from it.
     from flink_exercise_spark.operators import (  # noqa: F401
         aggregates,
+        asof,
+        clustering,
         dedup,
         multimodal,
         relational,

