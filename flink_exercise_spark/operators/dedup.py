@@ -112,7 +112,7 @@ def minhash_band_pairs(
     ]
     banded = sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash").persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -146,6 +146,12 @@ def jaccard_pairs(
         *block_cols,
         F.explode(F.array_distinct(shingles_expr())).alias("tok"),
     )
+    # The inverted index feeds four plan subtrees (both join sides and
+    # both size lookups); without persist, Catalyst inlines the
+    # scan+explode into each — 8 Generate nodes in the physical plan,
+    # measured. At 100 TB this is the relation you'd materialize
+    # (checkpoint/bucketed table) for the same reason.
+    toks = toks.persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     l, r = toks.alias("l"), toks.alias("r")
     cond = (F.col("l.tok") == F.col("r.tok")) & (
