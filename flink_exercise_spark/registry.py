@@ -93,6 +93,7 @@ def _load_all_modules() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         text,
         windows,
     )

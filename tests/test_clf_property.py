@@ -1,0 +1,86 @@
+"""Property-based CLF parser tests (hypothesis): any structurally valid
+log line round-trips through the regex into exactly its source fields;
+any line the grammar didn't produce lands in one channel, never both.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from flink_exercise_spark.sources.clf import (
+    invalid_lines,
+    parse_clf,
+    valid_lines,
+)
+
+MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+          "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+host_st = st.from_regex(r"[a-z][a-z0-9.\-]{0,30}", fullmatch=True)
+path_st = st.from_regex(r"/[A-Za-z0-9_./\-]{0,40}", fullmatch=True)
+method_st = st.sampled_from(["GET", "POST", "HEAD", "PUT"])
+bytes_st = st.one_of(st.just("-"), st.integers(0, 999_999_999).map(str))
+tz_st = st.sampled_from(["-0400", "+0000", "+0230", "-1100"])
+
+
+@st.composite
+def clf_line(draw):
+    host = draw(host_st)
+    day = draw(st.integers(1, 28))
+    month = draw(st.sampled_from(MONTHS))
+    year = draw(st.integers(1990, 2030))
+    h, m, s = (draw(st.integers(0, 23)), draw(st.integers(0, 59)),
+               draw(st.integers(0, 59)))
+    tz = draw(tz_st)
+    method = draw(method_st)
+    path = draw(path_st)
+    ver = draw(st.sampled_from(["HTTP/1.0", "HTTP/V1.0", "HTTP/1.1"]))
+    code = draw(st.integers(100, 599))
+    nbytes = draw(bytes_st)
+    line = (
+        f"{host} - - [{day:02d}/{month}/{year}:{h:02d}:{m:02d}:{s:02d} {tz}] "
+        f'"{method} {path} {ver}" {code} {nbytes}'
+    )
+    fields = dict(host=host, day=day, month=month, year=year, hour=h,
+                  minute=m, second=s, timezone=tz, method=method,
+                  path=path, code=code,
+                  nbytes=None if nbytes == "-" else int(nbytes))
+    return line, fields
+
+
+@settings(max_examples=30, deadline=None)
+@given(clf_line())
+def test_valid_lines_roundtrip(spark, case):
+    line, f = case
+    rows = parse_clf(
+        spark.createDataFrame([(line,)], ["value"])
+    ).collect()
+    r = rows[0]
+    assert r["host"] == f["host"]
+    assert (r["day"], r["month"], r["year"]) == (f["day"], f["month"], f["year"])
+    assert (r["hour"], r["minute"], r["second"]) == (f["hour"], f["minute"], f["second"])
+    assert r["timezone"] == f["timezone"]
+    assert r["http_method"] == f["method"]
+    assert r["resource"] == f["path"]
+    assert r["http_reply_code"] == f["code"]
+    assert r["reply_bytes"] == f["nbytes"]
+    # intended timestamp semantics: local clock fields + offset = UTC ts
+    off_sign = 1 if f["timezone"][0] == "+" else -1
+    off = off_sign * (int(f["timezone"][1:3]) * 3600 + int(f["timezone"][3:5]) * 60)
+    local = dt.datetime(f["year"], MONTHS.index(f["month"]) + 1, f["day"],
+                        f["hour"], f["minute"], f["second"])
+    assert r["ts"] == local - dt.timedelta(seconds=off)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=80))
+def test_arbitrary_text_single_channel(spark, text):
+    # newlines can't occur in a text-source line
+    text = text.replace("\n", " ").replace("\r", " ")
+    parsed = parse_clf(spark.createDataFrame([(text,)], ["value"]))
+    nv = valid_lines(parsed).count()
+    ni = invalid_lines(parsed).count()
+    assert nv + ni == 1  # exactly one channel, never both/neither

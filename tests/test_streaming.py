@@ -101,6 +101,72 @@ def test_update_mode_running_counts(spark):
     assert got == exp
 
 
+def test_dedup_within_watermark_bounds_state(spark):
+    """dropDuplicatesWithinWatermark: state is evicted past the
+    watermark delay, so a key recurring AFTER the horizon is re-emitted
+    — the bounded-state dedup mode SCALE.md prescribes for churning
+    keys (vs the reference's unbounded per-key Set)."""
+    import os
+    import time as _time
+
+    src = os.path.join(str(spark.conf.get("spark.sql.warehouse.dir", "/tmp")),
+                       f"ddww_{os.getpid()}")
+    src = f"/tmp/ddww_{os.getpid()}"
+    os.makedirs(src, exist_ok=True)
+    # b0: key 1 first seen (jan). b1/b2: other keys far ahead advance
+    # the watermark past key 1's expiry — eviction applies with one
+    # batch of lag (measured on Spark 4.1: a duplicate arriving in the
+    # very batch after the watermark passed is still deduped; state is
+    # gone one batch later). b3: key 1 recurs -> re-emitted.
+    batches = [
+        [(dt.datetime(2024, 1, 1), 1)],
+        [(dt.datetime(2024, 3, 1), 2)],
+        [(dt.datetime(2024, 4, 1), 3)],
+        [(dt.datetime(2024, 4, 2), 1)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "ts timestamp, user_id long") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    run_to_memory(stream, "ddww", "append")
+    n = spark.sql("SELECT count(*) n FROM ddww").collect()[0]["n"]
+    # 4 emissions: keys 1,2,3 plus key 1 AGAIN after its state aged
+    # out; unbounded dropDuplicates would emit only 3
+    assert n == 4
+
+
+def test_streaming_clf_end_to_end(spark, tmp_path):
+    """The reference's actual shape: text-file stream -> regex parse ->
+    event-time window -> aggregate (S1+P1..P4+T4 under streaming)."""
+    from flink_exercise_spark.sources.clf import parse_clf, valid_lines
+
+    src = str(tmp_path / "logs")
+    os.makedirs(src)
+    lines = [
+        'a.net - - [01/Aug/1995:00:00:01 +0000] "GET / HTTP/1.0" 200 100',
+        'b.net - - [02/Aug/1995:00:00:02 +0000] "GET / HTTP/1.0" 200 300',
+        "garbage line",
+    ]
+    with open(os.path.join(src, "part1.log"), "w") as f:
+        f.write("\n".join(lines))
+
+    parsed = valid_lines(parse_clf(spark.readStream.text(src)))
+    agg = parsed.groupBy(
+        F.unix_timestamp(F.window("ts", "31 days")["start"]).alias("ws")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("reply_bytes").alias("b"))
+    run_to_memory(agg, "clf_stream", "complete")
+    rows = spark.sql("SELECT * FROM clf_stream").collect()
+    assert len(rows) == 1 and rows[0]["n"] == 2 and rows[0]["b"] == 400
+
+
 def test_custom_stateful_first_seen(spark):
     """applyInPandasWithState port of the reference's filterWithState:
     one emission per user, and (single-batch case) it's the min-event_id
