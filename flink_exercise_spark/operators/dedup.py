@@ -192,33 +192,64 @@ def jaccard_pairs(
 # SimHash via Arrow-batched Pandas UDF (the documented Python escape hatch)
 # ---------------------------------------------------------------------------
 
-def _simhash64(text: str, _cache: dict | None = None) -> int:
-    """Deterministic 64-bit SimHash over whitespace tokens (md5 bit
-    source), executed vectorized per Arrow batch inside mapInPandas.
+class _SimhashVocab:
+    """Token -> ±1 bit-row vocabulary, memoized across a partition.
 
-    ``_cache`` memoizes token -> ±1 bit vectors across a batch: corpus
-    vocabularies are Zipfian, so most md5+bit-expansion work repeats
-    (measured ~2x on the fixtures; far more on natural text)."""
+    md5 runs once per *unique* token (corpus vocabularies are Zipfian,
+    so most occurrences hit the dict); bit expansion is one
+    ``np.unpackbits`` instead of a 64-iteration Python loop. Bit b of
+    the row equals bit b (LSB-first) of the big-endian int over the
+    first 8 digest bytes — the construction documented for the oracle.
+    """
+
+    def __init__(self) -> None:
+        import numpy as np
+
+        self._np = np
+        self.index: dict[str, int] = {}
+        self._buf = np.empty((1024, 64), dtype=np.int32)
+        self._n = 0
+
+    def matrix(self):
+        return self._buf[: self._n]
+
+    def ids(self, toks: list[str]) -> list[int]:
+        np = self._np
+        out = []
+        idx = self.index
+        for t in toks:
+            i = idx.get(t)
+            if i is None:
+                if self._n == self._buf.shape[0]:  # amortized doubling
+                    grown = np.empty((self._n * 2, 64), dtype=np.int32)
+                    grown[: self._n] = self._buf
+                    self._buf = grown
+                d8 = np.frombuffer(hashlib.md5(t.encode()).digest()[:8], np.uint8)
+                self._buf[self._n] = (
+                    np.unpackbits(d8[::-1], bitorder="little").astype(np.int32)
+                    * 2 - 1
+                )
+                i = self._n
+                idx[t] = i
+                self._n += 1
+            out.append(i)
+        return out
+
+
+def _simhash64(text: str, _vocab: _SimhashVocab | None = None) -> int:
+    """Deterministic 64-bit SimHash over whitespace tokens: sum the
+    per-occurrence ±1 bit rows, set bit b where the sum is positive."""
     import numpy as np
 
-    if _cache is None:
-        _cache = {}
-    weights = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        bits = _cache.get(tok)
-        if bits is None:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = np.fromiter(
-                ((1 if (h >> b) & 1 else -1) for b in range(64)),
-                dtype=np.int64,
-                count=64,
-            )
-            _cache[tok] = bits
-        weights += bits
-    v = 0
-    for b in range(64):
-        if weights[b] > 0:
-            v |= 1 << b
+    vocab = _vocab or _SimhashVocab()
+    toks = text.split()
+    if not toks:
+        return 0
+    ids = vocab.ids(toks)
+    weights = vocab.matrix()[ids].sum(axis=0)
+    v = int.from_bytes(
+        np.packbits(weights > 0, bitorder="little").tobytes(), "little"
+    )
     # Represent as signed 64-bit for Spark LongType.
     return v - (1 << 64) if v >= (1 << 63) else v
 
@@ -228,13 +259,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     batches out; ~100x fewer Python boundary crossings than a row UDF."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict = {}
+        vocab = _SimhashVocab()
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "simhash": pdf["text"]
-                    .map(lambda t: _simhash64(t, cache))
+                    .map(lambda t: _simhash64(t, vocab))
                     .astype("int64"),
                 }
             )
@@ -261,9 +292,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
             for i in range(4)
         ]
     )
+    # persist: the self-join references this relation on both sides —
+    # without it the Pandas-UDF signature stage executes twice.
     banded = sigs.select(
         "doc_id", "simhash", F.explode(chunks).alias("c")
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk").persist()
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
