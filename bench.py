@@ -68,6 +68,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             timings[name] = -1.0
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
+        finally:
+            # Several operators persist() multi-use relations; drop them
+            # between queries so cached blocks from 60+ queries don't
+            # accumulate into executor-memory/GC pressure that taxes
+            # every later measurement (measured: 2-5x inflation on
+            # queries that run after the dedup family without this).
+            spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -113,6 +113,107 @@ def knn_lsh_bucketed(
     )
 
 
+N_CELLS = 8  # IVF codebook size (deterministic seed vectors)
+N_PROBE = 2  # cells searched per query
+
+
+def knn_ivf(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    k: int = 3,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` cells
+    (nearest centroid by cosine), search only each query's ``n_probe``
+    nearest cells.
+
+    The codebook here is deterministic — the first ``n_cells`` corpus
+    vectors serve as centroids — so the DuckDB oracle can verify the
+    whole pipeline; a production deployment trains the codebook with
+    k-means (operators/clustering.py) and swaps it in: the plan shape
+    is identical.
+
+    Scale shape: assignment is corpus x codebook with the codebook
+    broadcast (the only full-corpus pass); at 100 TB the cell id
+    becomes the partition/bucket key of the stored corpus, so a query
+    touches ``n_probe / n_cells`` of the data. All ranking is on
+    round(cosine, 6) — float-associativity-safe against the oracle.
+    """
+    cents = emb.filter(
+        (F.col("vec_id") >= n_queries)
+        & (F.col("vec_id") < n_queries + n_cells)
+    ).select(
+        (F.col("vec_id") - n_queries).cast("int").alias("cell_id"),
+        F.col("embedding").alias("cent"),
+    )
+    corpus = spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    # Corpus->cell assignment. Affinities are computed map-side against
+    # the broadcast codebook; the arg-max is a hash aggregation over
+    # narrow (id, cell, cos) rows packed as max(struct(cos, -cell)) —
+    # partial maxima combine map-side, so the shuffle carries one row
+    # per corpus vector, not n_cells. (A row_number window would sort
+    # n_cells x corpus rows with their arrays — wrong shape at scale.)
+    aff = corpus.crossJoin(F.broadcast(cents)).select(
+        "neighbor_id",
+        "cell_id",
+        F.round(cosine_expr("c_emb", "cent"), 6).alias("cos"),
+    )
+    assigned_ids = (
+        aff.groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"), (-F.col("cell_id")).alias("neg_cell")
+                )
+            ).alias("m")
+        )
+        .select(
+            "neighbor_id", (-F.col("m.neg_cell")).cast("int").alias("cell_id")
+        )
+    )
+    assigned = corpus.join(assigned_ids, "neighbor_id")
+    # Query->probe-cells: tiny relation, a row_number window is fine.
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc(F.round(cosine_expr("q_emb", "cent"), 6)),
+                    F.asc("cell_id"),
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cosine"),
+    )
+    order = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(order))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def label_centroid_norms(emb: DataFrame) -> DataFrame:
     """Vector aggregation: mean embedding per label, reported as the
     centroid's L2 norm. posexplode -> per-(label,dim) mean keeps the
@@ -278,6 +379,72 @@ def _bucket_sql(alias: str) -> str:
 )
 def q_knn_lsh(spark, sf_dir):
     return knn_lsh_bucketed(load_table(prep(spark), sf_dir, "embeddings"))
+
+
+@register(
+    "sim_knn_ivf",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS norm FROM u GROUP BY 1
+    ), cent AS (
+      SELECT u.vec_id - {N_QUERIES} AS cell_id, u.x, u.i, n.norm
+      FROM u JOIN norms n USING (vec_id)
+      WHERE u.vec_id >= {N_QUERIES} AND u.vec_id < {N_QUERIES + N_CELLS}
+    ), corp AS (
+      SELECT u.vec_id AS neighbor_id, u.x, u.i, n.norm
+      FROM u JOIN norms n USING (vec_id) WHERE u.vec_id >= {N_QUERIES}
+    ), qv AS (
+      SELECT u.vec_id AS query_id, u.x, u.i, n.norm
+      FROM u JOIN norms n USING (vec_id) WHERE u.vec_id < {N_QUERIES}
+    ), corp_aff AS (
+      SELECT c.neighbor_id, ct.cell_id,
+             round(sum(c.x * ct.x)
+                   / (any_value(c.norm) * any_value(ct.norm)), 6) AS cos
+      FROM corp c JOIN cent ct ON c.i = ct.i
+      GROUP BY 1, 2
+    ), assigned AS (
+      SELECT neighbor_id, cell_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY neighbor_id ORDER BY cos DESC, cell_id) AS rn
+        FROM corp_aff) WHERE rn = 1
+    ), q_aff AS (
+      SELECT q.query_id, ct.cell_id,
+             round(sum(q.x * ct.x)
+                   / (any_value(q.norm) * any_value(ct.norm)), 6) AS cos
+      FROM qv q JOIN cent ct ON q.i = ct.i
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, cell_id) AS rn
+        FROM q_aff) WHERE rn <= {N_PROBE}
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(sum(q.x * c.x)
+                   / (any_value(q.norm) * any_value(c.norm)), 6) AS cosine
+      FROM qv q
+      JOIN probes p ON p.query_id = q.query_id
+      JOIN assigned a ON a.cell_id = p.cell_id
+      JOIN corp c ON c.neighbor_id = a.neighbor_id AND c.i = q.i
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="IVF-flat ANN top-3: deterministic 8-cell codebook, 2-probe "
+        "search (hash-aggregable cell assignment)",
+    tags=("similarity", "embeddings", "ivf"),
+)
+def q_knn_ivf(spark, sf_dir):
+    return knn_ivf(load_table(prep(spark), sf_dir, "embeddings"))
 
 
 @register(
