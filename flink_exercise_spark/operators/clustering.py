@@ -54,7 +54,11 @@ def kmeans_fit_predict(
 ) -> DataFrame:
     """(vec_id, label, cluster) after ``iters`` Lloyd iterations with
     deterministic init (the k lowest vec_ids)."""
-    emb = spread(emb.select("vec_id", "label", "embedding"), "vec_id")
+    # The corpus is read 1 (init) + iters (update) + 1 (final assign)
+    # times; persist once instead of re-scanning + re-repartitioning
+    # per iteration. At 100 TB this is the cached/checkpointed working
+    # set every iterative algorithm keeps hot.
+    emb = spread(emb.select("vec_id", "label", "embedding"), "vec_id").persist()
     init = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -62,30 +66,20 @@ def kmeans_fit_predict(
         .collect()
     )
     centroids = [list(r["e"]) for r in init]
+    dims = len(centroids[0])
+    vec = F.col("embedding").cast("array<double>")
     for _ in range(iters):
-        assigned = _assign(emb, centroids)
-        per_dim = (
-            assigned.select(
-                "cluster",
-                F.posexplode(F.col("embedding").cast("array<double>")),
-            )
-            .toDF("cluster", "dim", "x")
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-        )
+        # Centroid update as ONE hash aggregation with an avg per
+        # dimension (model state is k x dims — fine as flat agg
+        # buffers): map-side partials, no explode, no sort, and the
+        # shuffle carries k x n_partitions partial rows only.
         rows = (
-            per_dim.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("dim", "m"))
-                    ),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
+            _assign(emb, centroids)
+            .groupBy("cluster")
+            .agg(*[F.avg(vec.getItem(i)).alias(f"m{i}") for i in range(dims)])
             .collect()
         )
-        new = {r["cluster"]: list(r["centroid"]) for r in rows}
+        new = {r["cluster"]: [r[f"m{i}"] for i in range(dims)] for r in rows}
         # empty clusters keep their previous centroid
         centroids = [new.get(i, centroids[i]) for i in range(k)]
     return _assign(emb, centroids).select("vec_id", "label", "cluster")

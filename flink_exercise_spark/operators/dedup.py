@@ -33,7 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_exercise_spark.operators.text import shingles_expr
+from flink_exercise_spark.operators.text import (
+    shingles_from_tokens,
+    tokens_expr,
+)
 from flink_exercise_spark.registry import register
 from flink_exercise_spark.session import prep
 from flink_exercise_spark.sources.tables import load_table, spread
@@ -72,8 +75,15 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     shingles and drop out of signature/pair queries — identical
     behavior in the DuckDB oracles.
     """
-    return spread(docs, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(shingles_expr())).alias("tok")
+    return (
+        spread(docs, "doc_id")
+        .select("doc_id", tokens_expr().alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("_toks")))
+            ).alias("tok"),
+        )
     )
 
 
@@ -141,10 +151,16 @@ def jaccard_pairs(
     shingles the head is already orders of magnitude lighter than with
     unigrams).
     """
-    toks = spread(docs, "doc_id").select(
-        "doc_id",
-        *block_cols,
-        F.explode(F.array_distinct(shingles_expr())).alias("tok"),
+    toks = (
+        spread(docs, "doc_id")
+        .select("doc_id", *block_cols, tokens_expr().alias("_toks"))
+        .select(
+            "doc_id",
+            *block_cols,
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("_toks")))
+            ).alias("tok"),
+        )
     )
     # The inverted index feeds four plan subtrees (both join sides and
     # both size lookups); without persist, Catalyst inlines the

@@ -43,9 +43,33 @@ def tokens_expr(text: str | Column = "text") -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an already-materialized token array
+    (1-based positions, matching the DuckDB oracle's
+    ``t[i] || ' ' || t[i+1] ...``).
+
+    ``toks`` MUST be a bound column (not a ``split(...)`` expression):
+    the shingle builder references it ~3n times, and Catalyst does not
+    common-subexpression-eliminate through the ``transform`` lambda —
+    passing the raw split expression re-tokenizes the document per
+    reference, O(tokens x length) per row (measured 8.1s -> 1.3s for
+    the sf0.1 shingle explode).
+
+    Documents shorter than n tokens produce no shingles (guarded:
+    Spark's ``sequence(1, size-n+1)`` would count *down* when
+    size < n).
+    """
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles_expr(text: str | Column = "text", n: int = 3) -> Column:
-    """Word n-gram shingles (1-based positions, matching the DuckDB
-    oracle's ``t[i] || ' ' || t[i+1] ...``).
+    """Word n-gram shingles straight from a text column.
 
     Shingles, not unigrams, are the dedup unit: on a small shared
     vocabulary nearly all documents share most *words* (measured on the
@@ -54,18 +78,12 @@ def shingles_expr(text: str | Column = "text", n: int = 3) -> Column:
     genuinely duplicated passages — the Gopher/RefinedWeb-style
     construction.
 
-    Documents shorter than n tokens produce no shingles (guarded:
-    Spark's ``sequence(1, size-n+1)`` would count *down* when
-    size < n).
+    Prefer the two-step ``select(tokens_expr().alias(c))`` +
+    ``shingles_from_tokens(col(c))`` form in hot paths (see that
+    function's CSE note); this convenience wrapper re-tokenizes per
+    reference and is fine only for small/one-off inputs.
     """
-    toks = tokens_expr(text)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
-    ).otherwise(F.array().cast("array<string>"))
+    return shingles_from_tokens(tokens_expr(text), n)
 
 
 def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
