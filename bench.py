@@ -55,15 +55,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         try:
+            warm = None
             if time.perf_counter() - start < budget:
-                # Untimed pass absorbs per-query whole-stage-codegen +
-                # JIT (a fixed cost irrelevant at production scale);
-                # the timed pass then measures steady state.
+                # First pass absorbs per-query whole-stage-codegen +
+                # JIT (a fixed cost irrelevant at production scale).
+                # It is timed as well and the MIN of the two runs is
+                # reported: on a shared host a single run can catch a
+                # multi-second noise spike (observed 4x), and min-of-2
+                # is the standard noise-robust estimator.
+                t0 = time.perf_counter()
                 specs[name].fn(spark, sf_dir).count()
+                warm = time.perf_counter() - t0
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            t1 = time.perf_counter() - t0
+            timings[name] = round(t1 if warm is None else min(warm, t1), 4)
             print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             timings[name] = -1.0
