@@ -113,6 +113,104 @@ def decode_features(with_payload: DataFrame) -> DataFrame:
     )
 
 
+@dataclass(frozen=True)
+class FakeVideoCodec:
+    """Deterministic stand-in for a container probe (ffprobe-style).
+
+    Frame count derives from the first byte of md5(payload); a real
+    kernel reads the container header. FPS is fixed at 24.
+    """
+
+    fps: int = 24
+
+    def probe(self, payload: bytes) -> int:
+        if not payload:
+            raise NotImplementedError("real prober required for empty payloads")
+        return 8 + hashlib.md5(payload).digest()[0] % 120
+
+
+VIDEO_DECODER = FakeVideoCodec()
+
+FRAME_STRIDE = 16  # sample every 16th frame
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame_hash string"
+
+
+def frame_sample(
+    with_payload: DataFrame, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Video frame sampling: one input row fans out to one row per
+    sampled frame — the 1->N batch shape ``mapInPandas`` supports
+    natively (output batches need not align with input rows).
+
+    The per-frame "decoded bytes" stand-in is md5(payload + ':' + idx);
+    a real kernel would emit the frame tensor or a JPEG re-encode.
+    Frame timestamps use exact integer math (idx * 1000 // fps) so the
+    DuckDB oracle reproduces them bit-for-bit.
+    """
+
+    fps = VIDEO_DECODER.fps
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                for i in range(0, VIDEO_DECODER.probe(p), stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * 1000 // fps)
+                    hashes.append(
+                        hashlib.md5(p + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_hash": hashes,
+                }
+            )
+
+    return spread(with_payload, "doc_id").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, thumb binary, thumb_bytes int"
+)
+
+
+def resize_images(with_payload: DataFrame, target: int = 64) -> DataFrame:
+    """Thumbnail pipeline: decode -> scale dims to ``target`` on the
+    long edge -> re-encode, binary in / binary out. The fake kernel
+    emits the md5 digest as the "re-encoded" thumbnail; a real one
+    returns actual image bytes — same schema, same Arrow batching."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, thumbs = [], [], []
+            for payload in pdf["payload"]:
+                p = bytes(payload)
+                _, w, h, _ = DECODER.decode(p)
+                scale = target / max(w, h)
+                ws.append(max(1, int(w * scale)))
+                hs.append(max(1, int(h * scale)))
+                thumbs.append(hashlib.md5(p).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "thumb": thumbs,
+                    "thumb_bytes": pd.Series(
+                        [len(t) for t in thumbs], dtype="int32"
+                    ),
+                }
+            )
+
+    return spread(with_payload, "doc_id").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 @register(
     "mm_binary_metadata",
     oracle="""
@@ -139,3 +237,42 @@ def q_binary_meta(spark, sf_dir):
 def q_decode_features(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
     return decode_features(attach_binary_payload(docs))
+
+
+@register(
+    "mm_frame_sample",
+    # The fake prober's arithmetic (md5-derived frame count, integer
+    # frame timestamps, per-frame content hash) is reproduced exactly
+    # in SQL, so this Pandas-UDF fan-out op IS value-hash-checked.
+    oracle=f"""
+    WITH probed AS (
+      SELECT doc_id, text,
+             8 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 120
+               AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           CAST(fi * 1000 // {FakeVideoCodec.fps} AS BIGINT) AS ts_ms,
+           md5(text || ':' || CAST(fi AS VARCHAR)) AS frame_hash
+    FROM probed, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(fi)
+    """,
+    doc="Video frame sampling: 1 row -> N sampled frames via "
+        "mapInPandas (fan-out batch shape, stub prober)",
+    tags=("multimodal", "documents", "pandas-udf", "video"),
+)
+def q_frame_sample(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    return frame_sample(attach_binary_payload(docs))
+
+
+@register(
+    "mm_resize_thumbs",
+    oracle=None,  # float scale + truncation; rows-only check
+    doc="Thumbnail resize: binary in -> binary out via mapInPandas "
+        "(stub codec, real Arrow round-trip)",
+    tags=("multimodal", "documents", "pandas-udf", "binary"),
+)
+def q_resize(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    return resize_images(attach_binary_payload(docs))

@@ -1,0 +1,82 @@
+"""Multimodal plumbing tests: binary column round-trips, Arrow batch
+shapes (1->1, 1->N fan-out, binary->binary), and kernel determinism —
+the Spark-side contract that stays identical when the stub codecs are
+swapped for real ones."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from flink_exercise_spark.operators.multimodal import (
+    FRAME_STRIDE,
+    VIDEO_DECODER,
+    attach_binary_payload,
+    binary_metadata,
+    decode_features,
+    frame_sample,
+    resize_images,
+)
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [(i, f"doc number {i} " + "x" * (10 * i)) for i in range(6)]
+    return attach_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+
+def test_metadata_matches_python(payloads):
+    got = {r["doc_id"]: r for r in binary_metadata(payloads).collect()}
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+    for i, p in raw.items():
+        assert got[i]["n_bytes"] == len(p)
+        assert got[i]["content_hash"] == hashlib.md5(p).hexdigest()
+
+
+def test_decode_features_deterministic(payloads):
+    a = sorted(decode_features(payloads).collect())
+    b = sorted(decode_features(payloads).collect())
+    assert a == b
+    for r in a:
+        assert 64 <= r["width"] <= 255 and 64 <= r["height"] <= 255
+        assert 0.0 <= r["mean_luma"] <= 1.0
+
+
+def test_frame_sample_fanout_count(payloads):
+    """Row multiplication must equal the prober's arithmetic exactly:
+    one output row per sampled frame per doc."""
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+    expected = {
+        i: len(range(0, VIDEO_DECODER.probe(p), FRAME_STRIDE))
+        for i, p in raw.items()
+    }
+    rows = frame_sample(payloads).collect()
+    got: dict[int, int] = {}
+    for r in rows:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+        assert r["frame_idx"] % FRAME_STRIDE == 0
+        assert r["ts_ms"] == r["frame_idx"] * 1000 // VIDEO_DECODER.fps
+    assert got == expected
+    # per-frame hashes are content-addressed: distinct across frames
+    one_doc = [r for r in rows if r["doc_id"] == 5]
+    assert len({r["frame_hash"] for r in one_doc}) == len(one_doc)
+
+
+def test_resize_binary_roundtrip(payloads):
+    """binary in -> binary out; long edge scaled to <= 64 preserving
+    which side is longer."""
+    feats = {r["doc_id"]: r for r in decode_features(payloads).collect()}
+    rows = {r["doc_id"]: r for r in resize_images(payloads).collect()}
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in payloads.collect()}
+    for i, r in rows.items():
+        assert max(r["width"], r["height"]) <= 64
+        assert r["width"] >= 1 and r["height"] >= 1
+        orig = feats[i]
+        assert (orig["width"] >= orig["height"]) == (
+            r["width"] >= r["height"]
+        ) or r["width"] == r["height"]
+        assert bytes(r["thumb"]) == hashlib.md5(raw[i]).digest()
+        assert r["thumb_bytes"] == 16
