@@ -1,0 +1,147 @@
+"""End-to-end LLM training-data preparation pipeline — the flagship
+composition of the north-star operator families:
+
+    documents
+      -> quality features (token count, lexical diversity, stopword
+         ratio — C4/Gopher-style filters, operators/text.py semantics)
+      -> quality + language gate (marker-based language ID, drop
+         'unknown')
+      -> exact dedup (canonical copy = min doc_id per md5(text),
+         operators/dedup.py semantics)
+      -> per-language corpus budget (docs kept, total tokens, mean
+         quality)
+
+Everything is a single declarative plan: one bound-token-array
+projection (see text.shingles_from_tokens for the CSE rationale), one
+filter, one hash-agg + equi-join for the canonical-copy gate, one final
+hash-agg. No Python in the pipeline at all — at 100 TB this runs as
+three shuffles (canonical groupBy, canonical join, final agg) over
+narrow rows; the text payload never crosses the wire.
+
+All comparisons happen on values rounded exactly as the DuckDB oracle
+rounds them, so the whole pipeline is value-hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    _marker_score,
+    tokens_expr,
+)
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table
+
+MIN_TOKENS = 20
+MIN_LEXICAL_DIVERSITY = 0.35
+MIN_STOPWORD_RATIO = 0.02
+
+
+def llm_data_prep(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_ld: float = MIN_LEXICAL_DIVERSITY,
+    min_sr: float = MIN_STOPWORD_RATIO,
+) -> DataFrame:
+    """Per-language corpus summary after quality gate + language gate +
+    exact dedup."""
+    toked = docs.select("doc_id", "text", tokens_expr().alias("_toks"))
+    t = F.col("_toks")
+    n_tokens = F.size(t)
+    scores = {
+        lang: _marker_score(t, markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+
+    feat = toked.select(
+        "doc_id",
+        F.md5("text").alias("_h"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(t)) / n_tokens, 4).alias(
+            "lexical_diversity"
+        ),
+        F.round(_marker_score(t, STOPWORDS) / n_tokens, 4).alias(
+            "stopword_ratio"
+        ),
+        pred.alias("predicted_lang"),
+    )
+    kept = feat.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("lexical_diversity") >= min_ld)
+        & (F.col("stopword_ratio") >= min_sr)
+        & (F.col("predicted_lang") != "unknown")
+    )
+    canon = kept.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(canon, ["_h", "doc_id"])
+    return deduped.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("lexical_diversity"), 4).alias("avg_lexical_diversity"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+    )
+
+
+def _oracle() -> str:
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    score = {
+        lang: f"len(list_filter(T, t -> t IN {markers!r}))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(score[lang] for lang in langs) + ")"
+    whens = "\n             ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, text, {toks} AS T FROM documents
+    ), feat AS (
+      SELECT doc_id, md5(text) AS h,
+             len(T) AS n_tokens,
+             round(len(list_distinct(T)) / len(T), 4) AS lexical_diversity,
+             round(len(list_filter(T, t -> t IN {STOPWORDS!r}))
+                   / len(T), 4) AS stopword_ratio,
+             CASE WHEN {best} = 0 THEN 'unknown'
+             {whens}
+             END AS predicted_lang
+      FROM toked
+    ), kept AS (
+      SELECT * FROM feat
+      WHERE n_tokens >= {MIN_TOKENS}
+        AND lexical_diversity >= {MIN_LEXICAL_DIVERSITY}
+        AND stopword_ratio >= {MIN_STOPWORD_RATIO}
+        AND predicted_lang != 'unknown'
+    ), canon AS (
+      SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY h
+    ), deduped AS (
+      SELECT k.* FROM kept k
+      JOIN canon c ON k.h = c.h AND k.doc_id = c.doc_id
+    )
+    SELECT predicted_lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(lexical_diversity), 4) AS avg_lexical_diversity,
+           round(avg(stopword_ratio), 4) AS avg_stopword_ratio
+    FROM deduped GROUP BY predicted_lang
+    """
+
+
+@register(
+    "pipeline_llm_data_prep",
+    oracle=_oracle(),
+    doc="End-to-end LLM data prep: quality gate -> language gate -> "
+        "exact dedup -> per-language token budget (one declarative plan)",
+    tags=("pipeline", "documents", "dedup", "text"),
+)
+def q_llm_data_prep(spark, sf_dir):
+    return llm_data_prep(load_table(prep(spark), sf_dir, "documents"))

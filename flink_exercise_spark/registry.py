@@ -91,6 +91,7 @@ def _load_all_modules() -> None:
         clustering,
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         skew,
