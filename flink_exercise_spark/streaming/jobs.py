@@ -149,6 +149,69 @@ def stateful_first_seen(events: DataFrame, timeout_ms: int | None = None) -> Dat
     )
 
 
+def run_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    timeout_sec: int = 120,
+) -> None:
+    """Execute a bounded stream into a parquet file sink with a
+    checkpoint — the production deployment shape. The checkpoint's
+    offset log + the file sink's transaction log give end-to-end
+    exactly-once: re-running with the same checkpoint after completion
+    (or a crash) writes nothing twice."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()
+
+
+class ForeachBatchTopHost:
+    """Streaming Q1 completed end-to-end via ``foreachBatch``: Spark
+    disallows a second stateful aggregation (the all-window arg-max)
+    after the windowed counts, so the counts run in update mode and
+    each micro-batch UPSERTS into a keyed store; the arg-max is then a
+    cheap read-side reduction — the sink-then-reduce production shape
+    for reference Q1 (StreamingJob.scala:91-92).
+
+    The store here is a driver dict (tests); swap ``upsert`` for a
+    Delta MERGE / key-value write at scale — update-mode emissions are
+    keyed, so the merge is idempotent per (window, user).
+    """
+
+    def __init__(self) -> None:
+        self.store: dict[tuple[int, int], int] = {}
+
+    def upsert(self, batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():
+            self.store[(r["window_start"], r["user_id"])] = r["n_requests"]
+
+    def top_per_window(self) -> dict[int, tuple[int, int]]:
+        """window_start -> (user_id, n_requests); ties to lowest user."""
+        best: dict[int, tuple[int, int]] = {}
+        for (w, u), n in sorted(self.store.items()):
+            if w not in best or n > best[w][1]:
+                best[w] = (u, n)
+        return best
+
+    def run(self, counts: DataFrame, timeout_sec: int = 120) -> None:
+        q = (
+            counts.writeStream.foreachBatch(self.upsert)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        q.stop()
+
+
 def run_to_memory(
     df: DataFrame,
     table: str,

@@ -229,3 +229,50 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     feb_ws = int(feb_late.replace(tzinfo=dt.timezone.utc).timestamp()
                  // (31 * 86400) * (31 * 86400))
     assert all(not (ws == feb_ws and n == 1) for ws, n in got)
+
+
+def test_parquet_sink_exactly_once(spark, tmp_path):
+    """Checkpointed file sink: a second run over the same (fully
+    consumed) source with the same checkpoint must add zero rows —
+    the offset log + sink transaction log give exactly-once."""
+    from flink_exercise_spark.streaming.jobs import run_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = streaming_distinct_hosts(events_stream(spark, SF_SMOKE))
+    run_to_parquet(stream, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == load_table(spark, SF_SMOKE, "events").select(
+        "user_id"
+    ).distinct().count()
+    run_to_parquet(stream, out, ckpt)  # replay: nothing new to process
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_foreachbatch_top_host_equals_batch_q1(spark):
+    """Streaming Q1 completed via the foreachBatch sink-then-reduce
+    shape must equal the batch arg-max exactly (incl. tie-breaks)."""
+    from flink_exercise_spark.streaming.jobs import ForeachBatchTopHost
+
+    sink = ForeachBatchTopHost()
+    sink.run(windowed_host_counts(events_stream(spark, SF_SMOKE)))
+    got = sink.top_per_window()
+
+    exp = {
+        r["window_start"]: (r["top_user"], r["n_requests"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.unix_timestamp(F.window("ts", "31 days")["start"]).alias(
+                "window_start"
+            ),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("window_start")
+        .agg(
+            F.expr("max_by(user_id, struct(n, -user_id))").alias("top_user"),
+            F.max("n").alias("n_requests"),
+        )
+        .collect()
+    }
+    assert got == exp
