@@ -136,6 +136,63 @@ def _oracle() -> str:
     """
 
 
+SPLIT_PCT = {"train": 80, "val": 90}  # hash < 80 -> train, < 90 -> val
+
+
+def hash_split_expr(key: str = "doc_id") -> F.Column:
+    """Deterministic train/val/test assignment by content hash of the
+    key: ``md5(key) mod 100`` buckets — stable across runs, engines,
+    partitionings, and data order (unlike ``df.sample``/``randomSplit``,
+    whose assignment depends on partition layout). The standard way a
+    100 TB pipeline makes splits reproducible and leak-free: a document
+    keeps its split forever, even across corpus versions."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    return (
+        F.when(bucket < SPLIT_PCT["train"], F.lit("train"))
+        .when(bucket < SPLIT_PCT["val"], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_profile(docs: DataFrame) -> DataFrame:
+    """Corpus accounting per (split, lang): doc and char budgets."""
+    return (
+        docs.withColumn("split", hash_split_expr())
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "pipeline_hash_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT *,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < {SPLIT_PCT["train"]} THEN 'train'
+                WHEN bucket < {SPLIT_PCT["val"]} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Deterministic content-hash train/val/test split profile "
+        "(md5 mod 100 — stable across runs/engines/partitionings)",
+    tags=("pipeline", "documents", "sampling"),
+)
+def q_hash_split(spark, sf_dir):
+    return split_profile(load_table(prep(spark), sf_dir, "documents"))
+
+
 @register(
     "pipeline_llm_data_prep",
     oracle=_oracle(),

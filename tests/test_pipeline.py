@@ -4,6 +4,8 @@ expected survivors are hand-computable."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from flink_exercise_spark.operators.pipeline import llm_data_prep
 
 GOOD = (
@@ -38,3 +40,20 @@ def test_dedup_keeps_min_doc_id(spark):
     out = llm_data_prep(df).collect()[0]
     assert out["n_docs"] == 1
     assert out["total_tokens"] == len(GOOD.split())
+
+
+def test_hash_split_stable_under_layout(spark):
+    """Split assignment must be a pure function of the key — identical
+    after any repartition/order change (the property randomSplit lacks)."""
+    from flink_exercise_spark.operators.pipeline import hash_split_expr
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["s"] for r in
+         df.withColumn("s", hash_split_expr()).collect()}
+    b = {r["doc_id"]: r["s"] for r in
+         df.repartition(7).sortWithinPartitions(F.desc("doc_id"))
+           .withColumn("s", hash_split_expr()).collect()}
+    assert a == b
+    from collections import Counter
+    c = Counter(a.values())
+    assert c["train"] > c["val"] and c["train"] > c["test"]
