@@ -156,26 +156,28 @@ def knn_ivf(
 
     # Corpus->cell assignment. Affinities are computed map-side against
     # the broadcast codebook; the arg-max is a hash aggregation over
-    # narrow (id, cell, cos) rows packed as max(struct(cos, -cell)) —
-    # partial maxima combine map-side, so the shuffle carries one row
-    # per corpus vector, not n_cells. (A row_number window would sort
+    # narrow (id, packed) rows — partial maxima combine map-side, so
+    # the shuffle carries one row per corpus vector, not n_cells. The
+    # (cos, -cell) ordering is packed into ONE exact BIGINT because
+    # max(struct(...)) silently degrades to SortAggregate (the same
+    # trap aggregates.top_host_per_window documents); scaled by 1e6 the
+    # 6-dp-rounded cosine is integer-exact, and the low 8 bits break
+    # ties toward the lowest cell id. (A row_number window would sort
     # n_cells x corpus rows with their arrays — wrong shape at scale.)
     aff = corpus.crossJoin(F.broadcast(cents)).select(
         "neighbor_id",
         "cell_id",
         F.round(cosine_expr("c_emb", "cent"), 6).alias("cos"),
     )
+    packed = (
+        F.round(F.col("cos") * 1_000_000, 0).cast("long") + 1_000_000
+    ) * 256 + (255 - F.col("cell_id"))
     assigned_ids = (
         aff.groupBy("neighbor_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("cos"), (-F.col("cell_id")).alias("neg_cell")
-                )
-            ).alias("m")
-        )
+        .agg(F.max(packed).alias("p"))
         .select(
-            "neighbor_id", (-F.col("m.neg_cell")).cast("int").alias("cell_id")
+            "neighbor_id",
+            (255 - F.col("p") % 256).cast("int").alias("cell_id"),
         )
     )
     assigned = corpus.join(assigned_ids, "neighbor_id")

@@ -96,3 +96,33 @@ def test_reference_queries_hash_aggregate_only(spark):
         plan = formatted_plan(specs()[name].fn(spark, SF_SMOKE))
         assert "SortAggregate" not in plan, f"{name}:\n{plan}"
         assert "HashAggregate" in plan, f"{name}:\n{plan}"
+
+
+def test_ivf_assignment_is_hash_agg_with_broadcast_codebook(spark):
+    """IVF cell assignment must be: broadcast codebook (map-side cross)
+    + two-phase hash aggregation for the arg-max — no window sort over
+    corpus x cells rows, no shuffled codebook join."""
+    df = specs()["sim_knn_ivf"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") >= 1  # codebook cross
+    assert "HashAggregate" in plan
+    assert_no_cartesian(df)
+    # the corpus-side arg-max must not be a Window (queries-side
+    # row_number over 10 rows is fine — assert no window PARTITION BY
+    # the corpus id)
+    assert "windowspecdefinition(neighbor_id" not in plan.lower()
+
+
+def test_pipeline_is_single_declarative_plan(spark):
+    """The composed LLM-prep pipeline: filters collapse into the scan
+    stage, dedup gate is a hash-agg + shuffled equi-join, final agg is
+    two-phase — and the text column is pruned before any exchange."""
+    df = specs()["pipeline_llm_data_prep"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "HashAggregate" in plan
+    # the wide text payload must not cross a shuffle: no Exchange input
+    # schema may contain the raw text column
+    import re
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0)
