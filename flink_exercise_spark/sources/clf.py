@@ -38,53 +38,67 @@ CLF_PATTERN = (
 
 TIMESTAMP_FORMAT = "dd/MMM/yyyy:HH:mm:ss Z"
 
-
-def _g(raw: str | Column, group: int) -> Column:
-    c = F.col(raw) if isinstance(raw, str) else raw
-    return F.regexp_extract(c, CLF_PATTERN, group)
+# Single-pass parse plumbing: the anchored pattern matches at most once,
+# so one regexp_replace rewrites a matching line into SENTINEL FS g1 FS
+# ... FS g13 (FS = \x01, never present in log text); a non-matching line
+# passes through unchanged and therefore lacks the leading sentinel
+# field. One split then yields every capture group — the regex executes
+# once per row instead of once per extracted group (Catalyst does not
+# CSE regexp_extract across group indices; the reference also matches
+# once per record, StreamingJob.scala:114).
+_FS = "\x01"
+_SENTINEL = "\x02"
+_REPLACEMENT = _SENTINEL + _FS + _FS.join(f"${g}" for g in range(1, 14))
 
 
 def parse_clf(raw: DataFrame, column: str = "value") -> DataFrame:
     """P1+P2+P3 — raw text lines -> typed LogLine records.
 
-    Non-matching lines keep ``host = ''`` (regexp_extract returns the
-    empty string on no-match), the reference's sentinel convention.
-    NULL-able ``reply_bytes``: ``'-'`` -> NULL via try_cast (P3).
+    Non-matching lines keep ``host = ''``, the reference's sentinel
+    convention (StreamingJob.scala:135). NULL-able ``reply_bytes``:
+    ``'-'`` -> NULL via try_cast (P3).
     """
-    ts_text = F.concat_ws(
-        " ",
-        F.concat_ws(
-            "/",
-            _g(column, 2),
-            _g(column, 3),
-            F.concat(_g(column, 4), F.lit(":"), _g(column, 5)),
-        ),
-        _g(column, 8),
-    )
-    # Rebuild 'dd/MMM/yyyy:HH:mm:ss Z' exactly as captured.
+    # Bind the regex output and the split array as named columns in
+    # their own projections: CollapseProject never inlines a
+    # multiply-referenced non-trivial alias, so each evaluates exactly
+    # once per row (asserted in tests/test_plans.py).
+    split_df = raw.withColumn(
+        "_m", F.regexp_replace(F.col(column), CLF_PATTERN, _REPLACEMENT)
+    ).withColumn("_p", F.split(F.col("_m"), _FS, -1))
+
+    ok = F.get("_p", 0) == _SENTINEL
+
+    def g(i: int) -> Column:
+        # F.get is NULL-safe out of bounds (non-matching lines split to
+        # a single field), and the `ok` guard rejects pathological
+        # lines that contain \x01 themselves.
+        return F.when(ok, F.get("_p", i))
+
+    def s(i: int) -> Column:
+        # String groups keep the reference's '' no-match sentinel.
+        return F.coalesce(g(i), F.lit(""))
+
     ts_text = F.concat(
-        _g(column, 2), F.lit("/"), _g(column, 3), F.lit("/"),
-        _g(column, 4), F.lit(":"), _g(column, 5), F.lit(":"),
-        _g(column, 6), F.lit(":"), _g(column, 7), F.lit(" "), _g(column, 8),
+        g(2), F.lit("/"), g(3), F.lit("/"),
+        g(4), F.lit(":"), g(5), F.lit(":"),
+        g(6), F.lit(":"), g(7), F.lit(" "), g(8),
     )
-    return raw.select(
+    return split_df.select(
         F.col(column).alias("raw"),
-        _g(column, 1).alias("host"),
-        _g(column, 2).try_cast("int").alias("day"),
-        _g(column, 3).alias("month"),
-        _g(column, 4).try_cast("int").alias("year"),
-        _g(column, 5).try_cast("int").alias("hour"),
-        _g(column, 6).try_cast("int").alias("minute"),
-        _g(column, 7).try_cast("int").alias("second"),
-        _g(column, 8).alias("timezone"),
+        s(1).alias("host"),
+        g(2).try_cast("int").alias("day"),
+        s(3).alias("month"),
+        g(4).try_cast("int").alias("year"),
+        g(5).try_cast("int").alias("hour"),
+        g(6).try_cast("int").alias("minute"),
+        g(7).try_cast("int").alias("second"),
+        s(8).alias("timezone"),
         F.try_to_timestamp(ts_text, F.lit(TIMESTAMP_FORMAT)).alias("ts"),
-        _g(column, 9).alias("http_method"),
-        _g(column, 10).alias("resource"),
-        _g(column, 11).alias("http_version"),
-        _g(column, 12).try_cast("int").alias("http_reply_code"),
-        F.nullif(_g(column, 13), F.lit("-")).try_cast("int").alias(
-            "reply_bytes"
-        ),
+        s(9).alias("http_method"),
+        s(10).alias("resource"),
+        s(11).alias("http_version"),
+        g(12).try_cast("int").alias("http_reply_code"),
+        F.nullif(g(13), F.lit("-")).try_cast("int").alias("reply_bytes"),
     )
 
 

@@ -126,3 +126,19 @@ def test_pipeline_is_single_declarative_plan(spark):
     import re
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text#" not in m.group(0)
+
+
+def test_clf_parse_single_regex_execution(spark):
+    """P1 must execute the 13-group pattern once per row: one
+    regexp_replace + one split in the whole plan, never one
+    regexp_extract per group (Catalyst does not CSE across group
+    indices — ~20 full matches per line before this guard existed)."""
+    import re
+
+    from flink_exercise_spark.sources.clf import parse_clf
+
+    raw = spark.createDataFrame([("x",)], ["value"])
+    plan = formatted_plan(parse_clf(raw))
+    assert plan.count("regexp_replace") == 1
+    assert len(re.findall(r"\bsplit\(", plan)) == 1
+    assert "regexp_extract" not in plan
