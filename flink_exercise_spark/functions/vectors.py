@@ -32,5 +32,30 @@ def l2_norm_expr(a: str | Column) -> Column:
 
 def cosine_expr(a: str | Column, b: str | Column) -> Column:
     """Cosine similarity of two array columns (no zero-norm guard —
-    callers filter zero vectors if the corpus can contain them)."""
+    callers filter zero vectors if the corpus can contain them).
+
+    Per-pair cost is THREE array folds (dot + both norms); inside a
+    join this recomputes each operand's norm for every candidate pair.
+    Pairwise operators should precompute a norm column per side
+    (``with_norm``) and use ``cosine_from_norms`` so per-pair work is a
+    single dot product."""
     return dot_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
+
+
+def with_norm(df, vec_col: str = "embedding", out: str = "norm"):
+    """Add a precomputed L2-norm column — evaluate once per vector
+    BEFORE a pairwise join, not once per candidate pair. Bound as a
+    named column in its own projection so CollapseProject cannot
+    duplicate the fold into downstream consumers."""
+    return df.withColumn(out, l2_norm_expr(vec_col))
+
+
+def cosine_from_norms(
+    a: str | Column, b: str | Column, na: str | Column, nb: str | Column
+) -> Column:
+    """Cosine from precomputed norms: one fold per pair. The division
+    ``dot / (na * nb)`` is the same expression shape as ``cosine_expr``
+    and the DuckDB oracles, so results are bit-identical."""
+    na_c = F.col(na) if isinstance(na, str) else na
+    nb_c = F.col(nb) if isinstance(nb, str) else nb
+    return dot_expr(a, b) / (na_c * nb_c)

@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from flink_exercise_spark.functions.vectors import cosine_expr, l2_norm_expr
+from flink_exercise_spark.functions.vectors import (
+    cosine_from_norms,
+    l2_norm_expr,
+    with_norm,
+)
 from flink_exercise_spark.registry import register
 from flink_exercise_spark.session import prep
 from flink_exercise_spark.sources.tables import load_table, spread
@@ -47,19 +51,29 @@ def embedding_norms(emb: DataFrame) -> DataFrame:
 def knn_brute_force(
     emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast query set x streamed corpus."""
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    """Exact cosine top-k: broadcast query set x streamed corpus.
+
+    Norms are precomputed once per vector (map-side, before the join)
+    so each of the |queries| x |corpus| candidate pairs costs exactly
+    one array fold (the dot product)."""
+    queries = with_norm(emb.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
     )
-    corpus = spread(
-        emb.filter(F.col("vec_id") >= n_queries), "vec_id"
+    corpus = with_norm(
+        spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
     ).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
     )
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cosine"),
+        F.round(
+            cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
+        ).alias("cosine"),
     )
     order = W.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -87,21 +101,25 @@ def knn_lsh_bucketed(
     emb: DataFrame, n_queries: int = N_QUERIES, k: int = 3
 ) -> DataFrame:
     """ANN: search only the query's sign bucket (single-probe LSH)."""
-    withb = emb.withColumn("bucket", sign_bucket_expr())
+    withb = with_norm(emb.withColumn("bucket", sign_bucket_expr()))
     queries = withb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
         "bucket",
     )
     corpus = spread(withb.filter(F.col("vec_id") >= n_queries), "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
         "bucket",
     )
     scored = corpus.join(F.broadcast(queries), "bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cosine"),
+        F.round(
+            cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
+        ).alias("cosine"),
     )
     order = W.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -140,18 +158,27 @@ def knn_ivf(
     touches ``n_probe / n_cells`` of the data. All ranking is on
     round(cosine, 6) — float-associativity-safe against the oracle.
     """
-    cents = emb.filter(
-        (F.col("vec_id") >= n_queries)
-        & (F.col("vec_id") < n_queries + n_cells)
+    cents = with_norm(
+        emb.filter(
+            (F.col("vec_id") >= n_queries)
+            & (F.col("vec_id") < n_queries + n_cells)
+        )
     ).select(
         (F.col("vec_id") - n_queries).cast("int").alias("cell_id"),
         F.col("embedding").alias("cent"),
+        F.col("norm").alias("cent_norm"),
     )
-    corpus = spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    corpus = with_norm(
+        spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
     )
-    queries = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    queries = with_norm(emb.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
     )
 
     # Corpus->cell assignment. Affinities are computed map-side against
@@ -167,7 +194,9 @@ def knn_ivf(
     aff = corpus.crossJoin(F.broadcast(cents)).select(
         "neighbor_id",
         "cell_id",
-        F.round(cosine_expr("c_emb", "cent"), 6).alias("cos"),
+        F.round(
+            cosine_from_norms("c_emb", "cent", "c_norm", "cent_norm"), 6
+        ).alias("cos"),
     )
     packed = (
         F.round(F.col("cos") * 1_000_000, 0).cast("long") + 1_000_000
@@ -188,18 +217,27 @@ def knn_ivf(
             "rn",
             F.row_number().over(
                 W.partitionBy("query_id").orderBy(
-                    F.desc(F.round(cosine_expr("q_emb", "cent"), 6)),
+                    F.desc(
+                        F.round(
+                            cosine_from_norms(
+                                "q_emb", "cent", "q_norm", "cent_norm"
+                            ),
+                            6,
+                        )
+                    ),
                     F.asc("cell_id"),
                 )
             ),
         )
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_emb", "cell_id")
+        .select("query_id", "q_emb", "q_norm", "cell_id")
     )
     scored = assigned.join(F.broadcast(probes), "cell_id").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cosine"),
+        F.round(
+            cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
+        ).alias("cosine"),
     )
     order = W.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -245,8 +283,8 @@ def embedding_near_dup_pairs(
     id becomes a partition key so each bucket's pair join is a
     partition-local sort-merge.
     """
-    withb = emb.select(
-        "vec_id", "embedding", sign_bucket_expr().alias("bucket")
+    withb = with_norm(
+        emb.select("vec_id", "embedding", sign_bucket_expr().alias("bucket"))
     )
     l = withb.alias("l")
     r = withb.alias("r")
@@ -259,9 +297,12 @@ def embedding_near_dup_pairs(
         .select(
             F.col("l.vec_id").alias("vec_a"),
             F.col("r.vec_id").alias("vec_b"),
-            F.round(cosine_expr("l.embedding", "r.embedding"), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                cosine_from_norms(
+                    "l.embedding", "r.embedding", "l.norm", "r.norm"
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
