@@ -33,6 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_exercise_spark.caching import persist_tracked
 from flink_exercise_spark.operators.text import (
     shingles_from_tokens,
     tokens_expr,
@@ -120,9 +121,10 @@ def minhash_band_pairs(
         )
         for b in range(k // r)
     ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*bands)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_hash").persist()
+    banded = persist_tracked(
+        sigs.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -167,7 +169,7 @@ def jaccard_pairs(
     # scan+explode into each — 8 Generate nodes in the physical plan,
     # measured. At 100 TB this is the relation you'd materialize
     # (checkpoint/bucketed table) for the same reason.
-    toks = toks.persist()
+    toks = persist_tracked(toks)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     l, r = toks.alias("l"), toks.alias("r")
     cond = (F.col("l.tok") == F.col("r.tok")) & (
@@ -310,9 +312,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     )
     # persist: the self-join references this relation on both sides —
     # without it the Pandas-UDF signature stage executes twice.
-    banded = sigs.select(
-        "doc_id", "simhash", F.explode(chunks).alias("c")
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk").persist()
+    banded = persist_tracked(
+        sigs.select("doc_id", "simhash", F.explode(chunks).alias("c"))
+        .select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    )
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(

@@ -49,11 +49,19 @@ def assert_read_schema_only(df: DataFrame, table_hint: str, *cols: str) -> None:
     """Column pruning check: the scan's ReadSchema must contain exactly
     the expected columns (order-insensitive)."""
     plan = formatted_plan(df)
-    schemas = [
-        line for line in plan.splitlines() if "ReadSchema" in line
-        and (not table_hint or table_hint in line or True)
-    ]
-    assert schemas, f"no ReadSchema lines in plan\n{plan}"
+    # In formatted explain each scan block prints Location before
+    # ReadSchema; pair them so the hint restricts which scan is checked
+    # (the ReadSchema line itself never names the table).
+    schemas = []
+    location = ""
+    for line in plan.splitlines():
+        if "Location" in line:
+            location = line
+        elif "ReadSchema" in line and (not table_hint or table_hint in location):
+            schemas.append(line)
+    assert schemas, (
+        f"no ReadSchema lines for scan matching {table_hint!r} in plan\n{plan}"
+    )
     want = set(cols)
     for line in schemas:
         got = {

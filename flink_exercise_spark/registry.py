@@ -52,7 +52,23 @@ def register(
     def wrap(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+
+        def entered(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the previous query's tracked persists: operators
+            # cache multi-use relations whose consuming action runs
+            # after they return, so the release point is the next
+            # query's entry — live cache footprint stays bounded at one
+            # query across a long session (see caching.py).
+            from flink_exercise_spark.caching import release_persisted
+
+            release_persisted()
+            return fn(spark, sf_dir)
+
+        entered.__name__ = fn.__name__
+        entered.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=entered, oracle=oracle, doc=doc, tags=tags
+        )
         return fn
 
     return wrap

@@ -60,17 +60,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Repartition to the session's default parallelism ahead of a
-    per-row-expensive stage (explode, Pandas UDF, array fold).
+    """Repartition ahead of a per-row-expensive stage (explode, Pandas
+    UDF, array fold) — but only when the input is actually
+    under-partitioned.
 
     Why: a small single-file parquet input arrives as ONE partition, so
     an expensive projection runs on one core no matter how many the
     machine has (measured: the sf0.1 shingle explode took 6.6 s on 1 of
-    32 cores). At 100 TB inputs split naturally and this shuffle is a
-    cheap no-op relative to the work it parallelizes; pass key columns
-    to keep a downstream groupBy/join co-partitioned.
+    32 cores). At 100 TB inputs split naturally into >= defaultParallelism
+    scan partitions, and then this is a no-op — an unconditional
+    repartition there would shuffle the full payload (text, embeddings)
+    before every dedup/similarity stage for nothing. Pass key columns so
+    that when the shuffle does happen it also co-partitions the
+    downstream groupBy/join.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 

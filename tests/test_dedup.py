@@ -92,3 +92,19 @@ def test_simhash_near_pairs(corpus, spark):
     if (0, 2) in pairs:
         assert pairs[(0, 2)] <= 10
     assert (0, 3) not in pairs
+
+
+def test_persists_released_between_registry_queries(spark):
+    """Operators persist multi-use relations; the NEXT registry query's
+    entry must release them (caching.py) so cached blocks never
+    accumulate across a long-lived driver session."""
+    from flink_exercise_spark.registry import specs
+    from tests.conftest import SF_SMOKE
+
+    jsc = spark.sparkContext._jsc
+    S = specs()
+    S["dedup_jaccard_pairs"].fn(spark, SF_SMOKE).count()
+    assert jsc.getPersistentRDDs().size() > 0  # persisted while in use
+    # any subsequent registry query releases the previous one's cache
+    S["a2_count_events"].fn(spark, SF_SMOKE).count()
+    assert jsc.getPersistentRDDs().size() == 0
