@@ -98,10 +98,32 @@ def top_host_per_window(events: DataFrame, key: str = "user_id") -> DataFrame:
     string keys use ``top_k_hosts_per_window`` which sorts only the
     already-reduced counts).
     """
+    key_type = dict(events.dtypes).get(key)
+    if key_type not in ("tinyint", "smallint", "int", "bigint"):
+        # Packing is only exact for integral keys; route non-conforming
+        # domains (e.g. the reference's string hosts) to the two-pass
+        # HashAggregate form instead of silently corrupting results.
+        raise TypeError(
+            f"top_host_per_window packs (count,key) into one BIGINT and "
+            f"requires an integral key; {key!r} is {key_type}. Use "
+            f"top_host_per_window_any_key for string/general keys."
+        )
     counts = events.groupBy(win_start("ts", WINDOW_31D), F.col(key)).agg(
         F.count(F.lit(1)).alias("n_requests")
     )
-    packed = F.col("n_requests") * F.lit(4294967296) + F.col(key)
+    # Runtime guard for the range constraint (docstring): a key outside
+    # [0, 2^32) cannot be packed exactly — fail loudly, never corrupt.
+    guarded_key = F.when(
+        (F.col(key) >= 0) & (F.col(key) < F.lit(4294967296)), F.col(key)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "top_host_per_window: key %s out of packable range [0, 2^32)",
+                F.col(key).cast("string"),
+            )
+        )
+    )
+    packed = F.col("n_requests") * F.lit(4294967296) + guarded_key
     best = counts.groupBy("window_start").agg(
         F.max(packed).alias("packed")
     )
@@ -109,6 +131,43 @@ def top_host_per_window(events: DataFrame, key: str = "user_id") -> DataFrame:
         "window_start",
         F.expr("packed % 4294967296").cast("long").alias("top_user"),
         F.expr("packed div 4294967296").cast("long").alias("n_requests"),
+    )
+
+
+def top_host_per_window_any_key(
+    events: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """A6/Q1 for arbitrary (incl. string) key domains — the reference's
+    actual host key is a string (StreamingJob.scala:39,91), which the
+    packed-BIGINT form can't carry.
+
+    Two-pass HashAggregate shape that never sorts and never packs:
+    1. per-(window, key) counts;
+    2. per-window max count;
+    3. broadcast the tiny per-window maxima back onto the counts and
+       keep rows at the max, then one more hash agg picks the
+       deterministic tie-break winner (max key).
+    Both full-relation aggregations are two-phase HashAggregates and
+    the reduction join broadcasts — the shapes that scale to 100 TB;
+    no window function over the counts relation. The only sort is the
+    final tie-break aggregate over the rows-at-max relation (~#windows
+    rows; Spark cannot hash-aggregate string agg buffers) — asserted
+    in tests/test_plans.py.
+    """
+    counts = events.groupBy(win_start("ts", WINDOW_31D), F.col(key)).agg(
+        F.count(F.lit(1)).alias("n_requests")
+    )
+    wmax = counts.groupBy("window_start").agg(
+        F.max("n_requests").alias("n_requests")
+    )
+    return (
+        counts.join(F.broadcast(wmax), ["window_start", "n_requests"])
+        .groupBy("window_start")
+        .agg(
+            F.max(key).alias("top_user"),
+            F.first("n_requests").alias("n_requests"),
+        )
+        .select("window_start", "top_user", "n_requests")
     )
 
 
@@ -171,6 +230,36 @@ def windowed_avg(events: DataFrame, value: str = "value") -> DataFrame:
 )
 def q_ref_q1(spark, sf_dir):
     return top_host_per_window(load_table(prep(spark), sf_dir, "events"))
+
+
+@register(
+    "ref_q1_top_host_str",
+    oracle=f"""
+    WITH c AS (
+      SELECT {_ORACLE_WIN} AS window_start,
+             'user' || CAST(user_id AS VARCHAR) AS host,
+             count(*) AS n_requests
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT window_start, max(n_requests) AS n_requests
+      FROM c GROUP BY 1
+    )
+    SELECT c.window_start, max(c.host) AS top_user, c.n_requests
+    FROM c JOIN m USING (window_start, n_requests)
+    GROUP BY c.window_start, c.n_requests
+    """,
+    doc="Reference Q1 on the reference's ACTUAL key domain — string "
+        "hosts (StreamingJob.scala:39,91): two-pass HashAggregate "
+        "arg-max (windowed max count + broadcast semi-join back), no "
+        "BIGINT packing, no SortAggregate",
+    tags=("reference", "events", "string-key"),
+)
+def q_ref_q1_str(spark, sf_dir):
+    ev = load_table(prep(spark), sf_dir, "events")
+    hosts = ev.withColumn(
+        "host", F.concat(F.lit("user"), F.col("user_id").cast("string"))
+    )
+    return top_host_per_window_any_key(hosts, key="host")
 
 
 @register(
@@ -252,29 +341,22 @@ def q_ref_q2_cumulative(spark, sf_dir):
     oracle=f"""
     SELECT {_ORACLE_WIN} AS window_start,
            CAST(floor(sum(coalesce(value, 0)) / count(*)) AS BIGINT)
-             AS avg_value_floor
-    FROM events GROUP BY 1
-    """,
-    doc="Reference Q3: floor-average response size per 31-day window "
-        "(exact semantics incl. NULL-as-0)",
-    tags=("reference", "events"),
-)
-def q_ref_q3(spark, sf_dir):
-    return windowed_floor_avg(load_table(prep(spark), sf_dir, "events"))
-
-
-@register(
-    "ref_q3_avg_idiomatic",
-    oracle=f"""
-    SELECT {_ORACLE_WIN} AS window_start,
+             AS avg_value_floor,
            round(avg(value), 4) AS avg_value
     FROM events GROUP BY 1
     """,
-    doc="Q3 idiomatic variant: true AVG",
+    doc="Reference Q3: floor-average response size per 31-day window — "
+        "BOTH semantics side by side: exact reference floor-avg with "
+        "NULL-as-0 (StreamingJob.scala:97-107) and the idiomatic SQL "
+        "AVG (NULLs excluded)",
     tags=("reference", "events"),
 )
-def q_ref_q3_idiomatic(spark, sf_dir):
-    return windowed_avg(load_table(prep(spark), sf_dir, "events"))
+def q_ref_q3(spark, sf_dir):
+    ev = load_table(prep(spark), sf_dir, "events")
+    return ev.groupBy(win_start("ts", WINDOW_31D)).agg(
+        floor_avg("value").alias("avg_value_floor"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
 
 
 @register(
@@ -289,12 +371,24 @@ def q_a1(spark, sf_dir):
 
 @register(
     "a2_count_events",
-    oracle="SELECT count(*) AS n_events FROM events",
-    doc="A2: global count",
+    # A2 (global count) and A4 (exact distinct count) in one entry:
+    # both are single-pass global aggregates over the same scan, and
+    # Spark computes them in one plan (expand + two-phase hash agg).
+    oracle="""
+    SELECT count(*) AS n_events,
+           count(DISTINCT user_id) AS n_unique_users
+    FROM events
+    """,
+    doc="A2+A4: global element count and exact distinct-key count "
+        "(StreamingJob.scala:153-155, 167-169)",
     tags=("aggregate", "events"),
 )
 def q_a2(spark, sf_dir):
-    return count_events(load_table(prep(spark), sf_dir, "events"))
+    ev = load_table(prep(spark), sf_dir, "events")
+    return ev.groupBy().agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_unique_users"),
+    )
 
 
 @register(
@@ -309,16 +403,6 @@ def q_a2(spark, sf_dir):
 )
 def q_a3(spark, sf_dir):
     return first_event_per_host(load_table(prep(spark), sf_dir, "events"))
-
-
-@register(
-    "a4_distinct_hosts",
-    oracle="SELECT count(DISTINCT user_id) AS n_unique_users FROM events",
-    doc="A4: global distinct-key count",
-    tags=("aggregate", "events"),
-)
-def q_a4(spark, sf_dir):
-    return distinct_hosts(load_table(prep(spark), sf_dir, "events"))
 
 
 @register(
@@ -363,11 +447,16 @@ def q_a6_top3(spark, sf_dir):
            round(avg(value), 4) AS avg_value,
            round(sum(value), 2) AS sum_value,
            round(min(value), 2) AS min_value,
-           round(max(value), 2) AS max_value
+           round(max(value), 2) AS max_value,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
     FROM events GROUP BY 1
     """,
-    doc="Grouped multi-aggregate over event_type (P6/P7 projections)",
-    tags=("aggregate", "events"),
+    doc="Grouped multi-aggregate over event_type (P6/P7 projections) "
+        "plus exact interpolated percentiles (at stream/100TB scale "
+        "use approx_percentile sketches)",
+    tags=("aggregate", "events", "percentile"),
 )
 def q_type_stats(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")
@@ -377,25 +466,6 @@ def q_type_stats(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.round(F.min("value"), 2).alias("min_value"),
         F.round(F.max("value"), 2).alias("max_value"),
-    )
-
-
-@register(
-    "events_value_percentiles",
-    oracle="""
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.9), 4) AS p90,
-           round(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY 1
-    """,
-    doc="Exact interpolated percentiles per event_type (batch analytic; "
-        "at stream/100TB scale use approx_percentile sketches)",
-    tags=("aggregate", "events", "percentile"),
-)
-def q_percentiles(spark, sf_dir):
-    ev = load_table(prep(spark), sf_dir, "events")
-    return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),

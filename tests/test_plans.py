@@ -142,3 +142,60 @@ def test_clf_parse_single_regex_execution(spark):
     assert plan.count("regexp_replace") == 1
     assert len(re.findall(r"\bsplit\(", plan)) == 1
     assert "regexp_extract" not in plan
+
+
+def test_string_key_argmax_stays_hash_aggregate(spark):
+    """The two-pass string-key arg-max (ref_q1_top_host_str) must plan
+    as HashAggregates + a broadcast join of the tiny per-window maxima:
+    no SortAggregate, no window function over the counts relation."""
+    df = specs()["ref_q1_top_host_str"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # Both FULL-relation aggregations (per-(window,host) counts and
+    # per-window maxima) must be two-phase HashAggregates...
+    assert plan.count("HashAggregate") >= 4
+    # ...and any SortAggregate may only sit ABOVE the broadcast join,
+    # i.e. over the already-reduced rows-at-max relation (string agg
+    # buffers can't hash-aggregate in Spark; sorting ~#windows rows is
+    # the right trade). The join's inputs must be sort-free.
+    join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos > 0
+    first_sort_agg = plan.find("SortAggregate")
+    assert first_sort_agg == -1 or first_sort_agg < join_pos, (
+        "SortAggregate below the reduction join:\n" + plan
+    )
+    assert "windowspecdefinition" not in plan.lower()
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_packed_argmax_rejects_string_key(spark):
+    """The packed-BIGINT arg-max must refuse non-integral keys instead
+    of silently corrupting results (ADVICE round 1)."""
+    import pytest as _pytest
+
+    from flink_exercise_spark.operators.aggregates import (
+        top_host_per_window,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "host", F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    )
+    with _pytest.raises(TypeError, match="integral key"):
+        top_host_per_window(ev, key="host")
+
+
+def test_q14_broadcasts_part(spark):
+    df = specs()["tpch_q14_promo_revenue"].fn(spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_shipdate")
+
+
+def test_lsh_verified_pairs_gated_join(spark):
+    """The LSH-gated Jaccard verify must join the shingle index against
+    the (broadcast) candidate pairs — never an unblocked token
+    self-join, and no cartesian anywhere."""
+    df = specs()["dedup_lsh_verified_pairs"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in plan
