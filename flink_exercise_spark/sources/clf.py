@@ -21,6 +21,8 @@ behavior-over-bug decision).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -137,10 +139,21 @@ def events_as_clf_lines(events: DataFrame) -> DataFrame:
     return events.select(line.alias("value"))
 
 
+# Checked-in golden log: 44 valid NASA-format lines (incl. '-' bytes,
+# HTTP/V1.0, POST/HEAD, a positive-offset-free -0400 zone) + 3 malformed
+# lines, spanning TWO epoch-aligned 31-day windows. Oracle values below
+# were hand-computed from the file with plain Python (no Spark, no
+# DuckDB) when it was generated; the file is immutable test data.
+GOLDEN_LOG_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "data",
+    "nasa_sample.log",
+)
+
+
 def _register_roundtrip() -> None:
     from flink_exercise_spark.registry import register
     from flink_exercise_spark.session import prep
-    from flink_exercise_spark.sources.tables import load_table
+    from flink_exercise_spark.sources.tables import load_table, spread
 
     @register(
         "clf_parse_roundtrip",
@@ -160,10 +173,59 @@ def _register_roundtrip() -> None:
     )
     def q_clf_roundtrip(spark, sf_dir):
         events = load_table(prep(spark), sf_dir, "events")
-        parsed = valid_lines(parse_clf(events_as_clf_lines(events)))
+        # spread BEFORE rendering: the single-file fixture arrives as
+        # one partition, and BOTH per-row-expensive projections (the
+        # format_string rendering and the regex parse) must run on all
+        # cores, so the repartition goes upstream of each.
+        parsed = valid_lines(parse_clf(events_as_clf_lines(spread(events))))
         return parsed.groupBy("host").agg(
             F.count(F.lit(1)).alias("n_requests"),
             F.sum("reply_bytes").alias("total_bytes"),
+        )
+
+    @register(
+        "clf_golden_log",
+        # VALUES oracle: expected outputs hand-computed from the
+        # immutable checked-in log (see GOLDEN_LOG_PATH comment) — this
+        # pins P1-P5 parsing + Q1 (string-key arg-max) + Q2 (windowed
+        # distinct) + Q3 (floor-avg, NULL-as-0) end to end on real
+        # text-file input, which the parquet-based oracles cannot reach.
+        oracle="""
+        SELECT * FROM (VALUES
+          (CAST(806198400 AS BIGINT), 'piweba3y.prodigy.com',
+           CAST(4 AS BIGINT), CAST(8 AS BIGINT), CAST(27082 AS BIGINT),
+           CAST(22 AS BIGINT)),
+          (CAST(808876800 AS BIGINT), 'piweba3y.prodigy.com',
+           CAST(7 AS BIGINT), CAST(8 AS BIGINT), CAST(23343 AS BIGINT),
+           CAST(22 AS BIGINT))
+        ) AS t(window_start, top_user, n_requests, n_unique_hosts,
+               avg_bytes_floor, n_events)
+        """,
+        doc="Reference Q1+Q2+Q3 over a checked-in real-format NASA log "
+            "(44 valid + 3 malformed lines, two 31-day windows): "
+            "text source -> single-pass parse -> string-key windowed "
+            "arg-max / distinct count / floor-avg",
+        tags=("clf", "source", "reference", "golden"),
+    )
+    def q_clf_golden(spark, sf_dir):
+        from flink_exercise_spark.functions.scalars import floor_avg, win_start
+        from flink_exercise_spark.operators.aggregates import (
+            WINDOW_31D,
+            top_host_per_window_any_key,
+        )
+
+        parsed = valid_lines(
+            parse_clf(prep(spark).read.text(GOLDEN_LOG_PATH))
+        )
+        top = top_host_per_window_any_key(parsed, key="host")
+        per_win = parsed.groupBy(win_start("ts", WINDOW_31D)).agg(
+            F.countDistinct("host").alias("n_unique_hosts"),
+            floor_avg("reply_bytes").alias("avg_bytes_floor"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        return top.join(per_win, "window_start").select(
+            "window_start", "top_user", "n_requests", "n_unique_hosts",
+            "avg_bytes_floor", "n_events",
         )
 
 
