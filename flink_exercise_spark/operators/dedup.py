@@ -353,28 +353,17 @@ _ORACLE_SHINGLE_CTE = """
 
 
 @register(
-    "dedup_exact_stats",
-    oracle="""
-    SELECT count(*) AS n_docs,
-           count(DISTINCT md5(text)) AS n_distinct_texts,
-           count(*) - count(DISTINCT md5(text)) AS n_dup_docs
-    FROM documents
-    """,
-    doc="Exact-duplicate corpus accounting",
-    tags=("dedup", "documents"),
-)
-def q_dedup_stats(spark, sf_dir):
-    return exact_dedup_stats(load_table(prep(spark), sf_dir, "documents"))
-
-
-@register(
     "dedup_exact_map",
+    # Subsumes the former dedup_exact_stats entry: corpus-level
+    # accounting (n_docs / n_distinct / n_dups) is a trivial aggregate
+    # over this map, and exact_dedup_stats remains a library operator.
     oracle="""
     SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
            count(*) AS n_copies
     FROM documents GROUP BY 1
     """,
-    doc="Exact-dedup canonical-id mapping",
+    doc="Exact-dedup canonical-id mapping (hash-groupBy; only "
+        "(md5, id) pairs shuffle, text never crosses the wire)",
     tags=("dedup", "documents"),
 )
 def q_dedup_map(spark, sf_dir):
@@ -464,6 +453,90 @@ def q_minhash_pairs(spark, sf_dir):
 )
 def q_jaccard(spark, sf_dir):
     return jaccard_pairs(load_table(prep(spark), sf_dir, "documents"))
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    k: int = N_MINHASH,
+    r: int = BAND_ROWS,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """The production dedup pipeline: MinHash-LSH candidate generation
+    gated in front of exact shingle-Jaccard verification.
+
+    This is the 100 TB shape the standalone ``jaccard_pairs`` docstring
+    promises: the exact inverted-index join runs ONLY over pairs that
+    collide in at least one signature band (sub-quadratic candidate
+    set), never over the full blocked cross product. The tiny candidate
+    relation broadcasts onto the shingle index, so per-pair exact
+    verification touches only the candidates' token rows.
+    """
+    cands = minhash_band_pairs(docs, k, r)
+    toks = persist_tracked(_doc_shingles(docs))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    l, rt = toks.alias("l"), toks.alias("r")
+    shared = (
+        F.broadcast(cands)
+        .join(l, F.col("doc_a") == F.col("l.doc_id"))
+        .join(
+            rt,
+            (F.col("doc_b") == F.col("r.doc_id"))
+            & (F.col("l.tok") == F.col("r.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("n_b")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "dedup_lsh_verified_pairs",
+    oracle=f"""
+    WITH cands AS (
+      {_band_pairs_oracle()}
+    ), toks AS (
+      {_ORACLE_SHINGLE_CTE}
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1
+    ), shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      FROM cands c
+      JOIN toks l ON l.doc_id = c.doc_a
+      JOIN toks r ON r.doc_id = c.doc_b AND r.tok = l.tok
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_shared / (sa.n_toks + sb.n_toks - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_shared / (sa.n_toks + sb.n_toks - n_shared), 4) >= 0.2
+    """,
+    doc="LSH-gated exact dedup: MinHash band candidates verified by "
+        "exact shingle Jaccard — the sub-quadratic two-stage pipeline",
+    tags=("dedup", "documents", "minhash", "jaccard"),
+)
+def q_lsh_verified(spark, sf_dir):
+    return lsh_verified_pairs(load_table(prep(spark), sf_dir, "documents"))
 
 
 @register(
