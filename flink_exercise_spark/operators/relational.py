@@ -215,42 +215,71 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14 shape: promotion revenue share for one ship month — "
+        "fact scan with pushed date range, part dim broadcast "
+        "(plan-asserted), conditional aggregate",
+    tags=("relational", "join", "part"),
+)
+def q_tpch_q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy()
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join variants
 # ---------------------------------------------------------------------------
 
 @register(
-    "join_semi_customers_with_orders",
+    "join_semi_anti_customers",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'with_orders' AS side, c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-    doc="Left-semi join (EXISTS): customers having at least one order",
-    tags=("relational", "join"),
-)
-def q_semi(spark, sf_dir):
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-@register(
-    "join_anti_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'without_orders' AS side, c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders",
+    doc="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one "
+        "partitioned result: customers with vs without orders",
     tags=("relational", "join"),
 )
-def q_anti(spark, sf_dir):
+def q_semi_anti(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return cust.join(
+    semi = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select(F.lit("with_orders").alias("side"), "c_custkey", "c_name")
+    anti = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    ).select(F.lit("without_orders").alias("side"), "c_custkey", "c_name")
+    return semi.unionAll(anti)
 
 
 @register(
@@ -284,24 +313,6 @@ def q_outer(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
-    "rollup_lineitem_status",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    doc="ROLLUP hierarchy totals (Expand + single shuffle in Spark)",
-    tags=("relational", "groupingsets"),
-)
-def q_rollup(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-    )
-
-
-@register(
     "cube_orders_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
@@ -321,12 +332,19 @@ def q_cube(spark, sf_dir):
 
 @register(
     "grouping_sets_lineitem",
+    # The four explicit sets are ROLLUP(l_returnflag, l_linestatus)
+    # plus the (l_linestatus) slice — one entry covering both the
+    # ROLLUP hierarchy and arbitrary GROUPING SETS (Spark plans either
+    # as Expand + a single shuffle).
     oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n_lines
+    SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+           round(sum(l_quantity), 2) AS sum_qty
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
     """,
-    doc="Explicit GROUPING SETS (flag-only and status-only totals)",
+    doc="GROUPING SETS superset of ROLLUP(l_returnflag, l_linestatus): "
+        "full, per-flag, per-status, and grand totals",
     tags=("relational", "groupingsets"),
 )
 def q_grouping_sets(spark, sf_dir):
@@ -334,9 +352,11 @@ def q_grouping_sets(spark, sf_dir):
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, count(*) AS n_lines
+        SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+               round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
         """
     )
 

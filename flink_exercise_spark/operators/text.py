@@ -176,27 +176,16 @@ _ORACLE_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
 @register(
     "text_stats",
+    # Token statistics AND C4/Gopher-style quality features in one
+    # per-document pass — the columns every pre-training corpus filter
+    # thresholds over.
     oracle=f"""
     SELECT doc_id,
            length(text) AS n_chars_calc,
            len({_ORACLE_TOKS}) AS n_tokens,
            len(list_distinct({_ORACLE_TOKS})) AS n_distinct_tokens,
            round(length(regexp_replace(trim(text), '\\s', '', 'g'))
-                 / len({_ORACLE_TOKS}), 4) AS avg_token_len
-    FROM documents
-    """,
-    doc="Per-document token statistics",
-    tags=("text", "documents"),
-)
-def q_text_stats(spark, sf_dir):
-    return text_stats(load_table(prep(spark), sf_dir, "documents"))
-
-
-@register(
-    "text_quality_scores",
-    oracle=f"""
-    SELECT doc_id,
-           len({_ORACLE_TOKS}) AS n_tokens,
+                 / len({_ORACLE_TOKS}), 4) AS avg_token_len,
            round(len(list_filter({_ORACLE_TOKS},
                  t -> t IN {STOPWORDS!r})) / len({_ORACLE_TOKS}), 4)
              AS stopword_ratio,
@@ -206,11 +195,35 @@ def q_text_stats(spark, sf_dir):
                  / len({_ORACLE_TOKS}), 4) AS lexical_diversity
     FROM documents
     """,
-    doc="C4/Gopher-style quality features",
-    tags=("text", "documents"),
+    doc="Per-document token statistics + C4/Gopher-style quality "
+        "features (length, stopword/punct ratios, lexical diversity)",
+    tags=("text", "documents", "quality"),
 )
-def q_quality(spark, sf_dir):
-    return quality_scores(load_table(prep(spark), sf_dir, "documents"))
+def q_text_stats(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    # Bind the token array once: the lambda-bearing features below are
+    # outside whole-stage-codegen subexpression elimination, so passing
+    # raw split(...) expressions would re-tokenize per reference.
+    toked = docs.select("doc_id", "text", tokens_expr().alias("_toks"))
+    toks = F.col("_toks")
+    n_tokens = F.size(toks)
+    token_chars = F.length(F.regexp_replace(F.trim("text"), r"\s", ""))
+    n_stop = _marker_score(toks, STOPWORDS)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^\w\s]", "")
+    )
+    return toked.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(token_chars / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_punct / F.length("text"), 4).alias("punct_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_tokens, 4).alias(
+            "lexical_diversity"
+        ),
+    )
 
 
 def _lang_id_oracle() -> str:
@@ -248,33 +261,32 @@ def q_lang_id(spark, sf_dir):
 
 @register(
     "text_fingerprints",
+    # Fingerprints + BPE-ish token budget in one per-document pass.
     oracle=f"""
     SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
              AS norm_fp,
            md5(array_to_string(list_sort(list_distinct({_ORACLE_TOKS})),
-               ' ')) AS bag_fp
+               ' ')) AS bag_fp,
+           len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))
+             AS n_bpe_tokens
     FROM documents
     """,
-    doc="Deterministic document fingerprints (normalized + bag-of-tokens)",
+    doc="Deterministic document fingerprints (normalized rolling hash + "
+        "bag-of-tokens) and BPE-style pre-tokenizer token counts",
     tags=("text", "documents", "dedup"),
 )
 def q_fingerprints(spark, sf_dir):
-    return fingerprints(load_table(prep(spark), sf_dir, "documents"))
-
-
-@register(
-    "text_bpe_token_counts",
-    oracle=f"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens
-    FROM documents
-    """,
-    doc="BPE-style pre-tokenizer token counts",
-    tags=("text", "documents"),
-)
-def q_bpe_counts(spark, sf_dir):
-    return bpe_token_counts(load_table(prep(spark), sf_dir, "documents"))
+    docs = load_table(prep(spark), sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens_expr())), " ")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_fp"),
+        F.md5(bag).alias("bag_fp"),
+        F.size(bpe).alias("n_bpe_tokens"),
+    )
 
 
 @register(

@@ -229,3 +229,43 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_sec)
     q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: batch ≡ stream parity under the driver's oracle
+# ---------------------------------------------------------------------------
+
+def _register_streaming() -> None:
+    from flink_exercise_spark.registry import register
+
+    _WIN_SECS = 31 * 86400
+
+    @register(
+        "stream_q3_parity",
+        # Same oracle as the batch ref_q3 floor-average: the streaming
+        # execution (file-source micro-batches -> watermark -> windowed
+        # state-store aggregation -> memory sink) must converge to the
+        # batch answer on a bounded input.
+        oracle=f"""
+        SELECT CAST(floor(epoch(ts)/{_WIN_SECS})*{_WIN_SECS} AS BIGINT)
+                 AS window_start,
+               CAST(floor(sum(coalesce(value, 0)) / count(*)) AS BIGINT)
+                 AS avg_value_floor
+        FROM events GROUP BY 1
+        """,
+        doc="Reference Q3 executed as a Structured Streaming job "
+            "(readStream parquet source, event-time watermark, windowed "
+            "state aggregation, memory sink) — final result hash-equal "
+            "to the batch oracle (SURVEY.md §3.4 batch/stream duality)",
+        tags=("streaming", "reference", "events"),
+    )
+    def q_stream_q3(spark, sf_dir):
+        stream = windowed_floor_avg_stream(events_stream(spark, sf_dir))
+        run_to_memory(stream, "stream_q3_parity_sink", "complete")
+        df = spark.table("stream_q3_parity_sink")
+        # long cast: memory sink materializes floor() as long already;
+        # select in oracle column order for readability.
+        return df.select("window_start", "avg_value_floor")
+
+
+_register_streaming()
