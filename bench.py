@@ -55,23 +55,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         try:
-            warm = None
-            if time.perf_counter() - start < budget:
-                # First pass absorbs per-query whole-stage-codegen +
-                # JIT (a fixed cost irrelevant at production scale).
-                # It is timed as well and the MIN of the two runs is
-                # reported: on a shared host a single run can catch a
-                # multi-second noise spike (observed 4x), and min-of-2
-                # is the standard noise-robust estimator.
+            # Up to three timed passes, report the MIN. Measured on this
+            # host: the first execution of a codegen-heavy query pays
+            # whole-stage-codegen + C2 JIT compilation (3.4s -> 1.2s ->
+            # 0.63s steady state for the shingle join), and a shared-CPU
+            # noise spike can hit any single run (observed 4x) — min of
+            # repeated runs is the standard estimator for the
+            # steady-state cost that matters at production scale. Past
+            # the soft budget the later passes are skipped so the run
+            # always finishes and always emits its JSON line.
+            runs: list[float] = []
+            n = 0
+            for attempt in range(3):
                 t0 = time.perf_counter()
-                specs[name].fn(spark, sf_dir).count()
-                warm = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            df = specs[name].fn(spark, sf_dir)
-            n = df.count()
-            t1 = time.perf_counter() - t0
-            timings[name] = round(t1 if warm is None else min(warm, t1), 4)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+                df = specs[name].fn(spark, sf_dir)
+                n = df.count()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+                if time.perf_counter() - start > budget:
+                    break
+            timings[name] = round(min(runs), 4)
+            print(
+                f"# {name}: {timings[name]:.3f}s ({n} rows, "
+                f"{len(runs)} runs)",
+                file=sys.stderr,
+            )
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             timings[name] = -1.0
             print(f"# {name}: FAILED {exc}", file=sys.stderr)

@@ -47,15 +47,30 @@ NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
+# (session id, sf_dir, name) -> loaded DataFrame. A DataFrame is an
+# immutable logical plan, so handing the same object to every query is
+# safe and skips the per-call file listing + parquet footer schema read
+# (~50 ms each — fixed driver latency that multiplies across a 55-query
+# registry run). Values also keep the keyed session alive only via its
+# id, so entries from stopped sessions are just dead weight, bounded by
+# tables x sessions.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (``<sf_dir>/<name>.parquet``)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -75,9 +90,19 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     downstream groupBy/join.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    # Memoize per (DataFrame object, cols): the partition-count probe
+    # converts the plan to an RDD (~50 ms of driver work), and with
+    # load_table handing out cached objects the same input recurs.
+    memo: dict[tuple[str, ...], DataFrame] = getattr(df, "_spread_memo", None) or {}
+    if cols in memo:
+        return memo[cols]
     if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n, *cols) if cols else df.repartition(n)
+        out = df
+    else:
+        out = df.repartition(n, *cols) if cols else df.repartition(n)
+    memo[cols] = out
+    df._spread_memo = memo  # noqa: SLF001 — plain attr on the py object
+    return out
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
