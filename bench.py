@@ -35,7 +35,38 @@ def main() -> None:
     from flink_exercise_spark import registry
     from flink_exercise_spark.session import get_spark
 
-    spark = get_spark(app_name="flink-exercise-spark-bench", master=f"local[{cpus}]")
+    # Local-mode measurement conf — NOT the cluster defaults. Measured
+    # on this host (BENCH_r03 profiling): a trivial two-exchange query
+    # costs ~0.45 s at 32 shuffle partitions purely in driver-side task
+    # scheduling (~4-7 ms/task x 3 stages), and AQE's per-stage replan
+    # adds ~10-100 ms/query while having nothing to adapt to in a
+    # single-JVM run with no network and sub-second stages. At fixture
+    # scale every shuffle fits one task wave at 4 partitions, so the
+    # bench runs shuffle.partitions=4 / AQE off; the session defaults
+    # (session.py) keep AQE + skew-join ON, which is what a cluster
+    # deployment uses — there partition count is sized to ~128 MB of
+    # post-shuffle data per task, not to scheduling overhead. Both
+    # knobs stay env-overridable for A/B runs.
+    spark = get_spark(
+        app_name="flink-exercise-spark-bench",
+        master=f"local[{cpus}]",
+        conf={
+            "spark.sql.shuffle.partitions": os.environ.get(
+                "SPARK_GRAFT_SHUFFLE", "4"
+            ),
+            "spark.sql.adaptive.enabled": os.environ.get(
+                "SPARK_GRAFT_AQE", "false"
+            ),
+            # spread() sizes its repartition to defaultParallelism; at
+            # fixture scale its stages hold ~0.1-1 s of CPU, where 8
+            # tasks amortize scheduling and 32 pay 3x their work in it
+            # (measured: dedup_jaccard 1.0 s -> 0.49 s). Cluster runs
+            # size this to the executor-core count as usual.
+            "spark.default.parallelism": os.environ.get(
+                "SPARK_GRAFT_DP", "8"
+            ),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = registry.specs()

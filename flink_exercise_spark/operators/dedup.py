@@ -45,6 +45,63 @@ from flink_exercise_spark.sources.tables import load_table, spread
 N_MINHASH = 8  # signature length k
 BAND_ROWS = 2  # r rows per band -> b = k/r = 4 bands
 
+# Hot-bucket cap for the LSH band joins. N docs colliding in one band
+# bucket emit N^2/2 candidate pairs — the classic dedup skew bomb (a
+# crawl with 1M copies of one boilerplate page would emit 5e11 pairs
+# from a single bucket). Buckets larger than the cap are dropped from
+# the pair join (their members are by definition near-identical; the
+# production pipeline removes exact dupes upstream via exact_dedup_map
+# and routes capped buckets to a connected-components pass instead of
+# enumerating pairs). 256 bounds any one bucket at ~32k pairs while
+# sitting far above real near-dup cluster sizes; the fixture corpus has
+# no bucket anywhere near it, so capped and uncapped results agree and
+# the DuckDB oracles (which have no cap) stay green.
+BUCKET_CAP = 256
+
+
+def _cap_hot_buckets(
+    banded: DataFrame, keys: tuple[str, ...], cap: int
+) -> DataFrame:
+    """Drop rows of band buckets holding more than ``cap`` members.
+
+    Anti-join against the (tiny) hot-bucket list: the bucket-size
+    aggregate is map-side combined, and a bucket must hold > cap rows
+    to appear, so the hot list is bounded by n_rows/cap — small enough
+    that the optimizer picks a broadcast anti-join on its own (no
+    unconditional hint: in an adversarial corpus where MOST rows sit in
+    hot buckets the list can still be wide, and a hinted broadcast
+    would OOM exactly when the cap matters most).
+
+    Observability: pair this with ``lsh_hot_buckets`` to see what was
+    dropped and how big each bucket was.
+    """
+    if cap is None:
+        return banded
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > cap)
+        .select(*keys)
+    )
+    return banded.join(hot, list(keys), "left_anti")
+
+
+def lsh_hot_buckets(
+    docs: DataFrame,
+    k: int = N_MINHASH,
+    r: int = BAND_ROWS,
+    cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """The buckets ``minhash_band_pairs`` would drop at this cap, with
+    sizes — the audit/monitoring channel for the capped pair join."""
+    sigs = minhash_signatures(docs, k)
+    banded = _banded_signatures(sigs, k, r)
+    return (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > cap)
+    )
+
 
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     """Corpus-level exact-duplicate accounting."""
@@ -103,15 +160,10 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     return toks.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_pairs(
-    docs: DataFrame, k: int = N_MINHASH, r: int = BAND_ROWS
+def _banded_signatures(
+    sigs: DataFrame, k: int = N_MINHASH, r: int = BAND_ROWS
 ) -> DataFrame:
-    """LSH candidate pairs: docs agreeing on at least one signature band.
-
-    Shape at scale: signatures -> unpivot to (band_id, band_hash) ->
-    self-equi-join on the band bucket. Only hash values shuffle.
-    """
-    sigs = minhash_signatures(docs, k)
+    """(doc_id, band_id, band_hash) — signatures unpivoted to bands."""
     bands = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -121,10 +173,32 @@ def minhash_band_pairs(
         )
         for b in range(k // r)
     ]
-    banded = persist_tracked(
+    return (
         sigs.select("doc_id", F.explode(F.array(*bands)).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
     )
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    k: int = N_MINHASH,
+    r: int = BAND_ROWS,
+    bucket_cap: int | None = BUCKET_CAP,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on at least one signature band.
+
+    Shape at scale: signatures -> unpivot to (band_id, band_hash) ->
+    self-equi-join on the band bucket. Only hash values shuffle, and
+    buckets larger than ``bucket_cap`` are excluded from the join (see
+    BUCKET_CAP — the N-identical-docs N^2 bomb; ``lsh_hot_buckets``
+    reports what was dropped). ``bucket_cap=None`` disables the cap.
+    """
+    sigs = minhash_signatures(docs, k)
+    # Persist BELOW the cap: the hot-bucket aggregate and both join
+    # sides all read the banded relation, and without materialization
+    # each reference would re-run the whole signature pipeline.
+    banded = persist_tracked(_banded_signatures(sigs, k, r))
+    banded = _cap_hot_buckets(banded, ("band_id", "band_hash"), bucket_cap)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -293,11 +367,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    bucket_cap: int | None = BUCKET_CAP,
+) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, banded so the
     join is on 16-bit chunks (any pair within Hamming<=3*16 shares at
     least one of 4 chunks exactly; for small max_hamming this is the
-    standard probe structure)."""
+    standard probe structure). Chunk buckets larger than ``bucket_cap``
+    are dropped from the join (see BUCKET_CAP)."""
     sigs = simhash_signatures(docs)
     chunks = F.array(
         *[
@@ -316,6 +395,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         sigs.select("doc_id", "simhash", F.explode(chunks).alias("c"))
         .select("doc_id", "simhash", "c.chunk_id", "c.chunk")
     )
+    banded = _cap_hot_buckets(banded, ("chunk_id", "chunk"), bucket_cap)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -460,6 +540,7 @@ def lsh_verified_pairs(
     k: int = N_MINHASH,
     r: int = BAND_ROWS,
     threshold: float = 0.2,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """The production dedup pipeline: MinHash-LSH candidate generation
     gated in front of exact shingle-Jaccard verification.
@@ -467,16 +548,31 @@ def lsh_verified_pairs(
     This is the 100 TB shape the standalone ``jaccard_pairs`` docstring
     promises: the exact inverted-index join runs ONLY over pairs that
     collide in at least one signature band (sub-quadratic candidate
-    set), never over the full blocked cross product. The tiny candidate
-    relation broadcasts onto the shingle index, so per-pair exact
-    verification touches only the candidates' token rows.
+    set), never over the full blocked cross product.
+
+    Candidate-pair cardinality is data-dependent (a heavily-duplicated
+    corpus produces a huge candidate set), so the broadcast hint on the
+    candidates is COUNT-GATED, not unconditional: the candidate
+    relation is persisted (it feeds both verification joins either
+    way), counted — a cheap action on two long columns — and broadcast
+    only when it holds at most ``broadcast_limit`` pairs (~32 MB of
+    packed longs at the default). Above the limit the candidates are
+    explicitly hinted onto the sort-merge path: the observed count is
+    ground truth where Catalyst's aggregate-size heuristics are not,
+    and an optimizer that *under*-estimates a blown-up candidate set
+    would otherwise still pick the broadcast that OOMs every executor.
     """
-    cands = minhash_band_pairs(docs, k, r)
+    cands = persist_tracked(minhash_band_pairs(docs, k, r))
+    n_cands = cands.count()
+    cands = (
+        F.broadcast(cands) if n_cands <= broadcast_limit
+        else cands.hint("merge")
+    )
     toks = persist_tracked(_doc_shingles(docs))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     l, rt = toks.alias("l"), toks.alias("r")
     shared = (
-        F.broadcast(cands)
+        cands
         .join(l, F.col("doc_a") == F.col("l.doc_id"))
         .join(
             rt,

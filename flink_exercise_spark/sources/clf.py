@@ -68,7 +68,17 @@ def parse_clf(raw: DataFrame, column: str = "value") -> DataFrame:
         "_m", F.regexp_replace(F.col(column), CLF_PATTERN, _REPLACEMENT)
     ).withColumn("_p", F.split(F.col("_m"), _FS, -1))
 
-    ok = F.get("_p", 0) == _SENTINEL
+    # Guard: sentinel present (pattern matched), exactly 14 fields (a
+    # matching line whose captured text itself contained \x01 would
+    # split into >14 fields and silently shift every column), and the
+    # raw line is separator-free. Together these make host == '' hold
+    # EXACTLY when `NOT (raw RLIKE pattern AND raw not-contains \x01)`
+    # — the same predicate valid_lines() pushes to the scan.
+    ok = (
+        (F.get("_p", 0) == _SENTINEL)
+        & (F.size("_p") == 14)
+        & ~F.col(column).contains(_FS)
+    )
 
     def g(i: int) -> Column:
         # F.get is NULL-safe out of bounds (non-matching lines split to
@@ -104,17 +114,35 @@ def parse_clf(raw: DataFrame, column: str = "value") -> DataFrame:
     )
 
 
+def _is_valid_raw() -> Column:
+    """Match-only validity predicate on the RAW line.
+
+    Equivalent to ``host != ''`` by construction (see the ``ok`` guard
+    in parse_clf), but expressed without referencing any parsed column:
+    when Catalyst pushes a filter on a parsed column below the parse
+    projection it inlines the whole regexp_replace+split chain into the
+    Filter — evaluated once in the predicate and again in the
+    projection, and (for a single-file input) upstream of any
+    repartition, i.e. on one core. Measured 2x on the round-trip query
+    (BENCH_r01 0.56 s -> BENCH_r02 1.15 s). A predicate on the raw
+    column instead pushes a cheap match-only ``RLIKE`` to the scan —
+    early row elimination with no capture-group materialization — and
+    the parse projection then runs exactly once per surviving row.
+    """
+    return F.col("raw").rlike(CLF_PATTERN) & ~F.col("raw").contains(_FS)
+
+
 def valid_lines(parsed: DataFrame) -> DataFrame:
     """P4 — keep successfully parsed records
     (StreamingJob.scala:141-143)."""
-    return parsed.filter(F.col("host") != "")
+    return parsed.filter(_is_valid_raw())
 
 
 def invalid_lines(parsed: DataFrame) -> DataFrame:
     """P5 — corrupt-record channel, projected back to the raw line
     (StreamingJob.scala:145-147; dead code in the reference — a live
     operator here)."""
-    return parsed.filter(F.col("host") == "").select("raw")
+    return parsed.filter(~_is_valid_raw()).select("raw")
 
 
 def read_clf(spark, path: str) -> DataFrame:

@@ -108,3 +108,43 @@ def test_persists_released_between_registry_queries(spark):
     # any subsequent registry query releases the previous one's cache
     S["a2_count_events"].fn(spark, SF_SMOKE).count()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_bucket_cap_bounds_identical_doc_blowup(spark):
+    """100 identical docs collide in every band bucket: uncapped, the
+    band join emits 100*99/2 = 4950 pairs; with the cap the hot buckets
+    drop out entirely and the audit channel reports them. This is the
+    N-identical-docs N^2 skew bomb the cap exists for."""
+    from flink_exercise_spark.operators.dedup import lsh_hot_buckets
+
+    rows = [(i, BASE, "en", "s0") for i in range(100)] + [
+        (100, NEAR, "en", "s0"),
+        (101, FAR, "en", "s0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    uncapped = minhash_band_pairs(docs, bucket_cap=None).count()
+    assert uncapped >= 4950  # the blow-up is real
+    capped = minhash_band_pairs(docs, bucket_cap=50)
+    pairs = capped.collect()
+    # Hot buckets (the 100-identical cluster, plus NEAR when it shares
+    # a band with them) are gone; output is bounded by cap^2/2 per
+    # bucket, nowhere near the quadratic count.
+    assert len(pairs) <= 50 * 49 // 2
+    for row in pairs:
+        assert row["doc_a"] not in range(100) or row["doc_b"] not in range(100)
+    # Audit channel names the dropped buckets with their sizes.
+    hot = lsh_hot_buckets(docs, cap=50).collect()
+    assert hot and all(r["n_members"] >= 100 for r in hot)
+
+
+def test_simhash_bucket_cap(spark):
+    """Same bomb through the SimHash chunk join: identical docs share
+    all four 16-bit chunks; the cap drops those buckets."""
+    rows = [(i, BASE, "en", "s0") for i in range(60)] + [(60, FAR, "en", "s0")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    assert simhash_near_pairs(docs, bucket_cap=None).count() >= 60 * 59 // 2
+    assert simhash_near_pairs(docs, bucket_cap=30).count() == 0

@@ -194,8 +194,27 @@ def test_q14_broadcasts_part(spark):
 def test_lsh_verified_pairs_gated_join(spark):
     """The LSH-gated Jaccard verify must join the shingle index against
     the (broadcast) candidate pairs — never an unblocked token
-    self-join, and no cartesian anywhere."""
+    self-join, and no cartesian anywhere. The broadcast hint is
+    count-gated: at fixture scale the candidates broadcast; with the
+    gate forced shut (broadcast_limit=0) the same pipeline must plan a
+    non-broadcast candidates join instead of OOMing a huge build side."""
+    import re
+
+    from flink_exercise_spark.operators.dedup import lsh_verified_pairs
+    from flink_exercise_spark.sources.tables import load_table
+
     df = specs()["dedup_lsh_verified_pairs"].fn(spark, SF_SMOKE)
     plan = formatted_plan(df)
     assert_no_cartesian(df)
     assert "BroadcastHashJoin" in plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    forced = lsh_verified_pairs(docs, broadcast_limit=0)
+    fplan = formatted_plan(forced)
+    assert_no_cartesian(forced)
+    # The doc_a-side candidates join must not be a broadcast of the
+    # candidate relation: the forced plan keeps at least one shuffled
+    # join where the default plan broadcasts, so it carries strictly
+    # fewer BroadcastHashJoins and at least one shuffle-side join.
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", fplan)
+    assert fplan.count("BroadcastHashJoin") < plan.count("BroadcastHashJoin")
