@@ -28,6 +28,35 @@ LABELS = {
 }
 
 
+def batch_queries(logs, window: str = "31 days"):
+    """The three reference queries over parsed valid log lines, batch
+    form — exposed for plan tests and reuse; ``main`` prints these.
+
+    Q1 goes through the library's two-pass HashAggregate arg-max, not
+    ``max_by(host, struct(...))``: the struct-ordered aggregate plans
+    as a SortAggregate (string agg buffers can't hash-aggregate) —
+    exactly the trap aggregates.top_host_per_window_any_key documents
+    and avoids.
+    """
+    from pyspark.sql import functions as F
+
+    from flink_exercise_spark.functions.scalars import floor_avg, win_start
+    from flink_exercise_spark.operators.aggregates import (
+        top_host_per_window_any_key,
+    )
+
+    q1 = top_host_per_window_any_key(
+        logs, key="host", window=window
+    ).withColumnRenamed("top_user", "top_client")
+    q2 = logs.groupBy(win_start("ts", window)).agg(
+        F.countDistinct("host").alias("n_unique_clients")
+    )
+    q3 = logs.groupBy(win_start("ts", window)).agg(
+        floor_avg("reply_bytes").alias("avg_reply_bytes")
+    )
+    return q1, q2, q3
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="flink_exercise_spark",
@@ -74,26 +103,22 @@ def main(argv: list[str] | None = None) -> int:
             raw = spark.read.text(args.path)
         logs = valid_lines(parse_clf(raw))
 
-        counts = logs.groupBy(
-            win_start("ts", args.window), F.col("host")
-        ).agg(F.count(F.lit(1)).alias("n_requests"))
-        # Exact distinct aggregation is a batch-only plan; streaming mode
-        # uses the HLL sketch (Spark's documented streaming substitute).
-        distinct_agg = (
-            F.approx_count_distinct("host") if args.streaming
-            else F.countDistinct("host")
-        )
-        q2 = logs.groupBy(win_start("ts", args.window)).agg(
-            distinct_agg.alias("n_unique_clients")
-        )
-        q3 = logs.groupBy(win_start("ts", args.window)).agg(
-            floor_avg("reply_bytes").alias("avg_reply_bytes")
-        )
-
         if args.streaming:
             # Streaming arg-max needs a second stateful agg; emit the
             # per-host counts in update mode (the reference's running-
-            # aggregate emission) and finals for q2/q3 in complete mode.
+            # aggregate emission) and finals for q2/q3 in complete
+            # mode. Exact distinct aggregation is a batch-only plan;
+            # streaming uses the HLL sketch (Spark's documented
+            # streaming substitute).
+            counts = logs.groupBy(
+                win_start("ts", args.window), F.col("host")
+            ).agg(F.count(F.lit(1)).alias("n_requests"))
+            q2 = logs.groupBy(win_start("ts", args.window)).agg(
+                F.approx_count_distinct("host").alias("n_unique_clients")
+            )
+            q3 = logs.groupBy(win_start("ts", args.window)).agg(
+                floor_avg("reply_bytes").alias("avg_reply_bytes")
+            )
             queries = [
                 counts.writeStream.queryName(LABELS["q1"])
                 .outputMode("update").format("console")
@@ -108,12 +133,7 @@ def main(argv: list[str] | None = None) -> int:
             for q in queries:
                 q.awaitTermination()
         else:
-            q1 = counts.groupBy("window_start").agg(
-                F.max_by("host", F.struct("n_requests", "host")).alias(
-                    "top_client"
-                ),
-                F.max("n_requests").alias("n_requests"),
-            )
+            q1, q2, q3 = batch_queries(logs, args.window)
             for label, df in (
                 (LABELS["q1"], q1),
                 (LABELS["q2"], q2),

@@ -135,7 +135,8 @@ def top_host_per_window(events: DataFrame, key: str = "user_id") -> DataFrame:
 
 
 def top_host_per_window_any_key(
-    events: DataFrame, key: str = "user_id"
+    events: DataFrame, key: str = "user_id", window: str = WINDOW_31D,
+    ts: str = "ts",
 ) -> DataFrame:
     """A6/Q1 for arbitrary (incl. string) key domains — the reference's
     actual host key is a string (StreamingJob.scala:39,91), which the
@@ -154,7 +155,7 @@ def top_host_per_window_any_key(
     rows; Spark cannot hash-aggregate string agg buffers) — asserted
     in tests/test_plans.py.
     """
-    counts = events.groupBy(win_start("ts", WINDOW_31D), F.col(key)).agg(
+    counts = events.groupBy(win_start(ts, window), F.col(key)).agg(
         F.count(F.lit(1)).alias("n_requests")
     )
     wmax = counts.groupBy("window_start").agg(

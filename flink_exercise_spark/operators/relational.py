@@ -391,6 +391,10 @@ def q_sort_limit(spark, sf_dir):
 
 @register(
     "union_orders_and_purchases",
+    # priority=1: trivial showcase (unit-test-pinned) — expendable from
+    # the driver's bounded verification window if the oracled count
+    # exceeds it (see registry._ordered).
+    priority=1,
     oracle="""
     SELECT 'order' AS src, o_orderkey AS id, round(o_totalprice, 2) AS amount
     FROM orders WHERE o_totalprice > 400000
@@ -455,6 +459,9 @@ def q_setops(spark, sf_dir):
 
 @register(
     "scalar_functions_showcase",
+    # priority=1: trivial showcase (unit-test-pinned) — expendable from
+    # the driver's bounded verification window (see registry._ordered).
+    priority=1,
     oracle="""
     SELECT o_orderkey,
            upper(substr(o_orderpriority, 1, 8))       AS pri_code,

@@ -104,6 +104,27 @@ def streaming_distinct_hosts(events: DataFrame) -> DataFrame:
     return events.dropDuplicates(["user_id"])
 
 
+def windowed_first_per_host_stream(
+    events: DataFrame, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Q2 streaming stage 1: first occurrence per (window, host) via the
+    streaming dedup state store. Emits in APPEND mode immediately on
+    first sight (dedup is not gated on watermark expiry), and because
+    the event-time ``window`` column is among the dedup keys the state
+    store evicts each window's keys once the watermark passes it — the
+    state bound that makes this runnable forever at 100 TB/day. The
+    per-window distinct COUNT is the read-side reduction over the sink
+    (same sink-then-reduce shape as ForeachBatchTopHost; Spark would
+    also accept the chained dedup->windowed-count as two stateful
+    operators, but then append-mode only emits a window at watermark
+    expiry, which never comes for the last window of a bounded run)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.window("ts", WINDOW_31D).alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
+    )
+
+
 def running_host_counts(events: DataFrame) -> DataFrame:
     """A1 streaming with Flink's continuous-emission semantics:
     update-mode re-emits each host's new running count per batch."""
@@ -266,6 +287,72 @@ def _register_streaming() -> None:
         # long cast: memory sink materializes floor() as long already;
         # select in oracle column order for readability.
         return df.select("window_start", "avg_value_floor")
+
+    @register(
+        "stream_q1_parity",
+        # Same oracle as batch ref_q1_top_host (aggregates.py), ties to
+        # the highest user_id: the streaming path must converge to the
+        # batch arg-max on a bounded input.
+        oracle=f"""
+        WITH c AS (
+          SELECT CAST(floor(epoch(ts)/{_WIN_SECS})*{_WIN_SECS} AS BIGINT)
+                   AS window_start,
+                 user_id, count(*) AS n_requests
+          FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, user_id AS top_user, n_requests
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY window_start
+                ORDER BY n_requests DESC, user_id DESC) AS rn
+              FROM c)
+        WHERE rn = 1
+        """,
+        doc="Reference Q1 executed as a Structured Streaming job: "
+            "update-mode windowed counts through the state store, "
+            "foreachBatch keyed upsert (the Delta-MERGE stand-in), "
+            "read-side arg-max — Spark disallows a second stateful "
+            "aggregation after a windowed agg, so sink-then-reduce is "
+            "the production shape (StreamingJob.scala:91-92)",
+        tags=("streaming", "reference", "events"),
+    )
+    def q_stream_q1(spark, sf_dir):
+        counts = windowed_host_counts(events_stream(spark, sf_dir))
+        fb = ForeachBatchTopHost()
+        fb.run(counts)
+        # Read-side arg-max over the upserted keyed store, tie-broken
+        # to the highest user_id (the batch oracle's documented order).
+        best: dict[int, tuple[int, int]] = {}
+        for (w, u), n in fb.store.items():
+            if w not in best or (n, u) > (best[w][1], best[w][0]):
+                best[w] = (u, n)
+        rows = [(w, u, n) for w, (u, n) in sorted(best.items())]
+        return spark.createDataFrame(
+            rows, "window_start long, top_user long, n_requests long"
+        )
+
+    @register(
+        "stream_q2_parity",
+        # Same oracle as batch ref_q2_distinct_hosts.
+        oracle=f"""
+        SELECT CAST(floor(epoch(ts)/{_WIN_SECS})*{_WIN_SECS} AS BIGINT)
+                 AS window_start,
+               count(DISTINCT user_id) AS n_unique_users
+        FROM events GROUP BY 1
+        """,
+        doc="Reference Q2 executed as a Structured Streaming job: "
+            "streaming dropDuplicates over (window, host) through the "
+            "dedup state store (watermark-evicted), append-mode sink, "
+            "read-side per-window count (StreamingJob.scala:95-96)",
+        tags=("streaming", "reference", "events"),
+    )
+    def q_stream_q2(spark, sf_dir):
+        stream = windowed_first_per_host_stream(events_stream(spark, sf_dir))
+        run_to_memory(stream, "stream_q2_parity_sink", "append")
+        return (
+            spark.table("stream_q2_parity_sink")
+            .groupBy(F.unix_timestamp("w.start").alias("window_start"))
+            .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        )
 
 
 _register_streaming()

@@ -218,3 +218,26 @@ def test_lsh_verified_pairs_gated_join(spark):
     # fewer BroadcastHashJoins and at least one shuffle-side join.
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", fplan)
     assert fplan.count("BroadcastHashJoin") < plan.count("BroadcastHashJoin")
+
+
+def test_cli_batch_q1_no_sortaggregate(spark):
+    """The CLI batch Q1 must use the library's two-pass HashAggregate
+    arg-max: no SortAggregate over the full counts relation (the
+    max_by(host, struct(...)) trap this replaced planned one)."""
+    from flink_exercise_spark.__main__ import batch_queries
+    from flink_exercise_spark.sources.clf import (
+        GOLDEN_LOG_PATH,
+        parse_clf,
+        valid_lines,
+    )
+
+    logs = valid_lines(parse_clf(spark.read.text(GOLDEN_LOG_PATH)))
+    q1, q2, q3 = batch_queries(logs)
+    plan = formatted_plan(q1)
+    join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos != -1
+    # Any SortAggregate may only sit above the broadcast join (the tiny
+    # rows-at-max tie-break), never over the full counts relation.
+    sort_pos = plan.find("SortAggregate")
+    assert sort_pos == -1 or sort_pos < join_pos  # formatted: above = earlier
+    assert plan.count("HashAggregate") >= 4
