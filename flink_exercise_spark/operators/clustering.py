@@ -117,6 +117,12 @@ def kmeans_fit_predict(
         .collect()
     )
     cents = np.array([list(r["e"]) for r in init], dtype=np.float64)
+    if cents.shape[0] == 0:
+        raise ValueError("kmeans_fit_predict: empty corpus")
+    # Degenerate corpus (< k vectors): init yields m < k centroids, and
+    # k-sized counts/sums would broadcast-error against them — clamp k
+    # to what init actually produced (ADVICE round 2).
+    k = cents.shape[0]
     dims = cents.shape[1]
     for _ in range(iters):
         rows = emb.mapInPandas(

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -71,7 +72,10 @@ def get_spark(
     return builder.getOrCreate()
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+# Weak set, not id()s: CPython recycles ids after a stopped session is
+# GC'd, and a recycled id would wrongly mark a fresh session as already
+# shipped (same class of bug as the tables.py cache key).
+_SHIPPED_SESSIONS: weakref.WeakSet = weakref.WeakSet()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -84,8 +88,7 @@ def _ship_package(spark: SparkSession) -> None:
     the engine location-independent (exactly what a spark-submit
     deployment would do with --py-files).
     """
-    key = id(spark)
-    if key in _SHIPPED_SESSIONS:
+    if spark in _SHIPPED_SESSIONS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     base = os.path.join(
@@ -96,7 +99,7 @@ def _ship_package(spark: SparkSession) -> None:
         shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
                             os.path.basename(pkg_dir))
     spark.sparkContext.addPyFile(zip_path)
-    _SHIPPED_SESSIONS.add(key)
+    _SHIPPED_SESSIONS.add(spark)
 
 
 def prep(spark: SparkSession) -> SparkSession:

@@ -14,6 +14,7 @@ layout would slot in without touching operator code.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,22 +48,27 @@ NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
-# (session id, sf_dir, name) -> loaded DataFrame. A DataFrame is an
+# session -> {(sf_dir, name) -> loaded DataFrame}. A DataFrame is an
 # immutable logical plan, so handing the same object to every query is
 # safe and skips the per-call file listing + parquet footer schema read
 # (~50 ms each — fixed driver latency that multiplies across a 55-query
-# registry run). Values also keep the keyed session alive only via its
-# id, so entries from stopped sessions are just dead weight, bounded by
-# tables x sessions.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# registry run). Keyed WEAKLY on the session object, not id(spark):
+# CPython recycles ids after a stopped session is GC'd, so an id-keyed
+# cache could hand a new session a DataFrame bound to a dead
+# SparkContext. The weak key also lets a stopped session's entries be
+# collected instead of accumulating as dead weight.
+_TABLE_CACHE: weakref.WeakKeyDictionary[
+    SparkSession, dict[tuple[str, str], DataFrame]
+] = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (``<sf_dir>/<name>.parquet``)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -70,7 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in NANOS_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

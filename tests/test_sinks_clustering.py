@@ -69,3 +69,15 @@ def test_kmeans_separates_crafted_clusters(spark):
         by_label.setdefault(r["label"], set()).add(r["cluster"])
     assert by_label[0] != by_label[1]
     assert len(by_label[0]) == 1 and len(by_label[1]) == 1
+
+
+def test_kmeans_degenerate_corpus_clamps_k(spark):
+    """Fewer vectors than k: init yields m < k centroids; k clamps to m
+    instead of a numpy broadcast error (ADVICE round 2)."""
+    rows = [(0, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = kmeans_fit_predict(df, k=10, iters=2).collect()
+    assert len(got) == 2
+    assert {r["cluster"] for r in got} <= {0, 1}
