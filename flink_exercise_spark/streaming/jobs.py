@@ -202,17 +202,46 @@ class ForeachBatchTopHost:
     cheap read-side reduction — the sink-then-reduce production shape
     for reference Q1 (StreamingJob.scala:91-92).
 
-    The store here is a driver dict (tests); swap ``upsert`` for a
-    Delta MERGE / key-value write at scale — update-mode emissions are
-    keyed, so the merge is idempotent per (window, user).
+    Two store modes:
+
+    - default: a driver dict (tests) — the one deliberate
+      data-sized ``collect()`` in the repo, bounded by the keyed
+      update-mode emissions per batch;
+    - ``store_path=...``: the production shape — each micro-batch
+      APPENDS its keyed updates to a parquet change log straight from
+      the executors (no driver round-trip), stamped with ``batch_id``;
+      the read side resolves last-writer-wins per key and reduces.
+      This is exactly the CDC-log half of a Delta MERGE: swapping the
+      append for a real MERGE (or a KV-store write) changes only this
+      method — update-mode emissions are keyed, so the merge is
+      idempotent per (window, user).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, store_path: str | None = None) -> None:
         self.store: dict[tuple[int, int], int] = {}
+        self.store_path = store_path
 
     def upsert(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.store_path is not None:
+            (
+                batch_df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append").parquet(self.store_path)
+            )
+            return
         for r in batch_df.collect():
             self.store[(r["window_start"], r["user_id"])] = r["n_requests"]
+
+    def resolved_counts(self, spark: SparkSession) -> DataFrame:
+        """Parquet mode read side: last-writer-wins per (window, user)
+        over the change log — max_by on the monotone batch id, a
+        two-phase HashAggregate (BIGINT agg buffer, no SortAggregate
+        trap)."""
+        if self.store_path is None:
+            raise ValueError("resolved_counts requires store_path mode")
+        log = spark.read.parquet(self.store_path)
+        return log.groupBy("window_start", "user_id").agg(
+            F.max_by("n_requests", "_batch_id").alias("n_requests")
+        )
 
     def top_per_window(self) -> dict[int, tuple[int, int]]:
         """window_start -> (user_id, n_requests); ties to lowest user."""

@@ -276,3 +276,25 @@ def test_foreachbatch_top_host_equals_batch_q1(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_foreachbatch_parquet_store_equals_dict_store(spark, tmp_path):
+    """The production parquet-change-log store (executor-side append +
+    last-writer-wins read) must resolve to the same keyed counts as the
+    driver-dict test store — no collect() anywhere in the parquet
+    path."""
+    from flink_exercise_spark.streaming.jobs import ForeachBatchTopHost
+
+    dict_sink = ForeachBatchTopHost()
+    dict_sink.run(windowed_host_counts(events_stream(spark, SF_SMOKE)))
+
+    pq_sink = ForeachBatchTopHost(store_path=str(tmp_path / "q1_store"))
+    pq_sink.run(windowed_host_counts(events_stream(spark, SF_SMOKE)))
+    resolved = {
+        (r["window_start"], r["user_id"]): r["n_requests"]
+        for r in pq_sink.resolved_counts(spark).collect()
+    }
+    assert resolved == dict_sink.store
+    # read-side plan stays hash-aggregable (BIGINT max_by buffer)
+    plan = pq_sink.resolved_counts(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
