@@ -41,8 +41,8 @@ def main() -> None:
     # scheduling (~4-7 ms/task x 3 stages), and AQE's per-stage replan
     # adds ~10-100 ms/query while having nothing to adapt to in a
     # single-JVM run with no network and sub-second stages. At fixture
-    # scale every shuffle fits one task wave at 4 partitions, so the
-    # bench runs shuffle.partitions=4 / AQE off; the session defaults
+    # scale every shuffle fits one task wave at 2 partitions, so the
+    # bench runs shuffle.partitions=2 / AQE off; the session defaults
     # (session.py) keep AQE + skew-join ON, which is what a cluster
     # deployment uses — there partition count is sized to ~128 MB of
     # post-shuffle data per task, not to scheduling overhead. Both
@@ -52,7 +52,7 @@ def main() -> None:
         master=f"local[{cpus}]",
         conf={
             "spark.sql.shuffle.partitions": os.environ.get(
-                "SPARK_GRAFT_SHUFFLE", "4"
+                "SPARK_GRAFT_SHUFFLE", "2"
             ),
             "spark.sql.adaptive.enabled": os.environ.get(
                 "SPARK_GRAFT_AQE", "false"

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_exercise_spark.caching import persist_tracked
 from flink_exercise_spark.operators.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -81,6 +82,13 @@ def llm_data_prep(
         & (F.col("stopword_ratio") >= min_sr)
         & (F.col("predicted_lang") != "unknown")
     )
+    # kept feeds BOTH the canonical-copy aggregate and the join probe;
+    # without materialization each reference re-runs the tokenize +
+    # score pipeline over the full text corpus (measured 2x the
+    # pipeline's CPU at fixture scale). The persisted relation is the
+    # narrow post-gate features — no text column — which is exactly
+    # what you'd materialize at 100 TB before a dedup join.
+    kept = persist_tracked(kept)
     canon = kept.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
     deduped = kept.join(canon, ["_h", "doc_id"])
     return deduped.groupBy("predicted_lang").agg(
