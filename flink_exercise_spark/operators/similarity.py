@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from flink_exercise_spark.caching import persist_tracked
 from flink_exercise_spark.functions.vectors import (
     cosine_from_norms,
     l2_norm_expr,
@@ -283,9 +284,13 @@ def embedding_near_dup_pairs(
     id becomes a partition key so each bucket's pair join is a
     partition-local sort-merge.
     """
-    withb = with_norm(
+    # Both self-join sides read this relation; persist so the bucket
+    # projection + norm fold run once (at 100 TB this is the relation
+    # you'd write out partitioned by bucket, making the pair join
+    # partition-local).
+    withb = persist_tracked(with_norm(
         emb.select("vec_id", "embedding", sign_bucket_expr().alias("bucket"))
-    )
+    ))
     l = withb.alias("l")
     r = withb.alias("r")
     return (
