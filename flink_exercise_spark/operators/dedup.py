@@ -635,6 +635,125 @@ def q_lsh_verified(spark, sf_dir):
     return lsh_verified_pairs(load_table(prep(spark), sf_dir, "documents"))
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over verified near-dup pairs: every doc in
+    a near-duplicate cluster labeled with the cluster's min doc_id —
+    the pass that turns PAIRS into the keep-one-representative decision
+    a training pipeline actually needs (and the documented routing
+    target for capped hot buckets, see BUCKET_CAP).
+
+    Spark shape: iterative min-label propagation. Each round joins the
+    (persisted, symmetrized) edge list against the current labels and
+    takes the per-vertex min over self + neighbors; iteration stops at
+    the measured fixpoint (no label changed) or ``max_iters``. Rounds
+    needed = graph diameter, and near-dup clusters are dense/shallow
+    (a few hops), so 3-4 rounds close real corpora. Per round: one
+    equi-join + one hash-agg over (vertex, label) longs — shuffle is
+    2 longs per edge; the label relation is persisted per round so the
+    plan stays one InMemoryRelation deep (no per-iteration plan growth
+    or codegen recompile — same discipline as the k-means kernel).
+    Docs in no verified pair are singletons and are omitted (their
+    cluster is themselves); at 100 TB that keeps the label state
+    proportional to the duplicated subset, not the corpus.
+    """
+    pairs = lsh_verified_pairs(docs, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = persist_tracked(
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+    )
+    labels = persist_tracked(
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels, edges["doc_b"] == labels["doc_id"]
+        ).select(F.col("doc_a").alias("doc_id"), F.col("cluster_id"))
+        # One action per round: the min-label agg carries the previous
+        # label alongside, so materializing the persisted relation and
+        # reading the fixpoint flag is a single job (a separate
+        # changed-check join would double the per-round stage count).
+        new_labels = persist_tracked(
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("cluster_id").alias("_max_seen"),
+            )
+        )
+        # Fixpoint ⟺ every vertex and all its neighbors already share
+        # one label ⟺ min == max of the agg inputs (own label ∪
+        # neighbor labels) at EVERY vertex. Any vertex with min < max
+        # saw a differing label, so at least one assignment moved (or
+        # will move next round) — iterate.
+        changed = (
+            new_labels.filter(F.col("cluster_id") < F.col("_max_seen"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.select("doc_id", "cluster_id")
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_near_dup_clusters",
+    # Recursive-CTE transitive closure: cluster_id = min doc_id
+    # reachable through the verified-pair graph.
+    oracle=f"""
+    WITH RECURSIVE verified AS (
+      SELECT doc_a, doc_b FROM (
+        WITH cands AS (
+          {_band_pairs_oracle()}
+        ), toks AS (
+          {_ORACLE_SHINGLE_CTE}
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1
+        ), shared AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+          FROM cands c
+          JOIN toks l ON l.doc_id = c.doc_a
+          JOIN toks r ON r.doc_id = c.doc_b AND r.tok = l.tok
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_shared / (sa.n_toks + sb.n_toks - n_shared), 4)
+              >= 0.2
+      )
+    ), edges AS (
+      SELECT doc_a AS v, doc_b AS u FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified
+    ), reach AS (
+      SELECT v, v AS u FROM (SELECT DISTINCT v FROM edges)
+      UNION
+      SELECT r.v, e.u FROM reach r JOIN edges e ON e.v = r.u
+    )
+    SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+    """,
+    doc="Near-dup clusters: connected components (min-label "
+        "propagation) over LSH-verified pairs — the keep-one-"
+        "representative dedup decision",
+    tags=("dedup", "documents", "minhash", "clusters"),
+)
+def q_near_dup_clusters(spark, sf_dir):
+    return near_dup_clusters(load_table(prep(spark), sf_dir, "documents"))
+
+
 @register(
     "dedup_simhash_near_pairs",
     oracle=None,  # Pandas-UDF op; driver records rows-only check

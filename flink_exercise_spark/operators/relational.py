@@ -367,6 +367,9 @@ def q_grouping_sets(spark, sf_dir):
 
 @register(
     "sort_limit_top_orders",
+    # priority=1: trivial showcase (TakeOrdered plan-asserted) —
+    # expendable from the driver's bounded verification window.
+    priority=1,
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
     FROM orders

@@ -148,3 +148,30 @@ def test_simhash_bucket_cap(spark):
     )
     assert simhash_near_pairs(docs, bucket_cap=None).count() >= 60 * 59 // 2
     assert simhash_near_pairs(docs, bucket_cap=30).count() == 0
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C near-dup (A and C NOT directly similar enough to
+    pair) must still land in ONE cluster labeled min(doc_id) —
+    transitivity is the point of the connected-components pass."""
+    from flink_exercise_spark.operators.dedup import near_dup_clusters
+
+    a = BASE
+    b = BASE.replace("lazy", "sleepy")
+    c = BASE.replace("lazy", "sleepy").replace("quick", "swift")
+    rows = [
+        (10, a, "en", "s0"),
+        (20, b, "en", "s0"),
+        (30, c, "en", "s0"),
+        (40, FAR, "en", "s0"),
+        (50, FAR, "en", "s1"),  # exact dup of 40 -> pair cluster
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(docs, threshold=0.5).collect()
+    }
+    assert got[10] == got[20] == got[30] == 10
+    assert got[40] == got[50] == 40
