@@ -635,34 +635,25 @@ def q_lsh_verified(spark, sf_dir):
     return lsh_verified_pairs(load_table(prep(spark), sf_dir, "documents"))
 
 
-def near_dup_clusters(
-    docs: DataFrame,
-    threshold: float = 0.2,
-    max_iters: int = 10,
+def connected_components(
+    pairs: DataFrame, max_iters: int = 10
 ) -> DataFrame:
-    """Connected components over verified near-dup pairs: every doc in
-    a near-duplicate cluster labeled with the cluster's min doc_id —
-    the pass that turns PAIRS into the keep-one-representative decision
-    a training pipeline actually needs (and the documented routing
-    target for capped hot buckets, see BUCKET_CAP).
+    """Connected components over an undirected (doc_a, doc_b) pair
+    relation: (doc_id, cluster_id=min reachable id), vertices in no
+    pair omitted (singletons are their own cluster).
 
     Spark shape: iterative min-label propagation. Each round joins the
     (persisted, symmetrized) edge list against the current labels and
     takes the per-vertex min over self + neighbors; iteration stops at
-    the measured fixpoint (no label changed) or ``max_iters``. Rounds
-    needed = graph diameter, and near-dup clusters are dense/shallow
-    (a few hops), so 3-4 rounds close real corpora. Per round: one
-    equi-join + one hash-agg over (vertex, label) longs — shuffle is
-    2 longs per edge; the label relation is persisted per round so the
-    plan stays one InMemoryRelation deep (no per-iteration plan growth
-    or codegen recompile — same discipline as the k-means kernel).
-    Docs in no verified pair are singletons and are omitted (their
-    cluster is themselves); at 100 TB that keeps the label state
-    proportional to the duplicated subset, not the corpus.
+    the measured fixpoint or ``max_iters``. Rounds needed = graph
+    diameter, and near-dup clusters are dense/shallow (a few hops), so
+    3-4 rounds close real corpora. Per round: one equi-join + one
+    hash-agg over (vertex, label) longs — shuffle is 2 longs per edge;
+    the label relation is persisted per round so the plan stays one
+    InMemoryRelation deep (no per-iteration plan growth or codegen
+    recompile — same discipline as the k-means kernel).
     """
-    pairs = lsh_verified_pairs(docs, threshold=threshold).select(
-        "doc_a", "doc_b"
-    )
+    pairs = pairs.select("doc_a", "doc_b")
     edges = persist_tracked(
         pairs.union(
             pairs.select(
@@ -679,17 +670,24 @@ def near_dup_clusters(
         nbr = edges.join(
             labels, edges["doc_b"] == labels["doc_id"]
         ).select(F.col("doc_a").alias("doc_id"), F.col("cluster_id"))
-        # One action per round: the min-label agg carries the previous
-        # label alongside, so materializing the persisted relation and
-        # reading the fixpoint flag is a single job (a separate
-        # changed-check join would double the per-round stage count).
-        new_labels = persist_tracked(
+        # localCheckpoint, not persist: persist caches the DATA but the
+        # logical plan still nests every previous round's lineage, so
+        # plan depth (and Catalyst analysis cost) grows per round —
+        # a long-diameter graph overflows the driver around 30 rounds.
+        # Eager localCheckpoint materializes the round (the one action)
+        # AND truncates lineage, keeping the plan constant-depth. The
+        # caveat is the standard one: localCheckpoint blocks don't
+        # survive executor loss — a production run on a real cluster
+        # uses reliable checkpointing (sc.setCheckpointDir) at the same
+        # call site.
+        new_labels = (
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(
                 F.min("cluster_id").alias("cluster_id"),
                 F.max("cluster_id").alias("_max_seen"),
             )
+            .localCheckpoint()
         )
         # Fixpoint ⟺ every vertex and all its neighbors already share
         # one label ⟺ min == max of the agg inputs (own label ∪
@@ -705,6 +703,22 @@ def near_dup_clusters(
         if changed == 0:
             break
     return labels
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    max_iters: int = 10,
+) -> DataFrame:
+    """Near-dup clusters: every doc in a near-duplicate cluster labeled
+    with the cluster's min doc_id — the pass that turns verified PAIRS
+    into the keep-one-representative decision a training pipeline
+    actually needs (and the documented routing target for capped hot
+    buckets, see BUCKET_CAP). Composition: LSH-gated exact verification
+    (lsh_verified_pairs) -> connected_components."""
+    return connected_components(
+        lsh_verified_pairs(docs, threshold=threshold), max_iters=max_iters
+    )
 
 
 @register(

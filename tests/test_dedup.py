@@ -175,3 +175,53 @@ def test_near_dup_clusters_transitive(spark):
     }
     assert got[10] == got[20] == got[30] == 10
     assert got[40] == got[50] == 40
+
+
+def test_connected_components_property(spark):
+    """Label propagation vs a pure-Python union-find on a batch of
+    adversarial small graphs (chains force multi-round propagation;
+    they are the worst diameter case for min-label)."""
+    import random
+
+    from flink_exercise_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(1, 60))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if trial == 0:
+            edges = [(i, i + 1) for i in range(30)]  # 31-vertex chain
+        if not edges:
+            continue
+        parent = list(range(n + 32))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        verts = sorted({v for e in edges for v in e})
+        expected = {}
+        for v in verts:
+            root = find(v)
+            expected.setdefault(root, []).append(v)
+        exp_labels = {
+            v: min(members)
+            for members in expected.values()
+            for v in members
+        }
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(df, max_iters=64).collect()
+        }
+        assert got == exp_labels, f"trial {trial}: {edges}"
