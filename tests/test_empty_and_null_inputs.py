@@ -1,0 +1,90 @@
+"""Degenerate-input sweep: every core operator must handle an EMPTY
+relation (0 rows, correct schema) and NULL text/embedding payloads
+without crashing — the inputs a real 100 TB pipeline hits on day one
+(an empty partition, a scraped doc with no body). Documents the
+behavior instead of leaving it implementation-defined."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_dedup_ops_on_empty_corpus(spark):
+    from flink_exercise_spark.operators import dedup
+
+    docs = _empty(spark, DOC_SCHEMA)
+    assert dedup.exact_dedup_map(docs).count() == 0
+    assert dedup.minhash_signatures(docs).count() == 0
+    assert dedup.minhash_band_pairs(docs).count() == 0
+    assert dedup.jaccard_pairs(docs).count() == 0
+    assert dedup.lsh_verified_pairs(docs).count() == 0
+    assert dedup.near_dup_clusters(docs).count() == 0
+    assert dedup.simhash_near_pairs(docs).count() == 0
+
+
+def test_similarity_ops_on_empty_corpus(spark):
+    from flink_exercise_spark.operators import similarity
+
+    emb = _empty(spark, EMB_SCHEMA)
+    assert similarity.embedding_near_dup_pairs(emb).count() == 0
+    # knn over an empty corpus: no neighbors, not a crash
+    assert similarity.knn_brute_force(emb, n_queries=3, k=3).count() == 0
+
+
+def test_aggregates_on_empty_events(spark):
+    from flink_exercise_spark.operators import aggregates
+
+    ev = _empty(spark, EV_SCHEMA)
+    assert aggregates.requests_per_host(ev).count() == 0
+    assert aggregates.top_host_per_window(ev).count() == 0
+    assert aggregates.top_host_per_window_any_key(ev).count() == 0
+    assert aggregates.windowed_floor_avg(ev).count() == 0
+
+
+def test_kmeans_empty_corpus_raises(spark):
+    from flink_exercise_spark.operators.clustering import kmeans_fit_predict
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_fit_predict(_empty(spark, EMB_SCHEMA), k=3).count()
+
+
+def test_clf_parse_empty_and_all_invalid(spark):
+    from flink_exercise_spark.sources.clf import (
+        invalid_lines,
+        parse_clf,
+        valid_lines,
+    )
+
+    empty = _empty(spark, "value string")
+    assert valid_lines(parse_clf(empty)).count() == 0
+    junk = spark.createDataFrame([("x",), ("",), ("garbage here",)], ["value"])
+    assert valid_lines(parse_clf(junk)).count() == 0
+    assert invalid_lines(parse_clf(junk)).count() == 3
+
+
+def test_null_text_documents(spark):
+    """NULL text: exact dedup groups NULLs under a NULL hash; the
+    shingle pipeline drops them (no tokens); text stats emit NULL
+    metrics rather than crashing."""
+    from flink_exercise_spark.operators import dedup
+    from flink_exercise_spark.operators.text import text_stats
+
+    rows = [(1, None, "en", "s0"), (2, "some real text here ok", "en", "s0")]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    m = dedup.exact_dedup_map(docs)
+    assert m.count() == 2  # NULL-hash group + real group
+    assert dedup.minhash_signatures(docs).count() == 1  # null doc has no shingles
+    stats = text_stats(docs)
+    assert stats.count() == 2
