@@ -9,6 +9,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 DOC_SCHEMA = "doc_id long, text string, lang string, source string"
 EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
 EV_SCHEMA = (
@@ -88,3 +90,22 @@ def test_null_text_documents(spark):
     assert dedup.minhash_signatures(docs).count() == 1  # null doc has no shingles
     stats = text_stats(docs)
     assert stats.count() == 2
+
+
+def test_a4_approx_distinct_within_rsd(spark):
+    """The rows-only HLL query's sole correctness check: the estimate
+    must sit within ~3x the configured 1% relative standard deviation
+    of the exact distinct count (ADVICE r2: rows-only operators need
+    strong unit invariants)."""
+    from flink_exercise_spark.registry import specs
+
+    est = specs()["a4_approx_distinct_hosts"].fn(spark, SF_SMOKE).collect()[0][
+        "n_unique_users_approx"
+    ]
+    from flink_exercise_spark.sources.tables import load_table
+
+    exact = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id").distinct().count()
+    )
+    assert abs(est - exact) <= max(3, 0.03 * exact), (est, exact)
