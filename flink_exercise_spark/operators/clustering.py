@@ -96,11 +96,12 @@ def _assign_kernel(cents):
     return compute
 
 
-def kmeans_fit_predict(
-    emb: DataFrame, k: int = 10, iters: int = 3
-) -> DataFrame:
-    """(vec_id, label, cluster) after ``iters`` Lloyd iterations with
-    deterministic init (the k lowest vec_ids)."""
+def _lloyd(emb: DataFrame, k: int, iters: int):
+    """Run the Lloyd loop; return (persisted corpus, centroids ndarray).
+
+    Shared by ``kmeans_fit_predict`` (assign step appended) and
+    ``kmeans_centroids`` (centroids exported as a relation — e.g. as a
+    trained IVF codebook, similarity.knn_ivf)."""
     import numpy as np
 
     # The corpus is read 1 (init) + iters (update) + 1 (final assign)
@@ -139,9 +140,29 @@ def kmeans_fit_predict(
         cents = np.where(
             nonempty[:, None], sums / np.maximum(counts, 1)[:, None], cents
         )
+    return emb, cents
+
+
+def kmeans_fit_predict(
+    emb: DataFrame, k: int = 10, iters: int = 3
+) -> DataFrame:
+    """(vec_id, label, cluster) after ``iters`` Lloyd iterations with
+    deterministic init (the k lowest vec_ids)."""
+    emb, cents = _lloyd(emb, k, iters)
     return emb.mapInPandas(
         _assign_kernel(cents), schema="vec_id long, label int, cluster int"
     )
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 10, iters: int = 3) -> DataFrame:
+    """Trained centroids as a (cell_id, cent) relation — k x dims of
+    driver-held model state turned back into a (tiny, broadcastable)
+    DataFrame, e.g. to serve as the IVF codebook
+    (similarity.knn_ivf(codebook=...))."""
+    spark = emb.sparkSession
+    _, cents = _lloyd(emb, k, iters)
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    return spark.createDataFrame(rows, "cell_id int, cent array<double>")
 
 
 def cluster_profile(emb: DataFrame, k: int = 10, iters: int = 3) -> DataFrame:

@@ -142,16 +142,21 @@ def knn_ivf(
     n_cells: int = N_CELLS,
     n_probe: int = N_PROBE,
     k: int = 3,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` cells
     (nearest centroid by cosine), search only each query's ``n_probe``
     nearest cells.
 
-    The codebook here is deterministic — the first ``n_cells`` corpus
-    vectors serve as centroids — so the DuckDB oracle can verify the
-    whole pipeline; a production deployment trains the codebook with
-    k-means (operators/clustering.py) and swaps it in: the plan shape
-    is identical.
+    The default codebook is deterministic — the first ``n_cells``
+    corpus vectors serve as centroids — so the DuckDB oracle can
+    verify the whole pipeline. Pass ``codebook`` (a tiny
+    ``(cell_id int, cent array<double>)`` relation, e.g.
+    clustering.kmeans_centroids) to swap in a TRAINED codebook: the
+    plan shape is byte-for-byte identical (broadcast codebook,
+    packed-BIGINT hash-agg assignment) — asserted in
+    tests/test_similarity.py. ``cell_id`` must fit in 8 bits (the
+    packed tie-break); guarded below.
 
     Scale shape: assignment is corpus x codebook with the codebook
     broadcast (the only full-corpus pass); at 100 TB the cell id
@@ -159,16 +164,23 @@ def knn_ivf(
     touches ``n_probe / n_cells`` of the data. All ranking is on
     round(cosine, 6) — float-associativity-safe against the oracle.
     """
-    cents = with_norm(
-        emb.filter(
-            (F.col("vec_id") >= n_queries)
-            & (F.col("vec_id") < n_queries + n_cells)
+    if codebook is not None:
+        if codebook.count() > 256:
+            raise ValueError("codebook cell_id must fit in 8 bits (<=256 cells)")
+        cents = with_norm(codebook, vec_col="cent", out="cent_norm").select(
+            F.col("cell_id").cast("int"), "cent", "cent_norm"
         )
-    ).select(
-        (F.col("vec_id") - n_queries).cast("int").alias("cell_id"),
-        F.col("embedding").alias("cent"),
-        F.col("norm").alias("cent_norm"),
-    )
+    else:
+        cents = with_norm(
+            emb.filter(
+                (F.col("vec_id") >= n_queries)
+                & (F.col("vec_id") < n_queries + n_cells)
+            )
+        ).select(
+            (F.col("vec_id") - n_queries).cast("int").alias("cell_id"),
+            F.col("embedding").alias("cent"),
+            F.col("norm").alias("cent_norm"),
+        )
     corpus = with_norm(
         spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
     ).select(

@@ -114,3 +114,32 @@ def test_ivf_structure_and_recall(spark):
         (r["query_id"], r["neighbor_id"]) for r in ivf if r["rank"] == 1
     }
     assert len(top1) >= 1
+
+
+def test_ivf_with_trained_kmeans_codebook(spark):
+    """SCALE.md's promise made executable: swapping the deterministic
+    codebook for k-means centroids changes NO plan shape — broadcast
+    codebook cross + packed-BIGINT hash-agg assignment, no cartesian —
+    and the trained search still returns k neighbors per query."""
+    from flink_exercise_spark.operators.clustering import kmeans_centroids
+    from flink_exercise_spark.operators.similarity import knn_ivf
+    from flink_exercise_spark.plans.inspect import (
+        assert_no_cartesian,
+        formatted_plan,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cb = kmeans_centroids(emb, k=8, iters=2)
+    trained = knn_ivf(emb, n_probe=2, k=3, codebook=cb)
+    plan = formatted_plan(trained)
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
+    assert "HashAggregate" in plan
+    assert_no_cartesian(trained)
+    rows = trained.collect()
+    assert rows, "trained IVF returned nothing"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 3 for v in per_q.values())
