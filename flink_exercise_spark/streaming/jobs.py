@@ -170,6 +170,71 @@ def stateful_first_seen(events: DataFrame, timeout_ms: int | None = None) -> Dat
     )
 
 
+def stateful_first_seen_tws(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """A3/T5 on Spark 4's ``transformWithStateInPandas`` — the current
+    arbitrary-stateful-processing API (successor to
+    ``applyInPandasWithState``): explicit per-key value state with
+    optional TTL, the bounded-state form of the reference's
+    ``filterWithState`` Set (StreamingJob.scala:157-165) that survives
+    key churn at 100 TB/day. Requires the RocksDB state store provider
+    (session conf ``spark.sql.streaming.stateStore.providerClass``) —
+    which is also the production state backend SCALE.md prescribes.
+
+    Semantics match ``stateful_first_seen``: emit only the first
+    (min event_id) record per user; with ``ttl_ms`` the "seen" marker
+    expires and a recurring key is re-emitted — same contract as
+    ``dropDuplicatesWithinWatermark`` but with explicit state.
+
+    Environment note: the transformWithState Python driver worker
+    needs the ``protobuf`` package (its state-server protocol), which
+    this container does not ship — the test suite skips the execution
+    test when ``google.protobuf`` is missing and the
+    ``applyInPandasWithState`` port (``stateful_first_seen``) remains
+    the executed-under-test form.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "seen boolean", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            first = None
+            for pdf in rows:
+                if len(pdf) and not self._seen.exists():
+                    cand = pdf.nsmallest(1, "event_id")
+                    if first is None or (
+                        cand["event_id"].iloc[0] < first["event_id"].iloc[0]
+                    ):
+                        first = cand
+            if self._seen.exists():
+                return iter([])
+            self._seen.update((True,))
+            if first is None:
+                return iter([])
+            return iter(
+                [first[["user_id", "event_id", "ts", "event_type"]]]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FirstSeen(),
+        outputStructType="user_id long, event_id long, ts timestamp, "
+                         "event_type string",
+        outputMode="append",
+        timeMode="processingTime" if ttl_ms is not None else "none",
+    )
+
+
 def run_to_parquet(
     df: DataFrame,
     path: str,

@@ -298,3 +298,57 @@ def test_foreachbatch_parquet_store_equals_dict_store(spark, tmp_path):
     # read-side plan stays hash-aggregable (BIGINT max_by buffer)
     plan = pq_sink.resolved_counts(spark)._jdf.queryExecution().executedPlan().toString()
     assert "SortAggregate" not in plan
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState driver worker needs protobuf "
+           "(not shipped in this container)",
+)
+def test_transform_with_state_first_seen(spark):
+    """transformWithStateInPandas port (Spark 4 arbitrary-state API):
+    same contract as the applyInPandasWithState port — one emission per
+    user, the min-event_id record. Runs on the RocksDB state store (the
+    production backend; transformWithState requires it)."""
+    from flink_exercise_spark.streaming.jobs import stateful_first_seen_tws
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful_first_seen_tws(events_stream(spark, SF_SMOKE))
+        run_to_memory(stream, "first_seen_tws", "append")
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                "SELECT user_id, event_id FROM first_seen_tws"
+            ).collect()
+        }
+        ev = load_table(spark, SF_SMOKE, "events")
+        exp = {
+            tuple(r)
+            for r in ev.groupBy("user_id")
+            .agg(F.min("event_id").alias("event_id"))
+            .collect()
+        }
+        assert got == exp
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
