@@ -84,3 +84,30 @@ def test_arbitrary_text_single_channel(spark, text):
     nv = valid_lines(parsed).count()
     ni = invalid_lines(parsed).count()
     assert nv + ni == 1  # exactly one channel, never both/neither
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=80))
+def test_valid_predicate_agrees_with_parse_sentinel(spark, text):
+    """The r3 invariant the scan-pushable filter rests on: the raw-line
+    predicate (rlike + separator-free) must agree with the parse-level
+    sentinel (host == '') on EVERY line — including control characters
+    and near-miss formats — else a row could be kept with an empty host
+    or dropped with a parsed one."""
+    text = text.replace("\n", " ").replace("\r", " ")
+    parsed = parse_clf(spark.createDataFrame([(text,)], ["value"]))
+    row = parsed.collect()[0]
+    kept = valid_lines(parsed).count() == 1
+    assert kept == (row["host"] != ""), (text, row["host"], kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.text(alphabet=st.sampled_from("\x01\x02ab "), max_size=30))
+def test_valid_predicate_agrees_on_separator_chars(spark, text):
+    """Adversarial corner: lines built from the parser's own internal
+    separator/sentinel control characters must still fall in exactly
+    one channel with predicate/parse agreement."""
+    parsed = parse_clf(spark.createDataFrame([(text,)], ["value"]))
+    row = parsed.collect()[0]
+    kept = valid_lines(parsed).count() == 1
+    assert kept == (row["host"] != ""), (repr(text), row["host"], kept)
