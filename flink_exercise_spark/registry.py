@@ -143,6 +143,7 @@ def _load_all_modules() -> None:
         pipeline,
         clustering,
         relational,
+        timeseries,
     )
     from flink_exercise_spark.streaming import jobs  # noqa: F401
 

@@ -32,8 +32,11 @@ def test_demoted_showcases_sort_last_within_oracled():
         "union_orders_and_purchases",
         "scalar_functions_showcase",
         "sort_limit_top_orders",
+        # locally hash-verified by test_oracle_parity; outside the
+        # driver window by design
+        "ts_pattern_search",
     }
-    assert oracled[-len(demoted):] == demoted  # contiguous tail
+    assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 
 
 def test_high_value_queries_inside_window():
