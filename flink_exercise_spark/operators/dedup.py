@@ -1,6 +1,6 @@
 """Deduplication operators over the documents table — north-star ops.
 
-Four families, each expressed in its scale-correct Spark shape:
+Five families, each expressed in its scale-correct Spark shape:
 
 - exact: hash-groupBy on md5(text). One shuffle of (hash, id) pairs —
   the raw text never crosses the wire.
@@ -8,15 +8,20 @@ Four families, each expressed in its scale-correct Spark shape:
   (map-side combine keeps the shuffle at k rows per doc), then
   candidate pairs via equi-join on band values — the classic
   shingle->minhash->band->bucket-join pipeline. No cross join anywhere;
-  at 100 TB the band join is the only pairwise step and touches only
-  colliding buckets.
+  at 100 TB the band join is the only pairwise step, touches only
+  colliding buckets, and drops buckets above BUCKET_CAP (the
+  N-identical-docs N^2 skew bomb).
 - n-gram Jaccard: inverted-index self-join (explode distinct tokens,
   join on token within a blocking key, count shared tokens) — the
-  exact-verification stage that typically follows LSH candidates.
+  exact-verification stage; ``lsh_verified_pairs`` runs it gated
+  behind the LSH candidates with a count-gated broadcast.
 - SimHash: 64-bit signed-projection sketch via an Arrow-batched Pandas
   UDF (deterministic md5-based bit hashes) — the documented escape
   hatch for ops whose inner loop doesn't decompose into SQL, and near-
   dup detection by Hamming distance on band-equal buckets.
+- connected components: min-label propagation over the verified-pair
+  graph (``near_dup_clusters``) — pairs -> keep-one-representative
+  clusters, the routing target for capped hot buckets.
 
 The minhash permutation family is ``md5(seed || '|' || token)`` — a
 public, engine-independent construction, so DuckDB can run the
