@@ -352,3 +352,65 @@ def test_transform_with_state_first_seen(spark):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_sliding_window_stream_equals_batch(spark):
+    """T4 sliding generalization under streaming: the windowed count
+    over (size=7d, slide=1d) must equal the batch answer at end of
+    stream. (The batch operator's exact countDistinct is batch-only —
+    Spark disallows COUNT(DISTINCT) in streaming aggregation; the
+    streaming form carries the count, with approx_count_distinct as
+    the documented streaming substitute for the distinct column.)"""
+    w = F.window("ts", "7 days", "1 day")
+    stream = (
+        events_stream(spark, SF_SMOKE)
+        .groupBy(F.unix_timestamp(w["start"]).alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    run_to_memory(stream, "sliding_stream", "complete")
+    got = _rows(spark, "SELECT window_start, n_events FROM sliding_stream")
+    ev = load_table(spark, SF_SMOKE, "events")
+    exp = {
+        (r["window_start"], r["n_events"])
+        for r in ev.groupBy(F.unix_timestamp(w["start"]).alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_session_window_stream_equals_batch(spark):
+    """T4 session windows under streaming: gap-based sessions through
+    the session-merging state store equal the batch operator exactly in
+    COMPLETE mode (update is unsupported for session windows), and
+    APPEND mode emits every session except those not yet sealed by the
+    watermark — on a bounded run, exactly the final session."""
+    from flink_exercise_spark.operators.windows import session_windows
+
+    stream = session_windows(
+        events_stream(spark, SF_SMOKE).withWatermark("ts", "0 seconds")
+    )
+    run_to_memory(stream, "session_stream", "complete")
+    got = _rows(
+        spark,
+        "SELECT user_id, session_start, n_events, sum_value "
+        "FROM session_stream",
+    )
+    exp = {
+        tuple(r)
+        for r in session_windows(load_table(spark, SF_SMOKE, "events"))
+        .collect()
+    }
+    assert got == exp
+
+    stream2 = session_windows(
+        events_stream(spark, SF_SMOKE).withWatermark("ts", "0 seconds")
+    )
+    run_to_memory(stream2, "session_stream_append", "append")
+    appended = _rows(
+        spark,
+        "SELECT user_id, session_start, n_events, sum_value "
+        "FROM session_stream_append",
+    )
+    assert len(exp) - len(appended) == 1  # the watermark-held last session
+    assert appended <= exp
