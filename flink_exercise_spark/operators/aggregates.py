@@ -94,9 +94,9 @@ def top_host_per_window(events: DataFrame, key: str = "user_id") -> DataFrame:
     per-key counts at every scale). Packing (count, key) into one
     BIGINT keeps the whole query in two-phase HashAggregate; valid
     while both values fit 32 bits (counts < 2^31 per window-key and a
-    non-negative integral key < 2^31 — the fixtures' domain; for
-    string keys use ``top_k_hosts_per_window`` which sorts only the
-    already-reduced counts).
+    non-negative integral key < 2^32 — the fixtures' domain; for
+    string keys use ``top_host_per_window_any_key``, whose only sort
+    is over the already-reduced rows-at-max relation).
     """
     key_type = dict(events.dtypes).get(key)
     if key_type not in ("tinyint", "smallint", "int", "bigint"):
