@@ -175,6 +175,83 @@ def frame_sample(
     return spread(with_payload, "doc_id").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+@dataclass(frozen=True)
+class FakeAudioCodec:
+    """Deterministic stand-in for an audio decoder (soundfile-style).
+
+    Sample rate and duration derive from md5(payload) bytes; a real
+    kernel reads the container header. The Spark-side contract —
+    binary in, one row per fixed-size sample window out, Arrow-batched
+    — is identical with a real decoder swapped in.
+    """
+
+    window_samples: int = 1024
+    RATES = (8000, 16000, 22050, 44100, 48000)
+
+    def probe(self, payload: bytes) -> tuple[int, int]:
+        """(sample_rate_hz, n_windows)."""
+        if not payload:
+            raise NotImplementedError("real decoder required for empty payloads")
+        h = hashlib.md5(payload).digest()
+        return self.RATES[h[0] % 5], 1 + h[1]
+
+
+AUDIO_DECODER = FakeAudioCodec()
+
+AUDIO_SCHEMA = (
+    "doc_id long, window_idx int, ts_ms long, energy double, "
+    "sample_rate int"
+)
+
+
+def audio_window_energy(with_payload: DataFrame) -> DataFrame:
+    """Audio feature extraction: one input row fans out to one row per
+    fixed-size sample window with an RMS-energy stand-in — the same
+    1->N ``mapInPandas`` batch shape as video frame sampling, for the
+    audio modality. Window timestamps use exact integer math
+    (idx * window * 1000 // rate) and the energy stand-in is
+    md5-derived, so the DuckDB oracle reproduces both bit-for-bit; a
+    real kernel computes RMS over the decoded samples with the same
+    schema and partitioning.
+    """
+    win = AUDIO_DECODER.window_samples
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, energies, rates = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                rate, n_windows = AUDIO_DECODER.probe(p)
+                for i in range(n_windows):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * win * 1000 // rate)
+                    energies.append(
+                        round(
+                            int(
+                                hashlib.md5(
+                                    p + b":" + str(i).encode()
+                                ).hexdigest()[:4],
+                                16,
+                            )
+                            / 65535.0,
+                            6,
+                        )
+                    )
+                    rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="float64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                }
+            )
+
+    return spread(with_payload, "doc_id").mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "doc_id long, width int, height int, thumb binary, thumb_bytes int"
 )
@@ -264,6 +341,44 @@ def q_decode_features(spark, sf_dir):
 def q_frame_sample(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
     return frame_sample(attach_binary_payload(docs))
+
+
+@register(
+    "mm_audio_energy",
+    # priority=1: locally hash-verified by tests/test_oracle_parity;
+    # kept outside the driver's bounded window (see registry._ordered).
+    priority=1,
+    # The fake prober's arithmetic (md5-derived rate/window count,
+    # integer window timestamps, md5-derived energy stand-in) is
+    # reproduced exactly in SQL, so this Pandas-UDF fan-out op is
+    # value-hash-checked like its video twin.
+    oracle="""
+    WITH probed AS (
+      SELECT doc_id, text,
+             ([8000, 16000, 22050, 44100, 48000])[
+               CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 5 + 1]
+               AS sample_rate,
+             1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT)
+               AS n_windows
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(wi AS INT) AS window_idx,
+           CAST(wi * 1024 * 1000 // sample_rate AS BIGINT) AS ts_ms,
+           round(CAST(('0x' || substr(md5(text || ':' ||
+                 CAST(wi AS VARCHAR)), 1, 4)) AS INT) / 65535.0, 6)
+             AS energy,
+           CAST(sample_rate AS INT) AS sample_rate
+    FROM probed, unnest(range(0, n_windows)) AS t(wi)
+    """,
+    doc="Audio windowed-energy extraction: 1 row -> N sample windows "
+        "via mapInPandas (fan-out batch shape, stub decoder) — the "
+        "audio modality twin of mm_frame_sample",
+    tags=("multimodal", "documents", "pandas-udf", "audio"),
+)
+def q_audio_energy(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    return audio_window_energy(attach_binary_payload(docs))
 
 
 @register(

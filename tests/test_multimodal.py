@@ -80,3 +80,33 @@ def test_resize_binary_roundtrip(payloads):
         ) or r["width"] == r["height"]
         assert bytes(r["thumb"]) == hashlib.md5(raw[i]).digest()
         assert r["thumb_bytes"] == 16
+
+
+def test_audio_window_energy_fanout(spark):
+    """Audio modality plumbing: every doc fans out to its probed
+    window count, timestamps are exact integer math on the probed
+    rate, energies land in [0, 1]."""
+    import hashlib
+
+    from flink_exercise_spark.operators.multimodal import (
+        AUDIO_DECODER,
+        attach_binary_payload,
+        audio_window_energy,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    out = audio_window_energy(attach_binary_payload(docs)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(by_doc) == set(texts)
+    for doc_id, rows in by_doc.items():
+        rate, n_windows = AUDIO_DECODER.probe(texts[doc_id].encode())
+        assert len(rows) == n_windows
+        for r in rows:
+            assert r["sample_rate"] == rate
+            assert r["ts_ms"] == r["window_idx"] * 1024 * 1000 // rate
+            assert 0.0 <= r["energy"] <= 1.0

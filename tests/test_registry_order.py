@@ -35,6 +35,7 @@ def test_demoted_showcases_sort_last_within_oracled():
         # locally hash-verified by test_oracle_parity; outside the
         # driver window by design
         "ts_pattern_search",
+        "mm_audio_energy",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 
