@@ -38,6 +38,13 @@ def release_persisted() -> int:
     no-op."""
     n = 0
     while _TRACKED:
-        _TRACKED.pop().unpersist(blocking=False)
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001
+            # The owning session was stopped between queries (its
+            # cached blocks died with it); a dead handle must not
+            # poison the NEXT query's entry.
+            pass
         n += 1
     return n
