@@ -19,6 +19,8 @@ Scale notes:
 - IVF at 100 TB: replace the sign code with a trained coarse quantizer
   (k-means centroid id), persist the corpus bucketed/partitioned by
   cell id — probe cost is |cells probed| / |cells| of the corpus scan.
+  Implemented: ``knn_ivf(codebook=clustering.kmeans_centroids(...))``
+  swaps the trained quantizer in with an identical plan shape.
 """
 
 from __future__ import annotations
