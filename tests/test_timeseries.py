@@ -64,3 +64,19 @@ def test_plan_takeordered_no_udf(spark):
     plan = formatted_plan(pattern_search(ev))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vectorized_kernel_equals_declarative(spark):
+    """The numpy escape-hatch kernel must reproduce the oracle-checked
+    Column-fold scoring bit-for-bit at 6 rounded digits — full result
+    set, not just top-k (compare with k large enough to keep all)."""
+    from flink_exercise_spark.operators.timeseries import (
+        pattern_search_vectorized,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = {tuple(r) for r in pattern_search(ev, k=10**6).collect()}
+    b = {tuple(r) for r in pattern_search_vectorized(ev, k=10**6).collect()}
+    assert a == b and len(a) > 100
