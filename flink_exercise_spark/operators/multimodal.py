@@ -345,9 +345,9 @@ def q_frame_sample(spark, sf_dir):
 
 @register(
     "mm_audio_energy",
-    # priority=1: locally hash-verified by tests/test_oracle_parity;
-    # kept outside the driver's bounded window (see registry._ordered).
-    priority=1,
+    # priority=0 (r4 rotation): promoted into the driver's bounded
+    # window for its first driver-green pass (see registry._ordered).
+    priority=0,
     # The fake prober's arithmetic (md5-derived rate/window count,
     # integer window timestamps, md5-derived energy stand-in) is
     # reproduced exactly in SQL, so this Pandas-UDF fan-out op is

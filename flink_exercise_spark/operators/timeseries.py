@@ -231,10 +231,11 @@ def _oracle(pattern: list[float], k: int = TOP_K, L: int = PATTERN_LEN) -> str:
 
 @register(
     "ts_pattern_search",
-    # priority=1: locally hash-verified by tests/test_oracle_parity
-    # (which covers EVERY oracled entry); kept outside the driver's
-    # bounded window so no reference/streaming query is displaced.
-    priority=1,
+    # priority=0 (r4 rotation): promoted into the driver's bounded
+    # verification window for its first driver-green pass; five
+    # long-stable trivial entries are demoted for this round instead
+    # (see registry._ordered for the rotation policy).
+    priority=0,
     oracle=_oracle(RAMP),
     doc="Time-series pattern similarity: top-20 per-user subsequences "
         "by z-normalized correlation with an upward-ramp query pattern "

@@ -90,10 +90,18 @@ def _ordered() -> list[QuerySpec]:
     registration order (the first 50 entries in round 1), so entries
     that can only ever receive the weak rows-only check must never
     displace a hash-checkable query from the verification window.
-    Within the oracled block, priority=1 entries (trivial showcases
-    whose semantics unit tests also pin) sort last so that when the
-    oracled count exceeds the window, they are the ones displaced —
-    never a streaming/dedup/similarity operator.
+    Within the oracled block, priority=1 entries sort last so that
+    when the oracled count exceeds the window, they are the ones
+    displaced — never a streaming/dedup/similarity operator.
+
+    Rotation policy (since round 4): priority=1 is not a permanent
+    class but a per-round rotation slot. Entries that have already
+    collected driver-green passes (and are pinned by unit tests plus
+    the local full-registry parity test, tests/test_oracle_parity.py)
+    are demoted for a round so that never-driver-verified oracled
+    entries rotate into the window and collect their first driver
+    pass. Every oracled entry is locally hash-verified every round
+    regardless of rotation.
     """
     items = list(REGISTRY.values())
     return sorted(items, key=lambda s: (s.oracle is None, s.priority))

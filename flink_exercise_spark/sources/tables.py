@@ -36,11 +36,16 @@ TABLES = (
 # factor; fact tables shuffle on their join/group keys.
 DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
-# Fixture columns written as parquet TIMESTAMP(NANOS), which Spark reads
-# as long nanos under spark.sql.legacy.parquet.nanosAsLong (set by
-# session.prep). Converted here to TimestampType (microsecond precision,
-# exact integer division — double division would lose low bits on
-# ~1.7e18 nano values).
+# Fixture columns written as parquet TIMESTAMP(NANOS). How Spark reads
+# them is version-dependent: <=4.0 rejects them unless
+# spark.sql.legacy.parquet.nanosAsLong is set (long nanos, converted
+# here with exact integer division — double division would lose low
+# bits on ~1.7e18 nano values); 4.1+ ignores that legacy conf and reads
+# them natively as TIMESTAMP_NTZ (nanos truncated to micros). Both
+# shapes normalize to TimestampType here — NTZ must not leak out
+# because Structured Streaming's withWatermark rejects it, and the
+# NTZ->TIMESTAMP cast interprets wall-clock in the session timezone,
+# which prep() pins to UTC (same instant the oracle computes on).
 NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "lineitem": ("l_shipdate",),
@@ -74,8 +79,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     per_session[key] = df
     return df
 

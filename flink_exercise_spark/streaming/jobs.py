@@ -52,11 +52,18 @@ def events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    # Same TIMESTAMP(NANOS) normalization as the batch loader
+    # (tables.NANOS_TS_COLUMNS): long nanos on Spark <=4.0, native
+    # TIMESTAMP_NTZ on 4.1+ — withWatermark rejects NTZ, so cast to
+    # TimestampType (session tz is pinned UTC by prep above).
     for col in NANOS_TS_COLUMNS["events"]:
-        if dict(df.dtypes).get(col) == "bigint":
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     _ = batch  # schema parity check hook
     return df
 

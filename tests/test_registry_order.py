@@ -28,14 +28,15 @@ def test_demoted_showcases_sort_last_within_oracled():
     specs = registry.specs()
     oracled = [n for n in _names() if specs[n].oracle is not None]
     demoted = [n for n in oracled if specs[n].priority > 0]
+    # Round-4 rotation: the five entries displaced in r1–r3 (ts/mm/
+    # showcases) are promoted for their first driver-green pass; five
+    # multi-round driver-green trivial entries take the rotation slot.
     assert set(demoted) == {
-        "union_orders_and_purchases",
-        "scalar_functions_showcase",
-        "sort_limit_top_orders",
-        # locally hash-verified by test_oracle_parity; outside the
-        # driver window by design
-        "ts_pattern_search",
-        "mm_audio_energy",
+        "a2_count_events",
+        "events_type_stats",
+        "a1_running_counts_analytic",
+        "events_json_props",
+        "intersect_except_custkeys",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 
