@@ -372,10 +372,10 @@ def q_a1(spark, sf_dir):
 
 @register(
     "a2_count_events",
-    # priority=1 (r4 rotation): driver-green in r1–r3 and pinned by
-    # unit tests + local parity; displaced for one round so the newer
-    # ts/mm/showcase entries get their first driver-green pass.
-    priority=1,
+    # priority=0 (r5 rotation): restored to the driver window after one
+    # demoted round; the r4-promoted entries (now driver-green) take
+    # the rotation slot this round (see registry._ordered).
+    priority=0,
     # A2 (global count) and A4 (exact distinct count) in one entry:
     # both are single-pass global aggregates over the same scan, and
     # Spark computes them in one plan (expand + two-phase hash agg).
@@ -447,8 +447,8 @@ def q_a6_top3(spark, sf_dir):
 
 @register(
     "events_type_stats",
-    # priority=1 (r4 rotation): driver-green in r1–r3; see a2_count_events.
-    priority=1,
+    # priority=0 (r5 rotation): restored; see a2_count_events.
+    priority=0,
     oracle="""
     SELECT event_type, count(*) AS n_events,
            round(avg(value), 4) AS avg_value,
@@ -481,8 +481,8 @@ def q_type_stats(spark, sf_dir):
 
 @register(
     "a1_running_counts_analytic",
-    # priority=1 (r4 rotation): driver-green in r1–r3; see a2_count_events.
-    priority=1,
+    # priority=0 (r5 rotation): restored; see a2_count_events.
+    priority=0,
     # Batch rendering of Flink's per-record update stream (A1): the
     # running count/sum each record would have emitted, via OVER
     # windows with a deterministic (ts, event_id) order.
@@ -515,8 +515,8 @@ def q_running_counts(spark, sf_dir):
 
 @register(
     "events_json_props",
-    # priority=1 (r4 rotation): driver-green in r1–r3; see a2_count_events.
-    priority=1,
+    # priority=0 (r5 rotation): restored; see a2_count_events.
+    priority=0,
     oracle="""
     SELECT event_type,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)

@@ -79,11 +79,15 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def binary_metadata(with_payload: DataFrame) -> DataFrame:
-    """Cheap JVM-side metadata over binary payloads (no decode)."""
+    """Cheap JVM-side metadata over binary payloads (no decode).
+
+    ``F.md5`` hashes the BINARY column directly — a bytes->string cast
+    would be lossy on arbitrary (non-UTF-8) payloads, the operator's
+    actual domain."""
     return with_payload.select(
         "doc_id",
         F.length("payload").cast("int").alias("n_bytes"),
-        F.md5(F.col("payload").cast("string")).alias("content_hash"),
+        F.md5("payload").alias("content_hash"),
     )
 
 
@@ -290,6 +294,13 @@ def resize_images(with_payload: DataFrame, target: int = 64) -> DataFrame:
 
 @register(
     "mm_binary_metadata",
+    # The engine hashes the BINARY payload directly (binary-safe).
+    # DuckDB's md5 only accepts VARCHAR, but it hashes the string's
+    # UTF-8 encoding — exactly the bytes attach_binary_payload
+    # manufactures via encode(text, 'UTF-8') — so md5(text) is the
+    # byte-level twin here (a real non-UTF-8 payload has no DuckDB
+    # SQL twin; the binary-safety itself is pinned in
+    # tests/test_multimodal.py with a non-UTF-8 payload).
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -345,9 +356,10 @@ def q_frame_sample(spark, sf_dir):
 
 @register(
     "mm_audio_energy",
-    # priority=0 (r4 rotation): promoted into the driver's bounded
-    # window for its first driver-green pass (see registry._ordered).
-    priority=0,
+    # priority=1 (r5 rotation): driver-green in r4; takes the rotation
+    # slot so the r4-demoted entries return to the driver window
+    # (see registry._ordered).
+    priority=1,
     # The fake prober's arithmetic (md5-derived rate/window count,
     # integer window timestamps, md5-derived energy stand-in) is
     # reproduced exactly in SQL, so this Pandas-UDF fan-out op is

@@ -367,9 +367,10 @@ def q_grouping_sets(spark, sf_dir):
 
 @register(
     "sort_limit_top_orders",
-    # priority=0 (r4 rotation): promoted into the driver's window for
-    # its first driver-green pass (see registry._ordered).
-    priority=0,
+    # priority=1 (r5 rotation): driver-green in r4; takes the rotation
+    # slot so the r4-demoted entries return to the driver window.
+    # Pinned meanwhile by test_rotation_pins + test_parity_demoted.
+    priority=1,
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
     FROM orders
@@ -394,9 +395,9 @@ def q_sort_limit(spark, sf_dir):
 
 @register(
     "union_orders_and_purchases",
-    # priority=0 (r4 rotation): promoted into the driver's window for
-    # its first driver-green pass (see registry._ordered).
-    priority=0,
+    # priority=1 (r5 rotation): driver-green in r4; see
+    # sort_limit_top_orders.
+    priority=1,
     oracle="""
     SELECT 'order' AS src, o_orderkey AS id, round(o_totalprice, 2) AS amount
     FROM orders WHERE o_totalprice > 400000
@@ -425,10 +426,10 @@ def q_union(spark, sf_dir):
 
 @register(
     "intersect_except_custkeys",
-    # priority=1 (r4 rotation): driver-green in r1–r3 and unit-test
-    # pinned; displaced for one round so the five previously-displaced
-    # entries get their first driver-green pass (see registry._ordered).
-    priority=1,
+    # priority=0 (r5 rotation): restored to the driver window; the
+    # r4-promoted entries (now driver-green) take the rotation slot
+    # this round (see registry._ordered).
+    priority=0,
     oracle="""
     SELECT 'both' AS side, c_custkey FROM (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -465,9 +466,9 @@ def q_setops(spark, sf_dir):
 
 @register(
     "scalar_functions_showcase",
-    # priority=0 (r4 rotation): promoted into the driver's window for
-    # its first driver-green pass (see registry._ordered).
-    priority=0,
+    # priority=1 (r5 rotation): driver-green in r4; see
+    # sort_limit_top_orders.
+    priority=1,
     oracle="""
     SELECT o_orderkey,
            upper(substr(o_orderpriority, 1, 8))       AS pri_code,

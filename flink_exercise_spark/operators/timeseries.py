@@ -231,11 +231,10 @@ def _oracle(pattern: list[float], k: int = TOP_K, L: int = PATTERN_LEN) -> str:
 
 @register(
     "ts_pattern_search",
-    # priority=0 (r4 rotation): promoted into the driver's bounded
-    # verification window for its first driver-green pass; five
-    # long-stable trivial entries are demoted for this round instead
+    # priority=1 (r5 rotation): driver-green in r4; takes the rotation
+    # slot so the r4-demoted entries return to the driver window
     # (see registry._ordered for the rotation policy).
-    priority=0,
+    priority=1,
     oracle=_oracle(RAMP),
     doc="Time-series pattern similarity: top-20 per-user subsequences "
         "by z-normalized correlation with an upward-ramp query pattern "

@@ -38,9 +38,11 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
     # Position class within the oracle-checked block (see _ordered):
     # 0 = must sit inside the driver's bounded verification window;
-    # 1 = verifiable, but expendable if the window is smaller than the
-    #     oracled count — reserved for trivial showcase queries whose
-    #     semantics are also pinned by unit tests.
+    # 1 = the per-round ROTATION slot: entries holding a recent
+    #     driver-green pass sort last for one round so that entries
+    #     the driver has not yet verified fit inside the window.
+    #     Demoted entries stay hash-verified locally every round
+    #     (tests/test_oracle_parity.py::test_parity_demoted).
     priority: int = 0
 
 

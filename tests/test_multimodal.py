@@ -36,6 +36,17 @@ def test_metadata_matches_python(payloads):
         assert got[i]["content_hash"] == hashlib.md5(p).hexdigest()
 
 
+def test_metadata_binary_safe(spark):
+    """md5 runs over the raw BINARY payload: a non-UTF-8 byte sequence
+    (invalid as a string, the real-decoder domain) must hash to its
+    exact python md5 — a bytes->string cast would corrupt it."""
+    blob = bytes([0xFF, 0xFE, 0x00, 0x80, 0xC3, 0x28])  # invalid UTF-8
+    df = spark.createDataFrame([(1, blob)], "doc_id long, payload binary")
+    row = binary_metadata(df).collect()[0]
+    assert row["n_bytes"] == len(blob)
+    assert row["content_hash"] == hashlib.md5(blob).hexdigest()
+
+
 def test_decode_features_deterministic(payloads):
     a = sorted(decode_features(payloads).collect())
     b = sorted(decode_features(payloads).collect())

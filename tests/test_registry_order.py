@@ -28,15 +28,16 @@ def test_demoted_showcases_sort_last_within_oracled():
     specs = registry.specs()
     oracled = [n for n in _names() if specs[n].oracle is not None]
     demoted = [n for n in oracled if specs[n].priority > 0]
-    # Round-4 rotation: the five entries displaced in r1–r3 (ts/mm/
-    # showcases) are promoted for their first driver-green pass; five
-    # multi-round driver-green trivial entries take the rotation slot.
+    # Round-5 rotation: the five entries promoted in r4 (each now
+    # holding a driver-green pass in CORRECTNESS_r04) take the rotation
+    # slot so the five r4-demoted entries return to the driver window —
+    # every oracled entry then holds a driver pass within two rounds.
     assert set(demoted) == {
-        "a2_count_events",
-        "events_type_stats",
-        "a1_running_counts_analytic",
-        "events_json_props",
-        "intersect_except_custkeys",
+        "ts_pattern_search",
+        "mm_audio_energy",
+        "sort_limit_top_orders",
+        "union_orders_and_purchases",
+        "scalar_functions_showcase",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

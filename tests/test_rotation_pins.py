@@ -1,0 +1,107 @@
+"""Independent semantics pins for the rotation-eligible registry
+entries (a2_count_events, events_type_stats, a1_running_counts_analytic,
+events_json_props, intersect_except_custkeys).
+
+These queries periodically rotate out of the driver's bounded
+verification window (registry._ordered); while demoted, their only
+hash check is the local DuckDB parity test, whose environment can
+diverge from the driver's. These tests pin the SEMANTICS against an
+independent pandas/python computation of the raw parquet — no DuckDB,
+no oracle SQL — so a parity-environment drift can't silently mask a
+regression in a demoted entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return pd.read_parquet(os.path.join(SF_SMOKE, "events.parquet"))
+
+
+def _run(spark, name):
+    from flink_exercise_spark import registry
+
+    return registry.specs()[name].fn(spark, SF_SMOKE).toPandas()
+
+
+def test_a2_count_events_pin(spark, events_pdf):
+    out = _run(spark, "a2_count_events")
+    assert len(out) == 1
+    assert out["n_events"].iloc[0] == len(events_pdf)
+    assert out["n_unique_users"].iloc[0] == events_pdf["user_id"].nunique()
+
+
+def test_events_type_stats_pin(spark, events_pdf):
+    out = _run(spark, "events_type_stats").set_index("event_type")
+    grp = events_pdf.groupby("event_type")["value"]
+    assert set(out.index) == set(grp.groups)
+    for etype, vals in grp:
+        row = out.loc[etype]
+        assert row["n_events"] == len(vals)
+        assert row["avg_value"] == round(vals.mean(), 4)
+        assert row["min_value"] == round(vals.min(), 2)
+        assert row["max_value"] == round(vals.max(), 2)
+        # Spark `percentile` = exact linear interpolation = numpy default.
+        for col, q in (("p50", 50), ("p90", 90), ("p99", 99)):
+            assert row[col] == pytest.approx(
+                round(float(np.percentile(vals, q)), 4), abs=1e-4
+            )
+
+
+def test_a1_running_counts_analytic_pin(spark, events_pdf):
+    out = _run(spark, "a1_running_counts_analytic")
+    # One output row per input row.
+    assert len(out) == len(events_pdf)
+    ordered = events_pdf.sort_values(["user_id", "ts", "event_id"])
+    expect_count = ordered.groupby("user_id").cumcount() + 1
+    expect_value = ordered.groupby("user_id")["value"].cumsum().round(2)
+    got = out.set_index("event_id")
+    assert (
+        got.loc[ordered["event_id"], "running_count"].to_numpy()
+        == expect_count.to_numpy()
+    ).all()
+    np.testing.assert_allclose(
+        got.loc[ordered["event_id"], "running_value"].to_numpy(),
+        expect_value.to_numpy(),
+        atol=1e-6,
+    )
+
+
+def test_events_json_props_pin(spark, events_pdf):
+    out = _run(spark, "events_json_props").set_index("event_type")
+    ks = events_pdf["props"].map(
+        lambda p: json.loads(p).get("k") if p else None
+    )
+    df = events_pdf.assign(k=ks)
+    for etype, sub in df.groupby("event_type"):
+        present = sub["k"].dropna()
+        row = out.loc[etype]
+        assert row["n_with_k"] == len(present)
+        assert row["max_k"] == present.max()
+        assert row["avg_k"] == pytest.approx(
+            round(float(present.mean()), 4), abs=1e-4
+        )
+
+
+def test_intersect_except_custkeys_pin(spark):
+    out = _run(spark, "intersect_except_custkeys")
+    cust = pd.read_parquet(os.path.join(SF_SMOKE, "customer.parquet"))
+    orders = pd.read_parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    ordered = set(orders["o_custkey"])
+    got_both = set(out.loc[out["side"] == "both", "c_custkey"])
+    got_only = set(out.loc[out["side"] == "only_building", "c_custkey"])
+    assert got_both == building & ordered
+    assert got_only == building - ordered
+    # Set semantics: no duplicate rows within a side.
+    assert len(out) == len(got_both) + len(got_only)
