@@ -111,6 +111,15 @@ def top_host_per_window(events: DataFrame, key: str = "user_id") -> DataFrame:
     counts = events.groupBy(win_start("ts", WINDOW_31D), F.col(key)).agg(
         F.count(F.lit(1)).alias("n_requests")
     )
+    return packed_argmax_counts(counts, key)
+
+
+def packed_argmax_counts(counts: DataFrame, key: str = "user_id") -> DataFrame:
+    """Packed-BIGINT arg-max over a pre-reduced (window_start, key,
+    n_requests) relation — the reduction half of ``top_host_per_window``,
+    shared with the streaming read side (ForeachBatchTopHost
+    .resolved_counts), which produces exactly this relation from its
+    keyed change log. Range constraints as documented above."""
     # Runtime guard for the range constraint (docstring): a key outside
     # [0, 2^32) cannot be packed exactly — fail loudly, never corrupt.
     guarded_key = F.when(

@@ -10,16 +10,18 @@ correlation against a (tiny, literal) query pattern as pure Column
 folds, exact top-k via TakeOrderedAndProject. No UDFs, no window-sort
 over the full corpus.
 
-Scale notes: the per-key series is bounded by events-per-key (a
-groupBy shuffle of (key, ts, value) rows); at 100 TB with unbounded
-per-key history you'd bucket the series by (key, day) first and search
-within buckets, or maintain the windows incrementally in streaming
-with a range frame — both keep this operator's scoring expression
-unchanged. Subsequence fan-out is (n-L+1) rows per key, each carrying
-an L-element slice: for L=8 that is ~8 doubles per row, narrow by
-construction. The pattern is broadcast as a literal array; scoring is
-one fold per subsequence (z-normalization of the PATTERN is
-precomputed in Python — k floats, not data).
+Scale notes: ``pattern_search`` / ``pattern_search_vectorized``
+materialize each key's full series in one aggregation buffer — fine
+while events-per-key is bounded, a ceiling for unbounded per-key
+history. ``pattern_search_bucketed`` (the registered form) removes
+that ceiling: it buckets the series by (key, day) with an L−1-event
+overlap so boundary-straddling windows score identically, bounding
+every buffer by events-per-(key, day) + L−1 while keeping the scoring
+kernel unchanged. Subsequence fan-out is (n-L+1) rows per key, each
+carrying an L-element slice: for L=8 that is ~8 doubles per row,
+narrow by construction. The pattern is broadcast as a literal array;
+z-normalization of the PATTERN is precomputed in Python — k floats,
+not data.
 """
 
 from __future__ import annotations
@@ -69,7 +71,6 @@ def pattern_search(
     """
     pat = pattern or RAMP
     L = len(pat)
-    pat_col = F.array(*[F.lit(float(p)) for p in pat])
 
     # Deterministic per-key series: sort by (ts, value) — a total order
     # even under timestamp ties. collect_list order is otherwise
@@ -109,7 +110,6 @@ def pattern_search(
         f"aggregate(zip_with(w, {pat_sql}, (x, p) -> (x - _m) * p), "
         f"{acc}, (a, x) -> a + x)"
     )
-    _ = pat_col  # documented literal form; inlined in `dot` above
     scored = win.select(
         F.col(key),
         "offset",
@@ -163,21 +163,12 @@ def pattern_search_vectorized(
 
     def score(batches):
         import pandas as pd
-        from numpy.lib.stride_tricks import sliding_window_view
 
         for pdf in batches:
             keys_out, offs_out, scores_out = [], [], []
             for kval, vals in zip(pdf["_key"], pdf["vals"]):
                 v = np.asarray(vals, dtype=np.float64)
-                if v.size < L:
-                    continue
-                w = sliding_window_view(v, L)          # (n-L+1, L) view
-                m = w.mean(axis=1, keepdims=True)
-                c = w - m
-                ss = np.einsum("ij,ij->i", c, c)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    s = np.round(c @ pat / np.sqrt(ss), 6)
-                keep = ss > 0
+                s, keep = _score_windows(v, pat, L)
                 n_keep = int(keep.sum())
                 if not n_keep:
                     continue
@@ -192,6 +183,166 @@ def pattern_search_vectorized(
                         "match_score": np.concatenate(scores_out),
                     }
                 )
+
+    scored = seq.mapInPandas(
+        score, schema=f"{key} long, offset int, match_score double"
+    )
+    return scored.orderBy(
+        F.desc("match_score"), F.col(key), F.col("offset")
+    ).limit(k)
+
+
+def _score_windows(v, pat, L):
+    """Vectorized scoring kernel shared by the full-series and bucketed
+    variants (bit-equality between them is by construction): returns
+    (scores, keep) over all length-L sliding windows of ``v`` — scores
+    rounded to 6 digits, ``keep`` False where the window is flat
+    (zero variance carries no direction)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if v.size < L:
+        return (
+            np.empty(0, dtype=np.float64),
+            np.zeros(0, dtype=bool),
+        )
+    w = sliding_window_view(v, L)                      # (n-L+1, L) view
+    m = w.mean(axis=1, keepdims=True)
+    c = w - m
+    ss = np.einsum("ij,ij->i", c, c)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = np.round(c @ pat / np.sqrt(ss), 6)
+    return s, ss > 0
+
+
+def pattern_search_bucketed(
+    events: DataFrame,
+    pattern: list[float] | None = None,
+    k: int = TOP_K,
+    key: str = "user_id",
+    value: str = "value",
+    bucket_secs: int = 86400,
+) -> DataFrame:
+    """Same semantics (and bit-equal scores/offsets) as
+    ``pattern_search``, with BOUNDED per-group memory: the scale form
+    for unbounded per-key history.
+
+    Instead of collecting each key's full series into one aggregation
+    buffer, the series is bucketed by (key, day):
+
+    1. one hash-agg builds each (key, day)'s SORTED value array — a
+       buffer bounded by events-per-(key, day), never the lifetime
+       series (day is monotone in ts, so concatenating buckets in day
+       order reproduces the full series' (ts, value) sort order);
+    2. the window functions then run over the BUCKET-LEVEL relation
+       (one row per (key, day), not per event): a running sum of
+       bucket sizes gives each bucket's global 1-based offset base,
+       and a bounded following-rows frame collects the first L−1
+       values of the next nonempty bucket(s) — the overlap a window
+       starting on this bucket's last events needs (L−1 values span
+       at most L−1 following buckets, each holding ≥1 event);
+    3. each bucket scores only the windows that START in its own
+       values (the first ``n`` of the concatenated array), so every
+       boundary-straddling window is scored exactly once, with all L
+       values present, by the same kernel as the full-series form.
+
+    Buffer bounds: the event-level agg holds one (key, day) of data;
+    the bucket-level overlap frame holds ≤ L−1 bucket arrays. The
+    emitted (key, offset, match_score) rows are identical to
+    ``pattern_search``'s, so the same oracle checks this form.
+    """
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    pat = np.asarray(pattern or RAMP, dtype=np.float64)
+    L = len(pat)
+
+    buckets = (
+        events.select(
+            F.col(key).alias("_key"),
+            F.col("ts").alias("_ts"),
+            F.col(value).cast("double").alias("_v"),
+            (F.unix_timestamp("ts") / F.lit(bucket_secs))
+            .cast("long")
+            .alias("_day"),
+        )
+        .groupBy("_key", "_day")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(_ts, _v))), "
+                   "x -> x._v)").alias("vals"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    by_day = W.partitionBy("_key").orderBy("_day")
+    seq = buckets.select(
+        "_key",
+        "vals",
+        F.coalesce(
+            F.sum("_n").over(
+                by_day.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_base"),
+        # First L-1 values of the following bucket(s): flatten at most
+        # L-1 following arrays, keep the head. The frame is bounded, so
+        # the window buffer is too.
+        F.slice(
+            F.coalesce(
+                F.flatten(
+                    F.collect_list("vals").over(
+                        by_day.rowsBetween(1, L - 1)
+                    )
+                ),
+                F.array().cast("array<double>"),
+            ),
+            1,
+            L - 1,
+        ).alias("_overlap"),
+    )
+
+    def score(batches):
+        # Day buckets are numerous and small (one key-day each), so a
+        # per-group Python loop would dominate the stage. Instead each
+        # Arrow batch is scored in ONE vectorized pass: concatenate
+        # every group's (vals ++ overlap) segment, run the kernel over
+        # the concatenation, then mask to windows that (a) START in
+        # their group's own values and (b) fit inside their segment —
+        # which also discards the meaningless windows the concatenation
+        # manufactures across segment boundaries.
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals_l = [np.asarray(a, dtype=np.float64) for a in pdf["vals"]]
+            ov_l = [
+                np.asarray(a, dtype=np.float64) for a in pdf["_overlap"]
+            ]
+            n_own = np.fromiter(map(len, vals_l), np.int64, len(vals_l))
+            seg_len = n_own + np.fromiter(map(len, ov_l), np.int64, len(ov_l))
+            big = np.concatenate(
+                [x for pair in zip(vals_l, ov_l) for x in pair]
+            )
+            s, keep = _score_windows(big, pat, L)
+            gid = np.repeat(np.arange(len(seg_len)), seg_len)
+            seg_start = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+            local = np.arange(big.size) - seg_start[gid]
+            valid = (local < n_own[gid]) & (local <= seg_len[gid] - L)
+            keep &= valid[: keep.size]
+            idx = np.nonzero(keep)[0]
+            if not idx.size:
+                continue
+            base = pdf["_base"].to_numpy(np.int64)
+            keys = pdf["_key"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    key: keys[gid[idx]],
+                    "offset": (base[gid[idx]] + local[idx] + 1).astype(
+                        np.int32
+                    ),
+                    "match_score": s[idx],
+                }
+            )
 
     scored = seq.mapInPandas(
         score, schema=f"{key} long, offset int, match_score double"
@@ -238,14 +389,15 @@ def _oracle(pattern: list[float], k: int = TOP_K, L: int = PATTERN_LEN) -> str:
     oracle=_oracle(RAMP),
     doc="Time-series pattern similarity: top-20 per-user subsequences "
         "by z-normalized correlation with an upward-ramp query pattern "
-        "(EDBT'19 family). Registered form is the Arrow/numpy sliding-"
-        "window kernel — measured 8x the Column-fold form at sf1 "
-        "(Catalyst HOFs don't fuse into codegen) and bit-equal to it "
-        "(test_timeseries.py); the declarative pattern_search stays the "
-        "readable reference implementation",
+        "(EDBT'19 family). Registered form is the (key, day)-BUCKETED "
+        "Arrow/numpy kernel: per-group memory bounded by one key-day "
+        "of data + L-1 overlap (no full-series collect_list), windows "
+        "straddling bucket boundaries scored exactly once — bit-equal "
+        "to both the full-series vectorized kernel and the declarative "
+        "Column-fold reference form (test_timeseries.py)",
     tags=("timeseries", "events", "similarity", "pandas-udf"),
 )
 def q_ts_pattern_search(spark, sf_dir):
-    return pattern_search_vectorized(
+    return pattern_search_bucketed(
         load_table(prep(spark), sf_dir, "events")
     )

@@ -410,26 +410,34 @@ def _register_streaming() -> None:
         """,
         doc="Reference Q1 executed as a Structured Streaming job: "
             "update-mode windowed counts through the state store, "
-            "foreachBatch keyed upsert (the Delta-MERGE stand-in), "
-            "read-side arg-max — Spark disallows a second stateful "
+            "foreachBatch keyed APPEND to an executor-side parquet "
+            "change log (the Delta-MERGE stand-in — no driver "
+            "round-trip), read-side last-writer-wins resolution + "
+            "packed-BIGINT arg-max — Spark disallows a second stateful "
             "aggregation after a windowed agg, so sink-then-reduce is "
             "the production shape (StreamingJob.scala:91-92)",
         tags=("streaming", "reference", "events"),
     )
     def q_stream_q1(spark, sf_dir):
-        counts = windowed_host_counts(events_stream(spark, sf_dir))
-        fb = ForeachBatchTopHost()
-        fb.run(counts)
-        # Read-side arg-max over the upserted keyed store, tie-broken
-        # to the highest user_id (the batch oracle's documented order).
-        best: dict[int, tuple[int, int]] = {}
-        for (w, u), n in fb.store.items():
-            if w not in best or (n, u) > (best[w][1], best[w][0]):
-                best[w] = (u, n)
-        rows = [(w, u, n) for w, (u, n) in sorted(best.items())]
-        return spark.createDataFrame(
-            rows, "window_start long, top_user long, n_requests long"
+        import tempfile
+
+        from flink_exercise_spark.operators.aggregates import (
+            packed_argmax_counts,
         )
+
+        counts = windowed_host_counts(events_stream(spark, sf_dir))
+        # Production store mode: every micro-batch's keyed update-mode
+        # emissions append straight from the executors; nothing data-
+        # sized ever reaches the driver. (The dict mode stays a test
+        # convenience only.) The temp log must outlive this function —
+        # the returned DataFrame is lazy and the caller collects it.
+        store = tempfile.mkdtemp(prefix="stream_q1_store_")
+        fb = ForeachBatchTopHost(store_path=store)
+        fb.run(counts)
+        # Read side: last-writer-wins per (window, user) over the change
+        # log, then the same packed-BIGINT arg-max as batch Q1 (ties to
+        # the highest user_id, the oracle's documented order).
+        return packed_argmax_counts(fb.resolved_counts(spark))
 
     @register(
         "stream_q2_parity",

@@ -80,3 +80,76 @@ def test_vectorized_kernel_equals_declarative(spark):
     a = {tuple(r) for r in pattern_search(ev, k=10**6).collect()}
     b = {tuple(r) for r in pattern_search_vectorized(ev, k=10**6).collect()}
     assert a == b and len(a) > 100
+
+
+def test_bucketed_equals_declarative_on_fixture(spark):
+    """The (key, day)-bucketed scale form must be bit-equal to the
+    full-series form over the real fixture — the fixture's event times
+    span many days at minute granularity, so thousands of windows
+    straddle day boundaries here."""
+    from flink_exercise_spark.operators.timeseries import (
+        pattern_search_bucketed,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = {tuple(r) for r in pattern_search(ev, k=10**6).collect()}
+    b = {tuple(r) for r in pattern_search_bucketed(ev, k=10**6).collect()}
+    assert a == b and len(a) > 100
+
+
+def _events_at(spark, uid: int, stamps_vals):
+    rows = [
+        (uid * 10000 + i, ts, uid, "view", float(v), "{}")
+        for i, (ts, v) in enumerate(stamps_vals)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_bucketed_day_boundary_window(spark):
+    """A window that STARTS in one day-bucket and ends in the next must
+    score identically to the full-series form, at the same global
+    offset — the L−1 overlap contract."""
+    from flink_exercise_spark.operators.timeseries import (
+        pattern_search_bucketed,
+    )
+
+    # 12 events: 6 late on Jan 1, 6 early on Jan 2 — with L=8, every
+    # valid window (offsets 1..5) straddles midnight.
+    stamps = [dt.datetime(2024, 1, 1, 23, m) for m in range(54, 60)] + [
+        dt.datetime(2024, 1, 2, 0, m) for m in range(0, 6)
+    ]
+    vals = [3.0, 1.0, 0.0, 1.5, 2.0, 3.5, 4.0, 5.5, 6.0, 7.5, 2.0, 1.0]
+    ev = _events_at(spark, 5, list(zip(stamps, vals)))
+    a = sorted(map(tuple, pattern_search(ev, k=10**6).collect()))
+    b = sorted(map(tuple, pattern_search_bucketed(ev, k=10**6).collect()))
+    assert a == b
+    assert {r[1] for r in b} == {1, 2, 3, 4, 5}  # all straddlers scored
+
+
+def test_bucketed_sparse_bucket_multi_day_straddle(spark):
+    """A day-bucket with fewer than L events: windows starting before
+    it need values from MORE than two buckets — the replication must
+    reach every bucket within the preceding L−1 events, not just the
+    adjacent one."""
+    from flink_exercise_spark.operators.timeseries import (
+        pattern_search_bucketed,
+    )
+
+    stamps = (
+        [dt.datetime(2024, 1, 1, 23, m) for m in range(55, 60)]  # 5 events
+        + [dt.datetime(2024, 1, 2, 12, 0), dt.datetime(2024, 1, 2, 12, 1)]
+        + [dt.datetime(2024, 1, 3, 0, m) for m in range(0, 5)]   # 5 events
+    )
+    vals = [float(v) for v in (1, 3, 2, 4, 3, 5, 4, 6, 5, 7, 6, 8)]
+    ev = _events_at(spark, 9, list(zip(stamps, vals)))
+    a = sorted(map(tuple, pattern_search(ev, k=10**6).collect()))
+    b = sorted(map(tuple, pattern_search_bucketed(ev, k=10**6).collect()))
+    assert a == b
+    # Window at offset 3 spans Jan 1 (3 values), Jan 2 (2), Jan 3 (3).
+    assert any(r[1] == 3 for r in b)
