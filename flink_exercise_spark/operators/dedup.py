@@ -129,24 +129,58 @@ def exact_dedup_map(docs: DataFrame) -> DataFrame:
     )
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, tok) with distinct word 3-gram shingles per document.
+def _doc_shingles(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id[, extra_cols], tok) with distinct word 3-gram shingles
+    per document.
 
     Shingles are the similarity unit (see text.shingles_expr for the
     measured 4-orders-of-magnitude candidate-pair reduction vs
     unigrams on the fixture corpus). Documents with < 3 tokens have no
     shingles and drop out of signature/pair queries — identical
-    behavior in the DuckDB oracles.
+    behavior in the DuckDB oracles. ``extra_cols`` carries blocking
+    keys (e.g. lang) alongside the inverted index.
     """
     return (
         spread(docs, "doc_id")
-        .select("doc_id", tokens_expr().alias("_toks"))
+        .select("doc_id", *extra_cols, tokens_expr().alias("_toks"))
         .select(
             "doc_id",
+            *extra_cols,
             F.explode(
                 F.array_distinct(shingles_from_tokens(F.col("_toks")))
             ).alias("tok"),
         )
+    )
+
+
+def _jaccard_scores(
+    shared: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Jaccard from shared-shingle counts: join per-doc set sizes onto
+    (doc_a, doc_b, n_shared) and keep pairs at/above ``threshold`` —
+    the verify tail shared by ``jaccard_pairs`` and
+    ``lsh_verified_pairs``."""
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("n_b")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -232,23 +266,12 @@ def jaccard_pairs(
     shingles the head is already orders of magnitude lighter than with
     unigrams).
     """
-    toks = (
-        spread(docs, "doc_id")
-        .select("doc_id", *block_cols, tokens_expr().alias("_toks"))
-        .select(
-            "doc_id",
-            *block_cols,
-            F.explode(
-                F.array_distinct(shingles_from_tokens(F.col("_toks")))
-            ).alias("tok"),
-        )
-    )
     # The inverted index feeds four plan subtrees (both join sides and
     # both size lookups); without persist, Catalyst inlines the
     # scan+explode into each — 8 Generate nodes in the physical plan,
     # measured. At 100 TB this is the relation you'd materialize
     # (checkpoint/bucketed table) for the same reason.
-    toks = persist_tracked(toks)
+    toks = persist_tracked(_doc_shingles(docs, block_cols))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     l, r = toks.alias("l"), toks.alias("r")
     cond = (F.col("l.tok") == F.col("r.tok")) & (
@@ -263,26 +286,7 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("n_b")
-    )
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_scores(shared, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -558,14 +562,28 @@ def lsh_verified_pairs(
     Candidate-pair cardinality is data-dependent (a heavily-duplicated
     corpus produces a huge candidate set), so the broadcast hint on the
     candidates is COUNT-GATED, not unconditional: the candidate
-    relation is persisted (it feeds both verification joins either
-    way), counted — a cheap action on two long columns — and broadcast
-    only when it holds at most ``broadcast_limit`` pairs (~32 MB of
-    packed longs at the default). Above the limit the candidates are
-    explicitly hinted onto the sort-merge path: the observed count is
-    ground truth where Catalyst's aggregate-size heuristics are not,
-    and an optimizer that *under*-estimates a blown-up candidate set
-    would otherwise still pick the broadcast that OOMs every executor.
+    relation is persisted, counted — the count materializes the cache
+    the verification join then reads, so the signature stage still runs
+    once — and broadcast only when it holds at most ``broadcast_limit``
+    pairs (~32 MB of packed longs at the default). Above the limit the
+    candidates are explicitly hinted onto the sort-merge path: the
+    observed count is ground truth where Catalyst's aggregate-size
+    heuristics are not, and an optimizer that *under*-estimates a
+    blown-up candidate set would otherwise still pick the broadcast
+    that OOMs every executor.
+
+    Measured cost of the gate (r5, bench conf: shuffle=2, AQE off,
+    min-of-3 on the fixtures): full pipeline 2.04 s gated vs 1.48 s
+    with an oracle's unconditional broadcast at sf0.1 (+0.56 s); at
+    sf1, 10.7 s gated vs 9.1 s unconditional-broadcast (+1.6 s) but
+    vs 11.7 s for the unconditional merge-hint fallback — i.e. the
+    gate already beats ONE of the two blind choices at sf1, and the
+    blind broadcast it narrowly trails is exactly the choice that
+    OOMs when the candidate set blows up. In AQE deployments (cluster
+    defaults, session.py) the runtime broadcast decision comes free
+    from actual shuffle sizes; the explicit gate is the belt-and-
+    braces path for AQE-off runs and for engines fronting the join
+    with a persisted relation AQE cannot see through.
     """
     cands = persist_tracked(minhash_band_pairs(docs, k, r))
     n_cands = cands.count()
@@ -587,26 +605,7 @@ def lsh_verified_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("n_b")
-    )
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-                4,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_scores(shared, sizes, threshold)
 
 
 @register(
@@ -775,9 +774,60 @@ def q_near_dup_clusters(spark, sf_dir):
 
 @register(
     "dedup_simhash_near_pairs",
-    oracle=None,  # Pandas-UDF op; driver records rows-only check
+    # Value-oracled since r5 (was rows-only): the md5-derived bit
+    # construction (_SimhashVocab: bit b of the row = bit b, LSB-first,
+    # of the big-endian int over the md5 digest's first 8 bytes) is
+    # reproduced exactly in SQL. The signature is never materialized as
+    # one 64-bit value oracle-side — it's built as four 16-bit chunks
+    # (DuckDB's checked shift rejects 1<<63), and Hamming distance is
+    # the sum of per-chunk XOR popcounts, bit-identical to the engine's
+    # bit_count(xor) over the full word. The hot-bucket cap (QUALIFY
+    # count <= BUCKET_CAP) and the empty-document all-zero signature
+    # are mirrored too, so this is an exact twin, not an approximation.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ), bits AS (
+      SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN ((('0x' || substr(md5(tok), 1, 16))
+                                       ::UBIGINT >> b) & 1) = 1
+                                THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM toks, unnest(range(0, 64)) t(b)
+      GROUP BY doc_id, b
+    ), chunks AS (
+      SELECT doc_id, CAST(b // 16 AS INT) AS chunk_id,
+             CAST(sum(bit * (1::BIGINT << CAST(b % 16 AS INT)))
+               AS BIGINT) AS chunk
+      FROM bits GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, ci, 0::BIGINT
+      FROM documents, unnest([0, 1, 2, 3]) t(ci)
+      WHERE trim(text) = ''
+    ), capped AS (
+      SELECT * FROM chunks
+      QUALIFY count(*) OVER (PARTITION BY chunk_id, chunk) <= {BUCKET_CAP}
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM capped l JOIN capped r
+        ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+       AND l.doc_id < r.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(sum(bit_count(xor(cl.chunk, cr.chunk))) AS INT) AS hamming
+    FROM pairs p
+    JOIN chunks cl ON cl.doc_id = p.doc_a
+    JOIN chunks cr ON cr.doc_id = p.doc_b AND cr.chunk_id = cl.chunk_id
+    GROUP BY 1, 2
+    HAVING sum(bit_count(xor(cl.chunk, cr.chunk))) <= 8
+    """,
     doc="SimHash near-dup pairs (Hamming<=8, 16-bit chunk banding) — "
-        "Arrow-batched Pandas UDF escape hatch",
+        "Arrow-batched Pandas UDF escape hatch, value-hash-checked "
+        "against an exact SQL twin of the md5 bit construction",
     tags=("dedup", "documents", "simhash", "pandas-udf"),
 )
 def q_simhash(spark, sf_dir):

@@ -314,6 +314,11 @@ def q_outer(spark, sf_dir):
 
 @register(
     "cube_orders_status_priority",
+    # priority=1 (r5 rotation): driver-green in r3 AND r4; takes a
+    # rotation slot so the newly-oracled dedup_simhash_near_pairs fits
+    # the driver window for its first hash-checked pass (see
+    # registry._ordered). Hash-verified locally by test_parity_demoted.
+    priority=1,
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
            round(avg(o_totalprice), 4) AS avg_price

@@ -43,6 +43,25 @@ N_QUERIES = 10  # fixture convention: vec_id < 10 are the query vectors
 TOP_K = 5
 
 
+def _rank_top_k(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over (query_id, neighbor_id, cosine) — the
+    ranking tail every kNN variant shares. Deterministic order:
+    cosine desc, then lowest neighbor_id."""
+    order = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(order))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def embedding_norms(emb: DataFrame) -> DataFrame:
     return emb.select(
         "vec_id",
@@ -78,14 +97,7 @@ def knn_brute_force(
             cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
         ).alias("cosine"),
     )
-    order = W.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(order))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_top_k(scored, k)
 
 
 def sign_bucket_expr(col: str = "embedding", bits: int = 8):
@@ -124,14 +136,7 @@ def knn_lsh_bucketed(
             cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
         ).alias("cosine"),
     )
-    order = W.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(order))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_top_k(scored, k)
 
 
 N_CELLS = 8  # IVF codebook size (deterministic seed vectors)
@@ -254,19 +259,7 @@ def knn_ivf(
             cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
         ).alias("cosine"),
     )
-    order = W.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(order))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cosine",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_top_k(scored, k)
 
 
 def label_centroid_norms(emb: DataFrame) -> DataFrame:

@@ -32,12 +32,16 @@ def test_demoted_showcases_sort_last_within_oracled():
     # holding a driver-green pass in CORRECTNESS_r04) take the rotation
     # slot so the five r4-demoted entries return to the driver window —
     # every oracled entry then holds a driver pass within two rounds.
+    # cube_orders_status_priority (green r3+r4) is demoted too so the
+    # newly-oracled dedup_simhash_near_pairs (rows-only before r5) fits
+    # the window for its first hash-checked driver pass.
     assert set(demoted) == {
         "ts_pattern_search",
         "mm_audio_energy",
         "sort_limit_top_orders",
         "union_orders_and_purchases",
         "scalar_functions_showcase",
+        "cube_orders_status_priority",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 
