@@ -317,9 +317,26 @@ def q_binary_meta(spark, sf_dir):
 
 @register(
     "mm_decode_features",
-    oracle=None,  # decoder is a deterministic fake; rows-only check
+    # Value-oracled since r5 (was rows-only): FakeImageCodec.decode is
+    # pure md5-byte arithmetic (width/height from digest bytes 0-1,
+    # mean_luma from byte 2), so the whole decode pipeline is
+    # reproduced in SQL. A real codec swap returns this entry to
+    # rows-only, by design.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id, n_bytes, 'fake/raw' AS format,
+           CAST(64 + ('0x' || substr(hx, 1, 2))::INT % 192 AS INT) AS width,
+           CAST(64 + ('0x' || substr(hx, 3, 2))::INT % 192 AS INT) AS height,
+           round(('0x' || substr(hx, 5, 2))::INT / 255.0, 6) AS mean_luma
+    FROM h
+    """,
     doc="Pandas-UDF decode/feature pipeline over binary payloads "
-        "(stubbed codec, real Arrow plumbing)",
+        "(stubbed codec, real Arrow plumbing) — value-hash-checked "
+        "against an exact SQL twin of the fake codec's arithmetic",
     tags=("multimodal", "documents", "pandas-udf"),
 )
 def q_decode_features(spark, sf_dir):
@@ -395,7 +412,13 @@ def q_audio_energy(spark, sf_dir):
 
 @register(
     "mm_resize_thumbs",
-    oracle=None,  # float scale + truncation; rows-only check
+    # Rows-only by nature: the output's `thumb` column is BINARY, and
+    # the cross-engine value-hash has no stable text rendering for
+    # blobs (Spark bytes vs DuckDB BLOB stringify differently). The
+    # scalar columns' arithmetic is the same md5-byte construction
+    # mm_decode_features value-checks; the binary round-trip itself is
+    # pinned by tests/test_multimodal.py.
+    oracle=None,
     doc="Thumbnail resize: binary in -> binary out via mapInPandas "
         "(stub codec, real Arrow round-trip)",
     tags=("multimodal", "documents", "pandas-udf", "binary"),

@@ -291,6 +291,11 @@ def q_fingerprints(spark, sf_dir):
 
 @register(
     "text_lang_profile",
+    # priority=1 (r5 rotation): driver-green in r3 AND r4; takes a
+    # rotation slot so the newly-oracled mm_decode_features fits the
+    # driver window for its first hash-checked pass (see
+    # registry._ordered). Hash-verified locally by test_parity_demoted.
+    priority=1,
     oracle="""
     SELECT lang, count(*) AS n_docs,
            round(avg(n_chars), 4) AS avg_chars,
