@@ -132,6 +132,27 @@ def test_bucketed_day_boundary_window(spark):
     assert {r[1] for r in b} == {1, 2, 3, 4, 5}  # all straddlers scored
 
 
+def test_bucketed_plan_single_window_exec_no_cartesian(spark):
+    """The bucketed form's plan contract: the two bucket-level window
+    functions (offset base + overlap) share ONE Window exec (same
+    partitioning/ordering — one sort over the tiny bucket relation,
+    not two), and nothing in the plan is a cartesian product."""
+    from flink_exercise_spark.operators.timeseries import (
+        pattern_search_bucketed,
+    )
+    from flink_exercise_spark.plans.inspect import formatted_plan
+
+    import re
+
+    ev = _events(spark, {1: [float(i % 5) for i in range(20)]})
+    plan = formatted_plan(pattern_search_bucketed(ev))
+    # Formatted plans list operators as "(N) Window ..." headers.
+    n_window = len(re.findall(r"\(\d+\) Window\b", plan))
+    assert n_window == 1, f"expected 1 Window exec, plan has {n_window}"
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no full sort
+
+
 def test_bucketed_sparse_bucket_multi_day_straddle(spark):
     """A day-bucket with fewer than L events: windows starting before
     it need values from MORE than two buckets — the replication must
