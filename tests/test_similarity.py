@@ -91,6 +91,24 @@ def test_lsh_recall_on_fixtures(spark):
     assert len(true & approx) >= 1
 
 
+def test_near_dup_vectorized_equals_join_form(spark):
+    """The bucket-local Gram-matrix kernel must reproduce the
+    HOF-fold join form bit-for-bit at the rounded 6 digits — the FULL
+    in-bucket pair set (threshold -2 keeps every pair, including
+    negative cosines), not just the thresholded survivors."""
+    from flink_exercise_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_vectorized,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = {tuple(r) for r in
+         embedding_near_dup_pairs(emb, threshold=-2.0).collect()}
+    b = {tuple(r) for r in
+         embedding_near_dup_pairs_vectorized(emb, threshold=-2.0).collect()}
+    assert a == b and len(a) > 100
+
+
 def test_ivf_structure_and_recall(spark):
     """IVF-flat: every result's cosine must equal the brute-force score
     for that pair (IVF only restricts the candidate set, never rescores)
