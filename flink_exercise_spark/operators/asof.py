@@ -1,6 +1,7 @@
-"""As-of (temporal) join — a custom operator Spark has no primitive for.
+"""Temporal joins Spark has no primitive for: as-of join and
+bin-bucketed range join.
 
-Semantics: for each left row, attach the latest right row whose
+As-of semantics: for each left row, attach the latest right row whose
 timestamp is <= the left timestamp, per key (DuckDB's ``ASOF JOIN``,
 kdb's ``aj``, Pandas ``merge_asof``). The canonical pipeline use here:
 purchase attribution — each purchase event joined to the user's most
@@ -18,6 +19,15 @@ sort-merge). Skewed keys are bounded by per-key event counts; a
 pathological hot key salts on a coarse time bucket first. The naive
 alternative — inequality join + per-pair max — is a quadratic range
 join; never ship it.
+
+Range-join semantics: pair rows whose timestamps fall within a band
+of each other WITHOUT an equality key — the case Catalyst plans as
+BroadcastNestedLoopJoin (every pair compared). ``range_join_counts``
+re-expresses it as an equi-join on a time bin (each probe row explodes
+into the 3 bins its band can touch; each build row sits in exactly its
+own bin, so no pair is produced twice) — the standard bin-bucketing
+rewrite that turns an O(n^2) nested loop into a shuffle-parallel
+hash join whose per-bin cost is rate-bounded.
 """
 
 from __future__ import annotations
@@ -89,6 +99,96 @@ def asof_join(
         + [F.col(f"asof_{c}") for c in carry]
     )
     return filled.filter(F.col("_is_left") == 1).select(*keep)
+
+
+def range_join_counts(
+    events: DataFrame, band_secs: int = 60, ts: str = "ts"
+) -> DataFrame:
+    """Per-event concurrency: for each event, how many OTHER events
+    (any key) occurred within ±``band_secs`` — a keyless band
+    self-join.
+
+    Why not write the predicate directly: ``l JOIN r ON abs(l.ts -
+    r.ts) <= band`` has no equi-key, so Catalyst plans a
+    BroadcastNestedLoopJoin — every pair compared, O(n^2) at any
+    scale (plan-asserted in tests/test_asof_range.py). The rewrite:
+
+    1. bin every event at ``band_secs`` granularity (exact integer
+       microseconds — no float epoch);
+    2. the PROBE side explodes into bins {b-1, b, b+1} — the only
+       bins a ±band window can intersect; the BUILD side keeps its
+       own bin only, so each qualifying pair meets in exactly one
+       bin (the build row's) and needs no dedup;
+    3. equi-join on the bin, then the exact band predicate filters
+       the corner cases the coarse bin admits.
+
+    Shuffle cost: 3x the probe rows + 1x the build rows, all narrow
+    (id, micros, bin). Per-bin join work is (events-per-bin)^2 —
+    bounded by the event RATE, not the corpus size, so the plan
+    scales linearly in events for a fixed rate. A burst-hot bin is
+    the same skew bomb as a hot LSH bucket; cap or salt it the same
+    way (dedup.BUCKET_CAP pattern).
+
+    Zero-neighbor events are kept with n_concurrent = 0 (left join
+    back onto the input), so the output is exactly one row per event.
+    """
+    us = F.unix_micros(F.col(ts))
+    band_us = band_secs * 1_000_000
+    # Integer `div`, not float division: epoch-micros magnitudes are
+    # exact in BIGINT and must stay exact in the bin id.
+    bin_id = F.expr(f"_us div {band_us}")
+    base = events.select("event_id", us.alias("_us"))
+    probe = base.select(
+        "event_id",
+        "_us",
+        F.explode(
+            F.array(bin_id - 1, bin_id, bin_id + 1)
+        ).alias("_bin"),
+    )
+    build = base.select(
+        F.col("event_id").alias("_r_id"),
+        F.col("_us").alias("_r_us"),
+        bin_id.alias("_bin"),
+    )
+    pairs = probe.join(build, "_bin").filter(
+        (F.abs(F.col("_r_us") - F.col("_us")) <= band_us)
+        & (F.col("_r_id") != F.col("event_id"))
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return (
+        base.select("event_id")
+        .join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+        )
+    )
+
+
+@register(
+    "range_join_concurrent_events",
+    # DuckDB plans the direct band predicate as an IEJoin — fine at
+    # oracle scale; the engine side MUST NOT (BNLJ at 100 TB), hence
+    # the bin-bucketed rewrite, plan-asserted.
+    oracle="""
+    SELECT l.event_id,
+           count(r.event_id) AS n_concurrent
+    FROM events l
+    LEFT JOIN events r
+      ON abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 60 * 1000000
+     AND r.event_id <> l.event_id
+    GROUP BY l.event_id
+    """,
+    doc="Keyless band self-join (events within +/-60s of each other), "
+        "re-expressed as a bin-bucketed equi-join — the rewrite that "
+        "replaces Catalyst's BroadcastNestedLoopJoin for range "
+        "predicates without an equality key",
+    tags=("range-join", "join", "events", "temporal"),
+)
+def q_range_join(spark, sf_dir):
+    return range_join_counts(load_table(prep(spark), sf_dir, "events"))
 
 
 @register(

@@ -284,6 +284,11 @@ def q_semi_anti(spark, sf_dir):
 
 @register(
     "join_outer_order_counts",
+    # priority=1 (r5 rotation): driver-green in r3 AND r4; takes a
+    # rotation slot so the new range_join_concurrent_events entry fits
+    # the driver window for its first hash-checked pass (see
+    # registry._ordered). Hash-verified locally by test_parity_demoted.
+    priority=1,
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
            round(coalesce(sum(o_totalprice), 0), 2) AS total_spend

@@ -32,10 +32,11 @@ def test_demoted_showcases_sort_last_within_oracled():
     # holding a driver-green pass in CORRECTNESS_r04) take the rotation
     # slot so the five r4-demoted entries return to the driver window —
     # every oracled entry then holds a driver pass within two rounds.
-    # cube_orders_status_priority and text_lang_profile (both green
-    # r3+r4) are demoted too so the newly-oracled
-    # dedup_simhash_near_pairs and mm_decode_features (rows-only
-    # before r5) fit the window for their first hash-checked pass.
+    # cube_orders_status_priority, text_lang_profile and
+    # join_outer_order_counts (all green r3+r4) are demoted too so the
+    # newly-oracled dedup_simhash_near_pairs and mm_decode_features
+    # (rows-only before r5) and the new range_join_concurrent_events
+    # fit the window for their first hash-checked pass.
     assert set(demoted) == {
         "ts_pattern_search",
         "mm_audio_energy",
@@ -44,6 +45,7 @@ def test_demoted_showcases_sort_last_within_oracled():
         "scalar_functions_showcase",
         "cube_orders_status_priority",
         "text_lang_profile",
+        "join_outer_order_counts",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 
