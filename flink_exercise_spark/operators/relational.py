@@ -342,6 +342,12 @@ def q_cube(spark, sf_dir):
 
 @register(
     "grouping_sets_lineitem",
+    # priority=1 (r5 rotation): driver-green in r3 AND r4; takes a
+    # rotation slot so the new hypertable_rollup_events entry (same
+    # Expand machinery, time-hierarchy form) fits the driver window
+    # for its first hash-checked pass. Hash-verified locally by
+    # test_parity_demoted.
+    priority=1,
     # The four explicit sets are ROLLUP(l_returnflag, l_linestatus)
     # plus the (l_linestatus) slice — one entry covering both the
     # ROLLUP hierarchy and arbitrary GROUPING SETS (Spark plans either

@@ -107,3 +107,61 @@ def q_sliding(spark, sf_dir):
 )
 def q_sessions(spark, sf_dir):
     return session_windows(load_table(prep(spark), sf_dir, "events"))
+
+
+def hypertable_rollup(events: DataFrame, value: str = "value") -> DataFrame:
+    """Multi-resolution time rollup (the hypertable / continuous-
+    aggregate pattern): hour, day, and grand-total aggregates of the
+    same measures in ONE scan.
+
+    Spark-first shape: ``rollup(day, hour)`` — the Expand operator
+    replicates each row once per grain BEFORE the hash aggregate, so
+    partial aggregation still combines map-side and the shuffle
+    carries (grain-key, partial) rows, not events. Three separate
+    scans (one per resolution) would read the data three times for
+    identical results; at 100 TB the coarser grains are then
+    incrementally maintainable as materialized aggregates keyed by
+    (grain, bucket_start).
+
+    ``grain`` is ``grouping_id()``: 0 = hour row, 1 = day row,
+    3 = grand total — the same bit packing DuckDB's GROUPING emits,
+    so the oracle checks it directly.
+    """
+    base = events.select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+        F.col(value),
+    )
+    return base.rollup("day_start", "hour_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value), 2).alias("sum_value"),
+        F.round(F.avg(value), 4).alias("avg_value"),
+        F.grouping_id().cast("int").alias("grain"),
+    )
+
+
+@register(
+    "hypertable_rollup_events",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+               AS day_start,
+             CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+               AS hour_start,
+             value
+      FROM events
+    )
+    SELECT day_start, hour_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value,
+           CAST(GROUPING(day_start, hour_start) AS INT) AS grain
+    FROM b GROUP BY ROLLUP (day_start, hour_start)
+    """,
+    doc="Hypertable-style multi-resolution rollup: hour/day/total "
+        "aggregates of the events stream in one Expand+hash-agg pass "
+        "(continuous-aggregate pattern; grain = grouping_id)",
+    tags=("window", "events", "rollup", "temporal"),
+)
+def q_hypertable_rollup(spark, sf_dir):
+    return hypertable_rollup(load_table(prep(spark), sf_dir, "events"))

@@ -46,6 +46,7 @@ def test_demoted_showcases_sort_last_within_oracled():
         "cube_orders_status_priority",
         "text_lang_profile",
         "join_outer_order_counts",
+        "grouping_sets_lineitem",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 
