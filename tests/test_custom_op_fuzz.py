@@ -1,0 +1,112 @@
+"""Differential fuzzing of the two newest custom kernels against
+brute-force references — sampling the spaces their fixed tests can't
+enumerate.
+
+- range_join_counts vs an O(n^2) python scan: random clustered /
+  uniform / boundary-heavy timestamp sets, random band widths. The
+  bin rewrite's correctness hinges on two claims (a band window can
+  touch at most the 3 probed bins; every qualifying pair meets in
+  exactly one bin) that must hold for EVERY band/offset combination.
+- pattern_search_bucketed vs the full-series pattern_search: random
+  per-key series (short/long, timestamp ties, constant runs) under
+  random bucket sizes, including the degenerate extremes — one event
+  per bucket and one bucket per key — where the overlap machinery is
+  all that produces any result.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import random
+
+from flink_exercise_spark.operators.asof import range_join_counts
+from flink_exercise_spark.operators.timeseries import (
+    pattern_search,
+    pattern_search_bucketed,
+)
+
+N_CASES = 8
+
+
+def _ts(base: dt.datetime, secs: float) -> dt.datetime:
+    return base + dt.timedelta(microseconds=int(round(secs * 1e6)))
+
+
+def test_range_join_fuzz_vs_quadratic(spark):
+    rng = random.Random(20260813)
+    base = dt.datetime(2024, 3, 1)
+    for case in range(N_CASES):
+        band = rng.choice([1, 7, 60, 3600])
+        n = rng.randint(2, 120)
+        mode = rng.choice(["uniform", "clustered", "boundary"])
+        if mode == "uniform":
+            secs = [rng.uniform(0, n * band * 2) for _ in range(n)]
+        elif mode == "clustered":
+            centers = [rng.uniform(0, n * band) for _ in range(max(1, n // 8))]
+            secs = [
+                rng.choice(centers) + rng.uniform(-band, band)
+                for _ in range(n)
+            ]
+        else:  # exact multiples of the band — every pair on a boundary
+            secs = [band * rng.randint(0, n // 2) for _ in range(n)]
+        rows = [
+            (i, _ts(base, s), 1, "view", 0.0, "{}")
+            for i, s in enumerate(secs)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        got = {
+            r["event_id"]: r["n_concurrent"]
+            for r in range_join_counts(ev, band_secs=band).collect()
+        }
+        us = {i: int(round(s * 1e6)) for i, s in enumerate(secs)}
+        want = {i: 0 for i in us}
+        for a, b in itertools.combinations(us, 2):
+            if abs(us[a] - us[b]) <= band * 1_000_000:
+                want[a] += 1
+                want[b] += 1
+        assert got == want, f"case {case}: band={band} mode={mode}"
+
+
+def test_bucketed_pattern_search_fuzz_vs_full_series(spark):
+    rng = random.Random(20260814)
+    base = dt.datetime(2024, 3, 1)
+    for case in range(N_CASES):
+        bucket_secs = rng.choice([1, 60, 3600, 86400, 10**9])
+        # 10**9 -> one bucket per key; 1 -> ~one event per bucket when
+        # gaps exceed a second (overlap machinery does all the work).
+        rows = []
+        for uid in range(rng.randint(1, 4)):
+            n = rng.randint(1, 40)
+            t = rng.uniform(0, 3600)
+            for i in range(n):
+                t += rng.choice([0.0, 0.5, 2.0, 90.0, 4000.0])  # incl. ties
+                rows.append(
+                    (
+                        uid * 1000 + i,
+                        _ts(base, t),
+                        uid,
+                        "view",
+                        round(rng.choice([0.0, 1.0, rng.uniform(-5, 5)]), 3),
+                        "{}",
+                    )
+                )
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        a = sorted(map(tuple, pattern_search(ev, k=10**6).collect()))
+        b = sorted(
+            map(
+                tuple,
+                pattern_search_bucketed(
+                    ev, k=10**6, bucket_secs=bucket_secs
+                ).collect(),
+            )
+        )
+        assert a == b, f"case {case}: bucket_secs={bucket_secs}"
