@@ -101,8 +101,32 @@ def asof_join(
     return filled.filter(F.col("_is_left") == 1).select(*keep)
 
 
+RANGE_BIN_CAP = 100_000
+
+
+def range_join_hot_bins(
+    events: DataFrame,
+    band_secs: int = 60,
+    ts: str = "ts",
+    cap: int = RANGE_BIN_CAP,
+) -> DataFrame:
+    """The bins ``range_join_counts`` would drop at this cap, with
+    sizes — the audit/monitoring channel for the capped band join."""
+    band_us = band_secs * 1_000_000
+    return (
+        events.select(F.unix_micros(F.col(ts)).alias("_us"))
+        .select(F.expr(f"_us div {band_us}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > cap)
+    )
+
+
 def range_join_counts(
-    events: DataFrame, band_secs: int = 60, ts: str = "ts"
+    events: DataFrame,
+    band_secs: int = 60,
+    ts: str = "ts",
+    bin_cap: int | None = RANGE_BIN_CAP,
 ) -> DataFrame:
     """Per-event concurrency: for each event, how many OTHER events
     (any key) occurred within ±``band_secs`` — a keyless band
@@ -126,8 +150,16 @@ def range_join_counts(
     (id, micros, bin). Per-bin join work is (events-per-bin)^2 —
     bounded by the event RATE, not the corpus size, so the plan
     scales linearly in events for a fixed rate. A burst-hot bin is
-    the same skew bomb as a hot LSH bucket; cap or salt it the same
-    way (dedup.BUCKET_CAP pattern).
+    the same skew bomb as a hot LSH bucket (10^6 events in one bin =
+    5*10^11 pairs from one task) and gets the same treatment:
+    BUILD-side bins holding more than ``bin_cap`` events are dropped
+    from the join via an anti-join against the tiny hot-bin list
+    (``range_join_hot_bins`` is the audit channel; a capped burst's
+    internal concurrency is better answered by a per-bin COUNT than
+    by pair enumeration). The default cap (100k) is far above any
+    real per-band event rate at which per-pair output still makes
+    sense, and far above the fixtures' densest bin, so capped and
+    uncapped results agree and the oracle stays green.
 
     Zero-neighbor events are kept with n_concurrent = 0 (left join
     back onto the input), so the output is exactly one row per event.
@@ -150,6 +182,14 @@ def range_join_counts(
         F.col("_us").alias("_r_us"),
         bin_id.alias("_bin"),
     )
+    if bin_cap is not None:
+        hot = (
+            build.groupBy("_bin")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > bin_cap)
+            .select("_bin")
+        )
+        build = build.join(hot, "_bin", "left_anti")
     pairs = probe.join(build, "_bin").filter(
         (F.abs(F.col("_r_us") - F.col("_us")) <= band_us)
         & (F.col("_r_id") != F.col("event_id"))

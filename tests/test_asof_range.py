@@ -82,6 +82,35 @@ def test_matches_naive_on_fixture(spark):
     assert sum(naive.values()) > 0  # fixture actually exercises pairing
 
 
+def test_hot_bin_cap_and_audit(spark):
+    """A burst bin above the cap is dropped from the BUILD side (its
+    members produce no pairs as neighbors), surfaces in the audit
+    channel, and every event still gets an output row."""
+    from flink_exercise_spark.operators.asof import range_join_hot_bins
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 30)
+    burst = [t0 + dt.timedelta(microseconds=i) for i in range(20)]
+    lonely = [t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=1, seconds=10)]
+    ev = _events(spark, burst + lonely)
+    capped = {
+        r["event_id"]: r["n_concurrent"]
+        for r in range_join_counts(ev, bin_cap=10).collect()
+    }
+    # Burst events (ids 0..19) lose their 19 neighbors; the lonely
+    # pair (ids 20, 21) still pairs normally.
+    assert all(capped[i] == 0 for i in range(20))
+    assert capped[20] == 1 and capped[21] == 1
+    assert len(capped) == 22
+    hot = range_join_hot_bins(ev, cap=10).collect()
+    assert len(hot) == 1 and hot[0]["n_events"] == 20
+    # Uncapped form keeps the burst pairs.
+    full = {
+        r["event_id"]: r["n_concurrent"]
+        for r in range_join_counts(ev, bin_cap=None).collect()
+    }
+    assert all(full[i] == 19 for i in range(20))
+
+
 def test_plan_bin_rewrite_hash_joins_not_nested_loop(spark):
     ev = _events(spark, [dt.datetime(2024, 1, 1)])
     plan = formatted_plan(range_join_counts(ev))

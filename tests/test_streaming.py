@@ -68,6 +68,95 @@ def test_q1_counts_stream_equals_batch(spark):
     assert got_final == exp_final
 
 
+def test_continuous_aggregate_rollup_parity(spark):
+    """The continuous-aggregate architecture for hypertable_rollup:
+    the STREAM maintains only the finest grain (hour buckets through
+    the windowed state store); the coarser grains (day, total) are
+    derived READ-SIDE from the hour materialization — and every grain
+    must equal the one-pass batch rollup. This is how the rollup
+    deploys on an unbounded stream, where a multi-grain aggregation
+    would need multiple stateful operators Spark disallows."""
+    from flink_exercise_spark.operators.windows import hypertable_rollup
+
+    stream = (
+        events_stream(spark, SF_SMOKE)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("hour_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_to_memory(stream, "cont_agg_hours", "complete")
+    hour = spark.table("cont_agg_hours")
+
+    import math
+
+    batch_rows = hypertable_rollup(
+        load_table(spark, SF_SMOKE, "events")
+    ).collect()
+    by_grain = {
+        g: {
+            (r["day_start"], r["hour_start"]): (r["n_events"], r["sum_value"])
+            for r in batch_rows
+            if r["grain"] == g
+        }
+        for g in (0, 1, 3)
+    }
+
+    def check(got: dict, grain: int) -> None:
+        exp = by_grain[grain]
+        assert set(got) == set(exp)
+        for k, (n, s) in got.items():
+            assert n == exp[k][0], (grain, k)
+            # Batch emits round(sum, 2); fixture values are 2-decimal,
+            # so the true sums sit ~1e-10 from a 2-decimal point and
+            # rounding the stream side recovers the identical value
+            # regardless of summation order (contrast the 4dp-avg
+            # boundary flake in test_window_fuzz.py's note).
+            assert math.isclose(round(s, 2), exp[k][1], abs_tol=1e-9), (
+                grain,
+                k,
+            )
+
+    check(
+        {
+            (r["hour_start"] - r["hour_start"] % 86400, r["hour_start"]): (
+                r["n_events"],
+                r["sum_value"],
+            )
+            for r in hour.collect()
+        },
+        0,
+    )
+    # Day + total grains derived from the hour materialization only.
+    check(
+        {
+            (r["day_start"], None): (r["n_events"], r["sum_value"])
+            for r in hour.groupBy(
+                (
+                    F.col("hour_start") - F.col("hour_start") % 86400
+                ).alias("day_start")
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+            .collect()
+        },
+        1,
+    )
+    total = hour.agg(
+        F.sum("n_events").alias("n"), F.sum("sum_value").alias("s")
+    ).collect()[0]
+    check({(None, None): (total["n"], total["s"])}, 3)
+
+
 def test_q3_floor_avg_stream_equals_batch(spark):
     stream = windowed_floor_avg_stream(events_stream(spark, SF_SMOKE))
     run_to_memory(stream, "q3_stream", "complete")
