@@ -126,6 +126,11 @@ def hypertable_rollup(events: DataFrame, value: str = "value") -> DataFrame:
     ``grain`` is ``grouping_id()``: 0 = hour row, 1 = day row,
     3 = grand total — the same bit packing DuckDB's GROUPING emits,
     so the oracle checks it directly.
+
+    Known edge divergence (pinned in test_empty_and_null_inputs.py):
+    on an EMPTY input Spark's rollup emits no rows, while standard
+    SQL emits the count-0 grand-total row. Any non-empty input
+    agrees.
     """
     base = events.select(
         F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),

@@ -55,6 +55,34 @@ def test_aggregates_on_empty_events(spark):
     assert aggregates.windowed_floor_avg(ev).count() == 0
 
 
+def test_r5_operators_on_empty_events(spark):
+    from flink_exercise_spark.operators.asof import range_join_counts
+    from flink_exercise_spark.operators.timeseries import (
+        pattern_search_bucketed,
+    )
+    from flink_exercise_spark.operators.windows import hypertable_rollup
+
+    ev = _empty(spark, EV_SCHEMA)
+    assert range_join_counts(ev).count() == 0
+    assert pattern_search_bucketed(ev).count() == 0
+    # Documented divergence on EMPTY input: standard SQL (and the
+    # DuckDB oracle) emits the grand-total row (count 0) for ROLLUP of
+    # an empty relation; Spark's rollup() emits no rows at all
+    # (SPARK's grouping-sets-as-Expand implementation has nothing to
+    # expand). Irrelevant for any non-empty partition — pinned here so
+    # the difference is a recorded fact, not a surprise.
+    assert hypertable_rollup(ev).count() == 0
+
+
+def test_vectorized_near_dup_on_empty_corpus(spark):
+    from flink_exercise_spark.operators.similarity import (
+        embedding_near_dup_pairs_vectorized,
+    )
+
+    emb = _empty(spark, EMB_SCHEMA)
+    assert embedding_near_dup_pairs_vectorized(emb).count() == 0
+
+
 def test_kmeans_empty_corpus_raises(spark):
     from flink_exercise_spark.operators.clustering import kmeans_fit_predict
 
