@@ -242,6 +242,44 @@ def stateful_first_seen_tws(
     )
 
 
+def stream_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each purchase paired with the same
+    user's view events from the preceding ``window`` — the streaming
+    form of the attribution range join.
+
+    Both sides are unbounded streams, so the join is stateful on BOTH
+    sides; the watermarks plus the explicit time-range condition are
+    what make it runnable forever: Spark derives a state watermark
+    from ``v_ts >= p_ts - window`` and evicts buffered view rows older
+    than (purchase watermark - window), so per-user state holds at
+    most one window of views. Without the range bound the view buffer
+    grows without limit and the join is a 100 TB memory leak — the
+    condition is load-bearing, not a filter.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("user_id", "purchase_id", "p_ts", "view_id", "v_ts")
+
+
 def run_to_parquet(
     df: DataFrame,
     path: str,

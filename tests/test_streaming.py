@@ -168,6 +168,43 @@ def test_q3_floor_avg_stream_equals_batch(spark):
     assert got == exp
 
 
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Stream-stream interval join (both sides stateful, state bounded
+    by watermark + the time-range condition) must converge to the
+    batch equi+range join on a bounded input."""
+    from flink_exercise_spark.streaming.jobs import stream_interval_join
+
+    src = events_stream(spark, SF_SMOKE)
+    views = src.filter(F.col("event_type") == "view")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    joined = stream_interval_join(views, purchases, window="1 hour")
+    run_to_memory(joined, "interval_join_sink", "append")
+    got = _rows(
+        spark,
+        "SELECT user_id, purchase_id, view_id FROM interval_join_sink",
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    exp = {
+        (r["user_id"], r["purchase_id"], r["view_id"])
+        for r in p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
 def test_streaming_dedup_equals_batch_distinct(spark):
     stream = streaming_distinct_hosts(events_stream(spark, SF_SMOKE))
     run_to_memory(stream, "dedup_stream", "append")
