@@ -205,6 +205,30 @@ def test_stream_stream_interval_join_equals_batch(spark):
     assert got == exp and len(exp) > 0
 
 
+def test_stream_static_enrichment_join_equals_batch(spark):
+    """Stream-static join (dimension enrichment): the static side is
+    re-read per micro-batch and broadcast — stateless, no watermark
+    needed, the standard production enrichment shape. Must equal the
+    batch join."""
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = events_stream(spark, SF_SMOKE).join(
+        F.broadcast(cust), "user_id"
+    ).select("event_id", "user_id", "c_mktsegment")
+    run_to_memory(stream, "enrich_sink", "append")
+    got = _rows(spark, "SELECT * FROM enrich_sink")
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    exp = {
+        (r["event_id"], r["user_id"], r["c_mktsegment"])
+        for r in ev.join(cust, "user_id")
+        .select("event_id", "user_id", "c_mktsegment")
+        .collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
 def test_streaming_dedup_equals_batch_distinct(spark):
     stream = streaming_distinct_hosts(events_stream(spark, SF_SMOKE))
     run_to_memory(stream, "dedup_stream", "append")
