@@ -209,15 +209,18 @@ def range_join_counts(
 
 @register(
     "range_join_concurrent_events",
-    # DuckDB plans the direct band predicate as an IEJoin — fine at
-    # oracle scale; the engine side MUST NOT (BNLJ at 100 TB), hence
-    # the bin-bucketed rewrite, plan-asserted.
+    # The oracle spells the band as BETWEEN (two inequalities), which
+    # DuckDB plans as an IEJoin — an abs() form defeats that and
+    # nested-loops, measured unrunnable at 1M rows in ANY engine,
+    # which is precisely why the engine side uses the bin-bucketed
+    # rewrite (plan-asserted: no nested loop).
     oracle="""
     SELECT l.event_id,
            count(r.event_id) AS n_concurrent
     FROM events l
     LEFT JOIN events r
-      ON abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 60 * 1000000
+      ON epoch_us(r.ts) BETWEEN epoch_us(l.ts) - 60 * 1000000
+                            AND epoch_us(l.ts) + 60 * 1000000
      AND r.event_id <> l.event_id
     GROUP BY l.event_id
     """,
