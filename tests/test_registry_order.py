@@ -51,6 +51,62 @@ def test_demoted_showcases_sort_last_within_oracled():
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 
 
+def test_priority0_count_fits_observed_window():
+    """The ~50-slot window is an OBSERVATION of the driver, not a
+    constant — re-confirm it against the latest CORRECTNESS artifact
+    every round (r4 advisor ask) instead of trusting round 1's
+    measurement: the number of priority-0 oracled entries must never
+    exceed the number of entries the driver actually verified."""
+    import glob
+    import json
+
+    import pytest
+
+    files = sorted(glob.glob("CORRECTNESS_r*.json"))
+    if not files:
+        pytest.skip("no driver correctness artifact yet")
+    observed = len(json.load(open(files[-1])))
+    specs = registry.specs()
+    n_p0 = sum(
+        1 for s in specs.values() if s.oracle is not None and s.priority == 0
+    )
+    assert n_p0 <= observed, (
+        f"{n_p0} priority-0 oracled entries but the driver last "
+        f"verified only {observed} — some would silently miss their "
+        f"driver pass; demote the excess or confirm a larger window"
+    )
+
+
+def test_demoted_entries_hold_recent_driver_pass():
+    """The rotation freshness contract, mechanized: every entry
+    currently demoted (priority>0) must hold a hash-green driver pass
+    in one of the LAST TWO CORRECTNESS artifacts — a demotion parks an
+    already-verified query for one round, never an unverified one."""
+    import glob
+    import json
+
+    import pytest
+
+    files = sorted(glob.glob("CORRECTNESS_r*.json"))[-2:]
+    if not files:
+        pytest.skip("no driver correctness artifact yet")
+    green: set[str] = set()
+    for f in files:
+        green |= {
+            k
+            for k, v in json.load(open(f)).items()
+            if v.get("hash_match")
+        }
+    specs = registry.specs()
+    demoted = {
+        n for n, s in specs.items() if s.oracle is not None and s.priority > 0
+    }
+    missing = demoted - green
+    assert not missing, (
+        f"demoted without a recent driver pass: {sorted(missing)}"
+    )
+
+
 def test_high_value_queries_inside_window():
     """Streaming parity, every dedup/similarity/text operator, and the
     reference queries must all sit inside the driver's window."""
