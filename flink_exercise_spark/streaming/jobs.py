@@ -478,6 +478,32 @@ def _register_streaming() -> None:
         return packed_argmax_counts(fb.resolved_counts(spark))
 
     @register(
+        "stream_interval_join_attribution",
+        # Rows-only by design: the query's POINT is the stream-stream
+        # execution (two stateful join buffers, watermark-derived
+        # state eviction) — a SQL oracle would only re-run the batch
+        # twin, which the stream-equals-batch parity test
+        # (test_streaming.py) already pins exactly; the bin-bucketed
+        # batch form of the same band-join family is value-oracled as
+        # range_join_concurrent_events.
+        oracle=None,
+        doc="Stream-stream interval join executed as a real Structured "
+            "Streaming job: purchases joined to the same user's views "
+            "from the preceding hour, both sides unbounded streams "
+            "with watermark + time-range-bounded join state",
+        tags=("streaming", "join", "events", "temporal"),
+    )
+    def q_stream_interval_join(spark, sf_dir):
+        src = events_stream(spark, sf_dir)
+        views = src.filter(F.col("event_type") == "view")
+        purchases = src.filter(F.col("event_type") == "purchase")
+        joined = stream_interval_join(views, purchases, window="1 hour")
+        run_to_memory(joined, "stream_ij_sink", "append")
+        return spark.table("stream_ij_sink").select(
+            "user_id", "purchase_id", "view_id"
+        )
+
+    @register(
         "stream_q2_parity",
         # Same oracle as batch ref_q2_distinct_hosts.
         oracle=f"""
