@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from flink_exercise_spark.caching import persist_tracked
 from flink_exercise_spark.functions.vectors import (
@@ -46,19 +45,45 @@ TOP_K = 5
 def _rank_top_k(scored: DataFrame, k: int) -> DataFrame:
     """Per-query top-k over (query_id, neighbor_id, cosine) — the
     ranking tail every kNN variant shares. Deterministic order:
-    cosine desc, then lowest neighbor_id."""
-    order = W.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+    cosine desc, then lowest neighbor_id.
+
+    Two-phase distributed top-k, NOT a row_number window: a
+    ``row_number() OVER (PARTITION BY query_id)`` shuffles every scored
+    candidate to ONE task per query and sorts it there — with a large
+    query set over a 100 TB corpus that single task is the whole job's
+    straggler. Instead:
+
+    1. partial: group by (input partition, query) and keep each
+       group's k best via sort_array+slice — parallelism is
+       partitions x queries, and only k rows per (partition, query)
+       survive;
+    2. final merge: per query, flatten the partials (<= k x
+       n_partitions rows, never the scored relation) and slice the
+       global top k.
+
+    The sort key packs (cosine desc, neighbor_id asc) as an ascending
+    struct((-cosine), neighbor_id); double negation is bit-exact (sign
+    flip), so the emitted cosine is unchanged. Plan-asserted
+    window-free in tests/test_plans.py."""
+    item = F.struct(
+        (-F.col("cosine")).alias("_nc"),
+        F.col("neighbor_id").alias("_id"),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(order))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cosine",
-            F.col("rank").cast("int").alias("rank"),
-        )
+    partial = scored.groupBy(
+        F.spark_partition_id().alias("_pid"), "query_id"
+    ).agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
+    merged = partial.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
+        ).alias("_top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("_top").alias("_i", "_item")
+    ).select(
+        "query_id",
+        F.col("_item._id").alias("neighbor_id"),
+        (-F.col("_item._nc")).alias("cosine"),
+        (F.col("_i") + 1).cast("int").alias("rank"),
     )
 
 
@@ -230,27 +255,35 @@ def knn_ivf(
         )
     )
     assigned = corpus.join(assigned_ids, "neighbor_id")
-    # Query->probe-cells: tiny relation, a row_number window is fine.
+    # Query->probe-cells: tiny relation (queries x cells), ranked with
+    # the same sort_array+slice top-k shape as _rank_top_k (q_emb and
+    # q_norm ride along via first(); constant within a query_id group)
+    # so the whole kNN family stays window-free — one plan idiom to
+    # audit, asserted in tests/test_plans.py.
+    probe_item = F.struct(
+        (
+            -F.round(
+                cosine_from_norms("q_emb", "cent", "q_norm", "cent_norm"), 6
+            )
+        ).alias("_nc"),
+        F.col("cell_id").alias("_cid"),
+    )
     probes = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(
-                    F.desc(
-                        F.round(
-                            cosine_from_norms(
-                                "q_emb", "cent", "q_norm", "cent_norm"
-                            ),
-                            6,
-                        )
-                    ),
-                    F.asc("cell_id"),
-                )
-            ),
+        .groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(probe_item)), 1, n_probe
+            ).alias("_top"),
+            F.first("q_emb").alias("q_emb"),
+            F.first("q_norm").alias("q_norm"),
         )
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "q_emb", "q_norm", "cell_id")
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            F.explode("_top._cid").alias("cell_id"),
+        )
     )
     scored = assigned.join(F.broadcast(probes), "cell_id").select(
         "query_id",

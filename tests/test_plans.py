@@ -98,6 +98,20 @@ def test_reference_queries_hash_aggregate_only(spark):
         assert "HashAggregate" in plan, f"{name}:\n{plan}"
 
 
+def test_knn_ranking_tail_is_two_phase_topk(spark):
+    """The kNN ranking tail must be the two-phase sort_array/slice
+    top-k (partial per (input partition, query), then merge) — never a
+    row_number window, which would shuffle every scored candidate to
+    ONE task per query and full-sort it there. Window-free is the
+    assertable signature: the only sorts left are per-group
+    sort_array()s inside hash aggregates."""
+    for name in ("sim_knn_brute_force", "sim_knn_lsh_bucketed",
+                 "sim_knn_ivf"):
+        plan = formatted_plan(specs()[name].fn(spark, SF_SMOKE))
+        assert "Window" not in plan, f"{name}:\n{plan}"
+        assert "SortAggregate" not in plan, f"{name}:\n{plan}"
+
+
 def test_ivf_assignment_is_hash_agg_with_broadcast_codebook(spark):
     """IVF cell assignment must be: broadcast codebook (map-side cross)
     + two-phase hash aggregation for the arg-max — no window sort over
