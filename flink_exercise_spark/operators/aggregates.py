@@ -456,8 +456,11 @@ def q_a6_top3(spark, sf_dir):
 
 @register(
     "events_type_stats",
-    # priority=0 (r5 rotation): restored; see a2_count_events.
-    priority=0,
+    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
+    # slot so the r5-demoted entries return to the driver window and
+    # the newly-oracled mm_resize_thumbs fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted.
+    priority=1,
     oracle="""
     SELECT event_type, count(*) AS n_events,
            round(avg(value), 4) AS avg_value,
@@ -524,8 +527,11 @@ def q_running_counts(spark, sf_dir):
 
 @register(
     "events_json_props",
-    # priority=0 (r5 rotation): restored; see a2_count_events.
-    priority=0,
+    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
+    # slot so the r5-demoted entries return to the driver window and
+    # the newly-oracled mm_resize_thumbs fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted.
+    priority=1,
     oracle="""
     SELECT event_type,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)

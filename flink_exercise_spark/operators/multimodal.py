@@ -78,6 +78,16 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _nonempty(with_payload: DataFrame) -> DataFrame:
+    """Drop empty payloads before any decode query: the stub codecs
+    raise on an empty payload (the documented real-decoder seam), so
+    the registered decode queries exclude them — and their oracles
+    carry the matching ``WHERE octet_length(encode(text)) > 0`` so
+    engine and oracle agree on the domain instead of one crashing
+    where the other emits a row (pinned in tests/test_multimodal.py)."""
+    return with_payload.filter(F.length("payload") > 0)
+
+
 def binary_metadata(with_payload: DataFrame) -> DataFrame:
     """Cheap JVM-side metadata over binary payloads (no decode).
 
@@ -327,6 +337,7 @@ def q_binary_meta(spark, sf_dir):
       SELECT doc_id, md5(text) AS hx,
              CAST(octet_length(encode(text)) AS INT) AS n_bytes
       FROM documents
+      WHERE octet_length(encode(text)) > 0
     )
     SELECT doc_id, n_bytes, 'fake/raw' AS format,
            CAST(64 + ('0x' || substr(hx, 1, 2))::INT % 192 AS INT) AS width,
@@ -341,7 +352,7 @@ def q_binary_meta(spark, sf_dir):
 )
 def q_decode_features(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
-    return decode_features(attach_binary_payload(docs))
+    return decode_features(_nonempty(attach_binary_payload(docs)))
 
 
 @register(
@@ -355,6 +366,7 @@ def q_decode_features(spark, sf_dir):
              8 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 120
                AS n_frames
       FROM documents
+      WHERE octet_length(encode(text)) > 0
     )
     SELECT doc_id,
            CAST(fi AS INT) AS frame_idx,
@@ -368,15 +380,13 @@ def q_decode_features(spark, sf_dir):
 )
 def q_frame_sample(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
-    return frame_sample(attach_binary_payload(docs))
+    return frame_sample(_nonempty(attach_binary_payload(docs)))
 
 
 @register(
     "mm_audio_energy",
-    # priority=1 (r5 rotation): driver-green in r4; takes the rotation
-    # slot so the r4-demoted entries return to the driver window
-    # (see registry._ordered).
-    priority=1,
+    # Promoted back for r6 (demoted in r5, driver-green r4): the
+    # rotation contract requires a driver pass within two rounds.
     # The fake prober's arithmetic (md5-derived rate/window count,
     # integer window timestamps, md5-derived energy stand-in) is
     # reproduced exactly in SQL, so this Pandas-UDF fan-out op is
@@ -390,6 +400,7 @@ def q_frame_sample(spark, sf_dir):
              1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT)
                AS n_windows
       FROM documents
+      WHERE octet_length(encode(text)) > 0
     )
     SELECT doc_id,
            CAST(wi AS INT) AS window_idx,
@@ -407,22 +418,55 @@ def q_frame_sample(spark, sf_dir):
 )
 def q_audio_energy(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
-    return audio_window_energy(attach_binary_payload(docs))
+    return audio_window_energy(_nonempty(attach_binary_payload(docs)))
 
 
 @register(
     "mm_resize_thumbs",
-    # Rows-only by nature: the output's `thumb` column is BINARY, and
-    # the cross-engine value-hash has no stable text rendering for
-    # blobs (Spark bytes vs DuckDB BLOB stringify differently). The
-    # scalar columns' arithmetic is the same md5-byte construction
-    # mm_decode_features value-checks; the binary round-trip itself is
-    # pinned by tests/test_multimodal.py.
-    oracle=None,
+    # Value-oracled since r6 (was rows-only): the registered form
+    # renders the BINARY thumb as lowercase hex — the cross-engine
+    # hash has no stable text rendering for raw blobs, but hex(thumb)
+    # is deterministic text, and the fake re-encode IS md5(payload),
+    # so DuckDB's md5(text) (lowercase hex of the same bytes) is its
+    # exact twin. The dims reproduce the fake-resize float arithmetic
+    # step for step (64.0/greatest first, then multiply, then trunc —
+    # IEEE doubles agree bit-for-bit when the operation order does).
+    # The binary round-trip itself stays pinned by
+    # tests/test_multimodal.py; a real codec swap returns this entry
+    # to rows-only, by design.
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(text) AS hx
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ), d AS (
+      SELECT doc_id, hx,
+             64 + ('0x' || substr(hx, 1, 2))::INT % 192 AS w,
+             64 + ('0x' || substr(hx, 3, 2))::INT % 192 AS h
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(greatest(1, trunc(w * (64.0 / greatest(w, h)))) AS INT)
+             AS width,
+           CAST(greatest(1, trunc(h * (64.0 / greatest(w, h)))) AS INT)
+             AS height,
+           hx AS thumb_hex,
+           CAST(16 AS INT) AS thumb_bytes
+    FROM d
+    """,
     doc="Thumbnail resize: binary in -> binary out via mapInPandas "
-        "(stub codec, real Arrow round-trip)",
+        "(stub codec, real Arrow round-trip) — value-hash-checked via "
+        "a hex rendering of the fake re-encode plus an exact SQL twin "
+        "of the resize arithmetic",
     tags=("multimodal", "documents", "pandas-udf", "binary"),
 )
 def q_resize(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
-    return resize_images(attach_binary_payload(docs))
+    out = resize_images(_nonempty(attach_binary_payload(docs)))
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.lower(F.hex("thumb")).alias("thumb_hex"),
+        "thumb_bytes",
+    )

@@ -382,10 +382,8 @@ def _oracle(pattern: list[float], k: int = TOP_K, L: int = PATTERN_LEN) -> str:
 
 @register(
     "ts_pattern_search",
-    # priority=1 (r5 rotation): driver-green in r4; takes the rotation
-    # slot so the r4-demoted entries return to the driver window
-    # (see registry._ordered for the rotation policy).
-    priority=1,
+    # Promoted back for r6 (demoted in r5, driver-green r4): the
+    # rotation contract requires a driver pass within two rounds.
     oracle=_oracle(RAMP),
     doc="Time-series pattern similarity: top-20 per-user subsequences "
         "by z-normalized correlation with an upward-ramp query pattern "

@@ -121,3 +121,30 @@ def test_audio_window_energy_fanout(spark):
             assert r["sample_rate"] == rate
             assert r["ts_ms"] == r["window_idx"] * 1024 * 1000 // rate
             assert 0.0 <= r["energy"] <= 1.0
+
+
+def test_registered_decode_queries_drop_empty_payloads(spark, tmp_path):
+    """The stub codecs raise on empty payloads (the real-decoder seam);
+    the registered decode queries must therefore EXCLUDE empty docs —
+    and their oracles carry the matching WHERE clause — so the engine
+    never crashes where the oracle would emit a row (ADVICE r5)."""
+    import os
+
+    import pandas as pd
+
+    from flink_exercise_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    src = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    doctored = pd.concat(
+        [src.head(5), src.head(1).assign(doc_id=10_000_001, text="")],
+        ignore_index=True,
+    )
+    sf = str(tmp_path)
+    doctored.to_parquet(os.path.join(sf, "documents.parquet"))
+    for name in ("mm_decode_features", "mm_frame_sample",
+                 "mm_audio_energy", "mm_resize_thumbs"):
+        out = registry.specs()[name].fn(spark, sf)
+        ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+        assert 10_000_001 not in ids, f"{name} emitted the empty doc"
+        assert ids == set(src.head(5)["doc_id"]), name

@@ -28,25 +28,24 @@ def test_demoted_showcases_sort_last_within_oracled():
     specs = registry.specs()
     oracled = [n for n in _names() if specs[n].oracle is not None]
     demoted = [n for n in oracled if specs[n].priority > 0]
-    # Round-5 rotation: the five entries promoted in r4 (each now
-    # holding a driver-green pass in CORRECTNESS_r04) take the rotation
-    # slot so the five r4-demoted entries return to the driver window —
-    # every oracled entry then holds a driver pass within two rounds.
-    # cube_orders_status_priority, text_lang_profile and
-    # join_outer_order_counts (all green r3+r4) are demoted too so the
-    # newly-oracled dedup_simhash_near_pairs and mm_decode_features
-    # (rows-only before r5) and the new range_join_concurrent_events
-    # fit the window for their first hash-checked pass.
+    # Round-6 rotation: the nine entries demoted in r5 return to the
+    # driver window (their freshest driver pass is r4 — one more round
+    # out would break the 2-round bound); nine entries green in r5
+    # take the rotation slots, which also makes room for the
+    # newly-oracled mm_resize_thumbs (rows-only before r6) to collect
+    # its first hash-checked pass. text_lang_profile no longer exists
+    # as an entry — folded into text_language_id's output (registry
+    # capacity consolidation, VERDICT r5 item 4).
     assert set(demoted) == {
-        "ts_pattern_search",
-        "mm_audio_energy",
-        "sort_limit_top_orders",
-        "union_orders_and_purchases",
-        "scalar_functions_showcase",
-        "cube_orders_status_priority",
-        "text_lang_profile",
-        "join_outer_order_counts",
-        "grouping_sets_lineitem",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+        "tpch_q14_promo_revenue",
+        "join_semi_anti_customers",
+        "intersect_except_custkeys",
+        "events_type_stats",
+        "events_json_props",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 
