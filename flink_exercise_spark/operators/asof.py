@@ -127,6 +127,7 @@ def range_join_counts(
     band_secs: int = 60,
     ts: str = "ts",
     bin_cap: int | None = RANGE_BIN_CAP,
+    on_hot_bins: str = "drop",
 ) -> DataFrame:
     """Per-event concurrency: for each event, how many OTHER events
     (any key) occurred within ±``band_secs`` — a keyless band
@@ -152,18 +153,30 @@ def range_join_counts(
     scales linearly in events for a fixed rate. A burst-hot bin is
     the same skew bomb as a hot LSH bucket (10^6 events in one bin =
     5*10^11 pairs from one task) and gets the same treatment:
-    BUILD-side bins holding more than ``bin_cap`` events are dropped
-    from the join via an anti-join against the tiny hot-bin list
-    (``range_join_hot_bins`` is the audit channel; a capped burst's
-    internal concurrency is better answered by a per-bin COUNT than
-    by pair enumeration). The default cap (100k) is far above any
-    real per-band event rate at which per-pair output still makes
-    sense, and far above the fixtures' densest bin, so capped and
-    uncapped results agree and the oracle stays green.
+    BUILD-side bins holding more than ``bin_cap`` events are handled
+    per ``on_hot_bins`` —
+
+    - ``"drop"`` (library default): excluded via an anti-join against
+      the tiny hot-bin list; ``range_join_hot_bins`` is the audit
+      channel (a capped burst's internal concurrency is better
+      answered by a per-bin COUNT than by pair enumeration);
+    - ``"error"``: fail LOUDLY from inside the plan (``raise_error``
+      on the first build row of a hot bin, same idiom as the packed
+      arg-max's range guard) — the registered query's mode, because
+      its DuckDB oracle is uncapped: a silent drop on a burst-hot
+      fixture would surface as an inscrutable hash mismatch instead
+      of an actionable error naming the bin (ADVICE r5).
+
+    The default cap (100k) is far above any real per-band event rate
+    at which per-pair output still makes sense, and far above the
+    fixtures' densest bin, so capped and uncapped results agree and
+    the oracle stays green.
 
     Zero-neighbor events are kept with n_concurrent = 0 (left join
     back onto the input), so the output is exactly one row per event.
     """
+    if on_hot_bins not in ("drop", "error"):
+        raise ValueError(f"on_hot_bins must be drop|error, got {on_hot_bins!r}")
     us = F.unix_micros(F.col(ts))
     band_us = band_secs * 1_000_000
     # Integer `div`, not float division: epoch-micros magnitudes are
@@ -187,9 +200,38 @@ def range_join_counts(
             build.groupBy("_bin")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > bin_cap)
-            .select("_bin")
         )
-        build = build.join(hot, "_bin", "left_anti")
+        if on_hot_bins == "error":
+            # Hot list is tiny (usually empty) — broadcast left join,
+            # then raise from inside the plan on the first matched row.
+            build = (
+                build.join(F.broadcast(hot), "_bin", "left")
+                .withColumn(
+                    "_r_us",
+                    F.when(
+                        F.col("_n").isNotNull(),
+                        F.raise_error(
+                            F.concat(
+                                F.lit("range_join_counts: bin "),
+                                F.col("_bin"),
+                                F.lit(" holds "),
+                                F.col("_n"),
+                                F.lit(
+                                    f" events > bin_cap={bin_cap}; "
+                                    "pair enumeration inside a burst "
+                                    "this hot is the N^2 skew bomb — "
+                                    "answer it with a per-bin COUNT "
+                                    "(range_join_hot_bins) or raise "
+                                    "the cap deliberately"
+                                ),
+                            )
+                        ).cast("long"),
+                    ).otherwise(F.col("_r_us")),
+                )
+                .drop("_n")
+            )
+        else:
+            build = build.join(hot.select("_bin"), "_bin", "left_anti")
     pairs = probe.join(build, "_bin").filter(
         (F.abs(F.col("_r_us") - F.col("_us")) <= band_us)
         & (F.col("_r_id") != F.col("event_id"))
@@ -227,11 +269,16 @@ def range_join_counts(
     doc="Keyless band self-join (events within +/-60s of each other), "
         "re-expressed as a bin-bucketed equi-join — the rewrite that "
         "replaces Catalyst's BroadcastNestedLoopJoin for range "
-        "predicates without an equality key",
+        "predicates without an equality key. Registered in "
+        "on_hot_bins='error' mode: the oracle is uncapped, so a "
+        "burst-hot bin raises an actionable plan-side error instead "
+        "of silently undercounting into a hash mismatch",
     tags=("range-join", "join", "events", "temporal"),
 )
 def q_range_join(spark, sf_dir):
-    return range_join_counts(load_table(prep(spark), sf_dir, "events"))
+    return range_join_counts(
+        load_table(prep(spark), sf_dir, "events"), on_hot_bins="error"
+    )
 
 
 @register(

@@ -250,6 +250,18 @@ def pattern_search_bucketed(
     the bucket-level overlap frame holds ≤ L−1 bucket arrays. The
     emitted (key, offset, match_score) rows are identical to
     ``pattern_search``'s, so the same oracle checks this form.
+
+    Domain (narrower than the declarative reference form, stated
+    rather than latent — ADVICE r5): keys must be integral and
+    NULL-key rows are EXCLUDED (filtered below) — the numpy kernel
+    packs keys as int64, and a NULL series key identifies nothing
+    worth pattern-matching anyway. ``pattern_search`` tolerates NULL
+    keys, so the bit-equality contract (test_timeseries.py) holds on
+    the non-NULL-key subset. Bucket ids use floor division, so
+    pre-epoch timestamps bucket uniformly too (a truncate-toward-zero
+    day would merge the two days around the epoch — harmless for
+    correctness since concatenation order only needs monotonicity,
+    but floor keeps the buffer-bound story uniform).
     """
     import numpy as np
     from pyspark.sql import Window as W
@@ -258,13 +270,14 @@ def pattern_search_bucketed(
     L = len(pat)
 
     buckets = (
-        events.select(
+        events.filter(F.col(key).isNotNull())
+        .select(
             F.col(key).alias("_key"),
             F.col("ts").alias("_ts"),
             F.col(value).cast("double").alias("_v"),
-            (F.unix_timestamp("ts") / F.lit(bucket_secs))
-            .cast("long")
-            .alias("_day"),
+            F.floor(F.unix_timestamp("ts") / F.lit(bucket_secs)).alias(
+                "_day"
+            ),
         )
         .groupBy("_key", "_day")
         .agg(

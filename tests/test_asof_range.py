@@ -130,3 +130,27 @@ def test_plan_bin_rewrite_hash_joins_not_nested_loop(spark):
         "BroadcastNestedLoopJoin" in naive_plan
         or "CartesianProduct" in naive_plan
     )
+
+
+def test_hot_bin_error_mode_raises_loudly(spark):
+    """on_hot_bins='error' (the registered query's mode, since its
+    oracle is uncapped): a burst bin above the cap must raise an
+    actionable error from inside the plan, not silently undercount;
+    with no hot bin the mode is a no-op and matches drop mode."""
+    import pytest
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 30)
+    burst = [t0 + dt.timedelta(microseconds=i) for i in range(20)]
+    ev = _events(spark, burst)
+    hot = range_join_counts(ev, bin_cap=10, on_hot_bins="error")
+    with pytest.raises(Exception, match="bin_cap=10"):
+        hot.collect()
+    calm = {
+        r["event_id"]: r["n_concurrent"]
+        for r in range_join_counts(
+            ev, bin_cap=100, on_hot_bins="error"
+        ).collect()
+    }
+    assert all(calm[i] == 19 for i in range(20))
+    with pytest.raises(ValueError, match="drop|error"):
+        range_join_counts(ev, on_hot_bins="explode")

@@ -174,3 +174,38 @@ def test_bucketed_sparse_bucket_multi_day_straddle(spark):
     assert a == b
     # Window at offset 3 spans Jan 1 (3 values), Jan 2 (2), Jan 3 (3).
     assert any(r[1] == 3 for r in b)
+
+
+def test_bucketed_null_key_excluded_pre_epoch_ok(spark):
+    """The bucketed form's documented domain (ADVICE r5): NULL-key
+    rows are excluded (not crashed on), and pre-epoch timestamps
+    bucket via floor division — scores for a pre-epoch series match
+    the declarative form exactly."""
+    from flink_exercise_spark.operators.timeseries import (
+        pattern_search_bucketed,
+    )
+
+    ramp = [float(i) for i in range(PATTERN_LEN)]
+    rows = []
+    # Pre-epoch series for user 1 (1969), straddling a day boundary.
+    t0 = dt.datetime(1969, 12, 30, 23, 59, 55)
+    for i, v in enumerate(ramp + [3.0, 1.0]):
+        rows.append((i, t0 + dt.timedelta(seconds=i), 1, "view", v, "{}"))
+    # NULL-key rows: a full scoreable series that must NOT appear.
+    for i, v in enumerate(ramp):
+        rows.append(
+            (100 + i, dt.datetime(2024, 1, 1, 0, 0, i), None, "view", v, "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = pattern_search_bucketed(ev, bucket_secs=86400).collect()
+    assert got, "pre-epoch series produced no scores"
+    assert all(r["user_id"] == 1 for r in got)
+    exp = [
+        (r["user_id"], r["offset"], r["match_score"])
+        for r in pattern_search(ev.filter("user_id IS NOT NULL")).collect()
+    ]
+    assert [(r["user_id"], r["offset"], r["match_score"]) for r in got] == exp
