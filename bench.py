@@ -6,6 +6,15 @@ total wall-clock seconds.
 Timing protocol: one warm-up pass of a trivial action to absorb JVM/
 session start-up, then each query is executed once with a count()-style
 materialization (collect for small results) and timed individually.
+
+Same-day DuckDB control (VERDICT r5 item 1): after the Spark pass,
+each oracled query's DuckDB SQL runs IN THIS SAME PROCESS/RUN over the
+same parquet (threads = $SPARK_GRAFT_CPUS, fetchall materialization,
+min-of-3 — the BENCH_BASELINE.md protocol), and the JSON line carries
+`duckdb` wall-clocks and `ratio` per query and in total. This bakes
+the like-for-like comparison into every BENCH artifact so host-speed
+drift between rounds can never masquerade as an engine regression
+(both engines drift together). Disable with SPARK_GRAFT_DUCKDB=0.
 """
 
 from __future__ import annotations
@@ -124,18 +133,90 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_DUCKDB", "1") != "0":
+        duck_raw = _duckdb_control(
+            specs, names, timings, sf_dir, int(cpus), budget
         )
-    )
+        matched = [
+            n for n, v in duck_raw.items()
+            if v > 0 and timings.get(n, -1) >= 0
+        ]
+        duck_total = sum(duck_raw[n] for n in matched)
+        spark_matched = sum(timings[n] for n in matched)
+        out["duckdb"] = {
+            "value": round(duck_total, 4),
+            "unit": "sec",
+            "threads": int(cpus),
+            "queries": {n: round(v, 4) for n, v in duck_raw.items()},
+        }
+        out["ratio"] = {
+            # spark / duckdb over the SAME matched set, same run, same
+            # host minute — the number the <=2.0x bar reads.
+            "value": round(spark_matched / duck_total, 3)
+            if duck_total > 0
+            else None,
+            "spark_matched_total": round(spark_matched, 4),
+            "matched_queries": len(matched),
+            "queries": {
+                n: round(timings[n] / duck_raw[n], 3) for n in matched
+            },
+        }
+
+    print(json.dumps(out))
     spark.stop()
+
+
+def _duckdb_control(
+    specs, names, timings, sf_dir: str, threads: int, budget: float
+) -> dict[str, float]:
+    """Run each oracled query's DuckDB SQL in-process; return UNROUNDED
+    min-of-runs seconds per query (-1.0 on failure). Protocol matches
+    BENCH_BASELINE.md: threads pinned to the Spark core count, result
+    fully fetched, min of up to 3 passes, soft-budget degradation to
+    fewer passes on a loaded host (own budget window, so a slow Spark
+    pass cannot starve the control)."""
+    import duckdb
+
+    from flink_exercise_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={threads}")
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{path}'")
+
+    duck_start = time.perf_counter()
+    out: dict[str, float] = {}
+    for name in names:
+        sql = specs[name].oracle
+        if sql is None or timings.get(name, -1) < 0:
+            continue
+        try:
+            runs: list[float] = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = len(con.execute(sql).fetchall())
+                runs.append(time.perf_counter() - t0)
+                if time.perf_counter() - duck_start > budget:
+                    break
+            out[name] = min(runs)
+            print(
+                f"# duckdb {name}: {out[name]:.3f}s ({n} rows, "
+                f"{len(runs)} runs)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — control must not kill the bench
+            out[name] = -1.0
+            print(f"# duckdb {name}: FAILED {exc}", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":
