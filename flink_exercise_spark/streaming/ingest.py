@@ -1,0 +1,160 @@
+"""Streaming corpus ingest: the LLM-data-pipeline front door.
+
+A 100 TB training corpus is not loaded once — it ARRIVES, continuously,
+and the highest-leverage place to deduplicate is on ingest, before
+duplicate bytes are ever stored or shuffled again. This module gives
+the dedup family (operators/dedup.py) its streaming twins:
+
+- ``streaming_exact_dedup``: first-arrival-wins content dedup via the
+  keyed state store (``dropDuplicates`` on the content fingerprint) —
+  the streaming form of ``exact_dedup_map``'s grouping. Unbounded
+  state: one fingerprint per distinct text ever seen.
+- ``streaming_exact_dedup_bounded``: the production variant —
+  ``dropDuplicatesWithinWatermark`` over an ingest-time column bounds
+  the fingerprint state to the watermark horizon (at 100 TB/day the
+  unbounded store is the OOM; a horizon says "a duplicate arriving
+  >N hours late is re-admitted and left to the batch compaction pass",
+  the standard lambda-style contract).
+- ``stateful_canonical_docs``: a custom stateful operator
+  (``applyInPandasWithState``) maintaining per-fingerprint
+  (canonical_doc_id = running min, n_copies = running count) and
+  re-emitting on every change — Flink-style continuous emission. Its
+  converged output IS ``exact_dedup_map``'s batch result, which the
+  parity test pins (resolved read-side: n_copies is monotone per key,
+  so last-writer-wins = max n_copies).
+
+Semantics note (why first-arrival, not min-doc_id, for the built-in
+form): streaming dedup keeps whichever replica the stream delivers
+first — at ingest that IS the canonical choice (earliest arrival).
+The batch operator's min(doc_id) convention is deterministic for
+reprocessing; ``stateful_canonical_docs`` bridges the two (its state
+converges to min(doc_id) regardless of arrival order).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.session import prep
+
+
+def documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the documents fixture (documents carry
+    no event-time column; ingest-time semantics are supplied by the
+    caller where needed, see ``with_ingest_ts``)."""
+    prep(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
+
+def content_fingerprint() -> F.Column:
+    """The ingest dedup key: md5 of the raw text — the same
+    fingerprint ``exact_dedup_map`` groups on (operators/dedup.py), so
+    stream-side and batch-side dedup agree on what "duplicate" means."""
+    return F.md5("text")
+
+
+def with_ingest_ts(docs: DataFrame, ts_col: str = "ingest_ts") -> DataFrame:
+    """Attach a DETERMINISTIC stand-in ingest timestamp for fixtures
+    that lack one (doc_id-derived, monotone in doc_id). Production
+    streams carry a real ingest/commit timestamp; tests need the
+    deterministic one so watermark behavior is reproducible."""
+    return docs.withColumn(ts_col, F.timestamp_micros(F.col("doc_id")))
+
+
+def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
+    """First-arrival-wins content dedup on the keyed state store.
+    State: one row per distinct fingerprint, forever — correct for
+    bounded reprocessing; use the _bounded variant for continuous
+    ingest."""
+    return (
+        docs.withColumn("text_hash", content_fingerprint())
+        .dropDuplicates(["text_hash"])
+    )
+
+
+def streaming_exact_dedup_bounded(
+    docs: DataFrame,
+    horizon: str = "1 hour",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Bounded-state ingest dedup: fingerprints older than the
+    watermark horizon are evicted, so state ~ (ingest rate x horizon),
+    not corpus size. A duplicate arriving beyond the horizon is
+    re-admitted — the documented contract: stream-side dedup bounds
+    the DOMINANT (near-in-time) duplication; the periodic batch
+    ``exact_dedup_map`` compaction owns the long tail."""
+    return (
+        docs.withWatermark(ts_col, horizon)
+        .withColumn("text_hash", content_fingerprint())
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
+def stateful_canonical_docs(docs: DataFrame) -> DataFrame:
+    """Custom stateful canonical-id maintenance: per fingerprint,
+    state = (min doc_id so far, copies so far); every micro-batch that
+    touches a key re-emits its current (text_hash, canonical_doc_id,
+    n_copies) — continuous emission, resolved downstream by
+    last-writer-wins (n_copies is strictly monotone per key).
+
+    This is the arbitrary-state escape hatch doing what
+    ``dropDuplicates`` cannot: maintaining an AGGREGATE per key
+    (running min + count) with arrival-order-independent convergence.
+    State size: 2 longs per distinct fingerprint."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        best = state.get[0] if state.exists else None
+        n = state.get[1] if state.exists else 0
+        changed = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            lo = int(pdf["doc_id"].min())
+            n += len(pdf)
+            changed = True
+            if best is None or lo < best:
+                best = lo
+        if changed:
+            state.update((best, n))
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "text_hash": [key[0]],
+                    "canonical_doc_id": [best],
+                    "n_copies": [n],
+                }
+            )
+
+    keyed = docs.select(
+        content_fingerprint().alias("text_hash"), "doc_id"
+    ).groupBy("text_hash")
+    return keyed.applyInPandasWithState(
+        fn,
+        outputStructType="text_hash string, canonical_doc_id long, "
+                         "n_copies long",
+        stateStructType="min_doc_id long, n_copies long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def resolve_canonical(emissions: DataFrame) -> DataFrame:
+    """Last-writer-wins over ``stateful_canonical_docs`` emissions:
+    n_copies is strictly monotone per key, so max_by on it recovers
+    each key's final state — one two-phase HashAggregate, the same
+    read-side-reduce shape as ForeachBatchTopHost."""
+    return emissions.groupBy("text_hash").agg(
+        F.max_by("canonical_doc_id", "n_copies").alias("canonical_doc_id"),
+        F.max("n_copies").alias("n_copies"),
+    )
