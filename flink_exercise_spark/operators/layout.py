@@ -1,0 +1,150 @@
+"""Storage layout for scan pruning: z-order (Morton) clustering.
+
+At 100 TB the fastest scan is the one that never happens: parquet
+row-group min/max statistics let the reader skip whole row groups when
+a pushed-down predicate cannot match them — but only if the WRITE
+layout makes the statistics tight. A single-column sort gives perfect
+skipping on that column and none on any other; interleaving the bits
+of several columns (z-order / Morton curve) gives good-not-perfect
+locality on ALL of them at once — the standard multi-dimensional
+clustering trade (Delta's OPTIMIZE ZORDER BY, and the space-filling-
+curve literature in PAPERS.md).
+
+Spark-first shape: the z-value is a pure JVM Column expression (bit
+shifts and masks inside whole-stage codegen — no UDF), the layout job
+is ``repartitionByRange(z).sortWithinPartitions(z)`` (one range
+shuffle, the write stays distributed), and the payoff needs no reader
+cooperation beyond what Catalyst already does: pushed-down filters +
+parquet row-group stats. ``rowgroup_skip_stats`` reads the parquet
+footers and reports the skip fraction — the measurable evidence.
+
+Binning: each dimension is quantile-binned via ``approx_percentile``
+boundaries (size-balanced bins regardless of value skew — min-max
+affine mapping would let one hot key stretch a dimension and starve
+the others' bits). The boundary array is tiny (2^bits - 1 doubles per
+column) and rides into the expression as a broadcast literal via
+``width_bucket``. One aggregation pass over the data computes all
+columns' boundaries together; layout jobs are rare, offline, and
+amortized over every subsequent scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(cols: list[Column], bits: int) -> Column:
+    """Morton code: bit i of column j lands at position i*n + j.
+    Generic over the column count; total width n*bits must fit a
+    BIGINT. Inputs must already be non-negative ints < 2^bits (the
+    binned output of ``zorder_value``)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds BIGINT")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        c = c.cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> DataFrame:
+    """Attach ``_zvalue``: quantile-bin each dimension into 2^bits
+    size-balanced buckets, then interleave the bucket indices. One
+    aggregate pass computes every column's boundaries (collected to
+    the driver as 2^bits-1 scalars per column — layout-job model
+    state, not data)."""
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    aggs = [
+        F.expr(
+            f"approx_percentile(cast(`{c}` as double), "
+            f"array({','.join(str(p) for p in probs)}))"
+        ).alias(c)
+        for c in cols
+    ]
+    bounds = df.agg(*aggs).collect()[0]
+    binned = []
+    for c in cols:
+        bs = [b for b in (bounds[c] or []) if b is not None]
+        if not bs:
+            binned.append(F.lit(0))
+            continue
+        # de-duplicated boundaries (approx_percentile repeats a value
+        # when a bucket's mass sits on one point); bucket index =
+        # #boundaries <= value, a JVM-side HOF over the tiny literal
+        # array (Spark's width_bucket is the uniform 4-arg form only).
+        # The index is then RESCALED to span the full 2^bits range: a
+        # low-cardinality dimension (say 15 distinct values) otherwise
+        # fills only its low bits, and the interleave degenerates to
+        # a sort on whichever dimension reaches the high bits —
+        # exactly the failure z-order exists to avoid.
+        uniq = sorted(set(bs))
+        arr = "array(" + ",".join(repr(b) for b in uniq) + ")"
+        k = len(uniq)
+        # lambda variable deliberately obscure: a bare name like `b`
+        # would SHADOW a data column of the same name inside the HOF
+        # (lambda scope wins), silently binning that column against
+        # itself
+        binned.append(
+            F.expr(
+                f"cast(size(filter({arr}, _zob -> _zob <= cast(`{c}` as "
+                f"double))) * {(1 << bits) - 1} div {k} as int)"
+            )
+        )
+    return df.withColumn("_zvalue", interleave_bits(binned, bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+) -> None:
+    """The layout job: range-partition on the z-value (so files hold
+    contiguous curve segments), sort within each partition (so row
+    groups inside a file are tight too), write plain parquet. Readers
+    need nothing special — pushed-down predicates + footer stats do
+    the skipping."""
+    (
+        zorder_value(df, cols, bits)
+        .repartitionByRange(num_files, "_zvalue")
+        .sortWithinPartitions("_zvalue")
+        .drop("_zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def rowgroup_skip_stats(
+    path: str, col: str, lo, hi
+) -> dict[str, int]:
+    """Read the parquet footers under ``path`` and report how many row
+    groups a ``col BETWEEN lo AND hi`` scan must touch — the direct
+    measure of what the layout bought. (pyarrow footer read: metadata
+    only, no data pages.)"""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    total = touched = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or not st.has_min_max:
+                touched += 1  # no stats -> cannot skip
+            elif not (st.max < lo or st.min > hi):
+                touched += 1
+    return {"row_groups": total, "touched": touched}
