@@ -48,6 +48,62 @@ DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def cluster_conf(
+    executors: int = 1000,
+    executor_cores: int = 4,
+    executor_mem_gb: int = 16,
+    input_tb: float = 100.0,
+) -> dict[str, str]:
+    """The spark-submit profile for the target deployment (1000
+    executors / 100 TB), derived from the same sizing rules SCALE.md
+    documents per operator family — returned as a conf dict so a
+    deployment can `--conf` it verbatim and tests can pin the
+    arithmetic.
+
+    Sizing rules (all standard public Spark practice):
+    - shuffle.partitions targets ~128 MB of post-shuffle data per task
+      assuming shuffle volume ~ input volume, floored at 2 tasks per
+      core so a light stage still fills the cluster; AQE coalesces
+      runtime excess, so erring high is safe.
+    - maxPartitionBytes stays 128 MB: scan parallelism then tracks
+      input size automatically (100 TB -> ~800k scan tasks, fine —
+      task launch is ~ms; tiny-partition overhead is what AQE
+      coalescing removes).
+    - Kryo + RocksDB state store + changelog checkpointing: the
+      streaming jobs' state outgrows the default HDFS-backed heap
+      store at this scale.
+    - 10% memory overhead for the Arrow/Python workers the
+      Pandas-UDF operators (simhash, multimodal, kmeans) spawn.
+    """
+    total_cores = executors * executor_cores
+    target_task_mb = 128
+    shuffle_parts = max(
+        2 * total_cores, int(input_tb * 1024 * 1024 / target_task_mb)
+    )
+    return {
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.executor.memoryOverheadFactor": "0.10",
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing."
+        "enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.dynamicAllocation.enabled": "false",
+    }
+
+
 def get_spark(
     app_name: str = "flink-exercise-spark",
     master: str | None = None,
