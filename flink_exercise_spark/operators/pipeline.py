@@ -164,16 +164,75 @@ def hash_split_expr(key: str = "doc_id") -> F.Column:
     )
 
 
+# Data-mixing rates per language stratum (upsample-by-keeping-all vs
+# downsample), in 1/MIX_RESOLUTION units so the keep test is an exact
+# integer compare on both engines. The salt decorrelates the sampling
+# hash from the split hash: a document's split and its mixing fate
+# must be independent coin flips or the sampled corpus skews.
+MIX_RESOLUTION = 10_000
+MIX_RATES = {"en": 10_000, "zh": 5_000, "de": 5_000, "es": 2_500, "fr": 2_500}
+MIX_DEFAULT = 1_000
+MIX_SALT = "mix-v1"
+
+
+def mix_keep_expr(
+    rates: dict[str, int] | None = None,
+    default: int = MIX_DEFAULT,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    salt: str = MIX_SALT,
+) -> F.Column:
+    """Deterministic stratified sampling: keep a row iff
+    ``md5(salt || key) mod MIX_RESOLUTION < rates[stratum]``. Same
+    stability contract as ``hash_split_expr`` (partition-layout- and
+    engine-independent, unlike ``df.sample``), which is what makes
+    per-language data-mixing weights reproducible across corpus
+    versions at 100 TB: a document's fate depends only on its key and
+    the salt, so re-running after appending new data never resamples
+    old data."""
+    rates = MIX_RATES if rates is None else rates
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % MIX_RESOLUTION
+    threshold = F.lit(default)
+    for s, r in sorted(rates.items()):
+        threshold = F.when(F.col(stratum) == s, F.lit(r)).otherwise(threshold)
+    return bucket < threshold
+
+
+def stratified_sample(docs: DataFrame, **kwargs) -> DataFrame:
+    """The sampled corpus itself (filter form of ``mix_keep_expr``)."""
+    return docs.filter(mix_keep_expr(**kwargs))
+
+
 def split_profile(docs: DataFrame) -> DataFrame:
-    """Corpus accounting per (split, lang): doc and char budgets."""
+    """Corpus accounting per (split, lang): doc and char budgets, plus
+    what the stratified data-mixing pass would keep — split assignment
+    and mixing selection computed in the same single hash-agg plan."""
+    keep = mix_keep_expr()
     return (
         docs.withColumn("split", hash_split_expr())
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
+            F.sum(keep.cast("long")).alias("n_sampled"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "sampled_chars"
+            ),
         )
     )
+
+
+def _mix_threshold_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {MIX_DEFAULT} END"
 
 
 @register(
@@ -182,7 +241,11 @@ def split_profile(docs: DataFrame) -> DataFrame:
     WITH b AS (
       SELECT *,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) % 100 AS bucket
+                  AS BIGINT) % 100 AS bucket,
+             CAST(('0x' || substr(md5('{MIX_SALT}' ||
+                                      CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {MIX_RESOLUTION} < {_mix_threshold_sql()}
+               AS keep
       FROM documents
     )
     SELECT CASE WHEN bucket < {SPLIT_PCT["train"]} THEN 'train'
@@ -190,11 +253,17 @@ def split_profile(docs: DataFrame) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sampled_chars
     FROM b GROUP BY 1, 2
     """,
     doc="Deterministic content-hash train/val/test split profile "
-        "(md5 mod 100 — stable across runs/engines/partitionings)",
+        "(md5 mod 100 — stable across runs/engines/partitionings) + "
+        "salted per-language stratified data-mixing accounting in the "
+        "same hash-agg pass",
     tags=("pipeline", "documents", "sampling"),
 )
 def q_hash_split(spark, sf_dir):

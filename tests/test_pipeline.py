@@ -57,3 +57,70 @@ def test_hash_split_stable_under_layout(spark):
     from collections import Counter
     c = Counter(a.values())
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_stratified_mix_deterministic_and_rate_accurate(spark):
+    """Mixing selection is a pure function of (salt, key, stratum rate):
+    layout-independent, append-stable (old keys keep their fate when
+    new data arrives), and hits each stratum's rate within sampling
+    tolerance."""
+    from flink_exercise_spark.operators.pipeline import (
+        mix_keep_expr,
+        stratified_sample,
+    )
+
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 2 == 0, "en").otherwise("fr"),
+        )
+    )
+    kept_a = {r["doc_id"] for r in stratified_sample(df).collect()}
+    kept_b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(11).sortWithinPartitions(F.desc("doc_id"))
+        ).collect()
+    }
+    assert kept_a == kept_b
+    # append stability: the first half's fate is unchanged by the rest
+    kept_half = {
+        r["doc_id"]
+        for r in stratified_sample(df.filter(F.col("doc_id") < 2000)).collect()
+    }
+    assert kept_half == {k for k in kept_a if k < 2000}
+    # rates: en keeps everything (10000/10000); fr ~ 2500/10000
+    en = [k for k in kept_a if k % 2 == 0]
+    fr = [k for k in kept_a if k % 2 == 1]
+    assert len(en) == 2000
+    assert 2000 * 0.25 * 0.7 < len(fr) < 2000 * 0.25 * 1.3
+    # unknown stratum falls to the default rate (1000/10000)
+    other = df.withColumn("lang", F.lit("xx"))
+    n_other = other.filter(mix_keep_expr()).count()
+    assert 4000 * 0.1 * 0.5 < n_other < 4000 * 0.1 * 1.5
+
+
+def test_mix_hash_independent_of_split_hash(spark):
+    """The salt decorrelates mixing from split assignment: within the
+    sampled fr stratum, the train/val/test proportions must stay near
+    80/10/10 (a shared hash would correlate the two decisions and skew
+    the sampled splits)."""
+    from flink_exercise_spark.operators.pipeline import (
+        hash_split_expr,
+        stratified_sample,
+    )
+
+    df = (
+        spark.range(0, 20000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.lit("fr"))
+    )
+    sampled = stratified_sample(df).withColumn("split", hash_split_expr())
+    counts = {
+        r["split"]: r["n"]
+        for r in sampled.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert 0.74 < counts["train"] / total < 0.86
