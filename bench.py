@@ -25,6 +25,35 @@ import sys
 import time
 
 
+def materialize(df) -> int:
+    """Force computation of the FULL query result, engine-side.
+
+    ``df.count()`` is NOT that: Catalyst prunes whatever the count does
+    not need — measured on the keyless band join, whose ``.count()``
+    collapsed to a bare parquet scan (``ReadSchema: struct<>``, join
+    eliminated because a left join against a unique-keyed side
+    preserves row count), and the same pruning applies to any
+    window-function tail. count + an xxhash64 checksum over every
+    output column defeats pruning (the hash consumes each value) while
+    keeping the reduction in-engine — the Spark analogue of the DuckDB
+    control's fetchall. bit_xor (not sum) folds the hashes: sum of
+    64-bit hashes overflows under ANSI mode. Returns the row count."""
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    try:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*cols)).alias("chk"),
+        ).collect()[0]
+    except Exception:  # noqa: BLE001 — type unsupported by xxhash64
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.to_json(F.struct(*cols)))).alias("chk"),
+        ).collect()[0]
+    return row["n"]
+
+
 HEADLINE = [
     "ref_q1_top_host",
     "ref_q2_distinct_hosts",
@@ -109,7 +138,7 @@ def main() -> None:
             for attempt in range(3):
                 t0 = time.perf_counter()
                 df = specs[name].fn(spark, sf_dir)
-                n = df.count()
+                n = materialize(df)
                 runs.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
                 if time.perf_counter() - start > budget:

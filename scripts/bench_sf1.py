@@ -50,7 +50,9 @@ def spark_side() -> dict[str, float]:
             runs = []
             for _ in range(RUNS):
                 t0 = time.perf_counter()
-                n = spec.fn(spark, SF1).count()
+                from bench import materialize
+
+                n = materialize(spec.fn(spark, SF1))
                 runs.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
                 if time.perf_counter() - start > BUDGET:

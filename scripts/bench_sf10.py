@@ -66,7 +66,9 @@ def spark_side() -> dict[str, dict[str, float]]:
                 runs = []
                 for _ in range(RUNS):
                     t0 = time.perf_counter()
-                    n = specs[name].fn(spark, sf_dir).count()
+                    from bench import materialize
+
+                    n = materialize(specs[name].fn(spark, sf_dir))
                     runs.append(time.perf_counter() - t0)
                     spark.catalog.clearCache()
                     if time.perf_counter() - start > BUDGET:
@@ -138,7 +140,10 @@ def main() -> None:
                   file=sys.stderr)
             sys.exit(1)
     spark_t = spark_side()
-    duck_t = duckdb_side(OPS)
+    if os.environ.get("SPARK_GRAFT_SKIP_DUCK", "0") == "1":
+        duck_t = {n: {"sf10": None, "note": "skipped"} for n in OPS}
+    else:
+        duck_t = duckdb_side(OPS)
     report = {}
     for n in OPS:
         s1, s10 = spark_t[n].get("sf1", -1), spark_t[n].get("sf10", -1)
