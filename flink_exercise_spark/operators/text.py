@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from flink_exercise_spark.registry import register
 from flink_exercise_spark.session import prep
-from flink_exercise_spark.sources.tables import load_table
+from flink_exercise_spark.sources.tables import load_table, spread
 
 # Marker stopwords per language for the n-gram/keyword heuristic
 # language-ID. Deterministic across engines; precedence order breaks
@@ -35,6 +35,14 @@ STOPWORDS = LANG_MARKERS["en"]
 # BPE-ish pre-tokenizer: word pieces or single non-word-non-space marks.
 # Linear-time in both Java regex and RE2.
 BPE_TOKEN_PATTERN = r"\w+|[^\w\s]"
+
+# PII patterns — the subset expressible identically in Java regex
+# (Spark) and RE2 (DuckDB): character classes, \b, bounded repeats.
+# Scrub order is load-bearing (URLs may embed user@host, so URLs are
+# replaced first) and identical on both engines.
+URL_PATTERN = r"https?://\S+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
 def tokens_expr(text: str | Column = "text") -> Column:
@@ -161,6 +169,123 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def _nonblank_lines(text: str | Column = "text") -> Column:
+    """Trimmed non-blank lines of a document."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition features, per document:
+
+    - ``dup_line_ratio``: fraction of non-blank lines that are repeats
+      of an earlier line (boilerplate/navigation detector);
+    - ``top_bigram_ratio``: occurrences of the most frequent word
+      bigram over all bigram slots (stuck-in-a-loop detector).
+
+    Pure Column expressions (projection, no shuffle). The bigram and
+    line arrays are BOUND in a staging projection before the fold —
+    Catalyst does not CSE through HOF lambdas, so folding over the raw
+    ``shingles`` expression rebuilds the whole bigram list per distinct
+    bigram (measured: 9.1 s -> 0.8 s on the sf0.1 corpus). The fold
+    itself is O(distinct x total) per document — right for
+    web-document sizes where both are O(100s); for book-length
+    documents use the exploded groupBy form
+    (``top_ngram_ratio_exploded``), which trades a shuffle for
+    per-row linearity.
+    """
+    staged = docs.select(
+        "doc_id",
+        _nonblank_lines().alias("_lines"),
+        shingles_from_tokens(tokens_expr(), 2).alias("_bg"),
+    )
+    return staged.select(
+        "doc_id",
+        dup_line_ratio_expr(F.col("_lines")).alias("dup_line_ratio"),
+        top_bigram_ratio_expr(F.col("_bg")).alias("top_bigram_ratio"),
+    )
+
+
+def dup_line_ratio_expr(lines: Column) -> Column:
+    """Repeated-line fraction over a BOUND non-blank-lines column
+    (see ``_nonblank_lines``)."""
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.round(1 - F.size(F.array_distinct(lines)) / n, 4),
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_ratio_expr(bg: Column) -> Column:
+    """Most-frequent-bigram share of all bigram slots. ``bg`` must be
+    a BOUND bigram-array column, not a ``shingles_from_tokens(...)``
+    expression — the fold references it per distinct element and
+    Catalyst does not CSE through the lambda (see repetition_stats)."""
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda g: F.size(F.filter(bg, lambda x: x == g)),
+        )
+    )
+    return F.when(
+        F.size(bg) > 0, F.round(top / F.size(bg), 4)
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_ratio_exploded(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Shuffle-based twin of ``top_bigram_ratio_expr`` for documents
+    too large for the per-row HOF fold: explode n-grams, count per
+    (doc, gram) with map-side combine, take the per-doc max. Cost is
+    one shuffle of (doc_id, gram-hash) pairs; per-row work is linear
+    in document length. Equality with the HOF form is pinned in
+    tests/test_text_quality.py."""
+    toked = docs.select("doc_id", tokens_expr().alias("_toks"))
+    grams = toked.select(
+        "doc_id",
+        F.size(F.col("_toks")).alias("_ntok"),
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "_ntok", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / (F.first("_ntok") - (n - 1)), 4).alias(
+            f"top_{n}gram_ratio"
+        )
+    )
+
+
+def scrub_pii(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Replace URLs, emails, and IPv4 literals with typed placeholder
+    tokens; emit match counts per category. URL first (emails embedded
+    in URL userinfo must not double-fire), then email, then IP."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, URL_PATTERN, "<URL>"),
+            EMAIL_PATTERN,
+            "<EMAIL>",
+        ),
+        IPV4_PATTERN,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(URL_PATTERN), 0)).alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), 0)).alias(
+            "n_ipv4"
+        ),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
 def bpe_token_counts(docs: DataFrame) -> DataFrame:
     """Token counting with a BPE-style pre-tokenizer regex (word pieces
     + punctuation marks) — the unit LLM data pipelines budget by."""
@@ -173,38 +298,96 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
 
 _ORACLE_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
+# SQL twin of the non-blank-lines array (DuckDB list HOFs). The bigram
+# twin is built inline in the text_stats oracle FROM the bound token
+# column — see the CTE comment there; a module-level string that
+# textually embeds the tokenizer would re-split the document per bigram
+# (range(a,b) is half-open, so indices 1..len-1 match the 1-based
+# construction shingles_from_tokens uses).
+_ORACLE_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    "x -> trim(x)), x -> x != '')"
+)
+
 
 @register(
     "text_stats",
     # Token statistics AND C4/Gopher-style quality features in one
     # per-document pass — the columns every pre-training corpus filter
-    # thresholds over.
+    # thresholds over. Round 6 adds the Gopher repetition features
+    # (duplicate-line fraction, top-bigram share) as two more columns
+    # of the same projection — consolidation, no new registry slot.
+    # The oracle states top_bigram_ratio as a LINEAR unnest + GROUP BY
+    # (not the engine's per-row HOF fold): DuckDB re-evaluates a list
+    # expression per lambda reference, which turns the folded form
+    # quadratic-with-a-list-rebuild (measured 612 s at sf0.1 vs 0.9 s
+    # for this formulation) — same answer, stated scan-shaped.
     oracle=f"""
-    SELECT doc_id,
+    WITH toked AS (
+      SELECT doc_id, text, {_ORACLE_TOKS} AS T, {_ORACLE_LINES} AS LN
+      FROM documents
+    ), staged AS (
+      -- BG built from the BOUND T column (not the split expression):
+      -- DuckDB materializes CTE columns once, so each bigram indexes
+      -- the token array instead of re-splitting the document
+      -- (measured 10 s -> 0.9 s at sf0.1).
+      SELECT doc_id, text, T, LN,
+             list_transform(range(1, len(T)),
+                            i -> T[i] || ' ' || T[i+1]) AS BG
+      FROM toked
+    ), topbg AS (
+      SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS nbg
+      FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(BG) AS g FROM staged)
+        GROUP BY 1, 2
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
            length(text) AS n_chars_calc,
-           len({_ORACLE_TOKS}) AS n_tokens,
-           len(list_distinct({_ORACLE_TOKS})) AS n_distinct_tokens,
+           len(T) AS n_tokens,
+           len(list_distinct(T)) AS n_distinct_tokens,
            round(length(regexp_replace(trim(text), '\\s', '', 'g'))
-                 / len({_ORACLE_TOKS}), 4) AS avg_token_len,
-           round(len(list_filter({_ORACLE_TOKS},
-                 t -> t IN {STOPWORDS!r})) / len({_ORACLE_TOKS}), 4)
+                 / len(T), 4) AS avg_token_len,
+           round(len(list_filter(T,
+                 t -> t IN {STOPWORDS!r})) / len(T), 4)
              AS stopword_ratio,
            round((length(text) - length(regexp_replace(text, '[^\\w\\s]',
                  '', 'g'))) / length(text), 4) AS punct_ratio,
-           round(len(list_distinct({_ORACLE_TOKS}))
-                 / len({_ORACLE_TOKS}), 4) AS lexical_diversity
-    FROM documents
+           round(len(list_distinct(T)) / len(T), 4) AS lexical_diversity,
+           CASE WHEN len(LN) > 0
+                THEN round(1 - len(list_distinct(LN)) / len(LN), 4)
+                ELSE 0.0 END AS dup_line_ratio,
+           CASE WHEN t.nbg > 0
+                THEN round(t.topc / t.nbg, 4)
+                ELSE 0.0 END AS top_bigram_ratio
+    FROM staged s LEFT JOIN topbg t USING (doc_id)
     """,
     doc="Per-document token statistics + C4/Gopher-style quality "
-        "features (length, stopword/punct ratios, lexical diversity)",
+        "features (length, stopword/punct ratios, lexical diversity, "
+        "duplicate-line and top-bigram repetition)",
     tags=("text", "documents", "quality"),
 )
 def q_text_stats(spark, sf_dir):
-    docs = load_table(prep(spark), sf_dir, "documents")
-    # Bind the token array once: the lambda-bearing features below are
-    # outside whole-stage-codegen subexpression elimination, so passing
-    # raw split(...) expressions would re-tokenize per reference.
+    # spread: the bigram fold is the one CPU-heavy projection in the
+    # text family (O(distinct x total) per doc) — a single-file corpus
+    # must not run it on one core (measured 2.1 s -> 0.8 s at sf0.1;
+    # no-op at scale where the scan already splits).
+    docs = spread(load_table(prep(spark), sf_dir, "documents"))
+    # Bind the token array ONCE, and likewise the line and bigram
+    # arrays: the lambda-bearing features below are outside
+    # whole-stage-codegen subexpression elimination, so passing raw
+    # split(...)/shingle expressions re-evaluates them per lambda
+    # reference (measured: the top-bigram fold over an unbound bigram
+    # expression cost 9.1 s vs 0.8 s bound, sf0.1).
     toked = docs.select("doc_id", "text", tokens_expr().alias("_toks"))
+    staged = toked.select(
+        "doc_id",
+        "text",
+        "_toks",
+        _nonblank_lines().alias("_lines"),
+        shingles_from_tokens(F.col("_toks"), 2).alias("_bg"),
+    )
     toks = F.col("_toks")
     n_tokens = F.size(toks)
     token_chars = F.length(F.regexp_replace(F.trim("text"), r"\s", ""))
@@ -212,7 +395,7 @@ def q_text_stats(spark, sf_dir):
     n_punct = F.length("text") - F.length(
         F.regexp_replace("text", r"[^\w\s]", "")
     )
-    return toked.select(
+    return staged.select(
         "doc_id",
         F.length("text").alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
@@ -223,6 +406,8 @@ def q_text_stats(spark, sf_dir):
         F.round(F.size(F.array_distinct(toks)) / n_tokens, 4).alias(
             "lexical_diversity"
         ),
+        dup_line_ratio_expr(F.col("_lines")).alias("dup_line_ratio"),
+        top_bigram_ratio_expr(F.col("_bg")).alias("top_bigram_ratio"),
     )
 
 
@@ -293,9 +478,24 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+# PII scrub SQL twin: same patterns, same URL -> email -> IP order,
+# 'g' flag because DuckDB's regexp_replace is first-match by default
+# where Spark's is replace-all.
+_ORACLE_SCRUB = (
+    f"regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{URL_PATTERN}', '<URL>', 'g'), "
+    f"'{EMAIL_PATTERN}', '<EMAIL>', 'g'), "
+    f"'{IPV4_PATTERN}', '<IP>', 'g')"
+)
+
+
 @register(
     "text_fingerprints",
-    # Fingerprints + BPE-ish token budget in one per-document pass.
+    # Fingerprints + BPE-ish token budget + PII scrub accounting in one
+    # per-document pass (round 6 consolidates the PII scrubber here:
+    # same projection shape, no new registry slot). The scrubbed text
+    # itself ships as a fingerprint so the full replacement output is
+    # value-checked without hashing megabytes through the driver.
     oracle=f"""
     SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
@@ -303,23 +503,50 @@ def q_lang_id(spark, sf_dir):
            md5(array_to_string(list_sort(list_distinct({_ORACLE_TOKS})),
                ' ')) AS bag_fp,
            len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))
-             AS n_bpe_tokens
+             AS n_bpe_tokens,
+           len(regexp_extract_all(text, '{URL_PATTERN}')) AS n_urls,
+           len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+           len(regexp_extract_all(text, '{IPV4_PATTERN}')) AS n_ipv4,
+           md5({_ORACLE_SCRUB}) AS scrubbed_fp
     FROM documents
     """,
     doc="Deterministic document fingerprints (normalized rolling hash + "
-        "bag-of-tokens) and BPE-style pre-tokenizer token counts",
-    tags=("text", "documents", "dedup"),
+        "bag-of-tokens), BPE-style pre-tokenizer token counts, and "
+        "PII-scrub accounting (URL/email/IPv4 counts + scrubbed-text "
+        "fingerprint)",
+    tags=("text", "documents", "dedup", "pii"),
 )
 def q_fingerprints(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
     bag = F.array_join(F.array_sort(F.array_distinct(tokens_expr())), " ")
     bpe = F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), 0)
+    # One projection, no join: scrub_pii's expressions are inlined so
+    # the whole entry stays a single scan-project (plan-asserted).
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", URL_PATTERN, "<URL>"),
+            EMAIL_PATTERN,
+            "<EMAIL>",
+        ),
+        IPV4_PATTERN,
+        "<IP>",
+    )
     return docs.select(
         "doc_id",
         F.md5(norm).alias("norm_fp"),
         F.md5(bag).alias("bag_fp"),
         F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(URL_PATTERN), 0)).alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_PATTERN), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(IPV4_PATTERN), 0)).alias(
+            "n_ipv4"
+        ),
+        F.md5(scrubbed).alias("scrubbed_fp"),
     )
 
 

@@ -151,6 +151,7 @@ def _load_all_modules() -> None:
         asof,
         multimodal,
         pipeline,
+        packing,
         clustering,
         relational,
         timeseries,

@@ -35,7 +35,11 @@ def test_demoted_showcases_sort_last_within_oracled():
     # newly-oracled mm_resize_thumbs (rows-only before r6) to collect
     # its first hash-checked pass. text_lang_profile no longer exists
     # as an entry — folded into text_language_id's output (registry
-    # capacity consolidation, VERDICT r5 item 4).
+    # capacity consolidation, VERDICT r5 item 4). A tenth r5-green
+    # entry (sim_label_centroid_norms) joins the rotation slot to make
+    # window room for the newly-registered pipeline_pack_chunks —
+    # every demoted entry still holds an r5 driver pass, so the
+    # 2-round freshness bound is intact (the test below enforces it).
     assert set(demoted) == {
         "tpch_q1_pricing_summary",
         "tpch_q3_shipping_priority",
@@ -46,6 +50,7 @@ def test_demoted_showcases_sort_last_within_oracled():
         "intersect_except_custkeys",
         "events_type_stats",
         "events_json_props",
+        "sim_label_centroid_norms",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

@@ -105,3 +105,16 @@ def test_intersect_except_custkeys_pin(spark):
     assert got_only == building - ordered
     # Set semantics: no duplicate rows within a side.
     assert len(out) == len(got_both) + len(got_only)
+
+
+def test_sim_label_centroid_norms_pin(spark):
+    out = _run(spark, "sim_label_centroid_norms").set_index("label")
+    emb = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    for label, sub in emb.groupby("label"):
+        mat = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+        centroid = mat.mean(axis=0)
+        row = out.loc[label]
+        assert row["n_dims"] == mat.shape[1]
+        assert row["centroid_norm"] == pytest.approx(
+            round(float(np.sqrt((centroid**2).sum())), 4), abs=1e-4
+        )
