@@ -137,3 +137,51 @@ def test_a4_approx_distinct_within_rsd(spark):
         .select("user_id").distinct().count()
     )
     assert abs(est - exact) <= max(3, 0.03 * exact), (est, exact)
+
+
+def test_r6_text_ops_on_empty_and_null(spark):
+    from flink_exercise_spark.operators.text import (
+        repetition_stats,
+        scrub_pii,
+        top_ngram_ratio_exploded,
+    )
+
+    empty = _empty(spark, DOC_SCHEMA)
+    assert repetition_stats(empty).count() == 0
+    assert scrub_pii(empty).count() == 0
+    assert top_ngram_ratio_exploded(empty).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, None, "en", "s"), (2, "", "en", "s")], DOC_SCHEMA
+    )
+    rep = repetition_stats(nulls).toPandas().set_index("doc_id")
+    # NULL text -> the guards resolve to the 0.0 branch (documented,
+    # matches the oracle's CASE semantics); empty text has no lines
+    # and no bigrams.
+    assert rep.loc[1, "dup_line_ratio"] == 0.0
+    assert rep.loc[1, "top_bigram_ratio"] == 0.0
+    assert rep.loc[2, "dup_line_ratio"] == 0.0
+    assert rep.loc[2, "top_bigram_ratio"] == 0.0
+    pii = scrub_pii(nulls).toPandas().set_index("doc_id")
+    assert pii.loc[2, "scrubbed_text"] == ""
+
+
+def test_packing_on_empty_and_null(spark):
+    from flink_exercise_spark.operators.packing import (
+        pack_chunks,
+        packing_profile,
+    )
+
+    empty = _empty(spark, DOC_SCHEMA)
+    assert pack_chunks(empty).count() == 0
+    # NULL-text and zero-token docs are excluded by contract (nothing
+    # to place in the token stream); the rest still pack from offset 0.
+    mixed = spark.createDataFrame(
+        [(1, None, "en", "s"), (2, "", "en", "s"), (3, "two words", "en", "s")],
+        DOC_SCHEMA,
+    )
+    out = pack_chunks(mixed).toPandas()
+    assert list(out["doc_id"]) == [3]
+    assert out["start_tok"].iloc[0] == 0 and out["n_tok"].iloc[0] == 2
+    prof = packing_profile(mixed).collect()[0]
+    assert prof["n_docs"] == 1 and prof["n_chunks"] == 1
