@@ -832,3 +832,91 @@ def q_near_dup_clusters(spark, sf_dir):
 )
 def q_simhash(spark, sf_dir):
     return simhash_near_pairs(load_table(prep(spark), sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus line-level dedup (CCNet / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame, min_docs: int = 2, key: str = "doc_id"
+) -> DataFrame:
+    """Drop every non-blank line whose exact (trimmed) content appears
+    in >= ``min_docs`` DISTINCT documents — the CCNet/RefinedWeb
+    boilerplate filter (navigation bars, cookie banners, footers
+    repeat across pages; body text does not), complementing the
+    document-level dedup families: it removes duplicated CONTENT from
+    documents that are themselves unique.
+
+    Returns (doc_id, text, n_lines_kept, n_lines_dropped) with the
+    surviving lines rejoined in original order; documents whose every
+    line is boilerplate survive with empty text (the quality gate
+    downstream drops them — this operator's contract is line removal,
+    not document removal).
+
+    Scale shape: two shuffles. (1) line-frequency aggregate keyed by
+    md5(line) — count(DISTINCT doc) per line hash with map-side
+    partial; only (hash, doc_id) pairs shuffle, 24 bytes/line. (2)
+    rebuild groupBy doc_id carrying (pos, line) — this one moves line
+    text, unavoidable for reconstruction, and shuffles only KEPT
+    lines. The frequency side is the classic skew point (the empty
+    string or a ubiquitous footer can hit billions of rows) —
+    count(DISTINCT) over (hash, doc) two-level aggregates exactly like
+    the salted-distinct family, and blank lines never enter the
+    explode.
+    """
+    lines = docs.select(
+        F.col(key),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split("text", "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("pos", "line"),
+    )
+    lines = persist_tracked(lines)
+    freq = lines.groupBy(F.md5("line").alias("_h")).agg(
+        F.countDistinct(key).alias("_n_docs")
+    )
+    tagged = lines.join(
+        freq.filter(F.col("_n_docs") >= min_docs).select(
+            "_h", F.lit(True).alias("_boiler")
+        ),
+        F.md5(F.col("line")) == F.col("_h"),
+        "left",
+    )
+    rebuilt = (
+        tagged.groupBy(key)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+            F.sum(F.col("_boiler").isNull().cast("long")).alias(
+                "n_lines_kept"
+            ),
+            F.sum(F.col("_boiler").isNotNull().cast("long")).alias(
+                "n_lines_dropped"
+            ),
+        )
+    )
+    # Documents with zero non-blank lines never entered the explode;
+    # restore them (kept verbatim: nothing to dedup).
+    missing = docs.join(rebuilt.select(key), key, "left_anti").select(
+        key,
+        F.col("text"),
+        F.lit(0).cast("long").alias("n_lines_kept"),
+        F.lit(0).cast("long").alias("n_lines_dropped"),
+    )
+    return rebuilt.unionByName(missing)

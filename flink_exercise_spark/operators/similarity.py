@@ -164,6 +164,90 @@ def knn_lsh_bucketed(
     return _rank_top_k(scored, k)
 
 
+def knn_lsh_multiprobe(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = 3,
+    probes: int = 3,
+    bits: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own sign bucket
+    PLUS the ``probes - 1`` buckets reached by flipping its
+    least-confident sign bits (the dimensions with the smallest
+    |value| — the standard multi-probe sequence, Lv et al. VLDB'07).
+
+    Recall recovery without index growth: single-probe LSH misses a
+    true neighbor whenever one low-magnitude dimension straddles zero
+    between query and neighbor; probing the flip of exactly those
+    dimensions recovers most of that loss for ``probes`` x the probe
+    cost (still exponentially below brute force). Only the tiny query
+    relation fans out (probes x n_queries rows, still broadcast); the
+    corpus keeps one bucket per vector — at 100 TB the corpus-side
+    layout is untouched and the probe count is a pure query-time knob.
+
+    Candidate pairs reached via two different probes dedupe before
+    ranking (same score — distinct on the pair is exact)."""
+    withb = with_norm(emb.withColumn("bucket", sign_bucket_expr(bits=bits)))
+    # Ascending (|value|, dim) pairs: the first probes-1 entries are
+    # the least-confident dimensions. Bound column (_conf) before the
+    # slice/transform — same lambda-CSE rule as everywhere else.
+    conf = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.col("embedding")[i]).alias("a"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(bits)
+            ]
+        )
+    )
+    queries = (
+        withb.filter(F.col("vec_id") < n_queries)
+        .withColumn("_conf", conf)
+        .withColumn(
+            "_probes",
+            F.concat(
+                F.array(F.col("bucket")),
+                F.transform(
+                    F.slice(F.col("_conf"), 1, probes - 1),
+                    # 2^i as pow (shiftleft needs a literal shift in
+                    # the Python API); bits <= 8 keeps this exact.
+                    lambda s: F.col("bucket").bitwiseXOR(
+                        F.pow(F.lit(2.0), s["i"]).cast("int")
+                    ),
+                ),
+            ),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.explode("_probes").alias("bucket"),
+        )
+    )
+    corpus = spread(
+        withb.filter(F.col("vec_id") >= n_queries), "vec_id"
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "bucket",
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "bucket")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
+            ).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _rank_top_k(scored, k)
+
+
 N_CELLS = 8  # IVF codebook size (deterministic seed vectors)
 N_PROBE = 2  # cells searched per query
 
