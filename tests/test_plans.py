@@ -255,3 +255,36 @@ def test_cli_batch_q1_no_sortaggregate(spark):
     sort_pos = plan.find("SortAggregate")
     assert sort_pos == -1 or sort_pos < join_pos  # formatted: above = earlier
     assert plan.count("HashAggregate") >= 4
+
+
+def test_text_entries_are_shuffle_free_projections(spark):
+    """text_stats and text_fingerprints stay scan-project shaped: the
+    round-6 columns (repetition fold, PII scrub) must not introduce a
+    join or aggregate — the only allowed exchange is spread()'s
+    input repartition (round-robin, no key)."""
+    for name in ("text_stats", "text_fingerprints"):
+        plan = formatted_plan(specs()[name].fn(spark, SF_SMOKE))
+        for op in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate",
+                   "Window", "Sort "):
+            assert op not in plan, f"{name}: unexpected {op}\n{plan}"
+
+
+def test_pack_chunks_windows_are_bucket_partitioned(spark):
+    """pipeline_pack_chunks' doc-relation window must be partitioned by
+    the hash bucket (256-way parallel); the only global window runs
+    over the 256-row bucket-totals relation, and the offsets join back
+    by broadcast."""
+    df = specs()["pipeline_pack_chunks"].fn(spark, SF_SMOKE)
+    # the executed-plan string inlines each Window's partition spec
+    # (formatted_plan splits it into detail sections)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    doc_windows = [
+        m.group(0)
+        for m in re.finditer(r"Window \[sum\(n_tok[^\]]*\], \[([^\]]*)\]", plan)
+    ]
+    assert doc_windows, f"expected a running-sum window in:\n{plan}"
+    for w in doc_windows:
+        assert "_bucket" in w, f"unpartitioned doc window: {w}"
+    assert "BroadcastExchange" in plan
