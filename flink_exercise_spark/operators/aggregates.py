@@ -493,8 +493,11 @@ def q_type_stats(spark, sf_dir):
 
 @register(
     "a1_running_counts_analytic",
-    # priority=0 (r5 rotation): restored; see a2_count_events.
-    priority=0,
+    # priority=1 (r6 rotation): driver-green in r5; takes the eleventh
+    # rotation slot to make window room for the newly-registered
+    # pipeline_decontaminate (never driver-verified). Pandas pin:
+    # tests/test_rotation_pins.py.
+    priority=1,
     # Batch rendering of Flink's per-record update stream (A1): the
     # running count/sum each record would have emitted, via OVER
     # windows with a deterministic (ts, event_id) order.

@@ -866,7 +866,7 @@ def line_dedup(
     the salted-distinct family, and blank lines never enter the
     explode.
     """
-    lines = docs.select(
+    lines = spread(docs, key).select(
         F.col(key),
         F.posexplode(
             F.filter(
@@ -920,3 +920,56 @@ def line_dedup(
         F.lit(0).cast("long").alias("n_lines_dropped"),
     )
     return rebuilt.unionByName(missing)
+
+
+@register(
+    "dedup_line_boilerplate",
+    # Oracle mirror notes: (1) DuckDB's zipped unnest pairs each line
+    # with its 1-based position (ordering key only — not emitted);
+    # (2) coalesce('' ) matches Spark's concat_ws over an empty kept
+    # set; (3) the restore branch uses coalesce(len(ls), 0) so a NULL
+    # text restores on both engines (Spark's left_anti restores it);
+    # (4) grouping lines by their literal text is equivalent to the
+    # engine's md5(line) shuffle key (the hash is a transport
+    # optimization, not a semantic).
+    oracle="""
+    WITH fl AS (
+      SELECT doc_id, text,
+             list_filter(
+               list_transform(string_split(text, chr(10)), x -> trim(x)),
+               x -> x <> '') AS ls
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS pos
+      FROM fl WHERE len(ls) > 0
+    ),
+    freq AS (
+      SELECT line, count(DISTINCT doc_id) >= 2 AS boiler
+      FROM lines GROUP BY line
+    ),
+    rebuilt AS (
+      SELECT l.doc_id,
+             coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                        FILTER (WHERE NOT f.boiler), '') AS text,
+             CAST(count(*) FILTER (WHERE NOT f.boiler) AS BIGINT)
+               AS n_lines_kept,
+             CAST(count(*) FILTER (WHERE f.boiler) AS BIGINT)
+               AS n_lines_dropped
+      FROM lines l JOIN freq f USING (line)
+      GROUP BY l.doc_id
+    )
+    SELECT * FROM rebuilt
+    UNION ALL
+    SELECT doc_id, text, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM fl WHERE coalesce(len(ls), 0) = 0
+    """,
+    doc="CCNet/RefinedWeb boilerplate-line removal: drop every line "
+        "appearing in >= 2 distinct documents, rebuild survivors in "
+        "order — line-level dedup complementing the document-level "
+        "families",
+    tags=("dedup", "documents", "text"),
+)
+def q_line_boilerplate(spark, sf_dir):
+    return line_dedup(load_table(prep(spark), sf_dir, "documents"))

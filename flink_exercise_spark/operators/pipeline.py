@@ -279,3 +279,139 @@ def q_hash_split(spark, sf_dir):
 )
 def q_llm_data_prep(spark, sf_dir):
     return llm_data_prep(load_table(prep(spark), sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / Gopher appendix F): a
+# training document that shares ANY long word n-gram with a held-out
+# evaluation set leaks that benchmark into training. The published
+# construction is exact 13-gram overlap; the held-out side is a FIXED
+# benchmark whose size does not grow with the corpus, which is the
+# whole scale story — its distinct n-grams broadcast to every executor
+# and the 100 TB training side is never shuffled on the n-gram key.
+
+DECONTAM_N = 13
+
+
+def decontaminate(
+    docs: DataFrame, n: int = DECONTAM_N, key: str = "doc_id"
+) -> DataFrame:
+    """Flag train-side documents sharing any word ``n``-gram with the
+    held-out ``test`` split of the same deterministic hash split that
+    produced the training corpus (``hash_split_expr`` — so the check
+    is reproducible across corpus versions and engines).
+
+    Returns ONLY contaminated documents: ``(doc_id, split, n_shingles,
+    n_eval_hits, contamination)`` where ``n_shingles`` counts the
+    document's DISTINCT n-grams, ``n_eval_hits`` how many of them occur
+    anywhere in the held-out split, and ``contamination`` is
+    ``round(hits / shingles, 4)``. Documents with fewer than ``n``
+    tokens have no n-grams and can never be flagged (identical
+    behavior in the DuckDB oracle).
+
+    Scale shape: two scans of ``documents`` (one filtered to the
+    held-out slice, one to the train side — the n-gram relation is
+    corpus-sized, so persisting it to share the scans would be wrong
+    at 100 TB), ONE broadcast hash join on the n-gram, and one final
+    hash-agg keyed by ``doc_id`` that aggregates only the HITS — the
+    post-join survivor set, which is tiny by construction (leakage is
+    the exception, not the rule). The per-doc n-gram count rides
+    through the explode as a projected column, so no second
+    corpus-wide aggregate is needed. The held-out side's
+    ``distinct()`` is the only full shuffle, and it moves the
+    benchmark's n-grams only. In production the held-out side would be
+    a separate small table; deriving it from the corpus' own hash
+    split keeps the driver oracle on the pre-registered views.
+    """
+    from flink_exercise_spark.operators.text import shingles_from_tokens
+    from flink_exercise_spark.sources.tables import spread
+
+    grams = (
+        spread(docs, key)
+        .select(F.col(key), hash_split_expr(key).alias("split"),
+                tokens_expr().alias("_t"))
+        .select(
+            key,
+            "split",
+            F.array_distinct(shingles_from_tokens(F.col("_t"), n)).alias(
+                "_g"
+            ),
+        )
+        .filter(F.size("_g") > 0)
+    )
+    eval_grams = (
+        grams.filter(F.col("split") == "test")
+        .select(F.explode("_g").alias("tok"))
+        .distinct()
+    )
+    return (
+        grams.filter(F.col("split") != "test")
+        .select(
+            key,
+            "split",
+            F.size("_g").cast("long").alias("n_shingles"),
+            F.explode("_g").alias("tok"),
+        )
+        .join(F.broadcast(eval_grams), "tok")
+        .groupBy(key, "split", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+        .select(
+            key,
+            "split",
+            "n_shingles",
+            "n_eval_hits",
+            F.round(F.col("n_eval_hits") / F.col("n_shingles"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def _decontam_oracle(n: int = DECONTAM_N) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, bucket,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - {n - 2}),
+               i -> {gram}))) AS tok
+      FROM (SELECT doc_id, bucket,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM b)
+    ),
+    ev AS (SELECT DISTINCT tok FROM toks
+           WHERE bucket >= {SPLIT_PCT["val"]}),
+    tr AS (
+      SELECT doc_id, bucket, tok,
+             count(*) OVER (PARTITION BY doc_id) AS n_shingles
+      FROM toks WHERE bucket < {SPLIT_PCT["val"]}
+    )
+    SELECT tr.doc_id,
+           CASE WHEN bucket < {SPLIT_PCT["train"]} THEN 'train'
+                ELSE 'val' END AS split,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           count(*) AS n_eval_hits,
+           round(count(*) / CAST(n_shingles AS DOUBLE), 4)
+             AS contamination
+    FROM tr JOIN ev USING (tok)
+    GROUP BY tr.doc_id, bucket, n_shingles
+    """
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=_decontam_oracle(),
+    doc="Benchmark decontamination: train-side documents sharing any "
+        "word 13-gram with the held-out split (GPT-3/Gopher exact "
+        "overlap), broadcast join on the n-gram — the held-out side "
+        "is a fixed-size benchmark, so the corpus side never shuffles",
+    tags=("pipeline", "documents", "dedup", "text"),
+)
+def q_decontaminate(spark, sf_dir):
+    return decontaminate(load_table(prep(spark), sf_dir, "documents"))

@@ -185,3 +185,15 @@ def test_packing_on_empty_and_null(spark):
     assert out["start_tok"].iloc[0] == 0 and out["n_tok"].iloc[0] == 2
     prof = packing_profile(mixed).collect()[0]
     assert prof["n_docs"] == 1 and prof["n_chunks"] == 1
+
+
+def test_decontaminate_on_empty_and_null(spark):
+    from flink_exercise_spark.operators.pipeline import decontaminate
+
+    docs = _empty(spark, DOC_SCHEMA)
+    assert decontaminate(docs).count() == 0
+    # NULL text tokenizes to no n-grams on either side; never flagged.
+    nulls = spark.createDataFrame(
+        [(1, None, "en", "web"), (2, None, "en", "web")], DOC_SCHEMA
+    )
+    assert decontaminate(nulls).count() == 0

@@ -124,3 +124,63 @@ def test_mix_hash_independent_of_split_hash(spark):
     }
     total = sum(counts.values())
     assert 0.74 < counts["train"] / total < 0.86
+
+
+def _bucket(i: int) -> int:
+    """Independent (hashlib) recomputation of hash_split_expr's
+    md5-mod-100 bucket — pins the Spark/DuckDB formula from a third
+    implementation."""
+    import hashlib
+
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+
+
+def _find_id(pred, start=0):
+    i = start
+    while not pred(_bucket(i)):
+        i += 1
+    return i
+
+
+def test_decontaminate_flags_exact_13gram_overlap(spark):
+    from flink_exercise_spark.operators.pipeline import decontaminate
+
+    eval_id = _find_id(lambda b: b >= 90)          # 'test' split
+    train_id = _find_id(lambda b: b < 80)          # 'train' split
+    clean_id = _find_id(lambda b: b < 80, train_id + 1)
+    prefix_id = _find_id(lambda b: b < 80, clean_id + 1)
+
+    shared = " ".join(f"w{i}" for i in range(20))   # 20 tokens
+    rows = [
+        (eval_id, shared),                          # held-out doc
+        (train_id, shared),                         # full leak
+        (clean_id, " ".join(f"z{i}" for i in range(20))),
+        # shares only the first 12 tokens -> every 13-gram differs
+        (prefix_id, " ".join(f"w{i}" for i in range(12))
+         + " " + " ".join(f"y{i}" for i in range(8))),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == {train_id}                   # only the real leak
+    r = out[train_id]
+    assert r["split"] == "train"
+    assert r["n_shingles"] == 8                     # 20 - 13 + 1
+    assert r["n_eval_hits"] == 8
+    assert r["contamination"] == 1.0
+
+
+def test_decontaminate_short_docs_never_flag(spark):
+    """Documents under n tokens have no n-grams on either side."""
+    from flink_exercise_spark.operators.pipeline import decontaminate
+
+    eval_id = _find_id(lambda b: b >= 90)
+    train_id = _find_id(lambda b: b < 80)
+    short = "a b c d e"                              # 5 tokens < 13
+    df = spark.createDataFrame(
+        [(eval_id, short), (train_id, short)], "doc_id long, text string"
+    )
+    assert decontaminate(df).count() == 0

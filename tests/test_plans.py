@@ -288,3 +288,15 @@ def test_pack_chunks_windows_are_bucket_partitioned(spark):
     for w in doc_windows:
         assert "_bucket" in w, f"unpartitioned doc window: {w}"
     assert "BroadcastExchange" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Decontamination joins on the n-gram key via BROADCAST: the
+    held-out side is a fixed-size benchmark, so the corpus-sized train
+    side must never shuffle on the n-gram (a SortMergeJoin here would
+    move every 13-gram of a 100 TB corpus across the wire)."""
+    df = specs()["pipeline_decontaminate"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

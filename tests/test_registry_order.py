@@ -37,9 +37,12 @@ def test_demoted_showcases_sort_last_within_oracled():
     # as an entry — folded into text_language_id's output (registry
     # capacity consolidation, VERDICT r5 item 4). A tenth r5-green
     # entry (sim_label_centroid_norms) joins the rotation slot to make
-    # window room for the newly-registered pipeline_pack_chunks —
-    # every demoted entry still holds an r5 driver pass, so the
-    # 2-round freshness bound is intact (the test below enforces it).
+    # window room for the newly-registered pipeline_pack_chunks, and an
+    # eleventh (a1_running_counts_analytic) for pipeline_decontaminate
+    # and a twelfth (skew_salted_distinct_count) for
+    # dedup_line_boilerplate — every demoted entry still holds an r5
+    # driver pass, so the 2-round freshness bound is intact (the test
+    # below enforces it).
     assert set(demoted) == {
         "tpch_q1_pricing_summary",
         "tpch_q3_shipping_priority",
@@ -51,6 +54,8 @@ def test_demoted_showcases_sort_last_within_oracled():
         "events_type_stats",
         "events_json_props",
         "sim_label_centroid_norms",
+        "a1_running_counts_analytic",
+        "skew_salted_distinct_count",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

@@ -118,3 +118,11 @@ def test_sim_label_centroid_norms_pin(spark):
         assert row["centroid_norm"] == pytest.approx(
             round(float(np.sqrt((centroid**2).sum())), 4), abs=1e-4
         )
+
+
+def test_skew_salted_distinct_count_pin(spark, events_pdf):
+    out = _run(spark, "skew_salted_distinct_count").set_index("event_type")
+    grp = events_pdf.groupby("event_type")["user_id"]
+    assert set(out.index) == set(grp.groups)
+    for etype, vals in grp:
+        assert out.loc[etype, "n_distinct"] == vals.nunique()
