@@ -337,11 +337,19 @@ def decontaminate(
                 "_g"
             ),
         )
-        .filter(F.size("_g") > 0)
+        # explode_outer below, NOT explode + a size(_g) > 0 filter:
+        # both an explicit size filter and the predicate Catalyst
+        # infers from a non-outer explode get pushed below this
+        # projection with the whole 13-gram expression INLINED —
+        # recomputing the shingle array per row at the scan (observed
+        # in PLANS.md both ways). explode_outer admits no inferred
+        # predicate; the NULL row it emits for gram-less docs dies at
+        # the cheap post-explode isnotnull(tok) / the inner join.
     )
     eval_grams = (
         grams.filter(F.col("split") == "test")
-        .select(F.explode("_g").alias("tok"))
+        .select(F.explode_outer("_g").alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .distinct()
     )
     return (
@@ -350,8 +358,9 @@ def decontaminate(
             key,
             "split",
             F.size("_g").cast("long").alias("n_shingles"),
-            F.explode("_g").alias("tok"),
+            F.explode_outer("_g").alias("tok"),
         )
+        .filter(F.col("tok").isNotNull())
         .join(F.broadcast(eval_grams), "tok")
         .groupBy(key, "split", "n_shingles")
         .agg(F.count(F.lit(1)).alias("n_eval_hits"))

@@ -300,3 +300,12 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # The 13-gram array must be built ONCE per row, in a Project — not
+    # re-derived inside a scan-side Filter. Both an explicit
+    # size(_g) > 0 filter and the predicate Catalyst infers from a
+    # non-outer explode inline the whole shingle expression into the
+    # pushed-down condition (the reason the operator uses
+    # explode_outer + isnotnull(tok)).
+    for node in plan.split("\n\n"):
+        if node.lstrip().startswith("(") and "Filter" in node.split("\n")[0]:
+            assert "sequence(1," not in node, f"shingle expr in filter:\n{node[:500]}"
