@@ -293,6 +293,104 @@ def q_llm_data_prep(spark, sf_dir):
 DECONTAM_N = 13
 
 
+def _doc_grams(
+    docs: DataFrame, n: int, key: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(key[, extra_cols], _g) with the distinct word n-gram array per
+    document — tokens bound before the shingle build (the
+    ``shingles_from_tokens`` CSE rule)."""
+    from flink_exercise_spark.operators.text import shingles_from_tokens
+    from flink_exercise_spark.sources.tables import spread
+
+    return (
+        spread(docs, key)
+        .select(F.col(key), *[F.col(c) for c in extra_cols],
+                tokens_expr().alias("_t"))
+        .select(
+            key,
+            *extra_cols,
+            F.array_distinct(shingles_from_tokens(F.col("_t"), n)).alias(
+                "_g"
+            ),
+        )
+        # Consumers use explode_outer below, NOT explode + a
+        # size(_g) > 0 filter: both an explicit size filter and the
+        # predicate Catalyst infers from a non-outer explode get
+        # pushed below this projection with the whole 13-gram
+        # expression INLINED — recomputing the shingle array per row
+        # at the scan (observed in PLANS.md both ways). explode_outer
+        # admits no inferred predicate; the NULL row it emits for
+        # gram-less docs dies at the cheap post-explode
+        # isnotnull(tok) / the inner join.
+    )
+
+
+def eval_ngram_set(
+    docs: DataFrame, n: int = DECONTAM_N, key: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-grams of a held-out evaluation set, as the
+    one-column (``tok``) relation ``decontaminate_against`` broadcasts.
+    The ``distinct()`` shuffle moves the benchmark's n-grams only —
+    a fixed-size relation regardless of corpus scale."""
+    return (
+        _doc_grams(docs, n, key)
+        .select(F.explode_outer("_g").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .distinct()
+    )
+
+
+def decontaminate_against(
+    train: DataFrame,
+    eval_grams: DataFrame,
+    n: int = DECONTAM_N,
+    key: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Core decontamination join: flag every ``train`` document sharing
+    any word ``n``-gram with ``eval_grams`` (a one-column ``tok``
+    relation, e.g. from ``eval_ngram_set``).
+
+    Returns ONLY contaminated documents: ``(key[, extra_cols],
+    n_shingles, n_eval_hits, contamination)`` where ``n_shingles``
+    counts the document's DISTINCT n-grams, ``n_eval_hits`` how many
+    occur in the held-out set, ``contamination = round(hits /
+    shingles, 4)``. Documents with fewer than ``n`` tokens have no
+    n-grams and can never be flagged.
+
+    Scale shape: one scan of ``train``, ONE broadcast hash join on the
+    n-gram (the held-out side is a fixed-size benchmark — its distinct
+    n-grams broadcast; the corpus side never shuffles on the n-gram
+    key), and one final hash-agg keyed by ``key`` that aggregates only
+    the HITS — the post-join survivor set, tiny by construction
+    (leakage is the exception, not the rule). The per-doc n-gram count
+    rides through the explode as a projected column, so no second
+    corpus-wide aggregate is needed.
+    """
+    return (
+        _doc_grams(train, n, key, extra_cols)
+        .select(
+            key,
+            *extra_cols,
+            F.size("_g").cast("long").alias("n_shingles"),
+            F.explode_outer("_g").alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .join(F.broadcast(eval_grams), "tok")
+        .groupBy(key, *extra_cols, "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+        .select(
+            key,
+            *extra_cols,
+            "n_shingles",
+            "n_eval_hits",
+            F.round(F.col("n_eval_hits") / F.col("n_shingles"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame, n: int = DECONTAM_N, key: str = "doc_id"
 ) -> DataFrame:
@@ -301,78 +399,26 @@ def decontaminate(
     produced the training corpus (``hash_split_expr`` — so the check
     is reproducible across corpus versions and engines).
 
-    Returns ONLY contaminated documents: ``(doc_id, split, n_shingles,
-    n_eval_hits, contamination)`` where ``n_shingles`` counts the
-    document's DISTINCT n-grams, ``n_eval_hits`` how many of them occur
-    anywhere in the held-out split, and ``contamination`` is
-    ``round(hits / shingles, 4)``. Documents with fewer than ``n``
-    tokens have no n-grams and can never be flagged (identical
-    behavior in the DuckDB oracle).
-
-    Scale shape: two scans of ``documents`` (one filtered to the
-    held-out slice, one to the train side — the n-gram relation is
+    Composition of ``eval_ngram_set`` (over the test split) and
+    ``decontaminate_against`` (over the train+val side, carrying the
+    split label). Two scans of ``documents`` — the n-gram relation is
     corpus-sized, so persisting it to share the scans would be wrong
-    at 100 TB), ONE broadcast hash join on the n-gram, and one final
-    hash-agg keyed by ``doc_id`` that aggregates only the HITS — the
-    post-join survivor set, which is tiny by construction (leakage is
-    the exception, not the rule). The per-doc n-gram count rides
-    through the explode as a projected column, so no second
-    corpus-wide aggregate is needed. The held-out side's
-    ``distinct()`` is the only full shuffle, and it moves the
-    benchmark's n-grams only. In production the held-out side would be
-    a separate small table; deriving it from the corpus' own hash
-    split keeps the driver oracle on the pre-registered views.
+    at 100 TB. In production the held-out side is a separate small
+    table fed straight to ``decontaminate_against`` (the streaming
+    ingest variant does exactly that, streaming/ingest.py); deriving
+    it from the corpus' own hash split keeps the driver oracle on the
+    pre-registered views.
     """
-    from flink_exercise_spark.operators.text import shingles_from_tokens
-    from flink_exercise_spark.sources.tables import spread
-
-    grams = (
-        spread(docs, key)
-        .select(F.col(key), hash_split_expr(key).alias("split"),
-                tokens_expr().alias("_t"))
-        .select(
-            key,
-            "split",
-            F.array_distinct(shingles_from_tokens(F.col("_t"), n)).alias(
-                "_g"
-            ),
-        )
-        # explode_outer below, NOT explode + a size(_g) > 0 filter:
-        # both an explicit size filter and the predicate Catalyst
-        # infers from a non-outer explode get pushed below this
-        # projection with the whole 13-gram expression INLINED —
-        # recomputing the shingle array per row at the scan (observed
-        # in PLANS.md both ways). explode_outer admits no inferred
-        # predicate; the NULL row it emits for gram-less docs dies at
-        # the cheap post-explode isnotnull(tok) / the inner join.
+    with_split = docs.withColumn("split", hash_split_expr(key))
+    eval_grams = eval_ngram_set(
+        with_split.filter(F.col("split") == "test"), n, key
     )
-    eval_grams = (
-        grams.filter(F.col("split") == "test")
-        .select(F.explode_outer("_g").alias("tok"))
-        .filter(F.col("tok").isNotNull())
-        .distinct()
-    )
-    return (
-        grams.filter(F.col("split") != "test")
-        .select(
-            key,
-            "split",
-            F.size("_g").cast("long").alias("n_shingles"),
-            F.explode_outer("_g").alias("tok"),
-        )
-        .filter(F.col("tok").isNotNull())
-        .join(F.broadcast(eval_grams), "tok")
-        .groupBy(key, "split", "n_shingles")
-        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
-        .select(
-            key,
-            "split",
-            "n_shingles",
-            "n_eval_hits",
-            F.round(F.col("n_eval_hits") / F.col("n_shingles"), 4).alias(
-                "contamination"
-            ),
-        )
+    return decontaminate_against(
+        with_split.filter(F.col("split") != "test"),
+        eval_grams,
+        n,
+        key,
+        extra_cols=("split",),
     )
 
 

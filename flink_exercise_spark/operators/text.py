@@ -310,6 +310,97 @@ _ORACLE_LINES = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style inference shape):
+# token -> feature-hash bucket -> weight -> mean -> squash. The weights
+# here are a deterministic stand-in for a trained model (so the DuckDB
+# oracle can state them in closed form); production swaps
+# `clf_hashed_weights` for a real trained (bucket, weight) table and
+# the broadcast-join form below is the deployment plan. The squash is
+# the rational "fast sigmoid" x/(1+|x|) rescaled to (0,1) — pure IEEE
+# arithmetic, bit-identical across engines, where exp()'s last-ulp
+# libm differences could flip a round(…, 4) at a boundary.
+
+CLF_BUCKETS = 64
+
+
+def clf_bucket_expr(tok: Column) -> Column:
+    """Feature-hash bucket of a token: md5-mod-K — the engine-portable
+    hash (same idiom as the split/mix hashes, pipeline.py)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        % CLF_BUCKETS
+    )
+
+
+def clf_weight_expr(bucket: Column) -> Column:
+    """Deterministic stand-in 'trained' weight per bucket, in
+    [-1.0, 1.0] on a 0.1 grid."""
+    return ((bucket * 37) % 21 - 10) / F.lit(10.0)
+
+
+def clf_score_expr(toks: Column) -> Column:
+    """Classifier score over a BOUND token-array column (same CSE rule
+    as every HOF here): sigmoid-like squash of the mean hashed-bucket
+    weight. Shuffle-free — one projection, no explode, no join."""
+    raw = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + clf_weight_expr(clf_bucket_expr(t)),
+    ) / F.size(toks)
+    return F.round(
+        F.lit(0.5) + F.lit(0.5) * raw / (F.lit(1.0) + F.abs(raw)), 4
+    )
+
+
+def clf_hashed_weights(spark, k: int = CLF_BUCKETS) -> DataFrame:
+    """The stand-in weight table as a RELATION — what a trained model
+    ships as. k rows; always broadcast-joined."""
+    return spark.range(k).select(
+        F.col("id").alias("bucket"),
+        clf_weight_expr(F.col("id")).alias("weight"),
+    )
+
+
+def classifier_scores_joined(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Weight-TABLE inference form: explode tokens, broadcast-join the
+    (bucket, weight) model, per-doc mean, squash — the deployment plan
+    when weights come from training rather than a closed form. The
+    groupBy(doc_id) aggregates map-side (a document's tokens are
+    co-located in its scan partition), so the shuffle carries one
+    partial row per document, not per token. Scores equal
+    ``clf_score_expr`` up to float summation order (HOF folds in array
+    order; the hash-agg sums in partition order) — pinned to 1e-4 in
+    test_text_quality.py."""
+    from flink_exercise_spark.sources.tables import spread
+
+    toked = spread(docs, "doc_id").select(
+        "doc_id", tokens_expr().alias("_toks")
+    )
+    per_tok = (
+        toked.select(
+            "doc_id",
+            F.size("_toks").alias("_n"),
+            F.explode_outer("_toks").alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    raw = F.col("_s") / F.col("_n")
+    return (
+        per_tok.withColumn("bucket", clf_bucket_expr(F.col("tok")))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "_n")
+        .agg(F.sum("weight").alias("_s"))
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(0.5) + F.lit(0.5) * raw / (F.lit(1.0) + F.abs(raw)),
+                4,
+            ).alias("clf_score"),
+        )
+    )
+
+
 @register(
     "text_stats",
     # Token statistics AND C4/Gopher-style quality features in one
@@ -333,7 +424,13 @@ _ORACLE_LINES = (
       -- (measured 10 s -> 0.9 s at sf0.1).
       SELECT doc_id, text, T, LN,
              list_transform(range(1, len(T)),
-                            i -> T[i] || ' ' || T[i+1]) AS BG
+                            i -> T[i] || ' ' || T[i+1]) AS BG,
+             -- hashed-linear-classifier raw score, bound once (the
+             -- squash below references it twice)
+             list_aggregate(list_transform(T,
+               t -> (((CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                       % {CLF_BUCKETS}) * 37) % 21 - 10) / 10.0),
+               'sum') / len(T) AS RAW
       FROM toked
     ), topbg AS (
       SELECT doc_id, max(c) AS topc, CAST(sum(c) AS BIGINT) AS nbg
@@ -360,12 +457,15 @@ _ORACLE_LINES = (
                 ELSE 0.0 END AS dup_line_ratio,
            CASE WHEN t.nbg > 0
                 THEN round(t.topc / t.nbg, 4)
-                ELSE 0.0 END AS top_bigram_ratio
+                ELSE 0.0 END AS top_bigram_ratio,
+           round(0.5 + 0.5 * RAW / (1 + abs(RAW)), 4) AS clf_score
     FROM staged s LEFT JOIN topbg t USING (doc_id)
     """,
     doc="Per-document token statistics + C4/Gopher-style quality "
         "features (length, stopword/punct ratios, lexical diversity, "
-        "duplicate-line and top-bigram repetition)",
+        "duplicate-line and top-bigram repetition) + hashed linear "
+        "quality-classifier score (fastText-style inference, "
+        "shuffle-free)",
     tags=("text", "documents", "quality"),
 )
 def q_text_stats(spark, sf_dir):
@@ -408,6 +508,7 @@ def q_text_stats(spark, sf_dir):
         ),
         dup_line_ratio_expr(F.col("_lines")).alias("dup_line_ratio"),
         top_bigram_ratio_expr(F.col("_bg")).alias("top_bigram_ratio"),
+        clf_score_expr(toks).alias("clf_score"),
     )
 
 
@@ -555,3 +656,4 @@ def q_fingerprints(spark, sf_dir):
 # text_language_id's output in r6 — same GROUP BY, now broadcast-joined
 # onto the per-document predictions — to hold the oracled-entry count
 # at the rotation window's steady-state capacity (registry._ordered).
+

@@ -158,3 +158,56 @@ def resolve_canonical(emissions: DataFrame) -> DataFrame:
         F.max_by("canonical_doc_id", "n_copies").alias("canonical_doc_id"),
         F.max("n_copies").alias("n_copies"),
     )
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    store_path: str | None = None,
+    n: int | None = None,
+    timeout_sec: int = 120,
+) -> str:
+    """Streaming ingest decontamination: every arriving micro-batch of
+    documents is checked against a STATIC held-out n-gram set and the
+    flagged documents appended to an executor-side parquet store.
+    Returns the store path (read it back for the flagged relation).
+
+    This is the production placement of ``pipeline.decontaminate``:
+    the benchmark n-gram set is fixed (it does not grow with the
+    corpus), so it sits on the static side of a per-micro-batch
+    broadcast join — the same stream-static enrichment shape as the
+    dimension join (streaming/jobs.py), stateless, no watermark. The
+    per-document hit aggregation needs a groupBy after the n-gram
+    explode, which streaming aggregation semantics would force into
+    the state store; ``foreachBatch`` runs the exact BATCH operator
+    (``decontaminate_against``) per micro-batch instead — correct
+    because every document's n-grams arrive in the same input row, so
+    no aggregation state ever spans micro-batches.
+
+    Parity contract (pinned in tests/test_streaming_ingest.py): the
+    union of per-batch outputs equals the batch operator over the
+    union of the batches, for ANY micro-batch partitioning of the
+    input.
+    """
+    from flink_exercise_spark.operators.pipeline import (
+        DECONTAM_N,
+        decontaminate_against,
+    )
+    from flink_exercise_spark.streaming.jobs import tracked_tempdir
+
+    n = DECONTAM_N if n is None else n
+    path = store_path or tracked_tempdir("stream_decontam_")
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate_against(batch_df, eval_grams, n=n).write.mode(
+            "append"
+        ).parquet(path)
+
+    q = (
+        docs.writeStream.foreachBatch(check_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()
+    return path

@@ -176,3 +176,38 @@ def test_bounded_dedup_readmits_beyond_horizon(spark, tmp_path):
     # in-horizon duplicate dropped (not 3); beyond-horizon re-admitted
     # (not 1) — exactly the documented bounded-state contract
     assert n == 2
+
+
+def test_stream_decontaminate_equals_batch(spark):
+    """The streaming ingest decontamination (foreachBatch over the
+    static held-out n-gram set) must produce EXACTLY the batch
+    operator's flagged set — per-doc rows are micro-batch-local, so
+    the union of per-batch outputs is the batch result for any input
+    partitioning (maxFilesPerTrigger exercises >1 batch when the
+    fixture dir has multiple files; with one file it still pins the
+    single-batch path)."""
+    from flink_exercise_spark.operators.pipeline import (
+        decontaminate_against,
+        eval_ngram_set,
+    )
+    from flink_exercise_spark.streaming.ingest import stream_decontaminate
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # Held-out side: the corpus' own test split, same as the batch op.
+    from flink_exercise_spark.operators.pipeline import hash_split_expr
+
+    split = hash_split_expr()
+    eval_grams = eval_ngram_set(docs.filter(split == F.lit("test")))
+    train = docs.filter(split != F.lit("test"))
+
+    exp = {
+        tuple(r)
+        for r in decontaminate_against(train, eval_grams).collect()
+    }
+
+    stream = documents_stream(spark, SF_SMOKE, max_files_per_trigger=1)
+    path = stream_decontaminate(
+        stream.filter(hash_split_expr() != F.lit("test")), eval_grams
+    )
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert got == exp and len(exp) > 0

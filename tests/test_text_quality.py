@@ -163,3 +163,73 @@ def test_patterns_agree_java_vs_re2(spark, duck, pattern):
             ).fetchall()
         ]
         assert got[i] == want, f"probe {i}: {got[i]} != {want}"
+
+
+def _py_clf_score(text: str, k: int = 64) -> float:
+    """Third-implementation (hashlib) recomputation of the hashed
+    linear classifier — pins the md5-bucket/weight/squash formula
+    independently of both engines."""
+    import hashlib
+
+    toks = text.strip().split()
+    total = 0.0
+    for t in toks:
+        b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % k
+        total += ((b * 37) % 21 - 10) / 10.0
+    raw = total / len(toks)
+    return round(0.5 + 0.5 * raw / (1 + abs(raw)), 4)
+
+
+def test_clf_score_matches_python_reference(spark):
+    from flink_exercise_spark.operators.text import (
+        clf_score_expr,
+        tokens_expr,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "single",
+        "a b c d e f g h i j k l m n o p",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", tokens_expr().alias("_t")
+        ).select(
+            "doc_id",
+            clf_score_expr(F.col("_t")).alias("s"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert out[i] == pytest.approx(_py_clf_score(t), abs=1e-4), t
+
+
+def test_clf_joined_form_equals_hof_form(spark):
+    """The broadcast weight-table inference plan must score identically
+    to the shuffle-free HOF form (up to float summation order)."""
+    from flink_exercise_spark.operators.text import (
+        classifier_scores_joined,
+        clf_hashed_weights,
+        clf_score_expr,
+        tokens_expr,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hof = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", tokens_expr().alias("_t"))
+        .select("doc_id", clf_score_expr(F.col("_t")).alias("s"))
+        .collect()
+    }
+    joined = {
+        r["doc_id"]: r["clf_score"]
+        for r in classifier_scores_joined(
+            docs, clf_hashed_weights(spark)
+        ).collect()
+    }
+    assert set(hof) == set(joined)
+    for d, s in hof.items():
+        assert joined[d] == pytest.approx(s, abs=1e-4), d
