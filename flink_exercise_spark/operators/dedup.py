@@ -973,3 +973,196 @@ def line_dedup(
 )
 def q_line_boilerplate(spark, sf_dir):
     return line_dedup(load_table(prep(spark), sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (the "ExactSubstr" pass of Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better", ACL'22):
+# remove every token span belonging to a k-token run that occurs more
+# than once in the corpus. Complements the document-level families the
+# same way line_dedup does — it removes duplicated PASSAGES from
+# documents that are themselves unique. The single-machine reference
+# implementation is a suffix array; the distributed shape is the
+# k-gram inverted index: the gram-keyed shuffle IS the honest cost of
+# exact-substring matching at 100 TB (suffix arrays do not shard), and
+# only the DUPLICATED gram subset ever joins back against documents.
+
+SUBSTR_K = 10
+
+
+def _positioned_grams(docs: DataFrame, k: int, key: str) -> DataFrame:
+    """(key, pos, gram): every k-token run with its 1-based start
+    position. Tokens bound before the gram build (the standard CSE
+    rule); explode_outer + isnotnull, not explode, so Catalyst cannot
+    push an inferred size-filter with the gram expression inlined into
+    the scan (same finding as pipeline.decontaminate, PLANS.md)."""
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_t")) - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("_t"), i + j) for j in range(k)]
+            ).alias("gram"),
+        ),
+    )
+    return (
+        spread(docs, key)
+        .select(F.col(key), tokens_expr().alias("_t"))
+        .select(
+            key,
+            F.when(F.size("_t") >= k, gram_structs)
+            .otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+            .alias("_gs"),
+        )
+        .select(key, F.explode_outer("_gs").alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .select(key, F.col("_g.pos").alias("pos"), F.col("_g.gram").alias("gram"))
+    )
+
+
+# Packed (doc_id, pos) occurrence key: doc_id * 2^20 + pos. Gives the
+# canonical (kept) occurrence of a duplicated gram a total order both
+# engines compute identically with integer arithmetic; 2^20 bounds
+# documents at ~1M whitespace tokens (far above web-document sizes —
+# the same class of runtime domain assumption the packed arg-max
+# documents).
+_POS_PACK = 1 << 20
+
+
+def substring_dedup(
+    docs: DataFrame, k: int = SUBSTR_K, key: str = "doc_id"
+) -> DataFrame:
+    """Remove every token position covered by a NON-CANONICAL
+    occurrence of a k-token run that occurs >= 2 times corpus-wide
+    (across documents or within one). The canonical occurrence — the
+    one with the smallest packed (doc_id, pos) key — survives, so
+    exactly one copy of every duplicated passage remains in the
+    corpus: the keep-first semantics of Lee et al.'s ExactSubstr.
+
+    Returns ``(doc_id, text, n_tokens, n_tokens_kept,
+    n_tokens_dropped)`` with ``text`` rebuilt from the surviving
+    tokens in order (documents with no duplicated run pass through
+    with their tokens rejoined verbatim; NULL text stays NULL with
+    zero counts).
+
+    Scale shape: (1) gram frequency + canonical key — groupBy(gram)
+    count/min with map-side combine; the classic inverted index.
+    (2) duplicated grams (count >= 2, typically the small tail)
+    inner-join back onto the positioned gram relation — a gram-keyed
+    shuffle join; the non-duplicated majority never joins. (3) per-doc
+    covered-position aggregation: collect_list of non-canonical start
+    positions, bounded by the document's own token count. (4) one
+    doc-keyed join back to the corpus for the rebuild — the token
+    array never rides the gram shuffle. The per-doc coverage test is
+    an O(n_tokens x n_dup_runs) HOF — right for web-document sizes;
+    book-length documents with pathological duplication call for an
+    interval-merge variant (same aggregation, sorted spans).
+    """
+    grams = _positioned_grams(docs, k, key)
+    grams = persist_tracked(grams)
+    packed = F.col(key) * _POS_PACK + F.col("pos")
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.col(key) * _POS_PACK + F.col("pos")).alias("_cmin"),
+        )
+        .filter(F.col("_n") >= 2)
+        .select("gram", "_cmin")
+    )
+    dup_pos = (
+        grams.join(dup_grams, "gram")
+        .filter(packed != F.col("_cmin"))
+        .groupBy(key)
+        .agg(F.collect_list("pos").alias("_ps"))
+    )
+    toked = docs.select(F.col(key), tokens_expr().alias("_t")).join(
+        dup_pos, key, "left"
+    )
+    ps = F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("_t")),
+        lambda j: ~F.exists(
+            ps, lambda p: (p <= j) & (j <= p + (k - 1))
+        ),
+    )
+    n_tok = F.size("_t")
+    n_kept = F.size(kept)
+    return toked.select(
+        key,
+        F.when(
+            F.col("_t").isNotNull(),
+            F.concat_ws(
+                " ", F.transform(kept, lambda j: F.element_at(F.col("_t"), j))
+            ),
+        ).alias("text"),
+        F.coalesce(n_tok, F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(n_kept, F.lit(0)).cast("long").alias("n_tokens_kept"),
+        F.coalesce(n_tok - n_kept, F.lit(0)).cast("long").alias(
+            "n_tokens_dropped"
+        ),
+    )
+
+
+def _substring_oracle(k: int = SUBSTR_K) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {k - 2}), i -> i))
+               AS pos,
+             unnest(list_transform(range(1, len(t) - {k - 2}),
+                                   i -> {gram})) AS gram
+      FROM toked
+    ),
+    dup AS (
+      SELECT gram, min(doc_id * {_POS_PACK} + pos) AS cmin
+      FROM grams GROUP BY gram HAVING count(*) >= 2
+    ),
+    dpos AS (
+      SELECT g.doc_id, list(g.pos) AS ps
+      FROM grams g JOIN dup USING (gram)
+      WHERE g.doc_id * {_POS_PACK} + g.pos <> dup.cmin
+      GROUP BY g.doc_id
+    )
+    SELECT tk.doc_id,
+           -- coalesce('') : DuckDB's array_to_string yields NULL on an
+           -- empty list where Spark's concat_ws yields '' (the fully-
+           -- elided-document case)
+           CASE WHEN tk.t IS NULL THEN NULL
+                ELSE coalesce(array_to_string(
+                  list_transform(
+                    list_filter(range(1, len(tk.t) + 1),
+                      j -> len(list_filter(coalesce(d.ps, []),
+                             p -> p <= j AND j <= p + {k - 1})) = 0),
+                    j -> tk.t[j]), ' '), '')
+           END AS text,
+           CAST(coalesce(len(tk.t), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(list_filter(range(1, len(tk.t) + 1),
+                  j -> len(list_filter(coalesce(d.ps, []),
+                         p -> p <= j AND j <= p + {k - 1})) = 0)), 0)
+             AS BIGINT) AS n_tokens_kept,
+           CAST(coalesce(len(tk.t), 0)
+                - coalesce(len(list_filter(range(1, len(tk.t) + 1),
+                    j -> len(list_filter(coalesce(d.ps, []),
+                           p -> p <= j AND j <= p + {k - 1})) = 0)), 0)
+             AS BIGINT) AS n_tokens_dropped
+    FROM toked tk LEFT JOIN dpos d USING (doc_id)
+    """
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=_substring_oracle(),
+    doc="Exact-substring dedup (Lee et al. ExactSubstr): token spans "
+        "of any k-gram occurring >= 2 times corpus-wide are removed "
+        "and the text rebuilt — passage-level dedup via the "
+        "distributed k-gram inverted index",
+    tags=("dedup", "documents", "text"),
+)
+def q_exact_substring(spark, sf_dir):
+    return substring_dedup(load_table(prep(spark), sf_dir, "documents"))

@@ -147,6 +147,11 @@ def hypertable_rollup(events: DataFrame, value: str = "value") -> DataFrame:
 
 @register(
     "hypertable_rollup_events",
+    # priority=1 (r6 rotation): driver-green in r5; takes the
+    # thirteenth rotation slot to make window room for the
+    # newly-registered dedup_exact_substring (never driver-verified).
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle="""
     WITH b AS (
       SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)

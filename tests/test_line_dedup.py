@@ -76,3 +76,54 @@ def test_min_docs_threshold(spark):
     out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=4).collect()}
     assert out[1]["n_lines_dropped"] == 0
     assert out[4]["n_lines_dropped"] == 0
+
+
+# --- exact-substring dedup (Lee et al. ExactSubstr keep-first) ---------
+
+
+def _substr_run(spark, rows, k=10):
+    from flink_exercise_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in substring_dedup(df, k=k).collect()}
+
+
+def test_substring_dedup_keep_first_across_docs(spark):
+    run = " ".join(f"r{i}" for i in range(10))
+    out = _substr_run(
+        spark,
+        [
+            (1, "alpha " + run + " omega"),   # canonical occurrence
+            (2, "beta " + run),               # later copy -> elided
+            (3, "unique tokens only here"),   # no duplication
+            (4, None),                        # NULL passthrough
+        ],
+    )
+    assert out[1]["text"] == "alpha " + run + " omega"
+    assert out[1]["n_tokens_dropped"] == 0
+    assert out[2]["text"] == "beta"
+    assert (out[2]["n_tokens"], out[2]["n_tokens_kept"]) == (11, 1)
+    assert out[3]["text"] == "unique tokens only here"
+    assert out[3]["n_tokens_dropped"] == 0
+    assert out[4]["text"] is None
+    assert (out[4]["n_tokens"], out[4]["n_tokens_kept"]) == (0, 0)
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    run = " ".join(f"r{i}" for i in range(10))
+    out = _substr_run(
+        spark,
+        [(7, run + " mid " + run), (8, "totally different words")],
+    )
+    # first occurrence survives, second elided
+    assert out[7]["text"] == run + " mid"
+    assert (out[7]["n_tokens"], out[7]["n_tokens_dropped"]) == (21, 10)
+    assert out[8]["n_tokens_dropped"] == 0
+
+
+def test_substring_dedup_short_docs_never_touched(spark):
+    out = _substr_run(
+        spark, [(1, "a b c"), (2, "a b c")]   # < k tokens: no k-grams
+    )
+    assert out[1]["text"] == "a b c" and out[1]["n_tokens_dropped"] == 0
+    assert out[2]["text"] == "a b c" and out[2]["n_tokens_dropped"] == 0

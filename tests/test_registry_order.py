@@ -38,11 +38,12 @@ def test_demoted_showcases_sort_last_within_oracled():
     # capacity consolidation, VERDICT r5 item 4). A tenth r5-green
     # entry (sim_label_centroid_norms) joins the rotation slot to make
     # window room for the newly-registered pipeline_pack_chunks, and an
-    # eleventh (a1_running_counts_analytic) for pipeline_decontaminate
-    # and a twelfth (skew_salted_distinct_count) for
-    # dedup_line_boilerplate — every demoted entry still holds an r5
-    # driver pass, so the 2-round freshness bound is intact (the test
-    # below enforces it).
+    # eleventh (a1_running_counts_analytic) for pipeline_decontaminate,
+    # a twelfth (skew_salted_distinct_count) for
+    # dedup_line_boilerplate, and a thirteenth
+    # (hypertable_rollup_events) for dedup_exact_substring — every
+    # demoted entry still holds an r5 driver pass, so the 2-round
+    # freshness bound is intact (the test below enforces it).
     assert set(demoted) == {
         "tpch_q1_pricing_summary",
         "tpch_q3_shipping_priority",
@@ -56,6 +57,7 @@ def test_demoted_showcases_sort_last_within_oracled():
         "sim_label_centroid_norms",
         "a1_running_counts_analytic",
         "skew_salted_distinct_count",
+        "hypertable_rollup_events",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

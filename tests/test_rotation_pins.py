@@ -126,3 +126,34 @@ def test_skew_salted_distinct_count_pin(spark, events_pdf):
     assert set(out.index) == set(grp.groups)
     for etype, vals in grp:
         assert out.loc[etype, "n_distinct"] == vals.nunique()
+
+
+def test_hypertable_rollup_events_pin(spark, events_pdf):
+    out = _run(spark, "hypertable_rollup_events")
+    # Timedelta division, not .astype("int64") // 1e9: the parquet
+    # loads as datetime64[us] under pandas 2 / pyarrow, so the int64
+    # view is unit-dependent.
+    epoch = pd.Timestamp(0)
+    one_s = pd.Timedelta(seconds=1)
+    hours = (events_pdf["ts"].dt.floor("h") - epoch) // one_s
+    days = (events_pdf["ts"].dt.floor("D") - epoch) // one_s
+    vals = events_pdf["value"]
+    # total grain (grain=3): one row, full corpus
+    total = out[out["grain"] == 3]
+    assert len(total) == 1
+    assert total["n_events"].iloc[0] == len(events_pdf)
+    assert total["sum_value"].iloc[0] == pytest.approx(
+        round(vals.sum(), 2), abs=1e-2
+    )
+    # day grain (grain=1): one row per distinct day
+    day = out[out["grain"] == 1].set_index("day_start")
+    assert set(day.index) == set(days.unique())
+    for d, grp in vals.groupby(days):
+        assert day.loc[d, "n_events"] == len(grp)
+        assert day.loc[d, "sum_value"] == pytest.approx(
+            round(grp.sum(), 2), abs=1e-2
+        )
+    # hour grain (grain=0): per (day, hour), count check
+    hour = out[out["grain"] == 0]
+    assert len(hour) == hours.nunique()
+    assert hour["n_events"].sum() == len(events_pdf)
