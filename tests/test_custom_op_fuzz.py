@@ -110,3 +110,76 @@ def test_bucketed_pattern_search_fuzz_vs_full_series(spark):
             )
         )
         assert a == b, f"case {case}: bucket_secs={bucket_secs}"
+
+
+def _py_substring_dedup(rows, k):
+    """Pure-python reference of dedup.substring_dedup (keep-first):
+    dict-based gram index, no engines involved."""
+    toks = {
+        d: (t.strip().split() if t is not None else None) for d, t in rows
+    }
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, t in sorted(toks.items()):
+        if t is None or len(t) < k:
+            continue
+        for p in range(1, len(t) - k + 2):          # 1-based
+            g = " ".join(t[p - 1 : p - 1 + k])
+            occ.setdefault(g, []).append((d, p))
+    out = {}
+    covered: dict[int, set[int]] = {}
+    for g, occs in occ.items():
+        if len(occs) < 2:
+            continue
+        canon = min(occs)                            # (doc, pos) order
+        for d, p in occs:
+            if (d, p) == canon:
+                continue
+            covered.setdefault(d, set()).update(range(p, p + k))
+    for d, t in toks.items():
+        if t is None:
+            out[d] = (None, 0, 0, 0)
+            continue
+        cov = covered.get(d, set())
+        kept = [t[j - 1] for j in range(1, len(t) + 1) if j not in cov]
+        out[d] = (" ".join(kept), len(t), len(kept), len(t) - len(kept))
+    return out
+
+
+def test_substring_dedup_fuzz_vs_python(spark):
+    """Random small-vocabulary corpora (to force gram collisions),
+    random k, duplicated runs planted and emergent — the keep-first
+    canonical rule must match a dict-based reference exactly,
+    including within-doc repeats and overlapping duplicated runs."""
+    from flink_exercise_spark.operators.dedup import substring_dedup
+
+    rng = random.Random(20260814)
+    for case in range(N_CASES):
+        k = rng.choice([2, 3, 5])
+        vocab = [f"w{i}" for i in range(rng.choice([3, 8, 20]))]
+        n_docs = rng.randint(2, 14)
+        rows = []
+        for d in range(n_docs):
+            n_tok = rng.randint(0, 30)
+            words = [rng.choice(vocab) for _ in range(n_tok)]
+            rows.append((d, " ".join(words) if n_tok else ""))
+        if case % 3 == 0:
+            rows.append((n_docs, None))
+        exp = _py_substring_dedup(rows, k)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["text"],
+                r["n_tokens"],
+                r["n_tokens_kept"],
+                r["n_tokens_dropped"],
+            )
+            for r in substring_dedup(df, k=k).collect()
+        }
+        # Empty-string docs: split('') -> [''] on the engine side, so
+        # n_tokens is 1 for an empty text; mirror that in the reference
+        # comparison by recomputing those docs the engine way.
+        for d, (t, *_rest) in list(exp.items()):
+            raw = dict(rows)[d]
+            if raw == "":
+                exp[d] = ("", 1, 1, 0)
+        assert got == exp, f"case {case} (k={k}): {got} != {exp}"

@@ -309,3 +309,17 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     for node in plan.split("\n\n"):
         if node.lstrip().startswith("(") and "Filter" in node.split("\n")[0]:
             assert "sequence(1," not in node, f"shingle expr in filter:\n{node[:500]}"
+
+
+def test_substring_dedup_plan_shape(spark):
+    """Exact-substring dedup: gram-keyed equi-joins only (no
+    cartesian), and the positioned-gram expression is built once in a
+    Project — never inlined into a pushed-down Filter (explode_outer
+    discipline, same as decontaminate)."""
+    df = specs()["dedup_exact_substring"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for node in plan.split("\n\n"):
+        if node.lstrip().startswith("(") and "Filter" in node.split("\n")[0]:
+            assert "sequence(1," not in node, f"gram expr in filter:\n{node[:500]}"
