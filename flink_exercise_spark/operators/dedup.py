@@ -1053,10 +1053,12 @@ def substring_dedup(
     covered-position aggregation: collect_list of non-canonical start
     positions, bounded by the document's own token count. (4) one
     doc-keyed join back to the corpus for the rebuild — the token
-    array never rides the gram shuffle. The per-doc coverage test is
-    an O(n_tokens x n_dup_runs) HOF — right for web-document sizes;
-    book-length documents with pathological duplication call for an
-    interval-merge variant (same aggregation, sorted spans).
+    array never rides the gram shuffle. The per-doc coverage test
+    merges the covered positions into disjoint [s, e] spans first
+    (single array fold over the sorted starts), so it costs
+    O(n_tokens x merged_spans): a book-length document whose
+    duplication is a few long passages pays for the passages, not for
+    every overlapping gram start inside them.
     """
     grams = _positioned_grams(docs, k, key)
     grams = persist_tracked(grams)
@@ -1080,20 +1082,63 @@ def substring_dedup(
         dup_pos, key, "left"
     )
     ps = F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
+    # Interval-merge before the per-token coverage test: a duplicated
+    # run of length L contributes L-k+1 overlapping start positions
+    # but merges to ONE [s, e] span, so the coverage test is
+    # O(n_tokens x merged_spans) instead of O(n_tokens x positions) —
+    # the difference between linear and quadratic on a book-length
+    # document whose duplication is a few long passages. Spans sorted
+    # by start merge left-to-right in a single array fold (adjacent or
+    # overlapping iff next start <= last end + 1... strictly: covered
+    # intervals [p, p+k-1] merge when p <= last_e + 1 would ALSO fuse
+    # abutting-but-distinct spans — harmless here, coverage is a set
+    # union either way; we merge on p <= last_e + 1).
+    span = lambda p: F.struct(  # noqa: E731
+        p.alias("s"), (p + (k - 1)).alias("e")
+    )
+    empty_spans = F.array().cast("array<struct<s:int,e:int>>")
+    spans = F.aggregate(
+        F.array_sort(ps),
+        empty_spans,
+        lambda acc, p: F.when(F.size(acc) == 0, F.array(span(p))).otherwise(
+            F.when(
+                p <= F.element_at(acc, -1)["e"] + 1,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], p + (k - 1)
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(span(p))))
+        ),
+    )
     kept = F.filter(
         F.sequence(F.lit(1), F.size("_t")),
         lambda j: ~F.exists(
-            ps, lambda p: (p <= j) & (j <= p + (k - 1))
+            spans, lambda s: (s["s"] <= j) & (j <= s["e"])
         ),
     )
+    # Bind _kept in its own projection: it is consumed twice (rebuild
+    # + count), and an inlined copy would run the span fold twice per
+    # row (CollapseProject declines to merge multiply-referenced
+    # non-cheap aliases, same rule as shingles_from_tokens).
+    staged = toked.select(F.col(key), F.col("_t"), kept.alias("_kept"))
     n_tok = F.size("_t")
-    n_kept = F.size(kept)
-    return toked.select(
+    n_kept = F.size("_kept")
+    return staged.select(
         key,
         F.when(
             F.col("_t").isNotNull(),
             F.concat_ws(
-                " ", F.transform(kept, lambda j: F.element_at(F.col("_t"), j))
+                " ",
+                F.transform(
+                    F.col("_kept"), lambda j: F.element_at(F.col("_t"), j)
+                ),
             ),
         ).alias("text"),
         F.coalesce(n_tok, F.lit(0)).cast("long").alias("n_tokens"),
