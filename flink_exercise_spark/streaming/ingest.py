@@ -211,3 +211,108 @@ def stream_decontaminate(
     q.awaitTermination(timeout_sec)
     q.stop()
     return path
+
+
+def ingest_data_prep(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    store_path: str | None = None,
+    timeout_sec: int = 120,
+) -> str:
+    """The LLM data-prep front door as ONE streaming job: arriving
+    documents pass cross-batch exact dedup on the keyed state store
+    (``streaming_exact_dedup`` — first arrival per content fingerprint
+    survives), then every micro-batch of survivors gets the quality
+    gate's features, the language gate, and the benchmark-
+    decontamination audit, and lands in an executor-side parquet
+    store with its keep/flag columns. Returns the store path.
+
+    Composition rule this demonstrates: STATE lives in the streaming
+    operator (the dedup store — the only cross-batch memory the
+    pipeline needs); everything after it is batch-local per document
+    and runs as the exact batch operators inside ``foreachBatch``
+    (quality/language: per-row projections; decontamination:
+    ``decontaminate_against`` vs the STATIC held-out n-gram set — a
+    document's n-grams never span batches). The output is therefore
+    batch-equivalent by construction up to WHICH duplicate copy
+    survives (first arrival vs the batch min-doc_id convention), and
+    since duplicates share their text, every content-derived column
+    agrees — the parity test compares on the content fingerprint.
+
+    Scale: the dedup state store is the documented bounded/unbounded
+    trade (see ``streaming_exact_dedup_bounded``); the per-batch work
+    adds no state and the eval-gram side is a fixed-size broadcast.
+    """
+    from flink_exercise_spark.operators.pipeline import (
+        MIN_LEXICAL_DIVERSITY,
+        MIN_STOPWORD_RATIO,
+        MIN_TOKENS,
+        decontaminate_against,
+    )
+    from flink_exercise_spark.operators.text import (
+        LANG_MARKERS,
+        STOPWORDS,
+        _marker_score,
+        tokens_expr,
+    )
+    from flink_exercise_spark.streaming.jobs import tracked_tempdir
+
+    path = store_path or tracked_tempdir("ingest_prep_")
+
+    def prep_batch(batch: DataFrame, batch_id: int) -> None:
+        toked = batch.select(
+            "doc_id", "text", "text_hash", tokens_expr().alias("_toks")
+        )
+        t = F.col("_toks")
+        n_tokens = F.size(t)
+        scores = {
+            lang: _marker_score(t, markers)
+            for lang, markers in LANG_MARKERS.items()
+        }
+        langs = list(LANG_MARKERS)
+        best = F.greatest(*[scores[lang] for lang in langs])
+        pred = F.when(best == 0, F.lit("unknown"))
+        for lang in langs:
+            pred = pred.when(scores[lang] == best, F.lit(lang))
+        feat = toked.select(
+            "doc_id",
+            "text_hash",
+            n_tokens.alias("n_tokens"),
+            F.round(F.size(F.array_distinct(t)) / n_tokens, 4).alias(
+                "lexical_diversity"
+            ),
+            F.round(_marker_score(t, STOPWORDS) / n_tokens, 4).alias(
+                "stopword_ratio"
+            ),
+            pred.alias("predicted_lang"),
+        )
+        flagged = decontaminate_against(batch, eval_grams).select(
+            "doc_id", F.lit(True).alias("contaminated")
+        )
+        out = (
+            feat.join(flagged, "doc_id", "left")
+            .withColumn(
+                "contaminated", F.coalesce("contaminated", F.lit(False))
+            )
+            .withColumn(
+                "quality_ok",
+                (F.col("n_tokens") >= MIN_TOKENS)
+                & (F.col("lexical_diversity") >= MIN_LEXICAL_DIVERSITY)
+                & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+                & (F.col("predicted_lang") != "unknown"),
+            )
+            .withColumn(
+                "keep", F.col("quality_ok") & ~F.col("contaminated")
+            )
+        )
+        out.write.mode("append").parquet(path)
+
+    deduped = streaming_exact_dedup(docs)
+    q = (
+        deduped.writeStream.foreachBatch(prep_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()
+    return path

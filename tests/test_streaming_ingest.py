@@ -211,3 +211,57 @@ def test_stream_decontaminate_equals_batch(spark):
     )
     got = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_ingest_data_prep_end_to_end(spark):
+    """The composed streaming front door (stateful dedup -> quality +
+    language + decontamination audit) must agree with the batch
+    operators on every CONTENT-derived column, keyed by the content
+    fingerprint (which duplicate copy survives is arrival-order, but
+    duplicates share their text, so all flags agree)."""
+    from flink_exercise_spark.operators.pipeline import (
+        MIN_LEXICAL_DIVERSITY,
+        MIN_STOPWORD_RATIO,
+        MIN_TOKENS,
+        decontaminate_against,
+        eval_ngram_set,
+        hash_split_expr,
+        llm_data_prep,
+    )
+    from flink_exercise_spark.streaming.ingest import ingest_data_prep
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    eval_grams = eval_ngram_set(docs.filter(hash_split_expr() == "test"))
+
+    path = ingest_data_prep(documents_stream(spark, SF_SMOKE), eval_grams)
+    got = spark.read.parquet(path)
+
+    # one surviving row per distinct fingerprint
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("text_hash").distinct().count() == n_distinct
+
+    # contamination flags agree with the batch operator, content-keyed
+    batch_flags = {
+        r["h"]
+        for r in decontaminate_against(docs, eval_grams)
+        .join(docs.select("doc_id", F.md5("text").alias("h")), "doc_id")
+        .select("h")
+        .distinct()
+        .collect()
+    }
+    stream_flags = {
+        r["text_hash"]
+        for r in got.filter(F.col("contaminated")).collect()
+    }
+    assert stream_flags == batch_flags
+
+    # the keep gate reproduces the batch pipeline's corpus accounting:
+    # docs kept by (quality AND language AND dedup) in batch ==
+    # streamed rows with quality_ok (per distinct fingerprint)
+    batch_total = (
+        llm_data_prep(docs).agg(F.sum("n_docs")).collect()[0][0] or 0
+    )
+    assert (
+        got.filter(F.col("quality_ok")).count() == batch_total
+    )
