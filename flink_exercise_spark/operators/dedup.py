@@ -1082,51 +1082,34 @@ def substring_dedup(
         dup_pos, key, "left"
     )
     ps = F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
-    # Interval-merge before the per-token coverage test: a duplicated
-    # run of length L contributes L-k+1 overlapping start positions
-    # but merges to ONE [s, e] span, so the coverage test is
-    # O(n_tokens x merged_spans) instead of O(n_tokens x positions) —
-    # the difference between linear and quadratic on a book-length
-    # document whose duplication is a few long passages. Spans sorted
-    # by start merge left-to-right in a single array fold (adjacent or
-    # overlapping iff next start <= last end + 1... strictly: covered
-    # intervals [p, p+k-1] merge when p <= last_e + 1 would ALSO fuse
-    # abutting-but-distinct spans — harmless here, coverage is a set
-    # union either way; we merge on p <= last_e + 1).
-    span = lambda p: F.struct(  # noqa: E731
-        p.alias("s"), (p + (k - 1)).alias("e")
+    # Coverage via NATIVE set algebra, deliberately lambda-free:
+    # covered = distinct union of each start's [p, p+k-1] window,
+    # kept = sequence(1, n) minus covered (array_except preserves the
+    # first array's ascending order). O(n_tokens x k) per document —
+    # linear in doc length for the constant k.
+    #
+    # Two rejected alternatives, both measured at sf1 (50k docs, ~45
+    # covered starts/doc): (1) a per-token exists() over the raw
+    # positions — the lambda re-evaluates its collection argument per
+    # token when Catalyst collapses the staging projection away, and
+    # any non-trivial collection expression there is quadratic in
+    # practice; (2) an interval-merge fold bound in its own projection
+    # — CollapseProject re-inlines a once-referenced alias into the
+    # downstream filter LAMBDA, re-running the O(p^2) fold per token:
+    # 215 s vs 3.3 s for the identical expression. Column-level
+    # staging cannot protect an expression referenced from inside a
+    # higher-order-function lambda; the robust form is one that needs
+    # no lambda at the consumption point.
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(ps, lambda p: F.sequence(p, p + (k - 1)))
+        )
     )
-    empty_spans = F.array().cast("array<struct<s:int,e:int>>")
-    spans = F.aggregate(
-        F.array_sort(ps),
-        empty_spans,
-        lambda acc, p: F.when(F.size(acc) == 0, F.array(span(p))).otherwise(
-            F.when(
-                p <= F.element_at(acc, -1)["e"] + 1,
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(
-                        F.struct(
-                            F.element_at(acc, -1)["s"].alias("s"),
-                            F.greatest(
-                                F.element_at(acc, -1)["e"], p + (k - 1)
-                            ).alias("e"),
-                        )
-                    ),
-                ),
-            ).otherwise(F.concat(acc, F.array(span(p))))
-        ),
-    )
-    kept = F.filter(
-        F.sequence(F.lit(1), F.size("_t")),
-        lambda j: ~F.exists(
-            spans, lambda s: (s["s"] <= j) & (j <= s["e"])
-        ),
-    )
-    # Bind _kept in its own projection: it is consumed twice (rebuild
-    # + count), and an inlined copy would run the span fold twice per
-    # row (CollapseProject declines to merge multiply-referenced
-    # non-cheap aliases, same rule as shingles_from_tokens).
+    kept = F.array_except(F.sequence(F.lit(1), F.size("_t")), covered)
+    # Bind _kept: it is consumed twice (rebuild + count), and an
+    # inlined copy would run the coverage computation twice per row
+    # (CollapseProject declines to merge multiply-referenced non-cheap
+    # aliases, same rule as shingles_from_tokens).
     staged = toked.select(F.col(key), F.col("_t"), kept.alias("_kept"))
     n_tok = F.size("_t")
     n_kept = F.size("_kept")
