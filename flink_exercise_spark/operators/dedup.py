@@ -1053,12 +1053,11 @@ def substring_dedup(
     covered-position aggregation: collect_list of non-canonical start
     positions, bounded by the document's own token count. (4) one
     doc-keyed join back to the corpus for the rebuild — the token
-    array never rides the gram shuffle. The per-doc coverage test
-    merges the covered positions into disjoint [s, e] spans first
-    (single array fold over the sorted starts), so it costs
-    O(n_tokens x merged_spans): a book-length document whose
-    duplication is a few long passages pays for the passages, not for
-    every overlapping gram start inside them.
+    array never rides the gram shuffle. The per-doc coverage test is
+    lambda-free native set algebra (flatten each start's [p, p+k-1]
+    window, array_except against sequence(1, n)) — O(n_tokens x k)
+    per document; see the inline comment for the two rejected
+    lambda-based alternatives and their measured cost.
     """
     grams = _positioned_grams(docs, k, key)
     grams = persist_tracked(grams)
@@ -1078,9 +1077,13 @@ def substring_dedup(
         .groupBy(key)
         .agg(F.collect_list("pos").alias("_ps"))
     )
-    toked = docs.select(F.col(key), tokens_expr().alias("_t")).join(
-        dup_pos, key, "left"
-    )
+    # spread: the rebuild side carries the heavy per-row tail
+    # (coverage set algebra + token-array transform + concat_ws); a
+    # single-file corpus must not run it on one core. Memoized no-op
+    # when _positioned_grams already spread this docs object.
+    toked = spread(docs, key).select(
+        F.col(key), tokens_expr().alias("_t")
+    ).join(dup_pos, key, "left")
     ps = F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
     # Coverage via NATIVE set algebra, deliberately lambda-free:
     # covered = distinct union of each start's [p, p+k-1] window,

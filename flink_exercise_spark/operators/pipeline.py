@@ -43,15 +43,16 @@ MIN_LEXICAL_DIVERSITY = 0.35
 MIN_STOPWORD_RATIO = 0.02
 
 
-def llm_data_prep(
-    docs: DataFrame,
-    min_tokens: int = MIN_TOKENS,
-    min_ld: float = MIN_LEXICAL_DIVERSITY,
-    min_sr: float = MIN_STOPWORD_RATIO,
+def quality_language_features(
+    toked: DataFrame, hash_col: str = "_h"
 ) -> DataFrame:
-    """Per-language corpus summary after quality gate + language gate +
-    exact dedup."""
-    toked = docs.select("doc_id", "text", tokens_expr().alias("_toks"))
+    """The quality-gate + language-gate feature projection shared by
+    the batch pipeline (``llm_data_prep``) and the streaming front
+    door (``ingest.ingest_data_prep``): one per-document row of
+    (doc_id, md5-of-text as ``hash_col``, n_tokens, lexical_diversity,
+    stopword_ratio, predicted_lang) over a ``toked`` relation carrying
+    a BOUND ``_toks`` token array plus ``text``. Single projection, no
+    shuffle — any gate change lands in both deployments at once."""
     t = F.col("_toks")
     n_tokens = F.size(t)
     scores = {
@@ -63,10 +64,9 @@ def llm_data_prep(
     pred = F.when(best == 0, F.lit("unknown"))
     for lang in langs:
         pred = pred.when(scores[lang] == best, F.lit(lang))
-
-    feat = toked.select(
+    return toked.select(
         "doc_id",
-        F.md5("text").alias("_h"),
+        F.md5("text").alias(hash_col),
         n_tokens.alias("n_tokens"),
         F.round(F.size(F.array_distinct(t)) / n_tokens, 4).alias(
             "lexical_diversity"
@@ -76,6 +76,35 @@ def llm_data_prep(
         ),
         pred.alias("predicted_lang"),
     )
+
+
+def quality_gate_expr(
+    min_tokens: int = MIN_TOKENS,
+    min_ld: float = MIN_LEXICAL_DIVERSITY,
+    min_sr: float = MIN_STOPWORD_RATIO,
+) -> F.Column:
+    """The keep predicate over ``quality_language_features`` columns —
+    NULL-safe: a NULL-text document (all-NULL features) gates to
+    False, not NULL."""
+    return F.coalesce(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("lexical_diversity") >= min_ld)
+        & (F.col("stopword_ratio") >= min_sr)
+        & (F.col("predicted_lang") != "unknown"),
+        F.lit(False),
+    )
+
+
+def llm_data_prep(
+    docs: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_ld: float = MIN_LEXICAL_DIVERSITY,
+    min_sr: float = MIN_STOPWORD_RATIO,
+) -> DataFrame:
+    """Per-language corpus summary after quality gate + language gate +
+    exact dedup."""
+    toked = docs.select("doc_id", "text", tokens_expr().alias("_toks"))
+    feat = quality_language_features(toked)
     kept = feat.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("lexical_diversity") >= min_ld)

@@ -386,11 +386,20 @@ def classifier_scores_joined(docs: DataFrame, weights: DataFrame) -> DataFrame:
         .filter(F.col("tok").isNotNull())
     )
     raw = F.col("_s") / F.col("_n")
-    return (
+    scored = (
         per_tok.withColumn("bucket", clf_bucket_expr(F.col("tok")))
         .join(F.broadcast(weights), "bucket")
         .groupBy("doc_id", "_n")
         .agg(F.sum("weight").alias("_s"))
+    )
+    # Left join from the full document base: a NULL-text document has
+    # no token rows after the isNotNull filter and would silently
+    # VANISH from an inner-grouped result, where the HOF form returns
+    # it with a NULL score — the equality contract requires one row
+    # per input document on both paths.
+    return (
+        toked.select("doc_id")
+        .join(scored, "doc_id", "left")
         .select(
             "doc_id",
             F.round(

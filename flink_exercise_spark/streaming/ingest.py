@@ -208,8 +208,15 @@ def stream_decontaminate(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
     q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"stream_decontaminate did not drain within {timeout_sec}s; "
+            f"PARTIAL store at {path} — rerun with a fresh store_path "
+            f"(per-batch appends are not checkpointed, so a retry into "
+            f"the same path would duplicate rows)"
+        )
     return path
 
 
@@ -244,48 +251,27 @@ def ingest_data_prep(
     adds no state and the eval-gram side is a fixed-size broadcast.
     """
     from flink_exercise_spark.operators.pipeline import (
-        MIN_LEXICAL_DIVERSITY,
-        MIN_STOPWORD_RATIO,
-        MIN_TOKENS,
         decontaminate_against,
+        quality_gate_expr,
+        quality_language_features,
     )
-    from flink_exercise_spark.operators.text import (
-        LANG_MARKERS,
-        STOPWORDS,
-        _marker_score,
-        tokens_expr,
-    )
+    from flink_exercise_spark.operators.text import tokens_expr
     from flink_exercise_spark.streaming.jobs import tracked_tempdir
 
     path = store_path or tracked_tempdir("ingest_prep_")
 
     def prep_batch(batch: DataFrame, batch_id: int) -> None:
+        # The feature projection and keep predicate are the SAME code
+        # the batch pipeline runs (pipeline.quality_language_features /
+        # quality_gate_expr — md5(text) there equals the dedup stage's
+        # text_hash), so a gate change lands in both deployments at
+        # once. quality_gate_expr is NULL-safe: a NULL-text document
+        # gates to False, never to a NULL that would fall out of BOTH
+        # keep==True and keep==False routing downstream.
         toked = batch.select(
-            "doc_id", "text", "text_hash", tokens_expr().alias("_toks")
+            "doc_id", "text", tokens_expr().alias("_toks")
         )
-        t = F.col("_toks")
-        n_tokens = F.size(t)
-        scores = {
-            lang: _marker_score(t, markers)
-            for lang, markers in LANG_MARKERS.items()
-        }
-        langs = list(LANG_MARKERS)
-        best = F.greatest(*[scores[lang] for lang in langs])
-        pred = F.when(best == 0, F.lit("unknown"))
-        for lang in langs:
-            pred = pred.when(scores[lang] == best, F.lit(lang))
-        feat = toked.select(
-            "doc_id",
-            "text_hash",
-            n_tokens.alias("n_tokens"),
-            F.round(F.size(F.array_distinct(t)) / n_tokens, 4).alias(
-                "lexical_diversity"
-            ),
-            F.round(_marker_score(t, STOPWORDS) / n_tokens, 4).alias(
-                "stopword_ratio"
-            ),
-            pred.alias("predicted_lang"),
-        )
+        feat = quality_language_features(toked, hash_col="text_hash")
         flagged = decontaminate_against(batch, eval_grams).select(
             "doc_id", F.lit(True).alias("contaminated")
         )
@@ -294,13 +280,7 @@ def ingest_data_prep(
             .withColumn(
                 "contaminated", F.coalesce("contaminated", F.lit(False))
             )
-            .withColumn(
-                "quality_ok",
-                (F.col("n_tokens") >= MIN_TOKENS)
-                & (F.col("lexical_diversity") >= MIN_LEXICAL_DIVERSITY)
-                & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
-                & (F.col("predicted_lang") != "unknown"),
-            )
+            .withColumn("quality_ok", quality_gate_expr())
             .withColumn(
                 "keep", F.col("quality_ok") & ~F.col("contaminated")
             )
@@ -313,6 +293,13 @@ def ingest_data_prep(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
     q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"ingest_data_prep did not drain within {timeout_sec}s; "
+            f"PARTIAL store at {path} — rerun with a fresh store_path "
+            f"(per-batch appends are not checkpointed, so a retry into "
+            f"the same path would duplicate rows)"
+        )
     return path

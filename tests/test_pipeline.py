@@ -184,3 +184,27 @@ def test_decontaminate_short_docs_never_flag(spark):
         [(eval_id, short), (train_id, short)], "doc_id long, text string"
     )
     assert decontaminate(df).count() == 0
+
+
+def test_quality_gate_is_null_safe(spark):
+    """A NULL-text document (all-NULL features) must gate to False —
+    a NULL keep flag would fall out of BOTH keep==True and keep==False
+    routing downstream (review finding, r6)."""
+    from flink_exercise_spark.operators.pipeline import (
+        quality_gate_expr,
+        quality_language_features,
+    )
+    from flink_exercise_spark.operators.text import tokens_expr
+
+    toked = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox " * 10)],
+        "doc_id long, text string",
+    ).select("doc_id", "text", tokens_expr().alias("_toks"))
+    out = {
+        r["doc_id"]: r["ok"]
+        for r in quality_language_features(toked)
+        .select("doc_id", quality_gate_expr().alias("ok"))
+        .collect()
+    }
+    assert out[1] is False           # NULL features -> False, not NULL
+    assert out[2] in (True, False)   # real doc gates to a real bool

@@ -217,7 +217,14 @@ def test_clf_joined_form_equals_hof_form(spark):
         tokens_expr,
     )
 
-    docs = load_table(spark, SF_SMOKE, "documents")
+    base = load_table(spark, SF_SMOKE, "documents")
+    # Include a NULL-text document: both forms must return it with a
+    # NULL score (an inner-grouped join form would silently DROP it —
+    # the review finding this line pins).
+    docs = base.unionByName(
+        spark.createDataFrame([(999_999, None, None, None, None)],
+                              base.schema)
+    )
     hof = {
         r["doc_id"]: r["s"]
         for r in docs.select("doc_id", tokens_expr().alias("_t"))
@@ -231,5 +238,9 @@ def test_clf_joined_form_equals_hof_form(spark):
         ).collect()
     }
     assert set(hof) == set(joined)
+    assert hof[999_999] is None and joined[999_999] is None
     for d, s in hof.items():
-        assert joined[d] == pytest.approx(s, abs=1e-4), d
+        if s is None:
+            assert joined[d] is None, d
+        else:
+            assert joined[d] == pytest.approx(s, abs=1e-4), d
