@@ -1,0 +1,206 @@
+"""Tokenizer induction over the documents table — the vocabulary /
+subword-merge statistics a training pipeline computes before any model
+sees a byte.
+
+Two layers, split by where the data is big:
+
+- ``vocab_stats`` / ``char_pair_stats``: corpus-scale aggregations
+  (the distributed part — every token of every document flows through
+  ONE hash aggregate with map-side combine; the shuffle carries one
+  row per distinct token, not per occurrence).
+- ``bpe_train``: the BPE merge loop (Sennrich et al., ACL'16) over the
+  aggregated (word, freq) table. The loop deliberately runs on the
+  DRIVER over the collected vocabulary: the corpus-sized work is the
+  count; the merge iterations touch only the frequency table, which is
+  vocabulary-sized by construction — the same model-state split the
+  k-means kernel documents (clustering.py), and exactly how production
+  tokenizer trainers consume distributed word counts.
+
+The registered query unions the top-k word vocabulary with the
+weighted adjacent-character-pair statistics (BPE's iteration-0 merge
+candidates) into one relation, so the driver value-hashes both facets
+in a single entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.text import tokens_expr
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table, spread
+
+VOCAB_TOP_K = 100
+PAIR_TOP_K = 20
+
+
+def _corpus_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) — one row per token OCCURRENCE; blank/NULL tokens
+    dropped (explode_outer + isnotnull: the inferred-filter rule, see
+    pipeline.decontaminate)."""
+    return (
+        spread(docs, "doc_id")
+        .select("doc_id", tokens_expr().alias("_t"))
+        .select("doc_id", F.explode_outer("_t").alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+
+
+def vocab_stats(docs: DataFrame) -> DataFrame:
+    """(tok, n, doc_freq): occurrence count and document frequency per
+    distinct token — one two-phase hash aggregate; the count(DISTINCT
+    doc_id) expands to (tok, doc_id) partials, the standard two-level
+    distinct shape."""
+    return _corpus_tokens(docs).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+def char_pair_stats(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent character-pair counts over a (tok, n) word
+    vocabulary — BPE's iteration-0 merge candidates. Runs over the
+    VOCABULARY (distinct word types), weighting each pair by the
+    word's corpus count, so cost is vocab-sized, not corpus-sized.
+    Words shorter than 2 characters are filtered BEFORE the position
+    explode (sequence(1, 0) counts DOWN — the same guard as
+    shingles_from_tokens)."""
+    return (
+        vocab.filter(F.length("tok") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.length("tok") - 1)
+            ).alias("i"),
+            "tok",
+        )
+        .select(
+            F.col("tok").substr(F.col("i"), F.lit(2)).alias("pair"), "n"
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def _topk(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Deterministic top-k by (n DESC, item ASC) — plans as
+    TakeOrderedAndProject (per-partition heap + driver merge, no full
+    sort)."""
+    return df.orderBy(F.col("n").desc(), F.col(item_col).asc()).limit(k)
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge table: ``n_merges`` rounds of "merge
+    the most frequent adjacent symbol pair" (ties broken by pair
+    lexicographic order, deterministic) over the corpus word-frequency
+    table. Returns [(left_symbol, right_symbol, weighted_count), ...]
+    in merge order.
+
+    The distributed step is ``vocab_stats`` (corpus-scale count); the
+    merge loop runs driver-side over the collected (word, freq) pairs
+    — vocabulary-sized model fitting, the documented model-state
+    exception to the no-driver-loop rule (see module docstring).
+    Pinned against the textbook reference in test_tokenizer.py.
+    """
+    freqs = {
+        r["tok"]: r["n"]
+        for r in vocab_stats(docs).select("tok", "n").collect()
+    }
+    symbols = {w: tuple(w) for w in freqs}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, syms in symbols.items():
+            n = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        (a, b), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((a, b, n))
+        merged = a + b
+        new_symbols = {}
+        for w, syms in symbols.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_symbols[w] = tuple(out)
+        symbols = new_symbols
+    return merges
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok IS NOT NULL AND tok <> ''
+    ),
+    wv AS (
+      SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS doc_freq
+      FROM toks GROUP BY tok
+    ),
+    topw AS (
+      SELECT 'word' AS kind, tok AS item, n,
+             CAST(doc_freq AS BIGINT) AS doc_freq
+      FROM wv ORDER BY n DESC, tok ASC LIMIT {VOCAB_TOP_K}
+    ),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair, n
+      FROM (SELECT tok, n,
+                   unnest(range(1, length(tok))) AS i
+            FROM wv WHERE length(tok) >= 2)
+    ),
+    topp AS (
+      SELECT 'char_pair' AS kind, pair AS item,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(NULL AS BIGINT) AS doc_freq
+      FROM pairs GROUP BY pair
+      ORDER BY n DESC, pair ASC LIMIT {PAIR_TOP_K}
+    )
+    SELECT kind, item, CAST(n AS BIGINT) AS n, doc_freq FROM topw
+    UNION ALL
+    SELECT kind, item, n, doc_freq FROM topp
+    """,
+    doc="Tokenizer induction statistics: top-k word vocabulary "
+        "(count + document frequency) unioned with the weighted "
+        "adjacent char-pair counts (BPE iteration-0 merge candidates) "
+        "— the corpus-scale aggregations a tokenizer trainer consumes",
+    tags=("text", "documents", "tokenizer"),
+)
+def q_vocab_topk(spark, sf_dir):
+    from flink_exercise_spark.caching import persist_tracked
+
+    docs = load_table(prep(spark), sf_dir, "documents")
+    # vocab feeds BOTH top-k word facet and the pair stats; it is
+    # vocabulary-sized (post-aggregate), so persisting it is the
+    # correct-at-scale way to share the corpus-scale token count.
+    vocab = persist_tracked(vocab_stats(docs))
+    topw = _topk(vocab, "tok", VOCAB_TOP_K).select(
+        F.lit("word").alias("kind"),
+        F.col("tok").alias("item"),
+        F.col("n").cast("long").alias("n"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+    )
+    topp = _topk(char_pair_stats(vocab), "pair", PAIR_TOP_K).select(
+        F.lit("char_pair").alias("kind"),
+        F.col("pair").alias("item"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("doc_freq"),
+    )
+    return topw.unionByName(topp)

@@ -57,6 +57,11 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 @register(
     "t4_sliding_window_counts",
+    # priority=1 (r6 rotation): driver-green in r5; takes the
+    # fourteenth rotation slot to make window room for the
+    # newly-registered text_vocab_topk (never driver-verified).
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # A sliding (7d, 1d) window holds ts iff start = floor(ts/1d)*1d - k*1d
     # for k in 0..6 — enumerate memberships with generate_series.
     oracle="""

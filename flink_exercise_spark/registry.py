@@ -155,6 +155,7 @@ def _load_all_modules() -> None:
         clustering,
         relational,
         timeseries,
+        tokenizer,
     )
     from flink_exercise_spark.streaming import jobs  # noqa: F401
 

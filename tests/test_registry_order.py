@@ -40,10 +40,11 @@ def test_demoted_showcases_sort_last_within_oracled():
     # window room for the newly-registered pipeline_pack_chunks, and an
     # eleventh (a1_running_counts_analytic) for pipeline_decontaminate,
     # a twelfth (skew_salted_distinct_count) for
-    # dedup_line_boilerplate, and a thirteenth
-    # (hypertable_rollup_events) for dedup_exact_substring — every
-    # demoted entry still holds an r5 driver pass, so the 2-round
-    # freshness bound is intact (the test below enforces it).
+    # dedup_line_boilerplate, a thirteenth (hypertable_rollup_events)
+    # for dedup_exact_substring, and a fourteenth
+    # (t4_sliding_window_counts) for text_vocab_topk — every demoted
+    # entry still holds an r5 driver pass, so the 2-round freshness
+    # bound is intact (the test below enforces it).
     assert set(demoted) == {
         "tpch_q1_pricing_summary",
         "tpch_q3_shipping_priority",
@@ -58,6 +59,7 @@ def test_demoted_showcases_sort_last_within_oracled():
         "a1_running_counts_analytic",
         "skew_salted_distinct_count",
         "hypertable_rollup_events",
+        "t4_sliding_window_counts",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

@@ -157,3 +157,19 @@ def test_hypertable_rollup_events_pin(spark, events_pdf):
     hour = out[out["grain"] == 0]
     assert len(hour) == hours.nunique()
     assert hour["n_events"].sum() == len(events_pdf)
+
+
+def test_t4_sliding_window_counts_pin(spark, events_pdf):
+    epoch = pd.Timestamp(0)
+    one_s = pd.Timedelta(seconds=1)
+    day = (events_pdf["ts"].dt.floor("D") - epoch) // one_s
+    out = _run(spark, "t4_sliding_window_counts").set_index("window_start")
+    # enumerate each event's 7 window memberships (7d size, 1d slide)
+    rows = {}
+    for d, uid in zip(day, events_pdf["user_id"]):
+        for k in range(7):
+            rows.setdefault(d - k * 86400, []).append(uid)
+    assert set(out.index) == set(rows)
+    for w, uids in rows.items():
+        assert out.loc[w, "n_events"] == len(uids)
+        assert out.loc[w, "n_users"] == len(set(uids))

@@ -1,0 +1,92 @@
+"""Tokenizer-induction operators (operators/tokenizer.py): vocabulary
+statistics and the BPE merge loop, pinned against hand-computed and
+textbook references."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.tokenizer import (
+    bpe_train,
+    char_pair_stats,
+    vocab_stats,
+)
+from flink_exercise_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_stats_counts_and_docfreq(spark):
+    df = _docs(
+        spark,
+        [(1, "a b a"), (2, "a c"), (3, None), (4, "")],
+    )
+    out = {r["tok"]: (r["n"], r["doc_freq"]) for r in vocab_stats(df).collect()}
+    assert out == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+
+def test_char_pair_stats_weighted(spark):
+    # vocab: "low" x2, "lower" x1  ->  lo:3 ow:3 we:1 er:1
+    df = _docs(spark, [(1, "low low lower")])
+    out = {
+        r["pair"]: r["n"]
+        for r in char_pair_stats(vocab_stats(df)).collect()
+    }
+    assert out == {"lo": 3, "ow": 3, "we": 1, "er": 1}
+    # single-char words contribute no pairs (sequence guard)
+    df2 = _docs(spark, [(1, "a a ab")])
+    out2 = {
+        r["pair"]: r["n"]
+        for r in char_pair_stats(vocab_stats(df2)).collect()
+    }
+    assert out2 == {"ab": 1}
+
+
+def test_bpe_train_textbook_merges(spark):
+    """The Sennrich et al. running example: corpus weights low:5,
+    lower:2, newest:6, widest:3. First merges are (e,s) -> (es,t) ->
+    (est, ...): 'est' forms from the two -est words (9 occurrences)."""
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    merges = bpe_train(_docs(spark, [(1, text)]), n_merges=3)
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    # third merge: all remaining pairs... 'lo' (7 = low:5 + lower:2)
+    # vs 'ne','ew','west'? newest -> n e w est: pairs (n,e)=6,(e,w)=6,
+    # (w,est)=6; widest -> w i d est: (w,i)=3,(i,d)=3,(d,est)=3;
+    # low -> l o w: (l,o)=7,(o,w)=7. Top = (l,o) or (o,w) at 7 ->
+    # lexicographic min is ('l','o').
+    assert merges[2] == ("l", "o", 7)
+
+
+def test_bpe_train_deterministic_ties(spark):
+    # "ab" and "cd" once each: pairs (a,b)=1, (c,d)=1 -> lexicographic
+    # tie-break picks (a,b) first.
+    merges = bpe_train(_docs(spark, [(1, "ab cd")]), n_merges=2)
+    assert merges[0][:2] == ("a", "b")
+    assert merges[1][:2] == ("c", "d")
+
+
+def test_bpe_train_stops_when_dry(spark):
+    merges = bpe_train(_docs(spark, [(1, "a b c")]), n_merges=5)
+    assert merges == []              # no multi-char words, no pairs
+
+
+def test_vocab_topk_fixture_runs(spark):
+    from flink_exercise_spark.registry import specs
+
+    out = specs()["text_vocab_topk"].fn(spark, SF_SMOKE).collect()
+    kinds = {r["kind"] for r in out}
+    assert kinds == {"word", "char_pair"}
+    words = [r for r in out if r["kind"] == "word"]
+    # descending by n with deterministic item tie-break
+    ns = [r["n"] for r in words]
+    assert ns == sorted(ns, reverse=True)
+    assert all(r["doc_freq"] is not None for r in words)
+    assert all(
+        r["doc_freq"] is None for r in out if r["kind"] == "char_pair"
+    )
