@@ -183,3 +183,71 @@ def test_substring_dedup_fuzz_vs_python(spark):
             if raw == "":
                 exp[d] = ("", 1, 1, 0)
         assert got == exp, f"case {case} (k={k}): {got} != {exp}"
+
+
+def _py_decontaminate(rows, n):
+    """Pure-python reference of pipeline.decontaminate: hashlib split
+    buckets, dict n-gram sets — no engines involved."""
+    import hashlib
+
+    def bucket(d):
+        return int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100
+
+    def grams(t):
+        toks = t.strip().split() if t is not None else []
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    ev = set()
+    for d, t in rows:
+        if bucket(d) >= 90:
+            ev |= grams(t)
+    out = {}
+    for d, t in rows:
+        b = bucket(d)
+        if b >= 90:
+            continue
+        g = grams(t)
+        hits = len(g & ev)
+        if hits:
+            out[d] = (
+                "train" if b < 80 else "val",
+                len(g),
+                hits,
+                round(hits / len(g), 4),
+            )
+    return out
+
+
+def test_decontaminate_fuzz_vs_python(spark):
+    """Random small-vocabulary corpora against a dict-based reference:
+    split assignment, distinct-gram counting, and the hits/contamination
+    arithmetic must match for every doc, across random n."""
+    from flink_exercise_spark.operators.pipeline import decontaminate
+
+    rng = random.Random(20260815)
+    for case in range(N_CASES):
+        n = rng.choice([2, 3, 4])
+        vocab = [f"w{i}" for i in range(rng.choice([4, 10]))]
+        rows = []
+        for d in range(rng.randint(10, 40)):
+            n_tok = rng.randint(0, 12)
+            rows.append(
+                (d, " ".join(rng.choice(vocab) for _ in range(n_tok))
+                 if n_tok else ("" if case % 2 else None))
+            )
+        exp = _py_decontaminate(rows, n)
+        got = {
+            r["doc_id"]: (
+                r["split"],
+                r["n_shingles"],
+                r["n_eval_hits"],
+                r["contamination"],
+            )
+            for r in decontaminate(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                n=n,
+            ).collect()
+        }
+        assert got == exp, f"case {case} (n={n}): {got} != {exp}"
