@@ -36,6 +36,9 @@ OPS = [
     "stream_interval_join_attribution",
     "range_join_concurrent_events",
     "ts_pattern_search",
+    # r6 additions (BENCH_SF10.md "Round-6 additions"):
+    "dedup_exact_substring",
+    "pipeline_decontaminate",
 ]
 
 
