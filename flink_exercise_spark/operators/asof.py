@@ -251,6 +251,13 @@ def range_join_counts(
 
 @register(
     "range_join_concurrent_events",
+    # priority=1 (r6 rotation): driver-green in r5; takes the
+    # fifteenth rotation slot to make window room for the
+    # newly-registered text_token_rarity (never driver-verified).
+    # Independent pin while demoted: the differential fuzz vs an
+    # O(n^2) python reference (tests/test_custom_op_fuzz.py::
+    # test_range_join_fuzz_vs_quadratic) — no DuckDB involved.
+    priority=1,
     # The oracle spells the band as BETWEEN (two inequalities), which
     # DuckDB plans as an IEJoin — an abs() form defeats that and
     # nested-loops, measured unrunnable at 1M rows in ANY engine,

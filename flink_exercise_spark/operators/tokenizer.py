@@ -204,3 +204,77 @@ def q_vocab_topk(spark, sf_dir):
         F.lit(None).cast("long").alias("doc_freq"),
     )
     return topw.unionByName(topp)
+
+
+def token_rarity(docs: DataFrame) -> DataFrame:
+    """Per-document rarity score: mean inverse corpus frequency of the
+    document's tokens — ``avg(N / c_t)`` where ``N`` is the corpus
+    token count and ``c_t`` each token's corpus count. The rational
+    form of the CCNet-style statistical-LM filter (high score =
+    rare-token-heavy = likely gibberish/OCR noise; low = boilerplate):
+    deliberately NO logarithm, because ln() is libm and a last-ulp
+    difference between engines can flip a round(x, 4) at a boundary
+    (same reasoning as the classifier's rational squash, text.py),
+    while N/c_t is exact integer-ratio arithmetic in doubles.
+
+    This is corpus-statistics model scoring: the vocabulary IS the
+    model, trained by ``vocab_stats``'s corpus-scale aggregate and
+    joined back token-by-token. Scale shape: the join key is the
+    token (inverted-index shape, same family as the Jaccard verify
+    join); vocabulary size is data-dependent, so no unconditional
+    broadcast hint — AQE broadcasts a small vocab from observed
+    shuffle sizes, and a gibberish-heavy corpus whose vocab approaches
+    corpus size degrades to a sort-merge join instead of an executor
+    OOM. The scalar N rides a 1-row broadcast cross join. Final
+    per-doc aggregate is map-side partial (a document's tokens are
+    co-located in its scan partition).
+
+    Returns (doc_id, n_tokens, rarity) for documents with >= 1
+    non-blank token; NULL/blank-only documents have no occurrence rows
+    and drop out (mirrored in the oracle).
+    """
+    from flink_exercise_spark.caching import persist_tracked
+
+    toks = _corpus_tokens(docs)
+    toks = persist_tracked(toks)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = vocab.agg(F.sum("_c").alias("_n_total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.col("_n_total") / F.col("_c")), 4).alias(
+                "rarity"
+            ),
+        )
+    )
+
+
+@register(
+    "text_token_rarity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok IS NOT NULL AND tok <> ''
+    ),
+    wv AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM wv)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(n_total / c), 4) AS rarity
+    FROM toks t JOIN wv USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    doc="Statistical-LM corpus filter: per-doc mean inverse corpus "
+        "token frequency (rational arithmetic, no libm) — the "
+        "vocabulary trained by the corpus-scale aggregate is the "
+        "model, joined back inverted-index style",
+    tags=("text", "documents", "tokenizer", "quality"),
+)
+def q_token_rarity(spark, sf_dir):
+    return token_rarity(load_table(prep(spark), sf_dir, "documents"))

@@ -41,10 +41,12 @@ def test_demoted_showcases_sort_last_within_oracled():
     # eleventh (a1_running_counts_analytic) for pipeline_decontaminate,
     # a twelfth (skew_salted_distinct_count) for
     # dedup_line_boilerplate, a thirteenth (hypertable_rollup_events)
-    # for dedup_exact_substring, and a fourteenth
-    # (t4_sliding_window_counts) for text_vocab_topk — every demoted
-    # entry still holds an r5 driver pass, so the 2-round freshness
-    # bound is intact (the test below enforces it).
+    # for dedup_exact_substring, a fourteenth
+    # (t4_sliding_window_counts) for text_vocab_topk, and a fifteenth
+    # (range_join_concurrent_events, pinned by its quadratic-reference
+    # differential fuzz) for text_token_rarity — every demoted entry
+    # still holds an r5 driver pass, so the 2-round freshness bound is
+    # intact (the test below enforces it).
     assert set(demoted) == {
         "tpch_q1_pricing_summary",
         "tpch_q3_shipping_priority",
@@ -60,6 +62,7 @@ def test_demoted_showcases_sort_last_within_oracled():
         "skew_salted_distinct_count",
         "hypertable_rollup_events",
         "t4_sliding_window_counts",
+        "range_join_concurrent_events",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

@@ -90,3 +90,17 @@ def test_vocab_topk_fixture_runs(spark):
     assert all(
         r["doc_freq"] is None for r in out if r["kind"] == "char_pair"
     )
+
+
+def test_token_rarity_hand_computed(spark):
+    from flink_exercise_spark.operators.tokenizer import token_rarity
+
+    # corpus: a a a b  +  b c  -> N=6; c(a)=3, c(b)=2, c(c)=1
+    df = _docs(spark, [(1, "a a a b"), (2, "b c"), (3, None), (4, "")])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["rarity"])
+        for r in token_rarity(df).collect()
+    }
+    # doc1: avg(6/3, 6/3, 6/3, 6/2) = avg(2,2,2,3) = 2.25
+    # doc2: avg(6/2, 6/1) = avg(3,6) = 4.5
+    assert out == {1: (4, 2.25), 2: (2, 4.5)}  # NULL/blank docs drop
