@@ -323,3 +323,13 @@ def test_substring_dedup_plan_shape(spark):
     for node in plan.split("\n\n"):
         if node.lstrip().startswith("(") and "Filter" in node.split("\n")[0]:
             assert "sequence(1," not in node, f"gram expr in filter:\n{node[:500]}"
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    """Both top-k facets of the tokenizer-induction query must plan as
+    TakeOrderedAndProject (per-partition heap + driver merge) — a full
+    sort of the vocabulary would own the whole relation on one task."""
+    df = specs()["text_vocab_topk"].fn(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "SortAggregate" not in plan, plan
