@@ -251,3 +251,48 @@ def test_decontaminate_fuzz_vs_python(spark):
             ).collect()
         }
         assert got == exp, f"case {case} (n={n}): {got} != {exp}"
+
+
+def test_token_rarity_fuzz_vs_python(spark):
+    """Random corpora vs a dict-based reference: corpus frequency,
+    scalar total, and the per-doc mean inverse frequency (rounded as
+    the engine rounds) must match exactly."""
+    from flink_exercise_spark.operators.tokenizer import token_rarity
+
+    rng = random.Random(20260816)
+    for case in range(N_CASES):
+        vocab = [f"w{i}" for i in range(rng.choice([2, 5, 12]))]
+        rows = []
+        for d in range(rng.randint(3, 25)):
+            n_tok = rng.randint(0, 15)
+            rows.append(
+                (d, " ".join(rng.choice(vocab) for _ in range(n_tok))
+                 if n_tok else ("" if d % 2 else None))
+            )
+        freq: dict[str, int] = {}
+        docs_toks = {}
+        for d, t in rows:
+            toks = t.strip().split() if t else []
+            docs_toks[d] = toks
+            for tok in toks:
+                freq[tok] = freq.get(tok, 0) + 1
+        total = sum(freq.values())
+        exp = {
+            d: (len(toks),
+                round(sum(total / freq[t] for t in toks) / len(toks), 4))
+            for d, toks in docs_toks.items() if toks
+        }
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["rarity"])
+            for r in token_rarity(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        # FP summation order may differ at the last ulp; compare the
+        # rounded values with a 1-ulp-of-round tolerance.
+        assert set(got) == set(exp), f"case {case}"
+        for d in exp:
+            assert got[d][0] == exp[d][0], f"case {case} doc {d}"
+            assert abs(got[d][1] - exp[d][1]) < 1.5e-4, (
+                f"case {case} doc {d}: {got[d][1]} vs {exp[d][1]}"
+            )
