@@ -207,15 +207,20 @@ def q_vocab_topk(spark, sf_dir):
 
 
 def token_rarity(docs: DataFrame) -> DataFrame:
-    """Per-document rarity score: mean inverse corpus frequency of the
-    document's tokens — ``avg(N / c_t)`` where ``N`` is the corpus
-    token count and ``c_t`` each token's corpus count. The rational
-    form of the CCNet-style statistical-LM filter (high score =
-    rare-token-heavy = likely gibberish/OCR noise; low = boilerplate):
-    deliberately NO logarithm, because ln() is libm and a last-ulp
-    difference between engines can flip a round(x, 4) at a boundary
-    (same reasoning as the classifier's rational squash, text.py),
-    while N/c_t is exact integer-ratio arithmetic in doubles.
+    """Per-document rarity score: mean FLOORED inverse corpus
+    frequency of the document's tokens — ``sum(N div c_t) /
+    n_tokens`` where ``N`` is the corpus token count and ``c_t`` each
+    token's corpus count. The integer-exact form of the CCNet-style
+    statistical-LM filter (high score = rare-token-heavy = likely
+    gibberish/OCR noise; low = boilerplate). Two deliberate
+    engine-portability choices: NO logarithm (ln() is libm; a
+    last-ulp difference between engines can flip a round(x, 4)
+    boundary — same reasoning as the classifier's rational squash,
+    text.py), and integral division with an INTEGER sum per document
+    (a float mean of N/c_t terms is summation-ORDER dependent, and
+    Spark's partial-agg order differs from a single-stream engine's —
+    the one remaining division happens once, after the exact sum, so
+    the rounded value is bit-identical on both engines).
 
     This is corpus-statistics model scoring: the vocabulary IS the
     model, trained by ``vocab_stats``'s corpus-scale aggregate and
@@ -225,9 +230,13 @@ def token_rarity(docs: DataFrame) -> DataFrame:
     broadcast hint — AQE broadcasts a small vocab from observed
     shuffle sizes, and a gibberish-heavy corpus whose vocab approaches
     corpus size degrades to a sort-merge join instead of an executor
-    OOM. The scalar N rides a 1-row broadcast cross join. Final
-    per-doc aggregate is map-side partial (a document's tokens are
-    co-located in its scan partition).
+    OOM. The scalar N rides a 1-row broadcast cross join. On the
+    broadcast path the per-doc aggregate combines map-side (a
+    document's tokens are co-located in its scan partition); on the
+    sort-merge path rows leave the join partitioned by TOKEN, so the
+    partial aggregate emits up to one row per (doc, partition) and
+    the doc-keyed shuffle is correspondingly larger — the degraded
+    mode's honest extra cost, not a contract violation.
 
     Returns (doc_id, n_tokens, rarity) for documents with >= 1
     non-blank token; NULL/blank-only documents have no occurrence rows
@@ -245,9 +254,12 @@ def token_rarity(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.avg(F.col("_n_total") / F.col("_c")), 4).alias(
-                "rarity"
-            ),
+            F.sum(F.expr("_n_total div _c")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_s") / F.col("n_tokens"), 4).alias("rarity"),
         )
     )
 
@@ -263,17 +275,17 @@ def token_rarity(docs: DataFrame) -> DataFrame:
       ) WHERE tok IS NOT NULL AND tok <> ''
     ),
     wv AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM wv)
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM wv)
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(n_total / c), 4) AS rarity
+           round(sum(n_total // c) / count(*), 4) AS rarity
     FROM toks t JOIN wv USING (tok) CROSS JOIN tot
     GROUP BY t.doc_id
     """,
-    doc="Statistical-LM corpus filter: per-doc mean inverse corpus "
-        "token frequency (rational arithmetic, no libm) — the "
-        "vocabulary trained by the corpus-scale aggregate is the "
-        "model, joined back inverted-index style",
+    doc="Statistical-LM corpus filter: per-doc mean floored inverse "
+        "corpus token frequency (integer-exact, order-independent, "
+        "no libm) — the vocabulary trained by the corpus-scale "
+        "aggregate is the model, joined back inverted-index style",
     tags=("text", "documents", "tokenizer", "quality"),
 )
 def q_token_rarity(spark, sf_dir):

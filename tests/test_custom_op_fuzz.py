@@ -277,9 +277,21 @@ def test_token_rarity_fuzz_vs_python(spark):
             for tok in toks:
                 freq[tok] = freq.get(tok, 0) + 1
         total = sum(freq.values())
+        # The statistic is integer-exact by design (integer floor
+        # division summed exactly, ONE final float division), so the
+        # comparison is EXACT — the reason the registered form uses
+        # sum(N div c) and not a float mean, whose summation order
+        # differs between engines. HALF_UP mirrors both engines'
+        # round(); python's built-in round is banker's.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def _r4(x):
+            return float(Decimal(x).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
         exp = {
             d: (len(toks),
-                round(sum(total / freq[t] for t in toks) / len(toks), 4))
+                _r4(sum(total // freq[t] for t in toks) / len(toks)))
             for d, toks in docs_toks.items() if toks
         }
         got = {
@@ -288,11 +300,4 @@ def test_token_rarity_fuzz_vs_python(spark):
                 spark.createDataFrame(rows, "doc_id long, text string")
             ).collect()
         }
-        # FP summation order may differ at the last ulp; compare the
-        # rounded values with a 1-ulp-of-round tolerance.
-        assert set(got) == set(exp), f"case {case}"
-        for d in exp:
-            assert got[d][0] == exp[d][0], f"case {case} doc {d}"
-            assert abs(got[d][1] - exp[d][1]) < 1.5e-4, (
-                f"case {case} doc {d}: {got[d][1]} vs {exp[d][1]}"
-            )
+        assert got == exp, f"case {case}: {got} != {exp}"

@@ -1,6 +1,9 @@
 """Independent semantics pins for the rotation-eligible registry
-entries (a2_count_events, events_type_stats, a1_running_counts_analytic,
-events_json_props, intersect_except_custkeys).
+entries — one per CURRENTLY-DEMOTED query (see
+tests/test_registry_order.py for the authoritative demoted set), with
+one exception: range_join_concurrent_events is pinned by its
+quadratic-reference differential fuzz in test_custom_op_fuzz.py
+instead of a pandas pin here.
 
 These queries periodically rotate out of the driver's bounded
 verification window (registry._ordered); while demoted, their only
@@ -173,3 +176,151 @@ def test_t4_sliding_window_counts_pin(spark, events_pdf):
     for w, uids in rows.items():
         assert out.loc[w, "n_events"] == len(uids)
         assert out.loc[w, "n_users"] == len(set(uids))
+
+
+@pytest.fixture(scope="module")
+def _tpch(request):
+    def load(name):
+        return pd.read_parquet(os.path.join(SF_SMOKE, f"{name}.parquet"))
+    return load
+
+
+def test_tpch_q1_pricing_summary_pin(spark, _tpch):
+    li = _tpch("lineitem")
+    li = li[li["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+    out = _run(spark, "tpch_q1_pricing_summary").set_index(
+        ["l_returnflag", "l_linestatus"]
+    )
+    disc = li["l_extendedprice"] * (1 - li["l_discount"])
+    charge = disc * (1 + li["l_tax"])
+    g = li.assign(_dp=disc, _ch=charge).groupby(
+        ["l_returnflag", "l_linestatus"]
+    )
+    assert set(out.index) == set(g.groups)
+    for key, sub in g:
+        row = out.loc[key]
+        assert row["sum_qty"] == pytest.approx(
+            round(sub["l_quantity"].sum(), 2), abs=1e-2)
+        assert row["sum_disc_price"] == pytest.approx(
+            round(sub["_dp"].sum(), 2), abs=1e-2)
+        assert row["sum_charge"] == pytest.approx(
+            round(sub["_ch"].sum(), 2), abs=1e-2)
+        assert row["avg_disc"] == pytest.approx(
+            round(sub["l_discount"].mean(), 4), abs=1e-4)
+        assert row["count_order"] == len(sub)
+
+
+def test_tpch_q6_forecast_revenue_pin(spark, _tpch):
+    li = _tpch("lineitem")
+    sel = li[
+        (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))
+        & (li["l_discount"] >= 0.03)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    ]
+    out = _run(spark, "tpch_q6_forecast_revenue")
+    assert len(out) == 1
+    assert out["n_lines"].iloc[0] == len(sel)
+    assert out["revenue"].iloc[0] == pytest.approx(
+        round((sel["l_extendedprice"] * sel["l_discount"]).sum(), 2),
+        abs=1e-2,
+    )
+
+
+def test_tpch_q14_promo_revenue_pin(spark, _tpch):
+    li = _tpch("lineitem")
+    li = li[
+        (li["l_shipdate"] >= pd.Timestamp("1997-09-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1997-10-01"))
+    ]
+    j = li.merge(
+        _tpch("part"), left_on="l_partkey", right_on="p_partkey"
+    )
+    rev = j["l_extendedprice"] * (1 - j["l_discount"])
+    promo = rev.where(j["p_type"] == "PROMO", 0.0)
+    out = _run(spark, "tpch_q14_promo_revenue")
+    assert len(out) == 1
+    assert out["n_lines"].iloc[0] == len(j)
+    assert out["promo_revenue_pct"].iloc[0] == pytest.approx(
+        round(100.0 * promo.sum() / rev.sum(), 4), abs=1e-4
+    )
+
+
+def test_tpch_q3_shipping_priority_pin(spark, _tpch):
+    cust = _tpch("customer")
+    cust = cust[cust["c_mktsegment"] == "BUILDING"]
+    orders = _tpch("orders")
+    orders = orders[orders["o_orderdate"] < pd.Timestamp("1998-03-15")]
+    li = _tpch("lineitem")
+    li = li[li["l_shipdate"] > pd.Timestamp("1998-03-15")]
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    j = j.assign(_rev=j["l_extendedprice"] * (1 - j["l_discount"]))
+    g = (
+        j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])["_rev"]
+        .sum()
+        .round(2)
+        .reset_index(name="revenue")
+    )
+    g["orderdate"] = g["o_orderdate"].dt.strftime("%Y-%m-%d")
+    g = g.sort_values(
+        ["revenue", "orderdate", "l_orderkey"],
+        ascending=[False, True, True],
+    ).head(10)
+    out = _run(spark, "tpch_q3_shipping_priority")
+    exp = list(
+        zip(g["l_orderkey"], g["revenue"], g["orderdate"],
+            g["o_orderpriority"])
+    )
+    got = list(
+        zip(out["l_orderkey"], out["revenue"], out["orderdate"],
+            out["o_orderpriority"])
+    )
+    assert len(got) == len(exp)
+    for (gk, gr, gd, gp), (ek, er, ed, ep) in zip(got, exp):
+        assert (gk, gd, gp) == (ek, ed, ep)
+        assert gr == pytest.approx(er, abs=1e-2)
+
+
+def test_tpch_q5_local_supplier_volume_pin(spark, _tpch):
+    orders = _tpch("orders")
+    orders = orders[
+        (orders["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+        & (orders["o_orderdate"] < pd.Timestamp("1998-01-01"))
+    ]
+    j = (
+        _tpch("lineitem")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(_tpch("customer"), left_on="o_custkey",
+               right_on="c_custkey")
+        .merge(_tpch("supplier"), left_on="l_suppkey",
+               right_on="s_suppkey")
+    )
+    j = j[j["c_nationkey"] == j["s_nationkey"]]
+    j = j.merge(_tpch("nation"), left_on="s_nationkey",
+                right_on="n_nationkey")
+    region = _tpch("region")
+    asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    j = j[j["n_regionkey"].isin(asia)]
+    exp = (
+        (j["l_extendedprice"] * (1 - j["l_discount"]))
+        .groupby(j["n_name"]).sum().round(2)
+    )
+    out = _run(spark, "tpch_q5_local_supplier_volume").set_index("n_name")
+    assert set(out.index) == set(exp.index)
+    for n, v in exp.items():
+        assert out.loc[n, "revenue"] == pytest.approx(v, abs=1e-2)
+
+
+def test_join_semi_anti_customers_pin(spark, _tpch):
+    cust = _tpch("customer")
+    ordered = set(_tpch("orders")["o_custkey"])
+    out = _run(spark, "join_semi_anti_customers")
+    with_o = set(out.loc[out["side"] == "with_orders", "c_custkey"])
+    without = set(out.loc[out["side"] == "without_orders", "c_custkey"])
+    all_keys = set(cust["c_custkey"])
+    assert with_o == all_keys & ordered
+    assert without == all_keys - ordered
+    assert len(out) == len(cust)      # exactly one row per customer
