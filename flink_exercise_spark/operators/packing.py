@@ -151,17 +151,23 @@ def packing_profile(
       FROM documents
       WHERE text IS NOT NULL
     ), placed AS (
+      -- DuckDB windowed sum(BIGINT) widens to HUGEINT -> arrow
+      -- decimal128 vs Spark's int64; the driver hashes TYPED values,
+      -- so start_tok and every // derivative cast back to BIGINT
+      -- (registry.py parity conventions — r6's one red row).
       SELECT doc_id, n_tok,
-             sum(n_tok) OVER (ORDER BY h, doc_id
-                              ROWS UNBOUNDED PRECEDING) - n_tok
-               AS start_tok
+             CAST(sum(n_tok) OVER (ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok
+                  AS BIGINT) AS start_tok
       FROM base WHERE n_tok > 0
     )
     SELECT doc_id, n_tok, start_tok,
-           start_tok // {CONTEXT_LEN} AS first_chunk,
-           (start_tok + n_tok - 1) // {CONTEXT_LEN} AS last_chunk,
-           (start_tok + n_tok - 1) // {CONTEXT_LEN}
-             - start_tok // {CONTEXT_LEN} + 1 AS n_chunks_spanned
+           CAST(start_tok // {CONTEXT_LEN} AS BIGINT) AS first_chunk,
+           CAST((start_tok + n_tok - 1) // {CONTEXT_LEN} AS BIGINT)
+             AS last_chunk,
+           CAST((start_tok + n_tok - 1) // {CONTEXT_LEN}
+             - start_tok // {CONTEXT_LEN} + 1 AS BIGINT)
+             AS n_chunks_spanned
     FROM placed
     """,
     doc="Concat-and-chunk sequence packing: per-document placement in "
