@@ -244,6 +244,13 @@ def q_ref_q1(spark, sf_dir):
 
 @register(
     "ref_q1_top_host_str",
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH c AS (
       SELECT {_ORACLE_WIN} AS window_start,
@@ -321,6 +328,13 @@ def cumulative_distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFr
 
 @register(
     "ref_q2_cumulative_distinct",
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH firsts AS (
       SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
@@ -371,6 +385,13 @@ def q_ref_q3(spark, sf_dir):
 
 @register(
     "a1_requests_per_host",
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle="SELECT user_id, count(*) AS n_requests FROM events GROUP BY 1",
     doc="A1: keyed count",
     tags=("aggregate", "events"),
@@ -381,10 +402,13 @@ def q_a1(spark, sf_dir):
 
 @register(
     "a2_count_events",
-    # priority=0 (r5 rotation): restored to the driver window after one
-    # demoted round; the r4-promoted entries (now driver-green) take
-    # the rotation slot this round (see registry._ordered).
-    priority=0,
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # A2 (global count) and A4 (exact distinct count) in one entry:
     # both are single-pass global aggregates over the same scan, and
     # Spark computes them in one plan (expand + two-phase hash agg).
@@ -407,6 +431,13 @@ def q_a2(spark, sf_dir):
 
 @register(
     "a3_first_event_per_host",
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle="""
     SELECT user_id, min(event_id) AS first_event_id,
            arg_min(event_type, event_id) AS first_event_type
@@ -434,6 +465,13 @@ def q_a4_approx(spark, sf_dir):
 
 @register(
     "a6_top3_hosts_per_window",
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH c AS (
       SELECT {_ORACLE_WIN} AS window_start, user_id,
@@ -456,11 +494,8 @@ def q_a6_top3(spark, sf_dir):
 
 @register(
     "events_type_stats",
-    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
-    # slot so the r5-demoted entries return to the driver window and
-    # the newly-oracled mm_resize_thumbs fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     SELECT event_type, count(*) AS n_events,
            round(avg(value), 4) AS avg_value,
@@ -493,11 +528,8 @@ def q_type_stats(spark, sf_dir):
 
 @register(
     "a1_running_counts_analytic",
-    # priority=1 (r6 rotation): driver-green in r5; takes the eleventh
-    # rotation slot to make window room for the newly-registered
-    # pipeline_decontaminate (never driver-verified). Pandas pin:
-    # tests/test_rotation_pins.py.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     # Batch rendering of Flink's per-record update stream (A1): the
     # running count/sum each record would have emitted, via OVER
     # windows with a deterministic (ts, event_id) order.
@@ -530,11 +562,8 @@ def q_running_counts(spark, sf_dir):
 
 @register(
     "events_json_props",
-    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
-    # slot so the r5-demoted entries return to the driver window and
-    # the newly-oracled mm_resize_thumbs fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     SELECT event_type,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)

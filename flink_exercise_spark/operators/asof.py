@@ -251,13 +251,8 @@ def range_join_counts(
 
 @register(
     "range_join_concurrent_events",
-    # priority=1 (r6 rotation): driver-green in r5; takes the
-    # fifteenth rotation slot to make window room for the
-    # newly-registered text_token_rarity (never driver-verified).
-    # Independent pin while demoted: the differential fuzz vs an
-    # O(n^2) python reference (tests/test_custom_op_fuzz.py::
-    # test_range_join_fuzz_vs_quadratic) — no DuckDB involved.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     # The oracle spells the band as BETWEEN (two inequalities), which
     # DuckDB plans as an IEJoin — an abs() form defeats that and
     # nested-loops, measured unrunnable at 1M rows in ANY engine,
@@ -290,6 +285,11 @@ def q_range_join(spark, sf_dir):
 
 @register(
     "asof_purchase_attribution",
+    # priority=1 (r7 rotation): driver-green in r6 — see the standard
+    # rotation note on a1_requests_per_host. Independent pin while
+    # demoted: pandas merge_asof differential
+    # (tests/test_rotation_pins.py::test_asof_purchase_attribution_pin).
+    priority=1,
     # DuckDB's native ASOF JOIN is the oracle for our windowed
     # composition; >= semantics on the timestamp, per-user key.
     oracle="""

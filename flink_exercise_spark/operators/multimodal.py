@@ -304,6 +304,13 @@ def resize_images(with_payload: DataFrame, target: int = 64) -> DataFrame:
 
 @register(
     "mm_binary_metadata",
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # The engine hashes the BINARY payload directly (binary-safe).
     # DuckDB's md5 only accepts VARCHAR, but it hashes the string's
     # UTF-8 encoding — exactly the bytes attach_binary_payload

@@ -44,12 +44,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "tpch_q1_pricing_summary",
-    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
-    # slot so the r5-demoted entries return to the driver window and
-    # the newly-oracled mm_resize_thumbs fits for its first
-    # hash-checked pass (registry._ordered). Hash-verified locally
-    # every round by test_parity_demoted.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                AS sum_qty,
@@ -90,12 +86,8 @@ def q_tpch_q1(spark, sf_dir):
 
 @register(
     "tpch_q3_shipping_priority",
-    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
-    # slot so the r5-demoted entries return to the driver window and
-    # the newly-oracled mm_resize_thumbs fits for its first
-    # hash-checked pass (registry._ordered). Hash-verified locally
-    # every round by test_parity_demoted.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     SELECT l_orderkey,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -147,12 +139,8 @@ def q_tpch_q3(spark, sf_dir):
 
 @register(
     "tpch_q5_local_supplier_volume",
-    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
-    # slot so the r5-demoted entries return to the driver window and
-    # the newly-oracled mm_resize_thumbs fits for its first
-    # hash-checked pass (registry._ordered). Hash-verified locally
-    # every round by test_parity_demoted.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     SELECT n_name,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -201,12 +189,8 @@ def q_tpch_q5(spark, sf_dir):
 
 @register(
     "tpch_q6_forecast_revenue",
-    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
-    # slot so the r5-demoted entries return to the driver window and
-    # the newly-oracled mm_resize_thumbs fits for its first
-    # hash-checked pass (registry._ordered). Hash-verified locally
-    # every round by test_parity_demoted.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
            count(*) AS n_lines
@@ -241,12 +225,8 @@ def q_tpch_q6(spark, sf_dir):
 
 @register(
     "tpch_q14_promo_revenue",
-    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
-    # slot so the r5-demoted entries return to the driver window and
-    # the newly-oracled mm_resize_thumbs fits for its first
-    # hash-checked pass (registry._ordered). Hash-verified locally
-    # every round by test_parity_demoted.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
                                    THEN l_extendedprice * (1 - l_discount)
@@ -289,12 +269,8 @@ def q_tpch_q14(spark, sf_dir):
 
 @register(
     "join_semi_anti_customers",
-    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
-    # slot so the r5-demoted entries return to the driver window and
-    # the newly-oracled mm_resize_thumbs fits for its first
-    # hash-checked pass (registry._ordered). Hash-verified locally
-    # every round by test_parity_demoted.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     SELECT 'with_orders' AS side, c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -320,8 +296,13 @@ def q_semi_anti(spark, sf_dir):
 
 @register(
     "join_outer_order_counts",
-    # Promoted back for r6 (demoted in r5, driver-green r4): the
-    # rotation contract requires a driver pass within two rounds.
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
            round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
@@ -352,8 +333,13 @@ def q_outer(spark, sf_dir):
 
 @register(
     "cube_orders_status_priority",
-    # Promoted back for r6 (demoted in r5, driver-green r4): the
-    # rotation contract requires a driver pass within two rounds.
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
            round(avg(o_totalprice), 4) AS avg_price
@@ -372,8 +358,13 @@ def q_cube(spark, sf_dir):
 
 @register(
     "grouping_sets_lineitem",
-    # Promoted back for r6 (demoted in r5, driver-green r4): the
-    # rotation contract requires a driver pass within two rounds.
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # The four explicit sets are ROLLUP(l_returnflag, l_linestatus)
     # plus the (l_linestatus) slice — one entry covering both the
     # ROLLUP hierarchy and arbitrary GROUPING SETS (Spark plans either
@@ -409,8 +400,13 @@ def q_grouping_sets(spark, sf_dir):
 
 @register(
     "sort_limit_top_orders",
-    # Promoted back for r6 (demoted in r5, driver-green r4): the
-    # rotation contract requires a driver pass within two rounds.
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
     FROM orders
@@ -435,8 +431,13 @@ def q_sort_limit(spark, sf_dir):
 
 @register(
     "union_orders_and_purchases",
-    # Promoted back for r6 (demoted in r5, driver-green r4): the
-    # rotation contract requires a driver pass within two rounds.
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle="""
     SELECT 'order' AS src, o_orderkey AS id, round(o_totalprice, 2) AS amount
     FROM orders WHERE o_totalprice > 400000
@@ -465,12 +466,8 @@ def q_union(spark, sf_dir):
 
 @register(
     "intersect_except_custkeys",
-    # priority=1 (r6 rotation): driver-green in r5; takes a rotation
-    # slot so the r5-demoted entries return to the driver window and
-    # the newly-oracled mm_resize_thumbs fits for its first
-    # hash-checked pass (registry._ordered). Hash-verified locally
-    # every round by test_parity_demoted.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     SELECT 'both' AS side, c_custkey FROM (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -507,8 +504,13 @@ def q_setops(spark, sf_dir):
 
 @register(
     "scalar_functions_showcase",
-    # Promoted back for r6 (demoted in r5, driver-green r4): the
-    # rotation contract requires a driver pass within two rounds.
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle="""
     SELECT o_orderkey,
            upper(substr(o_orderpriority, 1, 8))       AS pri_code,

@@ -714,12 +714,8 @@ def q_near_dup(spark, sf_dir):
 
 @register(
     "sim_label_centroid_norms",
-    # Round-6 rotation slot (registry._ordered): driver-green in r5,
-    # demoted one round to make window room for the newly-registered
-    # pipeline_pack_chunks; returns to the window in r7. Locally
-    # hash-verified every round while demoted (test_parity_demoted)
-    # and semantics-pinned in test_rotation_pins.py.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     WITH unnested AS (
       SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -54,11 +54,8 @@ def salted_distinct_count(
 
 @register(
     "skew_salted_distinct_count",
-    # priority=1 (r6 rotation): driver-green in r5; takes the twelfth
-    # rotation slot to make window room for the newly-registered
-    # dedup_line_boilerplate (never driver-verified). Pandas pin:
-    # tests/test_rotation_pins.py.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     # Oracle is the PLAIN single-stage form: the salted rewrite must be
     # invisible in the results.
     oracle="""

@@ -57,11 +57,8 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 @register(
     "t4_sliding_window_counts",
-    # priority=1 (r6 rotation): driver-green in r5; takes the
-    # fourteenth rotation slot to make window room for the
-    # newly-registered text_vocab_topk (never driver-verified).
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     # A sliding (7d, 1d) window holds ts iff start = floor(ts/1d)*1d - k*1d
     # for k in 0..6 — enumerate memberships with generate_series.
     oracle="""
@@ -84,6 +81,13 @@ def q_sliding(spark, sf_dir):
 
 @register(
     "t4_session_windows",
+    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
+    # slot so the 15 r6-demoted entries (freshest pass r5) return to
+    # the driver window and the newly-oracled
+    # stream_interval_join_attribution fits (registry._ordered).
+    # Hash-verified locally every round by test_parity_demoted;
+    # pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Gaps-and-islands: a new session starts where the gap from the
     # previous event (per user) is >= 30 min (Spark session semantics:
     # the window is [start, last+gap), an event at exactly prev+gap is
@@ -152,11 +156,8 @@ def hypertable_rollup(events: DataFrame, value: str = "value") -> DataFrame:
 
 @register(
     "hypertable_rollup_events",
-    # priority=1 (r6 rotation): driver-green in r5; takes the
-    # thirteenth rotation slot to make window room for the
-    # newly-registered dedup_exact_substring (never driver-verified).
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
+    # Promoted back for r7 (demoted in r6, driver-green r5): the
+    # rotation contract requires a driver pass within two rounds.
     oracle="""
     WITH b AS (
       SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)

@@ -520,14 +520,23 @@ def _register_streaming() -> None:
 
     @register(
         "stream_interval_join_attribution",
-        # Rows-only by design: the query's POINT is the stream-stream
-        # execution (two stateful join buffers, watermark-derived
-        # state eviction) — a SQL oracle would only re-run the batch
-        # twin, which the stream-equals-batch parity test
-        # (test_streaming.py) already pins exactly; the bin-bucketed
-        # batch form of the same band-join family is value-oracled as
-        # range_join_concurrent_events.
-        oracle=None,
+        # Oracled since r7 (was rows-only): the batch twin of the
+        # interval join is plain SQL DuckDB runs natively, and the
+        # stream-equals-batch parity test (test_streaming.py) pins
+        # that the stateful stream-stream execution produces exactly
+        # this relation — so wiring the twin as the oracle upgrades
+        # the weakest check in the window to a full value-hash check
+        # without weakening what the query exercises (two stateful
+        # join buffers, watermark-derived state eviction).
+        oracle="""
+        SELECT p.user_id, p.event_id AS purchase_id,
+               v.event_id AS view_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+        """,
         doc="Stream-stream interval join executed as a real Structured "
             "Streaming job: purchases joined to the same user's views "
             "from the preceding hour, both sides unbounded streams "

@@ -28,41 +28,35 @@ def test_demoted_showcases_sort_last_within_oracled():
     specs = registry.specs()
     oracled = [n for n in _names() if specs[n].oracle is not None]
     demoted = [n for n in oracled if specs[n].priority > 0]
-    # Round-6 rotation: the nine entries demoted in r5 return to the
-    # driver window (their freshest driver pass is r4 — one more round
-    # out would break the 2-round bound); nine entries green in r5
-    # take the rotation slots, which also makes room for the
-    # newly-oracled mm_resize_thumbs (rows-only before r6) to collect
-    # its first hash-checked pass. text_lang_profile no longer exists
-    # as an entry — folded into text_language_id's output (registry
-    # capacity consolidation, VERDICT r5 item 4). A tenth r5-green
-    # entry (sim_label_centroid_norms) joins the rotation slot to make
-    # window room for the newly-registered pipeline_pack_chunks, and an
-    # eleventh (a1_running_counts_analytic) for pipeline_decontaminate,
-    # a twelfth (skew_salted_distinct_count) for
-    # dedup_line_boilerplate, a thirteenth (hypertable_rollup_events)
-    # for dedup_exact_substring, a fourteenth
-    # (t4_sliding_window_counts) for text_vocab_topk, and a fifteenth
-    # (range_join_concurrent_events, pinned by its quadratic-reference
-    # differential fuzz) for text_token_rarity — every demoted entry
-    # still holds an r5 driver pass, so the 2-round freshness bound is
-    # intact (the test below enforces it).
+    # Round-7 rotation: the fifteen entries demoted in r6 return to
+    # the driver window (their freshest driver pass is r5 — one more
+    # round out would break the 2-round bound). Sixteen entries green
+    # in r6 take the rotation slots — sixteen, not fifteen, because
+    # stream_interval_join_attribution is newly oracled this round
+    # (was rows-only; its batch-twin SQL is now the oracle) and must
+    # collect its first hash-checked pass inside the window. Every
+    # demoted entry holds an r6 driver pass (enforced below) and an
+    # independent non-DuckDB pin: pandas pins in
+    # tests/test_rotation_pins.py, except clf_golden_log whose oracle
+    # is hand-computed VALUES constants (engine-independent by
+    # construction — the parity run compares against fixed literals).
     assert set(demoted) == {
-        "tpch_q1_pricing_summary",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume",
-        "tpch_q6_forecast_revenue",
-        "tpch_q14_promo_revenue",
-        "join_semi_anti_customers",
-        "intersect_except_custkeys",
-        "events_type_stats",
-        "events_json_props",
-        "sim_label_centroid_norms",
-        "a1_running_counts_analytic",
-        "skew_salted_distinct_count",
-        "hypertable_rollup_events",
-        "t4_sliding_window_counts",
-        "range_join_concurrent_events",
+        "ref_q1_top_host_str",
+        "ref_q2_cumulative_distinct",
+        "a1_requests_per_host",
+        "a2_count_events",
+        "a3_first_event_per_host",
+        "a6_top3_hosts_per_window",
+        "t4_session_windows",
+        "clf_golden_log",
+        "asof_purchase_attribution",
+        "mm_binary_metadata",
+        "join_outer_order_counts",
+        "cube_orders_status_priority",
+        "grouping_sets_lineitem",
+        "sort_limit_top_orders",
+        "union_orders_and_purchases",
+        "scalar_functions_showcase",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

@@ -1,9 +1,12 @@
 """Independent semantics pins for the rotation-eligible registry
 entries — one per CURRENTLY-DEMOTED query (see
 tests/test_registry_order.py for the authoritative demoted set), with
-one exception: range_join_concurrent_events is pinned by its
-quadratic-reference differential fuzz in test_custom_op_fuzz.py
-instead of a pandas pin here.
+two exceptions: range_join_concurrent_events is pinned by its
+quadratic-reference differential fuzz in test_custom_op_fuzz.py, and
+clf_golden_log's oracle is hand-computed VALUES constants (the parity
+run itself compares against fixed literals). Pins are kept after an
+entry rotates back into the driver window — they remain independent
+checks, and the entry will be demoted again in a later round.
 
 These queries periodically rotate out of the driver's bounded
 verification window (registry._ordered); while demoted, their only
@@ -324,3 +327,291 @@ def test_join_semi_anti_customers_pin(spark, _tpch):
     assert with_o == all_keys & ordered
     assert without == all_keys - ordered
     assert len(out) == len(cust)      # exactly one row per customer
+
+
+# ---------------------------------------------------------------------------
+# Round-7 rotation pins (entries demoted for r7; driver-green in r6)
+# ---------------------------------------------------------------------------
+
+_WIN = 31 * 86400
+
+
+def _win_start(ts: pd.Series) -> pd.Series:
+    epoch = pd.Timestamp(0)
+    one_s = pd.Timedelta(seconds=1)
+    secs = (ts - epoch) // one_s
+    return (secs // _WIN) * _WIN
+
+
+def test_a1_requests_per_host_pin(spark, events_pdf):
+    out = _run(spark, "a1_requests_per_host").set_index("user_id")
+    counts = events_pdf.groupby("user_id").size()
+    assert set(out.index) == set(counts.index)
+    for uid, n in counts.items():
+        assert out.loc[uid, "n_requests"] == n
+
+
+def test_a3_first_event_per_host_pin(spark, events_pdf):
+    out = _run(spark, "a3_first_event_per_host").set_index("user_id")
+    firsts = events_pdf.loc[
+        events_pdf.groupby("user_id")["event_id"].idxmin()
+    ].set_index("user_id")
+    assert set(out.index) == set(firsts.index)
+    for uid, row in firsts.iterrows():
+        assert out.loc[uid, "first_event_id"] == row["event_id"]
+        assert out.loc[uid, "first_event_type"] == row["event_type"]
+
+
+def test_a6_top3_hosts_per_window_pin(spark, events_pdf):
+    out = _run(spark, "a6_top3_hosts_per_window")
+    win = _win_start(events_pdf["ts"])
+    counts = (
+        events_pdf.assign(window_start=win)
+        .groupby(["window_start", "user_id"])
+        .size()
+        .reset_index(name="n")
+    )
+    expect = []
+    for w, sub in counts.groupby("window_start"):
+        top = sub.sort_values(
+            ["n", "user_id"], ascending=[False, False]
+        ).head(3)
+        expect += [
+            (w, uid, n, rank + 1)
+            for rank, (uid, n) in enumerate(zip(top["user_id"], top["n"]))
+        ]
+    got = set(
+        zip(out["window_start"], out["user_id"], out["n_requests"],
+            out["rank"])
+    )
+    assert got == set(expect)
+
+
+def test_ref_q1_top_host_str_pin(spark, events_pdf):
+    out = _run(spark, "ref_q1_top_host_str").set_index("window_start")
+    win = _win_start(events_pdf["ts"])
+    hosts = "user" + events_pdf["user_id"].astype(str)
+    counts = (
+        pd.DataFrame({"w": win, "host": hosts})
+        .groupby(["w", "host"])
+        .size()
+        .reset_index(name="n")
+    )
+    assert set(out.index) == set(counts["w"].unique())
+    for w, sub in counts.groupby("w"):
+        nmax = sub["n"].max()
+        # tie-break: lexicographically greatest host at the max count
+        winner = sub.loc[sub["n"] == nmax, "host"].max()
+        assert out.loc[w, "top_user"] == winner
+        assert out.loc[w, "n_requests"] == nmax
+
+
+def test_ref_q2_cumulative_distinct_pin(spark, events_pdf):
+    out = _run(spark, "ref_q2_cumulative_distinct").set_index("window_start")
+    first_ts = events_pdf.groupby("user_id")["ts"].min()
+    new_per_win = _win_start(first_ts).value_counts()
+    event_wins = sorted(_win_start(events_pdf["ts"]).unique())
+    assert set(out.index) == set(event_wins)
+    cum = 0
+    for w in event_wins:
+        cum += int(new_per_win.get(w, 0))
+        assert out.loc[w, "n_unique_clients_cumulative"] == cum
+
+
+def test_t4_session_windows_pin(spark, events_pdf):
+    out = _run(spark, "t4_session_windows")
+    gap = pd.Timedelta(minutes=30)
+    epoch = pd.Timestamp(0)
+    one_s = pd.Timedelta(seconds=1)
+    expect = []
+    for uid, sub in events_pdf.sort_values("ts").groupby("user_id"):
+        brk = (sub["ts"].diff().isna()) | (sub["ts"].diff() >= gap)
+        sid = brk.cumsum()
+        for _, sess in sub.groupby(sid):
+            expect.append(
+                (
+                    uid,
+                    (sess["ts"].min() - epoch) // one_s,
+                    len(sess),
+                    round(sess["value"].sum(), 2),
+                )
+            )
+    got = list(
+        zip(out["user_id"], out["session_start"], out["n_events"],
+            out["sum_value"])
+    )
+    assert len(got) == len(expect)
+    for (gu, gs, gn, gv), (eu, es, en, ev) in zip(
+        sorted(got), sorted(expect)
+    ):
+        assert (gu, gs, gn) == (eu, es, en)
+        assert gv == pytest.approx(ev, abs=1e-2)
+
+
+def test_asof_purchase_attribution_pin(spark, events_pdf):
+    """Differential vs a direct per-purchase scan of the user's views
+    (<= semantics, latest wins) — no merge_asof, no DuckDB."""
+    out = _run(spark, "asof_purchase_attribution").set_index("event_id")
+    epoch = pd.Timestamp(0)
+    one_s = pd.Timedelta(seconds=1)
+    purchases = events_pdf[events_pdf["event_type"] == "purchase"]
+    views = events_pdf[events_pdf["event_type"] == "view"]
+    assert len(out) == len(purchases)
+    for _, p in purchases.iterrows():
+        row = out.loc[p["event_id"]]
+        assert row["user_id"] == p["user_id"]
+        assert row["purchase_ts"] == (p["ts"] - epoch) // one_s
+        cand = views[
+            (views["user_id"] == p["user_id"]) & (views["ts"] <= p["ts"])
+        ]
+        if cand.empty:
+            assert pd.isna(row["prior_view_ts"])
+            assert pd.isna(row["view_event_id"])
+        else:
+            latest_ts = cand["ts"].max()
+            assert row["prior_view_ts"] == (latest_ts - epoch) // one_s
+            assert (
+                row["view_event_id"]
+                in set(cand.loc[cand["ts"] == latest_ts, "event_id"])
+            )
+
+
+def test_join_outer_order_counts_pin(spark, _tpch):
+    cust = _tpch("customer")
+    orders = _tpch("orders")
+    out = _run(spark, "join_outer_order_counts").set_index("c_custkey")
+    assert set(out.index) == set(cust["c_custkey"])
+    g = orders.groupby("o_custkey")
+    n_orders = g.size()
+    spend = g["o_totalprice"].sum().round(2)
+    for ck in cust["c_custkey"]:
+        assert out.loc[ck, "n_orders"] == int(n_orders.get(ck, 0))
+        assert out.loc[ck, "total_spend"] == pytest.approx(
+            float(spend.get(ck, 0.0)), abs=1e-2
+        )
+
+
+def test_cube_orders_status_priority_pin(spark, _tpch):
+    orders = _tpch("orders")
+    out = _run(spark, "cube_orders_status_priority")
+    got = {
+        (s if pd.notna(s) else None, p if pd.notna(p) else None): (n, a)
+        for s, p, n, a in zip(
+            out["o_orderstatus"], out["o_orderpriority"],
+            out["n_orders"], out["avg_price"],
+        )
+    }
+    expect = {}
+    for keys in (
+        ["o_orderstatus", "o_orderpriority"],
+        ["o_orderstatus"],
+        ["o_orderpriority"],
+        [],
+    ):
+        if keys:
+            for k, sub in orders.groupby(keys):
+                k = k if isinstance(k, tuple) else (k,)
+                full = (
+                    (k[0], None) if keys == ["o_orderstatus"]
+                    else (None, k[0]) if keys == ["o_orderpriority"]
+                    else k
+                )
+                expect[full] = (len(sub), round(sub["o_totalprice"].mean(), 4))
+        else:
+            expect[(None, None)] = (
+                len(orders), round(orders["o_totalprice"].mean(), 4)
+            )
+    assert set(got) == set(expect)
+    for k, (en, ea) in expect.items():
+        gn, ga = got[k]
+        assert gn == en
+        assert ga == pytest.approx(ea, abs=1e-4)
+
+
+def test_grouping_sets_lineitem_pin(spark, _tpch):
+    li = _tpch("lineitem")
+    out = _run(spark, "grouping_sets_lineitem")
+    got = {
+        (f if pd.notna(f) else None, s if pd.notna(s) else None): (n, q)
+        for f, s, n, q in zip(
+            out["l_returnflag"], out["l_linestatus"],
+            out["n_lines"], out["sum_qty"],
+        )
+    }
+    expect = {}
+    for (f, s), sub in li.groupby(["l_returnflag", "l_linestatus"]):
+        expect[(f, s)] = (len(sub), round(sub["l_quantity"].sum(), 2))
+    for f, sub in li.groupby("l_returnflag"):
+        expect[(f, None)] = (len(sub), round(sub["l_quantity"].sum(), 2))
+    for s, sub in li.groupby("l_linestatus"):
+        expect[(None, s)] = (len(sub), round(sub["l_quantity"].sum(), 2))
+    expect[(None, None)] = (len(li), round(li["l_quantity"].sum(), 2))
+    assert set(got) == set(expect)
+    for k, (en, eq) in expect.items():
+        gn, gq = got[k]
+        assert gn == en
+        assert gq == pytest.approx(eq, abs=1e-2)
+
+
+def test_sort_limit_top_orders_pin(spark, _tpch):
+    orders = _tpch("orders")
+    top = orders.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    out = _run(spark, "sort_limit_top_orders")
+    assert list(out["o_orderkey"]) == list(top["o_orderkey"])
+    for g, e in zip(out["totalprice"], top["o_totalprice"]):
+        assert g == pytest.approx(round(e, 2), abs=1e-2)
+    assert list(out["o_orderpriority"]) == list(top["o_orderpriority"])
+
+
+def test_union_orders_and_purchases_pin(spark, _tpch, events_pdf):
+    orders = _tpch("orders")
+    big = orders[orders["o_totalprice"] > 400000]
+    purch = events_pdf[events_pdf["event_type"] == "purchase"]
+    out = _run(spark, "union_orders_and_purchases")
+    got = set(zip(out["src"], out["id"], out["amount"].round(2)))
+    expect = set(
+        zip(["order"] * len(big), big["o_orderkey"],
+            big["o_totalprice"].round(2))
+    ) | set(
+        zip(["event"] * len(purch), purch["event_id"],
+            purch["value"].round(2))
+    )
+    assert got == expect
+
+
+def test_scalar_functions_showcase_pin(spark, _tpch):
+    orders = _tpch("orders")
+    sel = orders[orders["o_orderkey"] < 100]
+    out = _run(spark, "scalar_functions_showcase").set_index("o_orderkey")
+    assert set(out.index) == set(sel["o_orderkey"])
+    import math
+
+    for _, r in sel.iterrows():
+        row = out.loc[r["o_orderkey"]]
+        assert row["pri_code"] == r["o_orderpriority"][:8].upper()
+        assert row["status_len"] == len(r["o_orderstatus"])
+        assert row["order_year"] == r["o_orderdate"].year
+        assert row["order_month"] == r["o_orderdate"].month
+        assert row["sqrt_price"] == pytest.approx(
+            round(math.sqrt(r["o_totalprice"]), 4), abs=1e-4
+        )
+        assert row["key_mod"] == r["o_orderkey"] % 7
+        assert (
+            row["status_pri"]
+            == f"{r['o_orderstatus']}-{r['o_orderpriority']}"
+        )
+
+
+def test_mm_binary_metadata_pin(spark):
+    import hashlib
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = _run(spark, "mm_binary_metadata").set_index("doc_id")
+    assert set(out.index) == set(docs["doc_id"])
+    for _, r in docs.iterrows():
+        row = out.loc[r["doc_id"]]
+        payload = r["text"].encode("utf-8")
+        assert row["n_bytes"] == len(payload)
+        assert row["content_hash"] == hashlib.md5(payload).hexdigest()
