@@ -1026,7 +1026,27 @@ def _positioned_grams(docs: DataFrame, k: int, key: str) -> DataFrame:
         )
         .select(key, F.explode_outer("_gs").alias("_g"))
         .filter(F.col("_g").isNotNull())
-        .select(key, F.col("_g.pos").alias("pos"), F.col("_g.gram").alias("gram"))
+        .select(
+            key,
+            # Runtime guard for the _POS_PACK domain assumption: a
+            # document beyond ~1M whitespace tokens would silently
+            # corrupt the packed (doc_id, pos) canonical ordering —
+            # fail loudly instead (ADVICE r6). Plain codegen branch,
+            # no extra pass.
+            F.when(F.col("_g.pos") < _POS_PACK, F.col("_g.pos"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "substring_dedup: token position %s exceeds the "
+                        "packable bound 2^20; document too long for the "
+                        "packed (doc_id, pos) canonical key",
+                        F.col("_g.pos").cast("string"),
+                    )
+                )
+            )
+            .alias("pos"),
+            F.col("_g.gram").alias("gram"),
+        )
     )
 
 
@@ -1054,6 +1074,14 @@ def substring_dedup(
     tokens in order (documents with no duplicated run pass through
     with their tokens rejoined verbatim; NULL text stays NULL with
     zero counts).
+
+    Blank-text caveat: a non-NULL all-whitespace/empty ``text``
+    reports ``n_tokens = 1`` — split('') yields [''] and this
+    operator counts raw split slots so that positions here and in
+    the oracle line up one-to-one. That differs from
+    ``_corpus_tokens``/``vocab_stats``, which drop blank tokens: the
+    two counts answer different questions (split positions vs real
+    tokens) and must not be compared across operators.
 
     Scale shape: (1) gram frequency + canonical key — groupBy(gram)
     count/min with map-side combine; the classic inverted index.

@@ -91,8 +91,14 @@ def _topk(df: DataFrame, item_col: str, k: int) -> DataFrame:
     return df.orderBy(F.col("n").desc(), F.col(item_col).asc()).limit(k)
 
 
+BPE_MAX_VOCAB = 1_000_000
+
+
 def bpe_train(
-    docs: DataFrame, n_merges: int = 10
+    docs: DataFrame,
+    n_merges: int = 10,
+    min_count: int = 1,
+    max_vocab: int = BPE_MAX_VOCAB,
 ) -> list[tuple[str, str, int]]:
     """Byte-pair-encoding merge table: ``n_merges`` rounds of "merge
     the most frequent adjacent symbol pair" (ties broken by pair
@@ -105,10 +111,23 @@ def bpe_train(
     — vocabulary-sized model fitting, the documented model-state
     exception to the no-driver-loop rule (see module docstring).
     Pinned against the textbook reference in test_tokenizer.py.
+
+    The collect is BOUNDED so "vocabulary-sized" stays true on a
+    web-scale corpus (10^8–10^9 distinct raw tokens): ``min_count``
+    drops hapax/noise words before they leave the executors (the
+    standard BPE preprocessing floor — singleton words contribute
+    pair counts below any real merge's count) and ``max_vocab`` caps
+    the driver transfer at the top-N words by (n DESC, tok ASC) —
+    TakeOrderedAndProject, a per-partition heap, so neither bound
+    adds a shuffle. Both bounds at their defaults are exact on any
+    corpus with <= BPE_MAX_VOCAB distinct words (fuzz-pinned:
+    test_bpe_floor_noop_below_bound).
     """
+    vocab = vocab_stats(docs).select("tok", "n")
+    if min_count > 1:
+        vocab = vocab.filter(F.col("n") >= min_count)
     freqs = {
-        r["tok"]: r["n"]
-        for r in vocab_stats(docs).select("tok", "n").collect()
+        r["tok"]: r["n"] for r in _topk(vocab, "tok", max_vocab).collect()
     }
     symbols = {w: tuple(w) for w in freqs}
     merges: list[tuple[str, str, int]] = []

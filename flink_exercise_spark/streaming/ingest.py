@@ -208,8 +208,13 @@ def stream_decontaminate(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    q.stop()
+    # try/finally, not sequential stop: awaitTermination re-raises a
+    # failed batch's StreamingQueryException, and skipping stop() then
+    # leaks the query's state store + listener threads (ADVICE r6).
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
     if not finished:
         raise TimeoutError(
             f"stream_decontaminate did not drain within {timeout_sec}s; "
@@ -293,8 +298,13 @@ def ingest_data_prep(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    q.stop()
+    # try/finally, not sequential stop: awaitTermination re-raises a
+    # failed batch's StreamingQueryException, and skipping stop() then
+    # leaks the query's state store + listener threads (ADVICE r6).
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
     if not finished:
         raise TimeoutError(
             f"ingest_data_prep did not drain within {timeout_sec}s; "

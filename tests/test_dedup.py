@@ -225,3 +225,24 @@ def test_connected_components_property(spark):
             for r in connected_components(df, max_iters=64).collect()
         }
         assert got == exp_labels, f"trial {trial}: {edges}"
+
+
+def test_positioned_grams_pos_guard_raises(spark, monkeypatch):
+    """The _POS_PACK domain guard fails loudly on a document whose
+    token positions exceed the packable bound, instead of silently
+    corrupting the canonical keep-first ordering (ADVICE r6). The
+    bound is monkeypatched small so the test is fast; the guard
+    expression reads the module global at plan-build time."""
+    from flink_exercise_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "_POS_PACK", 4)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    grams = D._positioned_grams(docs, k=2, key="doc_id")
+    with pytest.raises(Exception, match="packable bound"):
+        grams.collect()
+    # Below the bound: no raise, positions intact.
+    monkeypatch.setattr(D, "_POS_PACK", 1 << 20)
+    grams_ok = D._positioned_grams(docs, k=2, key="doc_id")
+    assert sorted(r["pos"] for r in grams_ok.collect()) == list(range(1, 8))

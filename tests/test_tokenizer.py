@@ -104,3 +104,44 @@ def test_token_rarity_hand_computed(spark):
     # doc1: avg(6/3, 6/3, 6/3, 6/2) = avg(2,2,2,3) = 2.25
     # doc2: avg(6/2, 6/1) = avg(3,6) = 4.5
     assert out == {1: (4, 2.25), 2: (2, 4.5)}  # NULL/blank docs drop
+
+
+def test_bpe_floor_noop_below_bound(spark):
+    """Fuzz-pin the collect bounds: on corpora whose vocabulary fits
+    the cap and whose words all clear the floor, the bounded collect
+    is exactly the unbounded one (same merge table), across several
+    deterministic pseudo-random corpora."""
+    import random
+
+    rng = random.Random(7)
+    words = ["ab", "abc", "bcd", "cd", "a", "dd", "abab"]
+    for trial in range(5):
+        rows = [
+            (i, " ".join(rng.choices(words, k=rng.randint(1, 12))))
+            for i in range(20)
+        ]
+        df = _docs(spark, rows)
+        unbounded = bpe_train(df, n_merges=4)
+        bounded = bpe_train(df, n_merges=4, min_count=1, max_vocab=10_000)
+        assert bounded == unbounded, f"trial {trial}"
+
+
+def test_bpe_min_count_drops_hapax(spark):
+    """min_count=2 must remove singleton words from the frequency
+    table: a hapax-only pair disappears from the merge candidates."""
+    # "xy" appears once (hapax); "ab" appears 3 times.
+    df = _docs(spark, [(1, "ab ab"), (2, "ab xy")])
+    merges_all = bpe_train(df, n_merges=1)
+    assert merges_all[0][:2] == ("a", "b")  # ab dominates either way
+    merges_floor = bpe_train(df, n_merges=2, min_count=2)
+    # With the floor, only "ab" remains -> exactly one merge possible.
+    assert [m[:2] for m in merges_floor] == [("a", "b")]
+
+
+def test_bpe_max_vocab_caps_collect(spark):
+    """max_vocab keeps only the top-N words by (n DESC, tok ASC):
+    with max_vocab=1 only the most frequent word trains the merges."""
+    df = _docs(spark, [(1, "ab ab ab cd cd")])
+    merges = bpe_train(df, n_merges=3, max_vocab=1)
+    # Only "ab" (n=3) survives the cap; "cd" (n=2) is dropped.
+    assert [m[:2] for m in merges] == [("a", "b")]
