@@ -148,3 +148,93 @@ def test_registered_decode_queries_drop_empty_payloads(spark, tmp_path):
         ids = {r["doc_id"] for r in out.select("doc_id").collect()}
         assert 10_000_001 not in ids, f"{name} emitted the empty doc"
         assert ids == set(src.head(5)["doc_id"]), name
+
+
+# ---------------------------------------------------------------------------
+# Real-decoder seams (r7): checked-in genuine media files through the
+# full Spark mapInPandas path
+# ---------------------------------------------------------------------------
+
+_DATA = "flink_exercise_spark/data"
+
+
+def _media_df(spark, path):
+    payload = open(path, "rb").read()
+    return spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    )
+
+
+def test_bmp_real_decode_via_spark(spark):
+    """sample.bmp: 4x2 24-bit, top row white / bottom row black ->
+    mean luma exactly 0.5 — real pixel math, not the md5 stub."""
+    from flink_exercise_spark.operators.multimodal import decode_features
+
+    out = decode_features(_media_df(spark, f"{_DATA}/sample.bmp")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["format"] == "bmp"
+    assert (r["width"], r["height"]) == (4, 2)
+    assert r["mean_luma"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_wav_real_decode_via_spark(spark):
+    """sample.wav: 2048-sample square wave at amplitude 16384, mono
+    16-bit PCM 8000 Hz -> exactly two 1024-sample windows with RMS
+    16384/32768 = 0.5 — real sample math via the stdlib wave module."""
+    from flink_exercise_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+
+    out = sorted(
+        audio_window_energy(
+            _media_df(spark, f"{_DATA}/sample.wav")
+        ).collect(),
+        key=lambda r: r["window_idx"],
+    )
+    assert [(r["window_idx"], r["ts_ms"], r["sample_rate"]) for r in out] \
+        == [(0, 0, 8000), (1, 128, 8000)]
+    for r in out:
+        assert r["energy"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_container_sniffs_reject_text_and_cross_formats(spark):
+    """The dispatch contract the oracles rely on: no UTF-8 text
+    payload (including one starting with 'BM'/'RIFF') can satisfy the
+    strict sniffs, and each real file only matches its own codec."""
+    from flink_exercise_spark.operators.multimodal import (
+        _looks_bmp,
+        _looks_wav,
+    )
+
+    bmp = open(f"{_DATA}/sample.bmp", "rb").read()
+    wav = open(f"{_DATA}/sample.wav", "rb").read()
+    assert _looks_bmp(bmp) and not _looks_wav(bmp)
+    assert _looks_wav(wav) and not _looks_bmp(wav)
+    for text in ("BM" + "x" * 100, "RIFFxxxxWAVE" + "y" * 100, "plain"):
+        p = text.encode()
+        assert not _looks_bmp(p) and not _looks_wav(p)
+
+
+def test_unsupported_real_formats_raise(spark):
+    """The narrowed seams still fail loudly outside their domain."""
+    from flink_exercise_spark.operators.multimodal import (
+        BMP_DECODER,
+        WAV_DECODER,
+    )
+
+    bmp = bytearray(open(f"{_DATA}/sample.bmp", "rb").read())
+    bmp[28:30] = (8).to_bytes(2, "little")  # 8-bit palette BMP
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        BMP_DECODER.decode(bytes(bmp))
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 8)
+    with pytest.raises(NotImplementedError, match="mono"):
+        WAV_DECODER.probe(buf.getvalue())
