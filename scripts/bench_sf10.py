@@ -39,7 +39,22 @@ OPS = [
     # r6 additions (BENCH_SF10.md "Round-6 additions"):
     "dedup_exact_substring",
     "pipeline_decontaminate",
+    # r7 additions (VERDICT r6 item 7): the r6 text/packing family
+    "text_vocab_topk",
+    "text_token_rarity",
+    "pipeline_pack_chunks",
+    "dedup_line_boilerplate",
 ]
+
+# Optional subset: comma-separated op names (e.g. just the newest
+# additions) so a round can extend the record without re-measuring
+# every prior decade in the same session.
+_ONLY = os.environ.get("SPARK_GRAFT_SF10_OPS")
+if _ONLY:
+    _sel = [x.strip() for x in _ONLY.split(",") if x.strip()]
+    unknown = set(_sel) - set(OPS)
+    assert not unknown, f"unknown ops {unknown}"
+    OPS = _sel
 
 
 def spark_side() -> dict[str, dict[str, float]]:
