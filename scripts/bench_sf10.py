@@ -112,6 +112,7 @@ import duckdb
 from flink_exercise_spark import registry
 sf_dir, name = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+con.execute("SET enable_progress_bar=false")
 for t in ("region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"):
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
@@ -143,8 +144,20 @@ def duckdb_side(names: list[str]) -> dict[str, dict]:
             if r.returncode != 0:
                 out[name] = {"sf10": -1.0, "note": r.stderr.strip()[-200:]}
             else:
-                d = json.loads(r.stdout.strip().splitlines()[-1])
-                out[name] = {"sf10": round(d["sec"], 3), "rows": d["rows"]}
+                # Parse from the LAST '{' in stdout: DuckDB's progress
+                # bar (now disabled, but belt-and-braces) writes
+                # carriage-return frames onto the same stream as the
+                # result line.
+                idx = r.stdout.rfind("{")
+                try:
+                    d = json.loads(r.stdout[idx:]) if idx >= 0 else None
+                except json.JSONDecodeError:
+                    d = None
+                if d is None:
+                    out[name] = {"sf10": -1.0,
+                                 "note": f"no JSON in stdout: {r.stdout[-200:]!r}"}
+                else:
+                    out[name] = {"sf10": round(d["sec"], 3), "rows": d["rows"]}
         except subprocess.TimeoutExpired:
             out[name] = {"sf10": "timeout", "note": f">{DUCK_TIMEOUT:.0f}s (DNF)"}
         print(f"# duck sf10 {name}: {out[name]}", file=sys.stderr)
