@@ -263,6 +263,16 @@ def token_rarity(docs: DataFrame) -> DataFrame:
     """
     from flink_exercise_spark.caching import persist_tracked
 
+    # Measured negative result (r7), kept as a design note: rewriting
+    # the join input as pre-aggregated DISTINCT (doc, token) pairs
+    # with counts — sum(k * (N div c)) / sum(k), identical integer
+    # math — looked like a free 2.3x row reduction (the fixture's
+    # within-doc repetition factor), but measured SLOWER at sf10
+    # (46 s -> 56 s, same session): the extra (doc, tok) exchange +
+    # pair-relation persist cost more than the thinner vocabulary
+    # join saves on this shape. The occurrence form below shuffles
+    # once into the join and once out; keep it until a corpus with a
+    # far higher repetition factor proves the pair form out.
     toks = _corpus_tokens(docs)
     toks = persist_tracked(toks)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
