@@ -116,3 +116,44 @@ def test_stream_equals_batch_jsonl(spark, jsonl_dir):
         got.sort_values("doc_id", ignore_index=True)[sorted(got.columns)],
         want.sort_values("doc_id", ignore_index=True)[sorted(want.columns)],
     )
+
+
+def test_checkpointed_incremental_resume(spark, tmp_path):
+    """Crash/restart semantics of the corpus front door: a checkpointed
+    query over a drop directory processes files added AFTER a restart
+    exactly once, without reprocessing the ones consumed before it —
+    the offset log resumes, the sink log dedups."""
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "batch1.jsonl").write_text(
+        "\n".join(json.dumps(d) for d in DOCS) + "\n"
+    )
+
+    def drain():
+        valid, _ = stream_jsonl_documents(spark, str(src))
+        q = (
+            valid.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
+
+    drain()
+    assert spark.read.parquet(out).count() == len(DOCS)
+    # "restart": a fresh query object, same checkpoint; new files only.
+    (src / "batch2.jsonl").write_text(
+        json.dumps({"doc_id": 99, "text": "late arrival", "lang": "en",
+                    "source": "web", "n_chars": 12}) + "\n"
+    )
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == len(DOCS) + 1
+    assert got.filter("doc_id = 99").count() == 1  # exactly once
