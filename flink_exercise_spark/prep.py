@@ -1,0 +1,190 @@
+"""Corpus-prep CLI: the LLM data-prep pipeline as a runnable tool.
+
+    python -m flink_exercise_spark.prep \\
+        --input /data/drop --format jsonl --output /data/clean \\
+        [--audit /data/corrupt] [--decontaminate /data/benchmarks] \\
+        [--streaming] [--cores 8]
+
+Reads a JSONL/CSV document corpus through the audited source
+(sources/corpus.py), runs the same composition the registered
+``pipeline_llm_data_prep`` / ``ingest_data_prep`` operators are
+hash-checked on — exact dedup (canonical min doc_id), quality +
+language gates, optional benchmark decontamination — writes the
+surviving documents (with their gate columns, so downstream consumers
+can re-slice) to parquet, and prints ONE JSON summary line.
+
+``--streaming`` routes the same input through the streaming ingest
+front door instead (state-store dedup, foreachBatch prep) — the
+deployment shape for a continuously-arriving drop directory; dedup
+then keeps the FIRST arrival rather than the min doc_id (the
+documented stream/batch difference; content-derived columns agree
+either way since duplicates share their text).
+
+Everything here is a thin arrangement of already-oracled operators —
+the CLI adds invocation, not semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def run_batch_prep(
+    spark,
+    input_path: str,
+    output_path: str,
+    fmt: str = "jsonl",
+    audit_path: str | None = None,
+    decontaminate_path: str | None = None,
+) -> dict:
+    """Batch prep over a corpus directory; returns the summary dict."""
+    from pyspark.sql import functions as F
+
+    from flink_exercise_spark.operators.pipeline import (
+        decontaminate_against,
+        eval_ngram_set,
+        quality_gate_expr,
+        quality_language_features,
+    )
+    from flink_exercise_spark.operators.text import tokens_expr
+    from flink_exercise_spark.sources.corpus import (
+        read_csv_documents,
+        read_jsonl_documents,
+    )
+
+    read = read_jsonl_documents if fmt == "jsonl" else read_csv_documents
+    valid, corrupt = read(spark, input_path)
+
+    n_corrupt = corrupt.count()
+    if audit_path:
+        corrupt.write.mode("overwrite").parquet(audit_path)
+
+    toked = valid.select("doc_id", "text", tokens_expr().alias("_toks"))
+    feat = quality_language_features(toked, hash_col="text_hash")
+
+    # Canonical exact dedup: min doc_id per content fingerprint — the
+    # batch convention (operators/dedup.exact_dedup_map), computed on
+    # the narrow feature relation (no text column rides the shuffle).
+    canon = feat.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    deduped = feat.join(canon, ["text_hash", "doc_id"])
+
+    if decontaminate_path:
+        bench_valid, _ = read_jsonl_documents(spark, decontaminate_path)
+        grams = eval_ngram_set(bench_valid)
+        flagged = decontaminate_against(valid, grams).select(
+            "doc_id", F.lit(True).alias("contaminated")
+        )
+        deduped = deduped.join(flagged, "doc_id", "left").withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False))
+        )
+    else:
+        deduped = deduped.withColumn("contaminated", F.lit(False))
+
+    out = deduped.withColumn("quality_ok", quality_gate_expr()).withColumn(
+        "keep", F.col("quality_ok") & ~F.col("contaminated")
+    )
+    # Re-attach text for the kept documents only — one narrow join at
+    # the end instead of carrying text through dedup + gates.
+    kept = out.filter("keep").join(
+        valid.select("doc_id", "text", "lang", "source"), "doc_id"
+    )
+    kept.write.mode("overwrite").parquet(output_path)
+
+    counts = out.agg(
+        F.count(F.lit(1)).alias("n_deduped"),
+        F.sum((~F.col("quality_ok")).cast("long")).alias("n_quality_fail"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    ).collect()[0]
+    n_valid = valid.count()
+    return {
+        "mode": "batch",
+        "n_input_valid": n_valid,
+        "n_corrupt": n_corrupt,
+        "n_duplicates": n_valid - counts["n_deduped"],
+        "n_quality_fail": int(counts["n_quality_fail"]),
+        "n_contaminated": int(counts["n_contaminated"]),
+        "n_kept": int(counts["n_kept"]),
+        "output": output_path,
+        **({"audit": audit_path} if audit_path else {}),
+    }
+
+
+def run_streaming_prep(
+    spark,
+    input_path: str,
+    output_path: str,
+    decontaminate_path: str | None = None,
+) -> dict:
+    """Streaming-front-door prep (JSONL drop directory)."""
+    from pyspark.sql import functions as F
+
+    from flink_exercise_spark.operators.pipeline import eval_ngram_set
+    from flink_exercise_spark.sources.corpus import (
+        read_jsonl_documents,
+        stream_jsonl_documents,
+    )
+    from flink_exercise_spark.streaming.ingest import ingest_data_prep
+
+    valid, _ = stream_jsonl_documents(spark, input_path)
+    if decontaminate_path:
+        bench_valid, _ = read_jsonl_documents(spark, decontaminate_path)
+        grams = eval_ngram_set(bench_valid)
+    else:
+        grams = spark.createDataFrame([], "tok string")
+    store = ingest_data_prep(valid, grams, store_path=output_path)
+    got = spark.read.parquet(store)
+    return {
+        "mode": "streaming",
+        "n_deduped": got.count(),
+        "n_kept": got.filter("keep").count(),
+        "n_contaminated": got.filter("contaminated").count(),
+        "output": store,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="flink_exercise_spark.prep",
+        description="LLM corpus prep: audited ingest -> dedup -> "
+                    "quality/language gates -> decontamination -> parquet",
+    )
+    ap.add_argument("--input", required=True, help="corpus directory")
+    ap.add_argument("--format", choices=("jsonl", "csv"), default="jsonl")
+    ap.add_argument("--output", required=True, help="parquet output dir")
+    ap.add_argument("--audit", help="parquet dir for corrupt-record audit")
+    ap.add_argument("--decontaminate",
+                    help="JSONL dir of held-out benchmark docs to 13-gram-block")
+    ap.add_argument("--streaming", action="store_true",
+                    help="run through the streaming ingest front door")
+    ap.add_argument("--cores", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    from flink_exercise_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="corpus-prep",
+        master=f"local[{args.cores}]",
+        conf={"spark.sql.shuffle.partitions": str(args.cores)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.streaming:
+            summary = run_streaming_prep(
+                spark, args.input, args.output, args.decontaminate
+            )
+        else:
+            summary = run_batch_prep(
+                spark, args.input, args.output, args.format,
+                args.audit, args.decontaminate,
+            )
+        print(json.dumps(summary))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,95 @@
+"""The corpus-prep CLI (flink_exercise_spark/prep.py): end-to-end over
+a JSONL drop directory — audited ingest, dedup, gates, decontamination
+— checked against independently computed expectations."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then "
+        "the dog was not amused by any of it at all really")
+
+
+def _write_corpus(d):
+    docs = [
+        # Two exact duplicates of a good doc: one survives (min doc_id).
+        {"doc_id": 1, "text": GOOD, "lang": "en", "source": "web",
+         "n_chars": len(GOOD)},
+        {"doc_id": 2, "text": GOOD, "lang": "en", "source": "web",
+         "n_chars": len(GOOD)},
+        # Too short: quality gate drops it.
+        {"doc_id": 3, "text": "tiny", "lang": "en", "source": "web",
+         "n_chars": 4},
+        # Another good doc, distinct content.
+        {"doc_id": 4, "text": GOOD + " but the fox had the last laugh "
+                              "when all was said and done that day",
+         "lang": "en", "source": "web", "n_chars": 0},
+    ]
+    lines = [json.dumps(x) for x in docs]
+    lines.append("not json {{{")
+    (d / "part-000.jsonl").write_text("\n".join(lines) + "\n")
+
+
+def test_batch_prep_end_to_end(spark, tmp_path, monkeypatch):
+    from flink_exercise_spark.prep import run_batch_prep
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_corpus(src)
+    out = str(tmp_path / "clean")
+    audit = str(tmp_path / "audit")
+
+    summary = run_batch_prep(
+        spark, str(src), out, fmt="jsonl", audit_path=audit
+    )
+    assert summary["n_input_valid"] == 4
+    assert summary["n_corrupt"] == 1
+    assert summary["n_duplicates"] == 1          # doc 2 deduped away
+    assert summary["n_quality_fail"] == 1        # doc 3
+    assert summary["n_kept"] == 2                # docs 1 and 4
+
+    kept = spark.read.parquet(out)
+    assert set(r["doc_id"] for r in kept.select("doc_id").collect()) == {1, 4}
+    # Gate columns ride along for downstream re-slicing.
+    assert {"quality_ok", "contaminated", "text_hash"} <= set(kept.columns)
+    audited = spark.read.parquet(audit)
+    assert audited.count() == 1
+
+
+def test_batch_prep_decontaminates(spark, tmp_path):
+    from flink_exercise_spark.prep import run_batch_prep
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_corpus(src)
+    bench = tmp_path / "bench"
+    bench.mkdir()
+    # The benchmark shares a 13-gram with GOOD -> docs 1 and 4 flagged.
+    (bench / "eval.jsonl").write_text(
+        json.dumps({"doc_id": 900, "text": GOOD, "lang": "en",
+                    "source": "eval", "n_chars": len(GOOD)}) + "\n"
+    )
+    summary = run_batch_prep(
+        spark, str(src), str(tmp_path / "clean2"), fmt="jsonl",
+        decontaminate_path=str(bench),
+    )
+    assert summary["n_contaminated"] == 2
+    assert summary["n_kept"] == 0
+
+
+def test_streaming_prep_matches_batch_counts(spark, tmp_path):
+    from flink_exercise_spark.prep import run_streaming_prep
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_corpus(src)
+    summary = run_streaming_prep(spark, str(src), str(tmp_path / "sout"))
+    # Same corpus through the streaming front door: 3 post-dedup docs
+    # (first arrival per content), 2 pass the gates.
+    assert summary["n_deduped"] == 3
+    assert summary["n_kept"] == 2
+    assert summary["n_contaminated"] == 0
