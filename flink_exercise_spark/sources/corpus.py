@@ -18,10 +18,15 @@ COLUMN) — and column pruning makes that reachable from innocent user
 code (a plain ``count()`` on either side prunes to exactly that). The
 documented alternative, caching the parse, is a cost a source
 constructor must not impose. The text+from_json shape has no such
-restriction, and Catalyst's OptimizeCsvJsonExprs still prunes
-unreferenced fields out of the parse — this is how the CLF source
-reads its log too (sources/clf.py reads text and parses in the
-projection).
+restriction — this is how the CLF source reads its log too
+(sources/clf.py reads text and parses in the projection). One cost
+stated plainly: Catalyst's OptimizeCsvJsonExprs refuses to prune
+unreferenced fields out of a parse whose schema carries the corrupt
+column (pruning would change what counts as corrupt), so every line
+parses against the full schema even for a doc_id-only projection —
+verified in the optimized plan. That is inherent to the audit
+contract, not to this layout: the native scan's corrupt column
+disables the same pruning.
 
 Measured cost of the audit contract (200k docs, local[8], min of 3):
 the valid side runs ~1.6x the audit-free native
