@@ -91,7 +91,9 @@ class BmpImageCodec:
     narrower one.
     """
 
-    def decode(self, payload: bytes) -> tuple[str, int, int, float]:
+    def probe(self, payload: bytes) -> tuple[int, int, int]:
+        """Header-only parse: (pixel_offset, width, n_rows). O(1) — the
+        dims path for kernels that never read pixels (resize)."""
         if len(payload) < 54:
             raise NotImplementedError("truncated BMP header")
         pixel_off = int.from_bytes(payload[10:14], "little")
@@ -104,13 +106,27 @@ class BmpImageCodec:
                 f"real decoder covers 24-bit BI_RGB only "
                 f"(got bpp={bpp}, compression={compression})"
             )
-        n_rows = abs(height)
+        # height may be negative (top-down row order — irrelevant for
+        # dims/means); width may not. Zero-pixel images have no luma
+        # and no resize aspect — the seam, not a crash (a width=0
+        # header would otherwise divide by zero below).
+        if width <= 0 or height == 0:
+            raise NotImplementedError(
+                f"degenerate BMP dimensions {width}x{height}"
+            )
+        return pixel_off, width, abs(height)
+
+    def decode(self, payload: bytes) -> tuple[str, int, int, float]:
+        pixel_off, width, n_rows = self.probe(payload)
         row_size = ((24 * width + 31) // 32) * 4  # rows pad to 4 bytes
         if pixel_off + row_size * n_rows > len(payload):
             raise NotImplementedError("BMP pixel array truncated")
         total = 0.0
         for r in range(n_rows):
-            row = payload[pixel_off + r * row_size:]
+            # Bounded slice: a tail slice here would copy the rest of
+            # the file once per row — O(rows x filesize) memcpy.
+            off = pixel_off + r * row_size
+            row = payload[off:off + row_size]
             for c in range(width):
                 # BMP stores BGR.
                 b, g, rd = row[3 * c], row[3 * c + 1], row[3 * c + 2]
@@ -144,6 +160,18 @@ def decode_any(payload: bytes) -> tuple[str, int, int, float]:
     if _looks_bmp(payload):
         return BMP_DECODER.decode(payload)
     return DECODER.decode(payload)
+
+
+def probe_dims_any(payload: bytes) -> tuple[int, int]:
+    """(width, height) without pixel work: header-only for real
+    containers (an 8-megapixel BMP's mean-luma loop is ~25M Python ops
+    a dims-only caller like resize must not pay), stub arithmetic
+    otherwise."""
+    if _looks_bmp(payload):
+        _, w, n_rows = BMP_DECODER.probe(payload)
+        return w, n_rows
+    _, w, h, _ = DECODER.decode(payload)
+    return w, h
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
@@ -304,9 +332,17 @@ class WavAudioCodec:
 
     def _open(self, payload: bytes):
         import io
+        import struct
         import wave
 
-        w = wave.open(io.BytesIO(payload), "rb")
+        try:
+            w = wave.open(io.BytesIO(payload), "rb")
+        except (wave.Error, EOFError, struct.error) as exc:
+            # A payload can pass the RIFF/WAVE sniff yet carry no valid
+            # fmt/data chunks (truncated recording); keep the seam's
+            # single documented exception type instead of letting
+            # wave.Error escape the Arrow kernel.
+            raise NotImplementedError(f"unparseable WAV container: {exc}")
         if w.getnchannels() != 1 or w.getsampwidth() != 2:
             w.close()
             raise NotImplementedError(
@@ -395,7 +431,11 @@ def audio_window_energy(with_payload: DataFrame) -> DataFrame:
                 p = bytes(payload)
                 if _looks_wav(p):
                     # Real path: decode samples, true per-window RMS.
+                    # Timestamps use the REAL codec's window size —
+                    # the stub's `win` would mis-stamp windows if the
+                    # two sizes ever diverge.
                     rate, ens = WAV_DECODER.window_energies(p)
+                    w_sz = WAV_DECODER.window_samples
                 else:
                     # Stub path: md5-derived stand-ins (oracle-exact).
                     rate, n_windows = AUDIO_DECODER.probe(p)
@@ -412,10 +452,11 @@ def audio_window_energy(with_payload: DataFrame) -> DataFrame:
                         )
                         for i in range(n_windows)
                     ]
+                    w_sz = win
                 for i, e in enumerate(ens):
                     ids.append(doc_id)
                     idxs.append(i)
-                    tss.append(i * win * 1000 // rate)
+                    tss.append(i * w_sz * 1000 // rate)
                     energies.append(e)
                     rates.append(rate)
             yield pd.DataFrame(
@@ -447,7 +488,7 @@ def resize_images(with_payload: DataFrame, target: int = 64) -> DataFrame:
             ws, hs, thumbs = [], [], []
             for payload in pdf["payload"]:
                 p = bytes(payload)
-                _, w, h, _ = decode_any(p)
+                w, h = probe_dims_any(p)
                 scale = target / max(w, h)
                 ws.append(max(1, int(w * scale)))
                 hs.append(max(1, int(h * scale)))

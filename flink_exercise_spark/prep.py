@@ -54,15 +54,33 @@ def run_batch_prep(
         read_jsonl_documents,
     )
 
+    from flink_exercise_spark.caching import persist_tracked
+
     read = read_jsonl_documents if fmt == "jsonl" else read_csv_documents
     valid, corrupt = read(spark, input_path)
+    # Both relations are consumed by several actions below (counts,
+    # writes, the dedup build, the text re-attach join); without a
+    # persist each action re-runs the full text-scan + parse — the
+    # multi-scan cost the module's own scale notes call prohibitive.
+    valid = persist_tracked(valid)
+    if audit_path:
+        corrupt = persist_tracked(corrupt)
 
     n_corrupt = corrupt.count()
     if audit_path:
         corrupt.write.mode("overwrite").parquet(audit_path)
 
     toked = valid.select("doc_id", "text", tokens_expr().alias("_toks"))
-    feat = quality_language_features(toked, hash_col="text_hash")
+    # NULL-safe fingerprint: md5(NULL) is NULL and a null-UNSAFE join
+    # on it would silently drop every NULL-text document (never match
+    # its own canon row). The sentinel groups all NULL-text docs as
+    # one empty-content family — the same outcome streaming's
+    # dropDuplicates (null-safe) produces — and the quality gate then
+    # drops the lone survivor.
+    feat = quality_language_features(toked, hash_col="text_hash").withColumn(
+        "text_hash", F.coalesce("text_hash", F.lit("__null_text__"))
+    )
+    feat = persist_tracked(feat)
 
     # Canonical exact dedup: min doc_id per content fingerprint — the
     # batch convention (operators/dedup.exact_dedup_map), computed on
@@ -170,6 +188,12 @@ def main(argv: list[str] | None = None) -> int:
         conf={"spark.sql.shuffle.partitions": str(args.cores)},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if args.streaming and (args.audit or args.format != "jsonl"):
+        # Fail loudly rather than silently ignoring flags: the
+        # streaming front door has no CSV reader and no corrupt-audit
+        # sink wired yet, and a user who passed --audit believes
+        # corruption is being captured.
+        ap.error("--streaming supports only --format jsonl and no --audit")
     try:
         if args.streaming:
             summary = run_streaming_prep(
@@ -183,6 +207,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(summary))
         return 0
     finally:
+        from flink_exercise_spark.caching import release_persisted
+
+        release_persisted()
         spark.stop()
 
 

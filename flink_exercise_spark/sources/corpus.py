@@ -111,7 +111,11 @@ def _split(
     type-corrupt (useful context), NULL where it was unparseable.
     Blank lines are neither (the native line-based scans skip them).
     """
-    parsed = raw.filter(F.trim("value") != "").select(
+    # \S test, not trim: Spark's trim strips ASCII spaces only, so a
+    # tab-only line would survive a trim-based blank filter and land
+    # in the corrupt audit — inflating n_corrupt with lines that
+    # carry no data (the native line scans skip all-whitespace lines).
+    parsed = raw.filter(F.col("value").rlike(r"\S")).select(
         "value", parser(F.col("value")).alias("_p")
     )
     valid = parsed.filter(F.col("_p")[CORRUPT_COL].isNull()).select(

@@ -157,3 +157,16 @@ def test_checkpointed_incremental_resume(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == len(DOCS) + 1
     assert got.filter("doc_id = 99").count() == 1  # exactly once
+
+
+def test_whitespace_only_lines_are_neither_valid_nor_corrupt(spark, tmp_path):
+    """Tab/space-only lines carry no data: they must not inflate the
+    corrupt audit (Spark's trim strips spaces only — code-review r7)."""
+    p = tmp_path / "ws"
+    p.mkdir()
+    (p / "part.jsonl").write_text(
+        json.dumps(DOCS[0]) + "\n\t\n   \n\t \t\n" + json.dumps(DOCS[1]) + "\n"
+    )
+    valid, corrupt = read_jsonl_documents(spark, str(p))
+    assert valid.count() == 2
+    assert corrupt.count() == 0

@@ -238,3 +238,41 @@ def test_unsupported_real_formats_raise(spark):
         w.writeframes(b"\x00\x00" * 8)
     with pytest.raises(NotImplementedError, match="mono"):
         WAV_DECODER.probe(buf.getvalue())
+
+
+def test_bmp_degenerate_dims_raise_not_crash():
+    """width=0 / height=0 headers pass the sniff but must hit the
+    documented seam (NotImplementedError), not ZeroDivisionError;
+    negative width likewise (code-review r7)."""
+    from flink_exercise_spark.operators.multimodal import BMP_DECODER
+
+    base = bytearray(open(f"{_DATA}/sample.bmp", "rb").read())
+    for w, h in ((0, 2), (4, 0), (-4, 2)):
+        bad = bytearray(base)
+        bad[18:22] = w.to_bytes(4, "little", signed=True)
+        bad[22:26] = h.to_bytes(4, "little", signed=True)
+        with pytest.raises(NotImplementedError, match="degenerate"):
+            BMP_DECODER.decode(bytes(bad))
+
+
+def test_wav_garbage_container_hits_seam():
+    """RIFF/WAVE magic + consistent size field but no valid chunks:
+    the seam's NotImplementedError, never a raw wave.Error."""
+    from flink_exercise_spark.operators.multimodal import WAV_DECODER
+
+    junk = b"\x00" * 40
+    payload = b"RIFF" + (len(junk) + 4).to_bytes(4, "little") + b"WAVE" + junk
+    with pytest.raises(NotImplementedError, match="unparseable WAV"):
+        WAV_DECODER.probe(payload)
+
+
+def test_resize_uses_header_probe_on_real_bmp(spark):
+    """resize over a real BMP gets its dims from the O(1) header
+    probe; output dims must match a full decode's."""
+    from flink_exercise_spark.operators.multimodal import resize_images
+
+    out = resize_images(_media_df(spark, f"{_DATA}/sample.bmp"),
+                        target=64).collect()
+    assert len(out) == 1
+    # 4x2 source -> long edge 4 scaled to 64 -> 64x32
+    assert (out[0]["width"], out[0]["height"]) == (64, 32)

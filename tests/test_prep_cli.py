@@ -93,3 +93,37 @@ def test_streaming_prep_matches_batch_counts(spark, tmp_path):
     assert summary["n_deduped"] == 3
     assert summary["n_kept"] == 2
     assert summary["n_contaminated"] == 0
+
+
+def test_batch_prep_null_text_not_silently_dropped(spark, tmp_path):
+    """NULL-text documents must reach the quality gate (and fail it),
+    not vanish in a null-unsafe dedup join (code-review r7): two NULL
+    docs = one empty-content family -> 1 duplicate + 1 quality_fail."""
+    from flink_exercise_spark.prep import run_batch_prep
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    docs = [
+        {"doc_id": 1, "text": None, "lang": "en", "source": "w", "n_chars": 0},
+        {"doc_id": 2, "text": None, "lang": "en", "source": "w", "n_chars": 0},
+        {"doc_id": 3, "text": GOOD, "lang": "en", "source": "w",
+         "n_chars": len(GOOD)},
+    ]
+    (src / "p.jsonl").write_text(
+        "\n".join(json.dumps(d) for d in docs) + "\n"
+    )
+    summary = run_batch_prep(spark, str(src), str(tmp_path / "o"))
+    assert summary["n_input_valid"] == 3
+    assert summary["n_duplicates"] == 1      # second NULL doc
+    assert summary["n_quality_fail"] == 1    # surviving NULL doc
+    assert summary["n_kept"] == 1            # the good doc
+
+
+def test_cli_rejects_streaming_with_audit():
+    import pytest
+
+    from flink_exercise_spark.prep import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "/x", "--output", "/y", "--streaming",
+              "--audit", "/z"])
