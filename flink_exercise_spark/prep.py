@@ -135,23 +135,49 @@ def run_streaming_prep(
     input_path: str,
     output_path: str,
     decontaminate_path: str | None = None,
+    audit_path: str | None = None,
 ) -> dict:
-    """Streaming-front-door prep (JSONL drop directory)."""
-    from pyspark.sql import functions as F
+    """Streaming-front-door prep (JSONL drop directory).
 
+    The corrupt audit runs as its OWN checkpointed streaming query
+    over the same drop directory (the corpus source's documented
+    second-scan trade): exactly-once per file via its checkpoint,
+    independent of the main prep job's lifecycle — an audit sink
+    outage must not stall document ingest.
+    """
     from flink_exercise_spark.operators.pipeline import eval_ngram_set
     from flink_exercise_spark.sources.corpus import (
         read_jsonl_documents,
         stream_jsonl_documents,
     )
     from flink_exercise_spark.streaming.ingest import ingest_data_prep
+    from flink_exercise_spark.streaming.jobs import tracked_tempdir
 
-    valid, _ = stream_jsonl_documents(spark, input_path)
+    valid, corrupt = stream_jsonl_documents(spark, input_path)
     if decontaminate_path:
         bench_valid, _ = read_jsonl_documents(spark, decontaminate_path)
         grams = eval_ngram_set(bench_valid)
     else:
         grams = spark.createDataFrame([], "tok string")
+
+    n_corrupt = None
+    if audit_path:
+        aq = (
+            corrupt.writeStream.format("parquet")
+            .option("path", audit_path)
+            .option(
+                "checkpointLocation", tracked_tempdir("prep_audit_ckpt_")
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            aq.awaitTermination()
+        finally:
+            aq.stop()
+        n_corrupt = spark.read.parquet(audit_path).count()
+
     store = ingest_data_prep(valid, grams, store_path=output_path)
     got = spark.read.parquet(store)
     return {
@@ -160,6 +186,11 @@ def run_streaming_prep(
         "n_kept": got.filter("keep").count(),
         "n_contaminated": got.filter("contaminated").count(),
         "output": store,
+        **(
+            {"audit": audit_path, "n_corrupt": n_corrupt}
+            if audit_path
+            else {}
+        ),
     }
 
 
@@ -188,16 +219,15 @@ def main(argv: list[str] | None = None) -> int:
         conf={"spark.sql.shuffle.partitions": str(args.cores)},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if args.streaming and (args.audit or args.format != "jsonl"):
-        # Fail loudly rather than silently ignoring flags: the
-        # streaming front door has no CSV reader and no corrupt-audit
-        # sink wired yet, and a user who passed --audit believes
-        # corruption is being captured.
-        ap.error("--streaming supports only --format jsonl and no --audit")
+    if args.streaming and args.format != "jsonl":
+        # Fail loudly rather than silently ignoring the flag: the
+        # streaming front door has no CSV reader.
+        ap.error("--streaming supports only --format jsonl")
     try:
         if args.streaming:
             summary = run_streaming_prep(
-                spark, args.input, args.output, args.decontaminate
+                spark, args.input, args.output, args.decontaminate,
+                audit_path=args.audit,
             )
         else:
             summary = run_batch_prep(

@@ -119,11 +119,29 @@ def test_batch_prep_null_text_not_silently_dropped(spark, tmp_path):
     assert summary["n_kept"] == 1            # the good doc
 
 
-def test_cli_rejects_streaming_with_audit():
+def test_cli_rejects_streaming_with_csv():
     import pytest
 
     from flink_exercise_spark.prep import main
 
     with pytest.raises(SystemExit):
         main(["--input", "/x", "--output", "/y", "--streaming",
-              "--audit", "/z"])
+              "--format", "csv"])
+
+
+def test_streaming_prep_writes_audit(spark, tmp_path):
+    """--audit works in streaming mode too: the corrupt channel runs
+    as its own checkpointed query over the drop directory."""
+    from flink_exercise_spark.prep import run_streaming_prep
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_corpus(src)  # includes one unparseable line
+    summary = run_streaming_prep(
+        spark, str(src), str(tmp_path / "sout2"),
+        audit_path=str(tmp_path / "saudit"),
+    )
+    assert summary["n_corrupt"] == 1
+    audited = spark.read.parquet(str(tmp_path / "saudit"))
+    assert audited.count() == 1
+    assert "not json" in audited.collect()[0]["raw_record"]
