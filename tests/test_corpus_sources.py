@@ -170,3 +170,47 @@ def test_whitespace_only_lines_are_neither_valid_nor_corrupt(spark, tmp_path):
     valid, corrupt = read_jsonl_documents(spark, str(p))
     assert valid.count() == 2
     assert corrupt.count() == 0
+
+
+def test_corpus_reader_fuzz_vs_python_reference(spark, tmp_path):
+    """Differential fuzz: random mixtures of valid docs, garbage
+    lines, type-mismatch rows, and whitespace lines — the reader's
+    (valid, corrupt) routing must match a pure-Python line classifier
+    across seeds."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        lines, expect_valid, expect_corrupt = [], 0, 0
+        for i in range(rng.randint(20, 60)):
+            kind = rng.choice(
+                ["valid", "valid", "valid", "garbage", "type", "ws",
+                 "nullfield"]
+            )
+            if kind == "valid":
+                lines.append(json.dumps({
+                    "doc_id": i, "text": f"doc {i} " + "w " * rng.randint(0, 9),
+                    "lang": rng.choice(["en", "de"]), "source": "f",
+                    "n_chars": i}))
+                expect_valid += 1
+            elif kind == "nullfield":
+                # Missing/None fields are data, not corruption.
+                lines.append(json.dumps({"doc_id": i, "text": None}))
+                expect_valid += 1
+            elif kind == "garbage":
+                lines.append(rng.choice(
+                    ["{broken", "[1,2,3]", "just words", '{"a": }']))
+                expect_corrupt += 1
+            elif kind == "type":
+                lines.append(json.dumps({
+                    "doc_id": f"id-{i}", "text": "t", "lang": "en",
+                    "source": "f", "n_chars": i}))
+                expect_corrupt += 1
+            else:
+                lines.append(rng.choice(["", "\t", "   ", " \t "]))
+        d = tmp_path / f"fuzz{seed}"
+        d.mkdir()
+        (d / "p.jsonl").write_text("\n".join(lines) + "\n")
+        valid, corrupt = read_jsonl_documents(spark, str(d))
+        assert valid.count() == expect_valid, f"seed {seed}"
+        assert corrupt.count() == expect_corrupt, f"seed {seed}"
