@@ -454,6 +454,10 @@ _ORACLE_SHINGLE_CTE = """
     doc="Exact-dedup canonical-id mapping (hash-groupBy; only "
         "(md5, id) pairs shuffle, text never crosses the wire)",
     tags=("dedup", "documents"),
+    # priority=1 (r7 rotation, second wave): driver-green r6; takes a
+    # rotation slot so the new dedup_semantic_prune entry collects its
+    # first driver pass. Pandas pin: test_rotation_pins.py.
+    priority=1,
 )
 def q_dedup_map(spark, sf_dir):
     return exact_dedup_map(load_table(prep(spark), sf_dir, "documents"))

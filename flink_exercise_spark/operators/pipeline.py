@@ -294,6 +294,10 @@ def _mix_threshold_sql() -> str:
         "salted per-language stratified data-mixing accounting in the "
         "same hash-agg pass",
     tags=("pipeline", "documents", "sampling"),
+    # priority=1 (r7 rotation, second wave): driver-green r6; takes a
+    # rotation slot so the new text_dsir_weights entry collects its
+    # first driver pass. Pandas pin: test_rotation_pins.py.
+    priority=1,
 )
 def q_hash_split(spark, sf_dir):
     return split_profile(load_table(prep(spark), sf_dir, "documents"))

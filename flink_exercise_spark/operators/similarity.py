@@ -498,6 +498,191 @@ def embedding_near_dup_pairs(
     )
 
 
+def _assign_cells(
+    corpus: DataFrame, cents: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-centroid assignment with the knn_ivf packed-BIGINT
+    hash-agg idiom (see the long rationale there: max(struct) degrades
+    to SortAggregate; a row_number window would sort n_cells x corpus
+    rows). Returns ``(id_col, cell_id int, cent_cos double)`` — the
+    achieved cosine is decoded EXACTLY from the packed maximum
+    (micro-units are integers; /1e6 is one correctly-rounded IEEE
+    division, identical to round(cos, 6) on either engine), so no
+    second corpus-sized join is needed to recover it."""
+    aff = corpus.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cell_id",
+        F.round(
+            cosine_from_norms("embedding", "cent", "norm", "cent_norm"), 6
+        ).alias("cos"),
+    )
+    packed = (
+        F.round(F.col("cos") * 1_000_000, 0).cast("long") + 1_000_000
+    ) * 256 + (255 - F.col("cell_id"))
+    micro = F.floor(F.col("p") / 256).cast("long") - 1_000_000
+    return (
+        aff.groupBy(id_col)
+        .agg(F.max(packed).alias("p"))
+        .select(
+            id_col,
+            (255 - F.col("p") % 256).cast("int").alias("cell_id"),
+            (micro / F.lit(1_000_000.0)).alias("cent_cos"),
+        )
+    )
+
+
+SEMDEDUP_TAU = 0.4  # in the fixtures' in-cluster cosine tail: drops
+# 19/500 at sf0.01 and 235/2000 at sf0.1 — non-degenerate both ways
+
+
+def semantic_prune(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    threshold: float = SEMDEDUP_TAU,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every member that has a near-duplicate (cosine >=
+    ``threshold``) ranked before it — where rank = ascending
+    (cosine-to-centroid, vec_id), so the KEPT representative of each
+    dense region is the member LEAST similar to its centroid (the
+    paper's keep-farthest-from-centroid rule; vec_id breaks exact
+    ties deterministically).
+
+    Semantics, stated exactly (the DuckDB oracle is this sentence in
+    SQL): member v is dropped iff some u in the same cluster has
+    round-6 cosine(u, v) >= threshold and (cent_cos_u, u_id) <
+    (cent_cos_v, v_id) lexicographically. Pair-domination, not
+    connected components — deterministic, one pass over each cluster,
+    and the dense region's lowest-ranked member always survives. Output
+    is one row per vector: (vec_id, cell_id, cent_cos, keep).
+
+    Scale shape: the cluster id is the blocking key — assignment is one
+    broadcast-codebook pass + a packed-BIGINT hash agg (`_assign_cells`),
+    and scoring ships each cluster to an Arrow batch ONCE, computing
+    the full in-cluster Gram matrix with BLAS (the
+    embedding_near_dup_pairs_vectorized finding: per-pair HOF folds
+    lose by ~17x and don't fuse into codegen). Memory contract:
+    cluster_size x dims doubles plus the cluster_size^2 Gram per task;
+    ``n_cells`` (or the trained ``codebook``, e.g.
+    clustering.kmeans_centroids — same contract as knn_ivf) is the knob
+    that keeps expected cluster size bounded as the corpus grows: the
+    paper runs 50k clusters over 1e9 embeddings (~20k/cluster -> a
+    ~3 GB Gram in fp64 — size n_cells so clusters land well under
+    that). ``semantic_prune_join`` below is the skew-safe pair-join
+    fallback for adversarial cluster-size distributions, equality-
+    pinned in tests/test_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned_emb = _prune_assigned(emb, n_cells, codebook)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        cc = pdf["cent_cos"].to_numpy(np.float64)
+        order = np.lexsort((ids, cc))  # ascending (cent_cos, vec_id)
+        ids, cc = ids[order], cc[order]
+        M = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf["embedding"].iloc[order]
+            ]
+        )
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        G = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        # dropped(v) = any earlier-ranked u with G[v, u] >= threshold
+        dominated = np.tril(G >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell_id": pdf["cell_id"].iloc[0],
+                "cent_cos": cc,
+                "keep": ~dominated,
+            }
+        )
+
+    return assigned_emb.groupBy("cell_id").applyInPandas(
+        prune, schema="vec_id long, cell_id int, cent_cos double, keep boolean"
+    )
+
+
+def _prune_assigned(
+    emb: DataFrame, n_cells: int, codebook: DataFrame | None
+) -> DataFrame:
+    """Shared front half of both semantic_prune forms: normed corpus
+    joined with its cell assignment. Default codebook = the ``n_cells``
+    lowest-vec_id corpus vectors (cell_id = vec_id; deterministic, so
+    the DuckDB oracle can restate it); they remain corpus members."""
+    if codebook is not None:
+        if codebook.count() > 256:
+            raise ValueError("codebook cell_id must fit in 8 bits (<=256 cells)")
+        cents = with_norm(codebook, vec_col="cent", out="cent_norm").select(
+            F.col("cell_id").cast("int"), "cent", "cent_norm"
+        )
+    else:
+        cents = with_norm(emb.filter(F.col("vec_id") < n_cells)).select(
+            F.col("vec_id").cast("int").alias("cell_id"),
+            F.col("embedding").alias("cent"),
+            F.col("norm").alias("cent_norm"),
+        )
+    corpus = persist_tracked(
+        with_norm(spread(emb, "vec_id")).select("vec_id", "embedding", "norm")
+    )
+    assigned = _assign_cells(corpus, cents)
+    return corpus.select("vec_id", "embedding").join(assigned, "vec_id")
+
+
+def semantic_prune_join(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    threshold: float = SEMDEDUP_TAU,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Pair-join form of ``semantic_prune`` — identical output (pinned
+    in tests), plan shape = within-cluster self-join + left-anti on the
+    dominated set. The skew-safe fallback: sort-merge streams a hot
+    cluster instead of materializing its Gram matrix."""
+    assigned_emb = with_norm(_prune_assigned(emb, n_cells, codebook))
+    l = assigned_emb.alias("l")
+    r = assigned_emb.alias("r")
+    dominated = (
+        l.join(
+            r,
+            (F.col("l.cell_id") == F.col("r.cell_id"))
+            & (F.col("l.vec_id") != F.col("r.vec_id"))
+            & (
+                (F.col("l.cent_cos") < F.col("r.cent_cos"))
+                | (
+                    (F.col("l.cent_cos") == F.col("r.cent_cos"))
+                    & (F.col("l.vec_id") < F.col("r.vec_id"))
+                )
+            ),
+        )
+        .filter(
+            F.round(
+                cosine_from_norms(
+                    "l.embedding", "r.embedding", "l.norm", "r.norm"
+                ),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("r.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned_emb.join(dominated.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            "cent_cos",
+            F.coalesce(~F.col("_d"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry entries — DuckDB oracles use identical double-precision math
 # (unnest + per-element product) so sums agree to ~1e-15, far below the
@@ -710,6 +895,64 @@ def q_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs_vectorized(
         load_table(prep(spark), sf_dir, "embeddings"), threshold=0.35
     )
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS norm FROM u GROUP BY 1
+    ), corp AS (
+      SELECT u.vec_id, u.x, u.i, n.norm
+      FROM u JOIN norms n USING (vec_id)
+    ), cent AS (
+      SELECT vec_id AS cell_id, x, i, norm FROM corp
+      WHERE vec_id < {N_CELLS}
+    ), aff AS (
+      SELECT c.vec_id, ct.cell_id,
+             round(sum(c.x * ct.x)
+                   / (any_value(c.norm) * any_value(ct.norm)), 6) AS cos
+      FROM corp c JOIN cent ct ON c.i = ct.i
+      GROUP BY 1, 2
+    ), assigned AS (
+      SELECT vec_id, cell_id, cos AS cent_cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+        FROM aff) WHERE rn = 1
+    ), pc AS (
+      SELECT l.vec_id AS va, r.vec_id AS vb,
+             round(sum(l.x * r.x)
+                   / (any_value(l.norm) * any_value(r.norm)), 6) AS cos
+      FROM corp l
+      JOIN assigned al ON al.vec_id = l.vec_id
+      JOIN corp r ON l.i = r.i AND l.vec_id <> r.vec_id
+      JOIN assigned ar ON ar.vec_id = r.vec_id
+                      AND ar.cell_id = al.cell_id
+      GROUP BY 1, 2
+    )
+    SELECT a.vec_id, CAST(a.cell_id AS INT) AS cell_id, a.cent_cos,
+           NOT EXISTS (
+             SELECT 1 FROM pc
+             JOIN assigned d ON d.vec_id = pc.va
+             WHERE pc.vb = a.vec_id AND pc.cos >= {SEMDEDUP_TAU}
+               AND (d.cent_cos < a.cent_cos
+                    OR (d.cent_cos = a.cent_cos AND d.vec_id < a.vec_id))
+           ) AS keep
+    FROM assigned a
+    """,
+    doc="SemDeDup (Abbas et al. 2023): cluster-blocked semantic dedup "
+        "— nearest-centroid assignment (broadcast codebook, packed "
+        "hash-agg argmax), then per-cluster BLAS Gram scoring keeping "
+        "the farthest-from-centroid representative of each dense "
+        "region; cluster id is the blocking key at 100 TB",
+    tags=("similarity", "embeddings", "dedup", "pandas-udf"),
+)
+def q_semantic_prune(spark, sf_dir):
+    return semantic_prune(load_table(prep(spark), sf_dir, "embeddings"))
 
 
 @register(

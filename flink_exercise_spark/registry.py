@@ -156,6 +156,7 @@ def _load_all_modules() -> None:
         relational,
         timeseries,
         tokenizer,
+        importance,
     )
     from flink_exercise_spark.streaming import jobs  # noqa: F401
 

@@ -30,17 +30,21 @@ def test_demoted_showcases_sort_last_within_oracled():
     demoted = [n for n in oracled if specs[n].priority > 0]
     # Round-7 rotation: the fifteen entries demoted in r6 return to
     # the driver window (their freshest driver pass is r5 — one more
-    # round out would break the 2-round bound). Sixteen entries green
-    # in r6 take the rotation slots — sixteen, not fifteen, because
-    # stream_interval_join_attribution is newly oracled this round
-    # (was rows-only; its batch-twin SQL is now the oracle) and must
-    # collect its first hash-checked pass inside the window. Every
-    # demoted entry holds an r6 driver pass (enforced below) and an
-    # independent non-DuckDB pin: pandas pins in
+    # round out would break the 2-round bound). Eighteen entries green
+    # in r6 take the rotation slots — fifteen returners' seats plus
+    # three more because three entries need their FIRST hash-checked
+    # pass inside the window: stream_interval_join_attribution (newly
+    # oracled — its batch-twin SQL replaced the rows-only check) and
+    # the two operators added mid-round-7, text_dsir_weights (DSIR
+    # importance weighting) and dedup_semantic_prune (SemDeDup).
+    # Every demoted entry holds an r6 driver pass (enforced below) and
+    # an independent non-DuckDB pin: pandas pins in
     # tests/test_rotation_pins.py, except clf_golden_log whose oracle
     # is hand-computed VALUES constants (engine-independent by
     # construction — the parity run compares against fixed literals).
     assert set(demoted) == {
+        "dedup_exact_map",
+        "pipeline_hash_split",
         "ref_q1_top_host_str",
         "ref_q2_cumulative_distinct",
         "a1_requests_per_host",

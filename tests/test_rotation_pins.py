@@ -615,3 +615,70 @@ def test_mm_binary_metadata_pin(spark):
         payload = r["text"].encode("utf-8")
         assert row["n_bytes"] == len(payload)
         assert row["content_hash"] == hashlib.md5(payload).hexdigest()
+
+
+def test_dedup_exact_map_pin(spark):
+    import hashlib
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = _run(spark, "dedup_exact_map").set_index("text_hash")
+    ref = (
+        docs.assign(
+            text_hash=docs["text"].map(
+                lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+            )
+        )
+        .groupby("text_hash")["doc_id"]
+        .agg(canonical_doc_id="min", n_copies="count")
+    )
+    assert len(out) == len(ref)
+    for h, r in ref.iterrows():
+        row = out.loc[h]
+        assert row["canonical_doc_id"] == r["canonical_doc_id"]
+        assert row["n_copies"] == r["n_copies"]
+
+
+def test_pipeline_hash_split_pin(spark):
+    import hashlib
+
+    from flink_exercise_spark.operators.pipeline import (
+        MIX_DEFAULT,
+        MIX_RATES,
+        MIX_RESOLUTION,
+        MIX_SALT,
+        SPLIT_PCT,
+    )
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    b = docs.assign(
+        split=docs["doc_id"].map(
+            lambda d: "train"
+            if h(str(d)) % 100 < SPLIT_PCT["train"]
+            else ("val" if h(str(d)) % 100 < SPLIT_PCT["val"] else "test")
+        ),
+        keep=docs.apply(
+            lambda r: h(MIX_SALT + str(r["doc_id"])) % MIX_RESOLUTION
+            < MIX_RATES.get(r["lang"], MIX_DEFAULT),
+            axis=1,
+        ),
+    )
+    ref = b.groupby(["split", "lang"]).apply(
+        lambda g: pd.Series(
+            {
+                "n_docs": len(g),
+                "total_chars": g["n_chars"].sum(),
+                "n_sampled": int(g["keep"].sum()),
+                "sampled_chars": g.loc[g["keep"], "n_chars"].sum(),
+            }
+        ),
+        include_groups=False,
+    )
+    out = _run(spark, "pipeline_hash_split").set_index(["split", "lang"])
+    assert len(out) == len(ref)
+    for key, r in ref.iterrows():
+        row = out.loc[key]
+        for c in ("n_docs", "total_chars", "n_sampled", "sampled_chars"):
+            assert row[c] == r[c], (key, c)

@@ -224,3 +224,104 @@ def test_multiprobe_probes_own_bucket_plus_flips(spark):
         for r in knn_lsh_multiprobe(emb, n_queries=1, k=10, probes=3).collect()
     }
     assert got == {10, 11, 12}
+
+
+@pytest.fixture(scope="module")
+def semdedup_vectors(spark):
+    """Two clean clusters, each a dense near-dup region: the centroid
+    seeds (0, 1) plus members; 12/13 are EXACT duplicates (tie broken
+    by vec_id)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),     # centroid cell 0
+        (1, [0.0, 1.0, 0.0, 0.0], 1),     # centroid cell 1
+        (10, [1.0, 0.01, 0.0, 0.0], 0),   # near cell 0
+        (11, [1.0, 0.011, 0.0, 0.0], 0),  # near-dup of 10, least central
+        (12, [0.0, 1.0, 0.3, 0.0], 1),    # near cell 1
+        (13, [0.0, 1.0, 0.3, 0.0], 1),    # exact duplicate of 12
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _semdedup_reference(rows, n_cells, threshold):
+    """Independent numpy SemDeDup (third implementation)."""
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows])
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    cents = {r[0]: i for i, r in enumerate(rows) if r[0] < n_cells}
+    out = {}
+    cos = np.round(M @ M.T / np.outer(norms, norms), 6)
+    cell, cc = {}, {}
+    for i, v in enumerate(ids):
+        best = max(
+            ((cos[i, cents[c]], -c) for c in cents), key=lambda t: t
+        )
+        cell[v], cc[v] = -best[1], best[0]
+    for i, v in enumerate(ids):
+        dominated = any(
+            cos[i, j] >= threshold
+            and cell[u] == cell[v]
+            and (cc[u], u) < (cc[v], v)
+            for j, u in enumerate(ids)
+            if u != v
+        )
+        out[v] = (cell[v], cc[v], not dominated)
+    return out
+
+
+def test_semantic_prune_hand_case(semdedup_vectors):
+    from flink_exercise_spark.operators.similarity import semantic_prune
+
+    rows = [
+        (r["vec_id"], r["embedding"], r["label"])
+        for r in semdedup_vectors.collect()
+    ]
+    got = {
+        r["vec_id"]: (r["cell_id"], r["cent_cos"], r["keep"])
+        for r in semantic_prune(
+            semdedup_vectors, n_cells=2, threshold=0.9
+        ).collect()
+    }
+    ref = _semdedup_reference(rows, n_cells=2, threshold=0.9)
+    assert got == ref
+    # Each dense region keeps exactly its least-centroid-similar member;
+    # the exact-duplicate pair (12, 13) resolves to the lower vec_id.
+    assert {v for v, (_, _, k) in got.items() if k} == {11, 12}
+
+
+def test_semantic_prune_kernel_equals_join_form(spark):
+    from flink_exercise_spark.operators.similarity import (
+        semantic_prune,
+        semantic_prune_join,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    kern = {
+        r["vec_id"]: (r["cell_id"], r["cent_cos"], r["keep"])
+        for r in semantic_prune(emb).collect()
+    }
+    join = {
+        r["vec_id"]: (r["cell_id"], r["cent_cos"], r["keep"])
+        for r in semantic_prune_join(emb).collect()
+    }
+    assert kern == join
+    assert len(kern) == emb.count()
+
+
+def test_semantic_prune_trained_codebook(spark):
+    """The trained-codebook mode (kmeans_centroids contract, as in
+    knn_ivf): same output shape, cells drawn from the supplied model."""
+    from flink_exercise_spark.operators.clustering import kmeans_centroids
+    from flink_exercise_spark.operators.similarity import semantic_prune
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    codebook = kmeans_centroids(emb, k=4, iters=3)
+    out = semantic_prune(emb, threshold=0.4, codebook=codebook).toPandas()
+    assert len(out) == emb.count()
+    assert set(out["cell_id"]) <= set(
+        r["cell_id"] for r in codebook.collect()
+    )
+    assert out["keep"].any()
