@@ -132,27 +132,26 @@ def dsir_weight_model(
     )
 
 
-def dsir_scores(
-    docs: DataFrame,
+def dsir_scores_against(
+    raw: DataFrame,
+    target: DataFrame,
     n: int = DSIR_N,
     k: int = DSIR_BUCKETS,
     key: str = "doc_id",
 ) -> DataFrame:
-    """End-to-end DSIR over the deterministic hash split: target
-    distribution = the ``val`` split, raw distribution = the ``train``
-    split, every train document scored.
+    """DSIR against an EXPLICIT target corpus — the production shape
+    (target = a curated corpus such as Wikipedia; ``raw`` = the web
+    crawl being selected from). Fits both hashed-n-gram models, scores
+    every raw document.
 
-    Returns one row per train document: ``(key, n_grams,
+    Returns one row per raw document: ``(key, n_grams,
     dsir_micronats)`` — the total importance log-ratio in exact integer
     micro-nats (positive = more target-like than the raw average).
     Documents with fewer than ``n`` tokens have no features and score 0
     (kept via left join, the classifier_scores_joined contract: one
     output row per input document, always).
     """
-    spark = docs.sparkSession
-    with_split = docs.withColumn("_split", hash_split_expr(key))
-    target = with_split.filter(F.col("_split") == "val").drop("_split")
-    raw = with_split.filter(F.col("_split") == "train").drop("_split")
+    spark = raw.sparkSession
     weights = dsir_weight_model(
         spark,
         bucket_counts(gram_instances(target, n, key, k)),
@@ -178,6 +177,27 @@ def dsir_scores(
                 "dsir_micronats"
             ),
         )
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    n: int = DSIR_N,
+    k: int = DSIR_BUCKETS,
+    key: str = "doc_id",
+) -> DataFrame:
+    """DSIR over the deterministic hash split of ONE corpus: target
+    distribution = the ``val`` split, raw distribution = the ``train``
+    split, every train document scored. The self-contained form the
+    driver oracle checks; ``dsir_scores_against`` is the same pipeline
+    with an external target corpus."""
+    with_split = docs.withColumn("_split", hash_split_expr(key))
+    return dsir_scores_against(
+        with_split.filter(F.col("_split") == "train").drop("_split"),
+        with_split.filter(F.col("_split") == "val").drop("_split"),
+        n,
+        k,
+        key,
     )
 
 

@@ -508,7 +508,13 @@ def _assign_cells(
     achieved cosine is decoded EXACTLY from the packed maximum
     (micro-units are integers; /1e6 is one correctly-rounded IEEE
     division, identical to round(cos, 6) on either engine), so no
-    second corpus-sized join is needed to recover it."""
+    second corpus-sized join is needed to recover it.
+
+    Unlike knn_ivf's 8-bit tie-break field, the cell id gets 20 bits
+    here (up to ~1M cells): SemDeDup's whole scale story is many small
+    clusters (the paper runs 50k), while an IVF codebook stays small.
+    micro-cosine needs 21 bits, so the pack tops out at ~2^41 — well
+    inside a BIGINT."""
     aff = corpus.crossJoin(F.broadcast(cents)).select(
         id_col,
         "cell_id",
@@ -518,14 +524,16 @@ def _assign_cells(
     )
     packed = (
         F.round(F.col("cos") * 1_000_000, 0).cast("long") + 1_000_000
-    ) * 256 + (255 - F.col("cell_id"))
-    micro = F.floor(F.col("p") / 256).cast("long") - 1_000_000
+    ) * _CELL_PACK + (_CELL_PACK - 1 - F.col("cell_id"))
+    micro = F.floor(F.col("p") / _CELL_PACK).cast("long") - 1_000_000
     return (
         aff.groupBy(id_col)
         .agg(F.max(packed).alias("p"))
         .select(
             id_col,
-            (255 - F.col("p") % 256).cast("int").alias("cell_id"),
+            (_CELL_PACK - 1 - F.col("p") % _CELL_PACK).cast("int").alias(
+                "cell_id"
+            ),
             (micro / F.lit(1_000_000.0)).alias("cent_cos"),
         )
     )
@@ -533,11 +541,26 @@ def _assign_cells(
 
 SEMDEDUP_TAU = 0.4  # in the fixtures' in-cluster cosine tail: drops
 # 19/500 at sf0.01 and 235/2000 at sf0.1 — non-degenerate both ways
+_CELL_PACK = 1 << 20  # cell-id field width in the packed argmax
+SEMDEDUP_TARGET_CELL = 2000  # default-codebook expected cluster size
+
+
+def _resolve_n_cells(emb: DataFrame, n_cells: int | None) -> int:
+    """Default codebook size: enough cells to hold the EXPECTED cluster
+    near SEMDEDUP_TARGET_CELL members as the corpus grows (count-gated,
+    the dedup_lsh_verified_pairs pattern — one cheap narrow count buys
+    the right plan). Floor of N_CELLS keeps the sf0.01/sf0.1 fixtures
+    on the oracle's 8-cell codebook; cap of 2^20 is the packed-argmax
+    field width."""
+    if n_cells is not None:
+        return n_cells
+    n = emb.count()
+    return min(_CELL_PACK, max(N_CELLS, -(-n // SEMDEDUP_TARGET_CELL)))
 
 
 def semantic_prune(
     emb: DataFrame,
-    n_cells: int = N_CELLS,
+    n_cells: int | None = None,
     threshold: float = SEMDEDUP_TAU,
     codebook: DataFrame | None = None,
 ) -> DataFrame:
@@ -568,11 +591,13 @@ def semantic_prune(
     ``n_cells`` (or the trained ``codebook``, e.g.
     clustering.kmeans_centroids — same contract as knn_ivf) is the knob
     that keeps expected cluster size bounded as the corpus grows: the
-    paper runs 50k clusters over 1e9 embeddings (~20k/cluster -> a
-    ~3 GB Gram in fp64 — size n_cells so clusters land well under
-    that). ``semantic_prune_join`` below is the skew-safe pair-join
-    fallback for adversarial cluster-size distributions, equality-
-    pinned in tests/test_similarity.py.
+    paper runs 50k clusters over 1e9 embeddings. The DEFAULT is
+    count-gated (`_resolve_n_cells`): enough cells that the expected
+    cluster holds ~SEMDEDUP_TARGET_CELL members — a fixed 8-cell
+    codebook would mean 25k-member clusters (5 GB Grams) already at
+    the sf10 fixture. ``semantic_prune_join`` below is the skew-safe
+    pair-join fallback for adversarial cluster-size distributions,
+    equality-pinned in tests/test_similarity.py.
     """
     import numpy as np
     import pandas as pd
@@ -609,19 +634,22 @@ def semantic_prune(
 
 
 def _prune_assigned(
-    emb: DataFrame, n_cells: int, codebook: DataFrame | None
+    emb: DataFrame, n_cells: int | None, codebook: DataFrame | None
 ) -> DataFrame:
     """Shared front half of both semantic_prune forms: normed corpus
     joined with its cell assignment. Default codebook = the ``n_cells``
     lowest-vec_id corpus vectors (cell_id = vec_id; deterministic, so
     the DuckDB oracle can restate it); they remain corpus members."""
     if codebook is not None:
-        if codebook.count() > 256:
-            raise ValueError("codebook cell_id must fit in 8 bits (<=256 cells)")
+        if codebook.count() > _CELL_PACK:
+            raise ValueError(
+                "codebook cell_id must fit in 20 bits (<= 2^20 cells)"
+            )
         cents = with_norm(codebook, vec_col="cent", out="cent_norm").select(
             F.col("cell_id").cast("int"), "cent", "cent_norm"
         )
     else:
+        n_cells = _resolve_n_cells(emb, n_cells)
         cents = with_norm(emb.filter(F.col("vec_id") < n_cells)).select(
             F.col("vec_id").cast("int").alias("cell_id"),
             F.col("embedding").alias("cent"),
@@ -636,7 +664,7 @@ def _prune_assigned(
 
 def semantic_prune_join(
     emb: DataFrame,
-    n_cells: int = N_CELLS,
+    n_cells: int | None = None,
     threshold: float = SEMDEDUP_TAU,
     codebook: DataFrame | None = None,
 ) -> DataFrame:

@@ -38,6 +38,7 @@ def run_batch_prep(
     fmt: str = "jsonl",
     audit_path: str | None = None,
     decontaminate_path: str | None = None,
+    dsir_target_path: str | None = None,
 ) -> dict:
     """Batch prep over a corpus directory; returns the summary dict."""
     from pyspark.sql import functions as F
@@ -108,6 +109,26 @@ def run_batch_prep(
     kept = out.filter("keep").join(
         valid.select("doc_id", "text", "lang", "source"), "doc_id"
     )
+    if dsir_target_path:
+        # DSIR importance weights against an explicit curated target
+        # corpus (operators/importance.py): raw model fits on the full
+        # valid input, every kept document carries its score so the
+        # downstream trainer can importance-resample. Narrow (doc_id,
+        # long, long) join — text never rides it.
+        from flink_exercise_spark.operators.importance import (
+            dsir_scores_against,
+        )
+
+        target_valid, _ = read_jsonl_documents(spark, dsir_target_path)
+        kept = kept.join(
+            dsir_scores_against(valid, target_valid).select(
+                "doc_id",
+                F.col("n_grams").alias("dsir_n_grams"),
+                "dsir_micronats",
+            ),
+            "doc_id",
+            "left",
+        )
     kept.write.mode("overwrite").parquet(output_path)
 
     counts = out.agg(
@@ -127,6 +148,7 @@ def run_batch_prep(
         "n_kept": int(counts["n_kept"]),
         "output": output_path,
         **({"audit": audit_path} if audit_path else {}),
+        **({"dsir_target": dsir_target_path} if dsir_target_path else {}),
     }
 
 
@@ -206,6 +228,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--audit", help="parquet dir for corrupt-record audit")
     ap.add_argument("--decontaminate",
                     help="JSONL dir of held-out benchmark docs to 13-gram-block")
+    ap.add_argument("--dsir-target",
+                    help="JSONL dir of a curated target corpus; kept docs "
+                         "gain DSIR importance-weight columns (batch only)")
     ap.add_argument("--streaming", action="store_true",
                     help="run through the streaming ingest front door")
     ap.add_argument("--cores", type=int, default=4)
@@ -223,6 +248,11 @@ def main(argv: list[str] | None = None) -> int:
         # Fail loudly rather than silently ignoring the flag: the
         # streaming front door has no CSV reader.
         ap.error("--streaming supports only --format jsonl")
+    if args.streaming and args.dsir_target:
+        # Same loud-failure contract: the fitted raw-side model needs
+        # the whole corpus; a per-micro-batch refit would score early
+        # and late arrivals against different models.
+        ap.error("--dsir-target is batch-only")
     try:
         if args.streaming:
             summary = run_streaming_prep(
@@ -233,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
             summary = run_batch_prep(
                 spark, args.input, args.output, args.format,
                 args.audit, args.decontaminate,
+                dsir_target_path=args.dsir_target,
             )
         print(json.dumps(summary))
         return 0

@@ -44,6 +44,9 @@ OPS = [
     "text_token_rarity",
     "pipeline_pack_chunks",
     "dedup_line_boilerplate",
+    # r7 mid-round additions: DSIR importance weighting + SemDeDup
+    "text_dsir_weights",
+    "dedup_semantic_prune",
 ]
 
 # Optional subset: comma-separated op names (e.g. just the newest

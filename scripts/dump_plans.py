@@ -92,6 +92,22 @@ SHOWCASE = [
      "no cartesian/BNLJ anywhere; the positioned-gram build sits in "
      "a Project, never inlined into a pushed Filter; the rebuild "
      "join is keyed on doc_id with integer position payloads"),
+    ("text_dsir_weights",
+     "fixed-size fitted model broadcast; corpus never shuffles on "
+     "the feature",
+     "the K-row weight relation joins as BroadcastHashJoin after the "
+     "gram explode; the two distribution estimates are two-phase "
+     "HashAggregates keyed on the bucket (<= K rows cross the wire "
+     "per task); per-doc scoring partials combine map-side; no "
+     "SortAggregate, no cartesian"),
+    ("dedup_semantic_prune",
+     "cluster-blocked SemDeDup: broadcast codebook + packed arg-max "
+     "+ one Arrow crossing per cluster",
+     "BroadcastNestedLoopJoin against the tiny codebook only; "
+     "HashAggregate max over ONE packed BIGINT (no SortAggregate, no "
+     "per-vector window); a single ArrowEvalPython/FlatMapGroupsInPandas "
+     "stage for the per-cluster Gram kernel; the corpus shuffles once, "
+     "keyed by cell"),
 ]
 
 

@@ -145,3 +145,66 @@ def test_streaming_prep_writes_audit(spark, tmp_path):
     audited = spark.read.parquet(str(tmp_path / "saudit"))
     assert audited.count() == 1
     assert "not json" in audited.collect()[0]["raw_record"]
+
+
+def test_batch_prep_dsir_scores_kept_docs(spark, tmp_path):
+    """--dsir-target: kept documents carry importance-weight columns
+    that agree with dsir_scores_against run directly on the same
+    relations, and a target-phrase doc outscores a non-target doc."""
+    from flink_exercise_spark.operators.importance import (
+        dsir_scores_against,
+    )
+    from flink_exercise_spark.prep import run_batch_prep
+    from flink_exercise_spark.sources.corpus import read_jsonl_documents
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_corpus(src)
+    target = tmp_path / "target"
+    target.mkdir()
+    # Curated target carrying GOOD twice (two docs, so the smoothed
+    # target count for GOOD's bigrams is 2+1 against the raw side's
+    # 3+1 — while doc 4's tail bigrams sit at 0+1 vs 1+1): doc 1, all
+    # target phrase, must outscore doc 4's extra non-target tail.
+    (target / "wiki.jsonl").write_text(
+        "\n".join(
+            json.dumps({"doc_id": d, "text": GOOD, "lang": "en",
+                        "source": "wiki", "n_chars": len(GOOD)})
+            for d in (800, 801)
+        ) + "\n"
+    )
+    out = str(tmp_path / "clean3")
+    summary = run_batch_prep(
+        spark, str(src), out, fmt="jsonl",
+        dsir_target_path=str(target),
+    )
+    assert summary["dsir_target"] == str(target)
+    kept = spark.read.parquet(out)
+    assert {"dsir_n_grams", "dsir_micronats"} <= set(kept.columns)
+    got = {
+        r["doc_id"]: (r["dsir_n_grams"], r["dsir_micronats"])
+        for r in kept.collect()
+    }
+    assert set(got) == {1, 4}
+    raw_valid, _ = read_jsonl_documents(spark, str(src))
+    target_valid, _ = read_jsonl_documents(spark, str(target))
+    ref = {
+        r["doc_id"]: (r["n_grams"], r["dsir_micronats"])
+        for r in dsir_scores_against(raw_valid, target_valid).collect()
+    }
+    assert got == {d: ref[d] for d in got}
+    # Per-gram, the pure-target doc is more target-like than the one
+    # with the extra non-target tail.
+    assert got[1][1] / got[1][0] > got[4][1] / got[4][0]
+
+
+def test_cli_rejects_streaming_with_dsir():
+    import pytest as _pytest
+
+    from flink_exercise_spark.prep import main
+
+    with _pytest.raises(SystemExit):
+        main([
+            "--input", "/nope", "--output", "/nope2", "--streaming",
+            "--dsir-target", "/nope3",
+        ])
