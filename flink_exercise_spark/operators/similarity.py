@@ -558,11 +558,15 @@ def _resolve_n_cells(emb: DataFrame, n_cells: int | None) -> int:
     return min(_CELL_PACK, max(N_CELLS, -(-n // SEMDEDUP_TARGET_CELL)))
 
 
+SEMDEDUP_BLOCK = 4096  # Gram-kernel tile edge (block^2 doubles live)
+
+
 def semantic_prune(
     emb: DataFrame,
     n_cells: int | None = None,
     threshold: float = SEMDEDUP_TAU,
     codebook: DataFrame | None = None,
+    block: int = SEMDEDUP_BLOCK,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping, within each
@@ -584,10 +588,12 @@ def semantic_prune(
     Scale shape: the cluster id is the blocking key — assignment is one
     broadcast-codebook pass + a packed-BIGINT hash agg (`_assign_cells`),
     and scoring ships each cluster to an Arrow batch ONCE, computing
-    the full in-cluster Gram matrix with BLAS (the
+    the in-cluster Gram with BLAS (the
     embedding_near_dup_pairs_vectorized finding: per-pair HOF folds
-    lose by ~17x and don't fuse into codegen). Memory contract:
-    cluster_size x dims doubles plus the cluster_size^2 Gram per task;
+    lose by ~17x and don't fuse into codegen), evaluated in
+    ``block`` x ``block`` tiles so a hot cluster costs FLOPs, not
+    memory. Memory contract: cluster_size x dims doubles plus ONE
+    block^2 tile per task (~130 MB at the 4096 default);
     ``n_cells`` (or the trained ``codebook``, e.g.
     clustering.kmeans_centroids — same contract as knn_ivf) is the knob
     that keeps expected cluster size bounded as the corpus grows: the
@@ -616,9 +622,36 @@ def semantic_prune(
             ]
         )
         norms = np.sqrt(np.einsum("ij,ij->i", M, M))
-        G = np.round((M @ M.T) / np.outer(norms, norms), 6)
-        # dropped(v) = any earlier-ranked u with G[v, u] >= threshold
-        dominated = np.tril(G >= threshold, k=-1).any(axis=1)
+        # dropped(v) = any earlier-ranked u with round-6 cos >= threshold.
+        # "Any earlier" (not "any earlier KEPT") has no sequential
+        # dependency, so the triangular Gram evaluates in block x block
+        # TILES: live memory is one tile + the member matrix, never the
+        # n^2 Gram. Load-bearing for hot clusters — the sf10 fixture's
+        # dominant mode puts 53% of vectors (105901) in ONE cell, whose
+        # full Gram is 90 GB; tiled, the same task holds ~130 MB and is
+        # merely straggler-slow (the real remedy for such skew is the
+        # trained codebook, which splits the dominant mode).
+        n = len(ids)
+        dominated = np.zeros(n, dtype=bool)
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            rows = M[i0:i1]
+            rn = norms[i0:i1]
+            for j0 in range(0, i1, block):
+                j1 = min(j0 + block, i1)
+                # Same per-pair arithmetic as the oracle: raw-dot /
+                # norm-product, rounded to 6 dp (tiling changes tile
+                # shapes, not any pair's 64-element dot).
+                hit = (
+                    np.round(
+                        (rows @ M[j0:j1].T) / np.outer(rn, norms[j0:j1]),
+                        6,
+                    )
+                    >= threshold
+                )
+                if j0 == i0:
+                    hit = np.tril(hit, k=-1)  # strictly earlier in-tile
+                dominated[i0:i1] |= hit.any(axis=1)
         return pd.DataFrame(
             {
                 "vec_id": ids,

@@ -325,3 +325,21 @@ def test_semantic_prune_trained_codebook(spark):
         r["cell_id"] for r in codebook.collect()
     )
     assert out["keep"].any()
+
+
+def test_semantic_prune_tiled_kernel_equals_untiled(spark):
+    """block=3 forces many tiles (in-tile triangular + cross-tile
+    paths both exercised) — output must equal the one-tile run and the
+    join form on the fixture embeddings."""
+    from flink_exercise_spark.operators.similarity import semantic_prune
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    tiled = {
+        r["vec_id"]: (r["cell_id"], r["cent_cos"], r["keep"])
+        for r in semantic_prune(emb, block=3).collect()
+    }
+    whole = {
+        r["vec_id"]: (r["cell_id"], r["cent_cos"], r["keep"])
+        for r in semantic_prune(emb, block=1 << 20).collect()
+    }
+    assert tiled == whole
