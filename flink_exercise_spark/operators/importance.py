@@ -158,8 +158,25 @@ def dsir_scores_against(
         bucket_counts(gram_instances(raw, n, key, k)),
         k,
     )
+    return dsir_score_with_model(raw, weights, n, k, key)
+
+
+def dsir_score_with_model(
+    docs: DataFrame,
+    weights: DataFrame,
+    n: int = DSIR_N,
+    k: int = DSIR_BUCKETS,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Score documents against an already-FITTED ``(bucket,
+    r_micronats)`` model — the inference half, shared by the batch
+    pipeline and the streaming placement (ingest.stream_score_dsir):
+    fit offline on the full corpus, score each arriving micro-batch
+    against the static broadcast model. Per-document and exact-integer
+    by construction, so any micro-batch partitioning of the input
+    unions to the batch answer."""
     scored = (
-        gram_instances(raw, n, key, k)
+        gram_instances(docs, n, key, k)
         .join(F.broadcast(weights), "bucket")
         .groupBy(key)
         .agg(
@@ -168,7 +185,7 @@ def dsir_scores_against(
         )
     )
     return (
-        raw.select(key)
+        docs.select(key)
         .join(scored, key, "left")
         .select(
             key,
