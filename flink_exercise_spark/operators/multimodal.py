@@ -573,6 +573,10 @@ def q_decode_features(spark, sf_dir):
     # The fake prober's arithmetic (md5-derived frame count, integer
     # frame timestamps, per-frame content hash) is reproduced exactly
     # in SQL, so this Pandas-UDF fan-out op IS value-hash-checked.
+    # priority=1 (r7 rotation, third wave): driver-green in r6; takes
+    # a rotation slot so the new events_heavy_hitters entry collects
+    # its first driver pass (hashlib pin in test_rotation_pins.py).
+    priority=1,
     oracle=f"""
     WITH probed AS (
       SELECT doc_id, text,

@@ -157,6 +157,7 @@ def _load_all_modules() -> None:
         timeseries,
         tokenizer,
         importance,
+        sketches,
     )
     from flink_exercise_spark.streaming import jobs  # noqa: F401
 

@@ -682,3 +682,29 @@ def test_pipeline_hash_split_pin(spark):
         row = out.loc[key]
         for c in ("n_docs", "total_chars", "n_sampled", "sampled_chars"):
             assert row[c] == r[c], (key, c)
+
+
+def test_mm_frame_sample_pin(spark):
+    """hashlib/arithmetic reference of the stub prober: frame count
+    from md5's first byte, stride-16 sampling, integer-exact
+    timestamps at 24 fps, per-frame md5 content hash."""
+    import hashlib
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    want = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        payload = text.encode("utf-8")
+        if not payload:
+            continue
+        n_frames = 8 + hashlib.md5(payload).digest()[0] % 120
+        for fi in range(0, n_frames, 16):
+            want[(doc_id, fi)] = (
+                fi * 1000 // 24,
+                hashlib.md5(payload + b":" + str(fi).encode()).hexdigest(),
+            )
+    out = _run(spark, "mm_frame_sample")
+    got = {
+        (r.doc_id, r.frame_idx): (r.ts_ms, r.frame_hash)
+        for r in out.itertuples()
+    }
+    assert got == want
