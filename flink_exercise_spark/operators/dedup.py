@@ -486,7 +486,10 @@ def q_minhash_sigs(spark, sf_dir):
     return minhash_signatures(load_table(prep(spark), sf_dir, "documents"))
 
 
-def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
+def _banded_oracle_cte(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
+    """``sigs AS (...), banded AS (...)`` CTE fragment: per-doc band
+    buckets — shared by the band-pairs oracle and the streaming
+    near-dup oracle (streaming/jobs.py)."""
     sig = _minhash_oracle(k)
     bands = ", ".join(
         f"md5(h{b * r} || '|' || h{b * r + 1}) AS band{b}"
@@ -496,12 +499,16 @@ def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
         f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash FROM sigs"
         for b in range(k // r)
     )
-    return f"""
-    WITH sigs AS (
+    return f"""sigs AS (
       SELECT doc_id, {bands} FROM ({sig})
     ), banded AS (
       {unions}
-    )
+    )"""
+
+
+def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
+    return f"""
+    WITH {_banded_oracle_cte(k, r)}
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
     FROM banded l JOIN banded r
       ON l.band_id = r.band_id AND l.band_hash = r.band_hash

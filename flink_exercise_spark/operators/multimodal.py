@@ -602,6 +602,10 @@ def q_frame_sample(spark, sf_dir):
 
 @register(
     "mm_audio_energy",
+    # priority=1 (r7 rotation, third wave): driver-green in r6; takes
+    # a rotation slot so the new stream_neardup_ingest entry collects
+    # its first driver pass (hashlib pin in test_rotation_pins.py).
+    priority=1,
     # Promoted back for r6 (demoted in r5, driver-green r4): the
     # rotation contract requires a driver pass within two rounds.
     # The fake prober's arithmetic (md5-derived rate/window count,

@@ -313,3 +313,175 @@ def ingest_data_prep(
             f"the same path would duplicate rows)"
         )
     return path
+
+
+# --- streaming NEAR-duplicate detection (MinHash-LSH in the state store) ---
+
+
+def band_buckets_projected(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) computed as a PURE PROJECTION —
+    the streaming-safe form of the batch signature pipeline.
+
+    The batch operator (dedup.minhash_signatures) prefers
+    explode -> groupBy(min) so the shuffle carries partial minima;
+    a stream cannot chain that aggregation in front of the stateful
+    dedup operator (two stateful operators, and the signature is
+    per-document anyway). Here each per-permutation minimum is an
+    ``array_min(transform(...))`` fold over the document's own shingle
+    array: zero shuffles, zero state, exactly one narrow pass — and
+    bit-identical to the batch signatures (the parity tests join the
+    two forms row-for-row).
+
+    Column binding discipline (the Catalyst lambda-CSE trap,
+    SCALE.md): tokens and shingles are each bound by a SELECT before
+    reuse — the shingle builder references the token array ~9 times
+    and the 8 hash folds reference the shingle array once each;
+    passing raw expressions would re-tokenize per reference.
+    """
+    from flink_exercise_spark.operators.dedup import (
+        BAND_ROWS,
+        N_MINHASH,
+        _banded_signatures,
+    )
+    from flink_exercise_spark.operators.text import (
+        shingles_from_tokens,
+        tokens_expr,
+    )
+
+    toks = docs.select("doc_id", tokens_expr().alias("_toks"))
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    # SQL-parsed lambdas, NOT python ``F.transform(..., lambda x: ...)``:
+    # eight python lambdas in one Project all name their variable after
+    # the same python argument (``x``), and the resolver binds some
+    # folds to the WRONG variable — silently wrong minima (caught by
+    # the batch-parity test; reproduced minimally: 8 F.transform
+    # lambdas in one select disagree with the same folds run one per
+    # select). The SQL parser scopes each ``s ->`` properly.
+    sigs = sh.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(_sh, s -> md5(concat('{i}|', s))))"
+            ).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ],
+    )
+    return _banded_signatures(sigs, N_MINHASH, BAND_ROWS)
+
+
+def streaming_neardup_emissions(docs: DataFrame) -> DataFrame:
+    """Cross-batch NEAR-dup detection on the keyed state store: state
+    is (min doc_id, n) per LSH band bucket — O(1) per bucket, so the
+    hot-bucket N^2 bomb the batch join must cap (dedup.BUCKET_CAP)
+    does not exist here: a bucket holding a million near-identical
+    docs costs one state row, not 10^12 candidate pairs.
+
+    Every arriving document emits one row per band carrying the
+    bucket's running minimum; the minimum is monotone, so the final
+    verdict is arrival-order INDEPENDENT once resolved read-side
+    (resolve_neardup_flags) — the same continuous-emission /
+    read-side-reduce contract as stateful_canonical_docs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        best = state.get[0] if state.exists else None
+        n = state.get[1] if state.exists else 0
+        arrived = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            lo = int(pdf["doc_id"].min())
+            if best is None or lo < best:
+                best = lo
+            n += len(pdf)
+            arrived.append(pdf["doc_id"])
+        if arrived:
+            state.update((best, n))
+            doc_ids = pd.concat(arrived).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "band_id": key[0],
+                    "band_hash": key[1],
+                    "doc_id": doc_ids,
+                    "bucket_min": best,
+                }
+            )
+
+    return (
+        band_buckets_projected(docs)
+        .groupBy("band_id", "band_hash")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="band_id int, band_hash string, "
+                             "doc_id long, bucket_min long",
+            stateStructType="min_doc_id long, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def resolve_neardup_flags(emissions: DataFrame) -> DataFrame:
+    """(doc_id, n_dup_bands, is_near_dup) from the emission log: final
+    bucket minimum = min over emissions (monotone), a document is a
+    near-dup candidate iff some band's final minimum beats its id —
+    i.e. exactly the docs the batch LSH join would pair with an
+    earlier document."""
+    # The aggregate's key columns are renamed before the join: both
+    # sides descend from the same (memory-sink) relation, and Spark's
+    # self-join attribute disambiguation does not reach through
+    # MemoryPlan — identical attribute ids on both sides fail analysis.
+    mins = (
+        emissions.groupBy("band_id", "band_hash")
+        .agg(F.min("bucket_min").alias("_m"))
+        .select(
+            F.col("band_id").alias("_bid"),
+            F.col("band_hash").alias("_bh"),
+            "_m",
+        )
+    )
+    return (
+        emissions.join(
+            mins,
+            (F.col("band_id") == F.col("_bid"))
+            & (F.col("band_hash") == F.col("_bh")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_m") < F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_dup_bands")
+        )
+        .withColumn("is_near_dup", F.col("n_dup_bands") > F.lit(0))
+    )
+
+
+def neardup_flags_batch(docs: DataFrame) -> DataFrame:
+    """Batch twin of the streaming near-dup verdicts, built from the
+    batch signature pipeline (explode -> groupBy minima) — the parity
+    tests pin stream == batch on this relation."""
+    from flink_exercise_spark.operators.dedup import (
+        _banded_signatures,
+        minhash_signatures,
+    )
+
+    banded = _banded_signatures(minhash_signatures(docs))
+    mins = banded.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("_m")
+    )
+    return (
+        banded.join(mins, ["band_id", "band_hash"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_m") < F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_dup_bands")
+        )
+        .withColumn("is_near_dup", F.col("n_dup_bands") > F.lit(0))
+    )

@@ -42,11 +42,13 @@ def test_demoted_showcases_sort_last_within_oracled():
     # tests/test_rotation_pins.py, except clf_golden_log whose oracle
     # is hand-computed VALUES constants (engine-independent by
     # construction — the parity run compares against fixed literals).
-    # Third wave (this session): mm_frame_sample (r6-green, hashlib
-    # pin below in test_rotation_pins.py) takes a slot so the new
-    # events_heavy_hitters entry collects its first driver pass.
+    # Third wave (this session): mm_frame_sample and mm_audio_energy
+    # (both r6-green, hashlib pins in test_rotation_pins.py) take
+    # slots so the new events_heavy_hitters and stream_neardup_ingest
+    # entries collect their first driver passes.
     assert set(demoted) == {
         "mm_frame_sample",
+        "mm_audio_energy",
         "dedup_exact_map",
         "pipeline_hash_split",
         "ref_q1_top_host_str",

@@ -708,3 +708,34 @@ def test_mm_frame_sample_pin(spark):
         for r in out.itertuples()
     }
     assert got == want
+
+
+def test_mm_audio_energy_pin(spark):
+    """hashlib/arithmetic reference of the stub audio prober: rate and
+    window count from md5 bytes, integer-exact window timestamps,
+    md5-derived energy stand-in."""
+    import hashlib
+
+    RATES = (8000, 16000, 22050, 44100, 48000)
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    want = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        payload = text.encode("utf-8")
+        if not payload:
+            continue
+        h = hashlib.md5(payload).digest()
+        rate, n_windows = RATES[h[0] % 5], 1 + h[1]
+        for wi in range(n_windows):
+            e = int(
+                hashlib.md5(
+                    payload + b":" + str(wi).encode()
+                ).hexdigest()[:4],
+                16,
+            ) / 65535.0
+            want[(doc_id, wi)] = (wi * 1024 * 1000 // rate, round(e, 6), rate)
+    out = _run(spark, "mm_audio_energy")
+    got = {
+        (r.doc_id, r.window_idx): (r.ts_ms, r.energy, r.sample_rate)
+        for r in out.itertuples()
+    }
+    assert got == want

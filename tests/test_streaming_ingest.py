@@ -265,3 +265,102 @@ def test_ingest_data_prep_end_to_end(spark):
     assert (
         got.filter(F.col("quality_ok")).count() == batch_total
     )
+
+
+# --- streaming NEAR-dup (MinHash-LSH band buckets in the state store) ---
+
+
+def test_stream_neardup_equals_batch_twin(spark):
+    from flink_exercise_spark.streaming.ingest import (
+        neardup_flags_batch,
+        resolve_neardup_flags,
+        streaming_neardup_emissions,
+    )
+
+    emissions = streaming_neardup_emissions(documents_stream(spark, SF_SMOKE))
+    run_to_memory(emissions, "neardup_em", "update")
+    got = resolve_neardup_flags(spark.table("neardup_em"))
+    want = neardup_flags_batch(load_table(spark, SF_SMOKE, "documents"))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # sanity: the fixture corpus actually contains near-dups
+    assert got.filter("is_near_dup").count() > 0
+
+
+def test_stream_neardup_projection_matches_batch_signatures(spark):
+    """The streaming-safe HOF-fold signatures are bit-identical to the
+    batch explode->groupBy signatures, band for band."""
+    from flink_exercise_spark.operators.dedup import (
+        _banded_signatures,
+        minhash_signatures,
+    )
+    from flink_exercise_spark.streaming.ingest import band_buckets_projected
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    a = band_buckets_projected(docs)
+    b = _banded_signatures(minhash_signatures(docs))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_neardup_arrival_order_independent(spark, tmp_path):
+    """Two replicas of one text arriving LOWER-id-last across separate
+    micro-batches: the resolved verdicts must still flag the higher id
+    (min-doc_id canonical), exactly as the batch twin does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_exercise_spark.streaming.ingest import (
+        neardup_flags_batch,
+        resolve_neardup_flags,
+        streaming_neardup_emissions,
+    )
+
+    d = tmp_path / "nd_in"
+    d.mkdir()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string())]
+    )
+    text = "alpha beta gamma delta epsilon zeta"
+    near = "alpha beta gamma delta epsilon eta"
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 50, "text": text},
+             {"doc_id": 60, "text": "totally different words here now"}],
+            schema=schema,
+        ),
+        d / "b0.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 10, "text": text},
+             {"doc_id": 20, "text": near}],
+            schema=schema,
+        ),
+        d / "b1.parquet",
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(str(d / "b0.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    run_to_memory(
+        streaming_neardup_emissions(stream), "neardup_order", "update"
+    )
+    got = {
+        (r["doc_id"], r["is_near_dup"])
+        for r in resolve_neardup_flags(
+            spark.table("neardup_order")
+        ).collect()
+    }
+    batch = spark.read.parquet(str(d))
+    want = {
+        (r["doc_id"], r["is_near_dup"])
+        for r in neardup_flags_batch(batch).collect()
+    }
+    assert got == want
+    # 10 is canonical (not a dup) even though it arrived AFTER 50
+    assert (10, False) in got and (50, True) in got
