@@ -248,6 +248,73 @@ class FakeVideoCodec:
 
 VIDEO_DECODER = FakeVideoCodec()
 
+
+@dataclass(frozen=True)
+class AviVideoProber:
+    """REAL video container prober for RIFF/AVI — stdlib-only header
+    walk, the ffprobe step of frame sampling. Fills the video seam the
+    way a sampling kernel actually needs it filled: which frames exist
+    and WHEN (dwTotalFrames, dwMicroSecPerFrame, dims) comes from the
+    genuine container header; extracting the frame BYTES of a
+    codec-compressed stream still requires a codec and remains the
+    documented seam (same split as ffprobe vs ffmpeg).
+
+    Parses the ``avih`` main header inside ``LIST hdrl``; malformed or
+    incomplete structures raise NotImplementedError (seam, not crash).
+    """
+
+    def probe(self, payload: bytes) -> tuple[int, int, int, int]:
+        """(n_frames, usec_per_frame, width, height)."""
+        if len(payload) < 24 or payload[8:12] != b"AVI ":
+            raise NotImplementedError("not an AVI RIFF body")
+        pos = 12
+        while pos + 8 <= len(payload):
+            fourcc = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            if fourcc == b"LIST" and payload[pos + 8:pos + 12] == b"hdrl":
+                inner = pos + 12
+                end = pos + 8 + size
+                while inner + 8 <= min(end, len(payload)):
+                    c = payload[inner:inner + 4]
+                    csz = int.from_bytes(
+                        payload[inner + 4:inner + 8], "little"
+                    )
+                    if c == b"avih":
+                        h = payload[inner + 8:inner + 8 + csz]
+                        if len(h) < 40:
+                            raise NotImplementedError("truncated avih")
+                        usec = int.from_bytes(h[0:4], "little")
+                        n_frames = int.from_bytes(h[16:20], "little")
+                        width = int.from_bytes(h[32:36], "little")
+                        height = int.from_bytes(h[36:40], "little")
+                        if usec == 0 or n_frames == 0:
+                            raise NotImplementedError(
+                                "degenerate avih (zero rate or frames)"
+                            )
+                        return n_frames, usec, width, height
+                    inner += 8 + csz + (csz % 2)
+                break
+            pos += 8 + size + (size % 2)
+        raise NotImplementedError("no avih header found")
+
+
+AVI_PROBER = AviVideoProber()
+
+
+def _looks_avi(payload: bytes) -> bool:
+    """Strict container sniff: 'RIFF' magic, the RIFF size field equal
+    to the actual payload length - 8, AND the 'AVI ' form type — the
+    same two-factor discipline as ``_looks_bmp``, so text-derived
+    fixture payloads always route to the stub (md5-arithmetic oracles
+    stay exact) while genuine AVI bytes route to the real prober."""
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and int.from_bytes(payload[4:8], "little") == len(payload) - 8
+        and payload[8:12] == b"AVI "
+    )
+
+
 FRAME_STRIDE = 16  # sample every 16th frame
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame_hash string"
@@ -273,10 +340,18 @@ def frame_sample(
             ids, idxs, tss, hashes = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(payload)
-                for i in range(0, VIDEO_DECODER.probe(p), stride):
+                if _looks_avi(p):
+                    # Real container: frame schedule from the genuine
+                    # avih header (count + dwMicroSecPerFrame).
+                    n_frames, usec, _, _ = AVI_PROBER.probe(p)
+                    ts_of = lambda i: i * usec // 1000  # noqa: E731
+                else:
+                    n_frames = VIDEO_DECODER.probe(p)
+                    ts_of = lambda i: i * 1000 // fps  # noqa: E731
+                for i in range(0, n_frames, stride):
                     ids.append(doc_id)
                     idxs.append(i)
-                    tss.append(i * 1000 // fps)
+                    tss.append(ts_of(i))
                     hashes.append(
                         hashlib.md5(p + b":" + str(i).encode()).hexdigest()
                     )

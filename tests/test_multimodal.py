@@ -276,3 +276,57 @@ def test_resize_uses_header_probe_on_real_bmp(spark):
     assert len(out) == 1
     # 4x2 source -> long edge 4 scaled to 64 -> 64x32
     assert (out[0]["width"], out[0]["height"]) == (64, 32)
+
+
+def test_avi_real_probe_via_spark(spark):
+    """sample.avi: genuine RIFF/AVI with avih (48 frames at
+    dwMicroSecPerFrame=41667, 32x24): the frame schedule comes from
+    the real container header — stride-16 sampling yields frames
+    0/16/32 with usec-exact integer timestamps."""
+    from flink_exercise_spark.operators.multimodal import frame_sample
+
+    out = sorted(
+        frame_sample(_media_df(spark, f"{_DATA}/sample.avi")).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["ts_ms"]) for r in out] == [
+        (0, 0),
+        (16, 16 * 41667 // 1000),
+        (32, 32 * 41667 // 1000),
+    ]
+    # frame hashes remain the documented per-frame-bytes seam
+    import hashlib
+
+    payload = open(f"{_DATA}/sample.avi", "rb").read()
+    for r in out:
+        assert r["frame_hash"] == hashlib.md5(
+            payload + b":" + str(r["frame_idx"]).encode()
+        ).hexdigest()
+
+
+def test_avi_sniff_and_prober_domain(spark):
+    """Strict AVI sniff: size-field two-factor check; WAV (also RIFF)
+    does not match; malformed headers raise, not crash."""
+    import pytest as _pytest
+
+    from flink_exercise_spark.operators.multimodal import (
+        AVI_PROBER,
+        _looks_avi,
+        _looks_bmp,
+        _looks_wav,
+    )
+
+    avi = open(f"{_DATA}/sample.avi", "rb").read()
+    wav = open(f"{_DATA}/sample.wav", "rb").read()
+    assert _looks_avi(avi)
+    assert not _looks_avi(wav)  # RIFF but form type WAVE
+    assert not _looks_bmp(avi) and not _looks_wav(avi)
+    assert not _looks_avi("RIFFxxxxAVI " .encode() + b"z" * 50)
+    n, usec, w, h = AVI_PROBER.probe(avi)
+    assert (n, usec, w, h) == (48, 41667, 32, 24)
+    # zero frame count -> loud seam
+    bad = bytearray(avi)
+    off = avi.index(b"avih") + 8 + 16
+    bad[off:off + 4] = (0).to_bytes(4, "little")
+    with _pytest.raises(NotImplementedError, match="degenerate"):
+        AVI_PROBER.probe(bytes(bad))
