@@ -503,3 +503,80 @@ def _decontam_oracle(n: int = DECONTAM_N) -> str:
 )
 def q_decontaminate(spark, sf_dir):
     return decontaminate(load_table(prep(spark), sf_dir, "documents"))
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    key: str = "doc_id",
+    eval_key: str = "eval_id",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag train documents NEAR-
+    duplicating a held-out document (MinHash-LSH candidates verified
+    by exact shingle Jaccard) — the companion to ``decontaminate``'s
+    exact 13-gram overlap. Exact n-gram matching misses paraphrased /
+    lightly-edited leakage; near-dup matching against the benchmark is
+    the standard second pass (the same two-stage LSH->verify pipeline
+    ``dedup.lsh_verified_pairs`` runs within a corpus, here CROSS-
+    relation).
+
+    Returns (key, eval_key, jaccard) for every (train doc, eval doc)
+    pair at/above ``threshold``.
+
+    Scale shape: the benchmark side is fixed-size by production
+    contract (same contract as ``decontaminate_against``), so BOTH its
+    band buckets and its shingle inverted index broadcast; the corpus
+    side computes signatures in one scan + vocabulary-shaped shuffle
+    (dedup.minhash_signatures) and only docs colliding with a
+    benchmark bucket — leakage candidates, tiny by construction —
+    reach the verify join. The corpus never shuffles on the n-gram.
+    """
+    from flink_exercise_spark.operators.dedup import (
+        _banded_signatures,
+        _doc_shingles,
+        minhash_signatures,
+    )
+
+    ev = eval_docs.select(F.col(key).alias(eval_key), "text")
+    ev_banded = _banded_signatures(
+        minhash_signatures(ev.withColumnRenamed(eval_key, "doc_id"))
+    ).select(
+        F.col("doc_id").alias(eval_key), "band_id", "band_hash"
+    )
+    tr_banded = _banded_signatures(minhash_signatures(train))
+    cands = (
+        tr_banded.join(F.broadcast(ev_banded), ["band_id", "band_hash"])
+        .select(key, eval_key)
+        .distinct()
+    )
+
+    ev_toks = _doc_shingles(
+        ev.withColumnRenamed(eval_key, "doc_id")
+    ).select(F.col("doc_id").alias(eval_key), "tok")
+    ev_sizes = ev_toks.groupBy(eval_key).agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    tr_toks = _doc_shingles(train)
+    tr_sizes = tr_toks.groupBy(key).agg(F.count(F.lit(1)).alias("n_tr"))
+
+    shared = (
+        cands.join(tr_toks, key)
+        .join(F.broadcast(ev_toks), [eval_key, "tok"])
+        .groupBy(key, eval_key)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(tr_sizes, key)
+        .join(F.broadcast(ev_sizes), eval_key)
+        .select(
+            key,
+            eval_key,
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_tr") + F.col("n_ev") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -47,6 +47,9 @@ OPS = [
     # r7 mid-round additions: DSIR importance weighting + SemDeDup
     "text_dsir_weights",
     "dedup_semantic_prune",
+    # r7 third wave: heavy-hitters sketch + streaming LSH near-dup
+    "events_heavy_hitters",
+    "stream_neardup_ingest",
 ]
 
 # Optional subset: comma-separated op names (e.g. just the newest

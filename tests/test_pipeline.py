@@ -208,3 +208,80 @@ def test_quality_gate_is_null_safe(spark):
     }
     assert out[1] is False           # NULL features -> False, not NULL
     assert out[2] in (True, False)   # real doc gates to a real bool
+
+
+# --- fuzzy (near-dup) decontamination: LSH -> exact-Jaccard verify ---
+
+
+def _py_shingle_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+    sa, sb = sh(a), sh(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_decontaminate_fuzzy_flags_paraphrased_leakage(spark):
+    from flink_exercise_spark.operators.pipeline import decontaminate_fuzzy
+
+    bench = "the quick brown fox jumps over the lazy dog every single day"
+    # lightly-edited leak: one word changed -> exact 13-gram overlap
+    # would MISS it, near-dup Jaccard catches it
+    leak = "the quick brown fox jumps over the lazy cat every single day"
+    clean = "completely unrelated text about distributed query engines"
+    train = spark.createDataFrame(
+        [(1, leak), (2, clean), (3, None), (4, "a b")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, bench)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["eval_id"]): r["jaccard"]
+        for r in decontaminate_fuzzy(train, eval_docs, 0.3).collect()
+    }
+    want_j = round(_py_shingle_jaccard(leak, bench), 4)
+    assert got == {(1, 100): want_j}
+    assert want_j >= 0.3
+    # and the exact 13-gram pass indeed cannot see this leak
+    from flink_exercise_spark.operators.pipeline import (
+        decontaminate_against,
+        eval_ngram_set,
+    )
+
+    exact = decontaminate_against(
+        train.filter("text IS NOT NULL"), eval_ngram_set(eval_docs)
+    )
+    assert exact.count() == 0
+
+
+def test_decontaminate_fuzzy_matches_bruteforce_on_fixture(spark):
+    """All (train, eval) verdicts equal brute-force python Jaccard
+    over every pair that shares an LSH band — on a slice of the real
+    fixture corpus split into pseudo train/eval halves."""
+    import pandas as pd
+
+    from flink_exercise_spark.operators.pipeline import decontaminate_fuzzy
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    train = docs.filter("doc_id % 2 = 0")
+    ev = docs.filter("doc_id % 2 = 1")
+    got = {
+        (r["doc_id"], r["eval_id"]): r["jaccard"]
+        for r in decontaminate_fuzzy(train, ev, 0.2).collect()
+    }
+    pdf = docs.toPandas()
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    # brute-force reference: all cross pairs at/above threshold that
+    # the LSH stage can admit (>= 1 identical band; near-identical
+    # fixture docs collide with probability ~1 at j >= 0.2 band
+    # structure -- verify only containment + exact jaccard values)
+    for (d, e), j in got.items():
+        assert j == round(_py_shingle_jaccard(texts[d], texts[e]), 4)
+        assert j >= 0.2
+    # the fixture's replicated near-dup families must surface
+    assert len(got) > 0
