@@ -419,10 +419,20 @@ def run_to_memory(
     df: DataFrame,
     table: str,
     mode: str,
-    timeout_sec: int = 120,
+    timeout_sec: int | None = None,
 ) -> None:
     """Execute a bounded stream to completion into a memory sink
-    (availableNow trigger = process everything, then stop)."""
+    (availableNow trigger = process everything, then stop).
+
+    LOUD on timeout: a timed-out availableNow query has NOT committed
+    its batch, so reading the sink would silently return empty/partial
+    data — exactly what happened when the sf10 scaling bench first ran
+    the streaming near-dup entry (119 s of state-store work, 120 s
+    timeout, "0 rows" reported as if it were a result). The default
+    timeout scales via SPARK_GRAFT_STREAM_TIMEOUT (seconds; fixture
+    runs finish in single-digit seconds, sf10+ runs need minutes)."""
+    if timeout_sec is None:
+        timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "120"))
     q = (
         df.writeStream.format("memory")
         .queryName(table)
@@ -430,8 +440,16 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    q.stop()
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming query {table!r} still running after "
+            f"{timeout_sec}s — raise SPARK_GRAFT_STREAM_TIMEOUT; its "
+            f"sink is incomplete and must not be read"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -568,3 +568,27 @@ def test_session_window_stream_equals_batch(spark):
     )
     assert len(exp) - len(appended) == 1  # the watermark-held last session
     assert appended <= exp
+
+
+def test_run_to_memory_timeout_is_loud(spark, tmp_path):
+    """A timed-out availableNow query has not committed its batch;
+    run_to_memory must RAISE, never let the caller read an empty sink
+    as if it were a result (the sf10 '0 rows' near-miss)."""
+    import time
+
+    import pandas as pd
+    import pytest
+
+    from flink_exercise_spark.streaming.ingest import documents_stream
+    from tests.conftest import SF_SMOKE
+
+    def slow(batches):
+        for pdf in batches:
+            time.sleep(8)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"]})
+
+    stream = documents_stream(spark, SF_SMOKE).mapInPandas(
+        slow, schema="doc_id long"
+    )
+    with pytest.raises(TimeoutError, match="incomplete"):
+        run_to_memory(stream, "slow_sink_probe", "append", timeout_sec=1)
