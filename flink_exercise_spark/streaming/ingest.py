@@ -384,6 +384,16 @@ def streaming_neardup_emissions(docs: DataFrame) -> DataFrame:
     verdict is arrival-order INDEPENDENT once resolved read-side
     (resolve_neardup_flags) — the same continuous-emission /
     read-side-reduce contract as stateful_canonical_docs.
+
+    CUSTOM-STATE form, measured and NOT the registered deployment: a
+    python call per touched bucket per batch prices sf10's 2M buckets
+    at 15+ minutes, where the registered ``stream_neardup_ingest``
+    job's built-in update-mode MIN aggregation (JVM state store,
+    identical relation — equality-pinned in test_streaming_ingest.py)
+    takes seconds. Kept because it is the template for bucket state a
+    built-in aggregate CANNOT express (e.g. per-bucket exemplar
+    payloads or capped member lists), and because its emission log
+    additionally carries the per-doc (band, doc) pairs in-stream.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -427,18 +437,22 @@ def streaming_neardup_emissions(docs: DataFrame) -> DataFrame:
     )
 
 
-def resolve_neardup_flags(emissions: DataFrame) -> DataFrame:
-    """(doc_id, n_dup_bands, is_near_dup) from the emission log: final
-    bucket minimum = min over emissions (monotone), a document is a
-    near-dup candidate iff some band's final minimum beats its id —
-    i.e. exactly the docs the batch LSH join would pair with an
-    earlier document."""
-    # The aggregate's key columns are renamed before the join: both
-    # sides descend from the same (memory-sink) relation, and Spark's
+def resolve_neardup_verdicts(
+    banded: DataFrame, min_emissions: DataFrame
+) -> DataFrame:
+    """(doc_id, n_dup_bands, is_near_dup): join per-doc band buckets
+    (``banded``: doc_id, band_id, band_hash) against the CONVERGED
+    per-bucket minima of an update-mode emission log (``min_emissions``
+    carries bucket_min re-emissions; minima are monotone, so min over
+    the log = final state). A document is a near-dup candidate iff
+    some band's final minimum beats its id — exactly the docs the
+    batch LSH join would pair with an earlier document."""
+    # The aggregate's key columns are renamed before the join: when
+    # both sides descend from the same (memory-sink) relation, Spark's
     # self-join attribute disambiguation does not reach through
     # MemoryPlan — identical attribute ids on both sides fail analysis.
     mins = (
-        emissions.groupBy("band_id", "band_hash")
+        min_emissions.groupBy("band_id", "band_hash")
         .agg(F.min("bucket_min").alias("_m"))
         .select(
             F.col("band_id").alias("_bid"),
@@ -447,7 +461,7 @@ def resolve_neardup_flags(emissions: DataFrame) -> DataFrame:
         )
     )
     return (
-        emissions.join(
+        banded.join(
             mins,
             (F.col("band_id") == F.col("_bid"))
             & (F.col("band_hash") == F.col("_bh")),
@@ -459,6 +473,15 @@ def resolve_neardup_flags(emissions: DataFrame) -> DataFrame:
             ).cast("long").alias("n_dup_bands")
         )
         .withColumn("is_near_dup", F.col("n_dup_bands") > F.lit(0))
+    )
+
+
+def resolve_neardup_flags(emissions: DataFrame) -> DataFrame:
+    """Verdicts from the CUSTOM-state operator's emission log alone
+    (``streaming_neardup_emissions`` rows carry both the (doc, band)
+    pair and the running bucket_min, so the log is self-sufficient)."""
+    return resolve_neardup_verdicts(
+        emissions.select("doc_id", "band_id", "band_hash"), emissions
     )
 
 

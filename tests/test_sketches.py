@@ -117,3 +117,15 @@ def test_heavy_hitters_fewer_keys_than_k(spark):
     df = spark.createDataFrame([(7,), (7,), (9,)], "user_id long")
     out = [(r.user_id, r.n) for r in heavy_hitters(df, "user_id", 10).collect()]
     assert out == [(7, 2), (9, 1)]
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark):
+    """Scale contract in the plan: pass 2 recounts candidates via a
+    broadcast LEFT-SEMI join (the corpus side never shuffles on the
+    key for the recount), and pass 1's summary relation is an Arrow
+    kernel (MapInPandas), not a full-key aggregate."""
+    events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    plan = heavy_hitters(events, "user_id", HH_TOPK)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -364,3 +364,37 @@ def test_stream_neardup_arrival_order_independent(spark, tmp_path):
     assert got == want
     # 10 is canonical (not a dup) even though it arrived AFTER 50
     assert (10, False) in got and (50, True) in got
+
+
+def test_stream_neardup_jvm_aggregate_equals_custom_state(spark):
+    """The registered deployment (built-in update-mode MIN in the JVM
+    state store + read-side batch-banding join) computes exactly the
+    custom-state operator's relation AND the batch twin."""
+    from flink_exercise_spark.streaming.ingest import (
+        band_buckets_projected,
+        neardup_flags_batch,
+        resolve_neardup_flags,
+        resolve_neardup_verdicts,
+        streaming_neardup_emissions,
+    )
+
+    mins = (
+        band_buckets_projected(documents_stream(spark, SF_SMOKE))
+        .groupBy("band_id", "band_hash")
+        .agg(F.min("doc_id").alias("bucket_min"))
+    )
+    run_to_memory(mins, "nd_jvm_minsink", "update")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = resolve_neardup_verdicts(
+        band_buckets_projected(docs), spark.table("nd_jvm_minsink")
+    )
+
+    emissions = streaming_neardup_emissions(documents_stream(spark, SF_SMOKE))
+    run_to_memory(emissions, "nd_custom_sink", "update")
+    custom = resolve_neardup_flags(spark.table("nd_custom_sink"))
+
+    batch = neardup_flags_batch(docs)
+    for other in (custom, batch):
+        assert got.count() == other.count()
+        assert got.exceptAll(other).count() == 0
+        assert other.exceptAll(got).count() == 0
