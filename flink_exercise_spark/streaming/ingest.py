@@ -348,7 +348,26 @@ def band_buckets_projected(docs: DataFrame) -> DataFrame:
         tokens_expr,
     )
 
-    toks = docs.select("doc_id", tokens_expr().alias("_toks"))
+    src = docs.select("doc_id", "text")
+    if src.isStreaming:
+        # Parallelism ahead of the fold: a single-file micro-batch
+        # arrives as 1-2 partitions and the 8 md5 folds then grind on
+        # one core (measured: the sf1 straggler task ran minutes while
+        # 31 cores idled). Batch inputs get the probe-gated spread();
+        # a streaming plan cannot be probed (no .rdd), so the text
+        # shuffle is unconditional here — it costs one in-batch pass
+        # of the raw payload and buys core-count fold parallelism. A
+        # deployment whose micro-batches already arrive as many files
+        # can pass pre-partitioned input through spread-free batch
+        # banding instead.
+        src = src.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+    else:
+        from flink_exercise_spark.sources.tables import spread
+
+        src = spread(src, "doc_id")
+    toks = src.select("doc_id", tokens_expr().alias("_toks"))
     sh = toks.select(
         "doc_id",
         F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("_sh"),
