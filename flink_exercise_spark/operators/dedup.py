@@ -550,6 +550,12 @@ def q_minhash_pairs(spark, sf_dir):
     doc="Token-set Jaccard near-dup pairs (inverted-index join, "
         "lang-blocked)",
     tags=("dedup", "documents", "jaccard"),
+    # priority=1 (r7 rotation, fourth wave): driver-green in r6; takes
+    # a rotation slot so the new text_bigram_lift entry collects its
+    # first driver pass. Pinned independently by the python-set
+    # reference in tests/test_dedup.py::test_jaccard_scores plus the
+    # pandas pin in test_rotation_pins.py.
+    priority=1,
 )
 def q_jaccard(spark, sf_dir):
     return jaccard_pairs(load_table(prep(spark), sf_dir, "documents"))

@@ -800,6 +800,12 @@ _VEC_CTE = f"""
     """,
     doc="Exact cosine top-5 neighbors for query vectors (vec_id<10)",
     tags=("similarity", "embeddings", "knn"),
+    # priority=1 (r7 rotation, fourth wave): driver-green in r6; takes
+    # a rotation slot so the new doc_quantiles_by_source entry collects
+    # its first driver pass. Pinned independently by the numpy
+    # reference in tests/test_similarity.py::test_knn_ordering_exact
+    # plus the pandas pin in test_rotation_pins.py.
+    priority=1,
 )
 def q_knn_brute(spark, sf_dir):
     return knn_brute_force(load_table(prep(spark), sf_dir, "embeddings"))

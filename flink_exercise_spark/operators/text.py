@@ -625,6 +625,11 @@ _ORACLE_SCRUB = (
         "PII-scrub accounting (URL/email/IPv4 counts + scrubbed-text "
         "fingerprint)",
     tags=("text", "documents", "dedup", "pii"),
+    # priority=1 (r7 rotation, fourth wave): driver-green in r6; takes
+    # a rotation slot so the new events_funnel_steps entry collects
+    # its first driver pass. Pinned independently by the hashlib
+    # reference pin in test_rotation_pins.py.
+    priority=1,
 )
 def q_fingerprints(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")

@@ -407,3 +407,141 @@ def bpe_encode(
     return spread(docs.select("doc_id", "text"), "doc_id").mapInPandas(
         kernel, schema=out_schema
     )
+
+
+# --- adjacent-token collocations (bigram lift / PMI family) ---
+
+BIGRAM_TOP_K = 30
+BIGRAM_MIN_COUNT = 5
+
+
+def bigram_pairs(docs: DataFrame) -> DataFrame:
+    """(a, b) — one row per ADJACENT token pair occurrence. The token
+    array is bound by a SELECT before the pair fold references it
+    (the Catalyst lambda-CSE discipline, SCALE.md); the lambda is
+    SQL-parsed. Interior whitespace tokens cannot be blank (split on
+    ``\\s+`` of trimmed text), so no blank filter is needed here —
+    single-token and blank documents drop at the size guard."""
+    src = spread(docs.filter(F.col("text").isNotNull()).select("text"))
+    toked = src.select(tokens_expr().alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    return toked.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct(_t[i-1] AS a, _t[i] AS b))"
+            )
+        ).alias("_p")
+    ).select("_p.a", "_p.b")
+
+
+def bigram_lift(
+    docs: DataFrame,
+    k: int = BIGRAM_TOP_K,
+    min_count: int = BIGRAM_MIN_COUNT,
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by LIFT —
+    ``p(a,b) / (p(a) p(b))``, the exponentiated PMI. Returns
+    ``(a, b, n_ab, n_a, n_b, lift)``, ordered (lift DESC, a, b).
+
+    Lift, not log-PMI, deliberately: the score is a pure ratio of
+    exact integer counts evaluated in one fixed IEEE operation order,
+    so it is bit-identical across engines — ``ln`` would put libm in
+    the hash path (the token_rarity precedent).
+
+    Shape at scale: ONE corpus pass builds the bigram histogram
+    (two-phase hash agg; the shuffle carries distinct pairs, not
+    occurrences); the total-pair count is an aggregate of that
+    histogram, not a second pass. Unigram counts join in by token —
+    vocabulary-sized relations on both sides of vocabulary-keyed
+    joins, AQE free to broadcast whichever side shrinks below the
+    threshold. The ``min_count`` floor cuts the long tail BEFORE the
+    joins (rare-pair noise is also exactly what lift over-scores).
+    """
+    from flink_exercise_spark.caching import persist_tracked
+
+    uni = persist_tracked(
+        _corpus_tokens(docs)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bg_all = persist_tracked(
+        bigram_pairs(docs)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n_uni = uni.agg(F.sum("n").cast("long").alias("n_uni"))
+    n_pairs = bg_all.agg(F.sum("n_ab").cast("long").alias("n_pairs"))
+    bg = bg_all.filter(F.col("n_ab") >= min_count)
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("n_b"))
+    # Fixed left-assoc operation order, mirrored verbatim in the
+    # oracle: ((((n_ab * n_uni) / n_a) * n_uni) / n_b) / n_pairs.
+    lift = F.round(
+        F.col("n_ab").cast("double")
+        * F.col("n_uni") / F.col("n_a")
+        * F.col("n_uni") / F.col("n_b")
+        / F.col("n_pairs"),
+        4,
+    )
+    return (
+        bg.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "a", "b")
+        .limit(k)
+    )
+
+
+@register(
+    "text_bigram_lift",
+    oracle=f"""
+    WITH toked AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    big AS (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM (SELECT t, unnest(range(1, len(t))) AS i
+            FROM toked WHERE len(t) >= 2)
+    ),
+    uni AS (
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE tok IS NOT NULL AND tok <> '' GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni FROM uni),
+    totp AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM big),
+    bg AS (
+      SELECT a, b, count(*) AS n_ab FROM big GROUP BY a, b
+      HAVING count(*) >= {BIGRAM_MIN_COUNT}
+    )
+    SELECT bg.a, bg.b, CAST(bg.n_ab AS BIGINT) AS n_ab,
+           CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b,
+           round(CAST(bg.n_ab AS DOUBLE)
+                 * n_uni / ua.n * n_uni / ub.n / n_pairs, 4) AS lift
+    FROM bg JOIN uni ua ON bg.a = ua.tok
+            JOIN uni ub ON bg.b = ub.tok
+            CROSS JOIN tot CROSS JOIN totp
+    ORDER BY lift DESC, bg.a, bg.b LIMIT {BIGRAM_TOP_K}
+    """,
+    doc="Top-k adjacent-token collocations by lift (exponentiated "
+        "PMI) with a min-count floor: bigram histogram in one corpus "
+        "pass, vocabulary-keyed unigram joins, libm-free integer-"
+        "ratio scoring — the collocation mining pass of corpus "
+        "analysis",
+    tags=("text", "documents", "tokenizer", "collocations"),
+)
+def q_bigram_lift(spark, sf_dir):
+    return bigram_lift(load_table(prep(spark), sf_dir, "documents"))

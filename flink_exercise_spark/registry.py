@@ -158,6 +158,8 @@ def _load_all_modules() -> None:
         tokenizer,
         importance,
         sketches,
+        profiling,
+        funnel,
     )
     from flink_exercise_spark.streaming import jobs  # noqa: F401
 

@@ -46,7 +46,15 @@ def test_demoted_showcases_sort_last_within_oracled():
     # (both r6-green, hashlib pins in test_rotation_pins.py) take
     # slots so the new events_heavy_hitters and stream_neardup_ingest
     # entries collect their first driver passes.
+    # Fourth wave: sim_knn_brute_force, dedup_jaccard_pairs, and
+    # text_fingerprints (all r6-green, pinned in test_rotation_pins.py
+    # plus their existing numpy/python-set reference tests) take slots
+    # so the new doc_quantiles_by_source, text_bigram_lift, and
+    # events_funnel_steps entries collect their first driver passes.
     assert set(demoted) == {
+        "sim_knn_brute_force",
+        "dedup_jaccard_pairs",
+        "text_fingerprints",
         "mm_frame_sample",
         "mm_audio_energy",
         "dedup_exact_map",

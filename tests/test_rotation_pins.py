@@ -739,3 +739,106 @@ def test_mm_audio_energy_pin(spark):
         for r in out.itertuples()
     }
     assert got == want
+
+
+# Round-7 rotation pins, fourth wave (demoted this session;
+# driver-green in r6): sim_knn_brute_force, dedup_jaccard_pairs,
+# text_fingerprints.
+
+
+def test_sim_knn_brute_force_pin(spark):
+    from flink_exercise_spark.operators.similarity import N_QUERIES, TOP_K
+
+    emb = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    M = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    qmask = ids < N_QUERIES
+    Q, C = M[qmask], M[~qmask]
+    qids, cids = ids[qmask], ids[~qmask]
+    norms_q = np.sqrt((Q * Q).sum(axis=1))
+    norms_c = np.sqrt((C * C).sum(axis=1))
+    cos = (Q @ C.T) / np.outer(norms_q, norms_c)
+
+    out = _run(spark, "sim_knn_brute_force")
+    assert len(out) == qmask.sum() * TOP_K
+    for qi, qid in enumerate(qids):
+        order = sorted(
+            range(len(cids)), key=lambda j: (-np.round(cos[qi, j], 6), cids[j])
+        )[:TOP_K]
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert got["neighbor_id"].tolist() == [int(cids[j]) for j in order]
+        assert np.allclose(
+            got["cosine"].to_numpy(),
+            np.round([cos[qi, j] for j in order], 6),
+            atol=2e-6,
+        )
+
+
+def test_dedup_jaccard_pairs_pin(spark):
+    import itertools
+    import re
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    sh: dict[int, set] = {}
+    lang: dict[int, str] = {}
+    for r in docs.itertuples():
+        t = re.split(r"\s+", r.text.strip()) if r.text is not None else []
+        sh[r.doc_id] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+        lang[r.doc_id] = r.lang
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        if lang[a] != lang[b] or not sh[a] or not sh[b]:
+            continue
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 4)
+        if j >= 0.2:
+            want[(a, b)] = j
+    out = _run(spark, "dedup_jaccard_pairs")
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 4) for r in out.itertuples()
+    }
+    assert got == want
+
+
+def test_text_fingerprints_pin(spark):
+    import hashlib
+    import re
+
+    from flink_exercise_spark.operators.text import (
+        BPE_TOKEN_PATTERN,
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        URL_PATTERN,
+    )
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = _run(spark, "text_fingerprints").set_index("doc_id")
+    assert set(out.index) == set(docs["doc_id"])
+    for r in docs.itertuples():
+        row = out.loc[r.doc_id]
+        text = r.text
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        toks = re.split(r"\s+", text.strip())
+        scrubbed = re.sub(
+            IPV4_PATTERN,
+            "<IP>",
+            re.sub(
+                EMAIL_PATTERN,
+                "<EMAIL>",
+                re.sub(URL_PATTERN, "<URL>", text),
+            ),
+        )
+        assert row["norm_fp"] == md5(norm)
+        assert row["bag_fp"] == md5(" ".join(sorted(set(toks))))
+        assert row["n_bpe_tokens"] == len(re.findall(BPE_TOKEN_PATTERN, text))
+        assert row["n_urls"] == len(re.findall(URL_PATTERN, text))
+        assert row["n_emails"] == len(re.findall(EMAIL_PATTERN, text))
+        assert row["n_ipv4"] == len(re.findall(IPV4_PATTERN, text))
+        assert row["scrubbed_fp"] == md5(scrubbed)

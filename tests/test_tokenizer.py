@@ -224,3 +224,98 @@ def test_bpe_encode_no_merges_is_chars(spark):
     out = bpe_encode(df, []).collect()[0]
     assert out["pieces"] == ["a", "b", "c"]
     assert out["n_pieces"] == 3
+
+
+# --- bigram lift (collocations) ---
+
+
+def test_bigram_pairs_crafted(spark):
+    from flink_exercise_spark.operators.tokenizer import bigram_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "  a   b  "),   # interior multi-space, leading/trailing
+            (3, "solo"),         # single token -> no pairs
+            (4, None),           # NULL text -> dropped
+            (5, ""),             # blank -> no pairs
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["a"], r["b"]) for r in bigram_pairs(docs).collect()
+    )
+    assert got == [("a", "b"), ("a", "b"), ("b", "c")]
+
+
+def test_bigram_lift_values(spark):
+    from flink_exercise_spark.operators.tokenizer import bigram_lift
+
+    # 6 docs of "x y", so n_ab(x,y)=6 >= min_count, n_x=n_y=6,
+    # N_uni=12, N_pairs=6: lift = (6/6)*(12/6)*(12/6... fixed order:
+    # ((6*12)/6)*12/6/6 = 4.0
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(6)], "doc_id long, text string"
+    )
+    rows = bigram_lift(docs, k=5, min_count=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["n_ab"], r["n_a"], r["n_b"]) == (
+        "x", "y", 6, 6, 6,
+    )
+    assert r["lift"] == 4.0
+
+
+def test_bigram_lift_min_count_floor(spark):
+    from flink_exercise_spark.operators.tokenizer import bigram_lift
+
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(5)] + [(99, "p q")],
+        "doc_id long, text string",
+    )
+    rows = bigram_lift(docs, k=10, min_count=5).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [("x", "y")]
+
+
+def test_bigram_lift_fixture_matches_python(spark):
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from flink_exercise_spark.operators.tokenizer import (
+        BIGRAM_MIN_COUNT,
+        BIGRAM_TOP_K,
+        bigram_lift,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs_pd = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    for t in docs_pd["text"]:
+        if t is None:
+            continue
+        toks = [w for w in re.split(r"\s+", t.strip()) if w]
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    n_uni = sum(uni.values())
+    n_pairs = sum(bg.values())
+    scored = []
+    for (a, b), n_ab in bg.items():
+        if n_ab < BIGRAM_MIN_COUNT:
+            continue
+        lift = round(
+            float(n_ab) * n_uni / uni[a] * n_uni / uni[b] / n_pairs, 4
+        )
+        scored.append((-lift, a, b, n_ab))
+    scored.sort()
+    want = [
+        (a, b, n_ab, round(-neg, 4))
+        for neg, a, b, n_ab in scored[:BIGRAM_TOP_K]
+    ]
+
+    out = bigram_lift(load_table(spark, SF_SMOKE, "documents")).collect()
+    got = [(r["a"], r["b"], r["n_ab"], r["lift"]) for r in out]
+    assert got == want
