@@ -148,3 +148,70 @@ def rowgroup_skip_stats(
             elif not (st.max < lo or st.min > hi):
                 touched += 1
     return {"row_groups": total, "touched": touched}
+
+
+# --- small-files compaction (the table-maintenance half of layout) ---
+
+
+def parquet_layout_stats(path: str) -> dict[str, int]:
+    """Footer-only layout survey of a parquet directory: file count,
+    total compressed bytes, row count. (pyarrow metadata read — no
+    data pages; at cluster scale this is the metastore/manifest
+    listing, and the seam is this function.)"""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    total_bytes = rows = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        rows += md.num_rows
+        total_bytes += sum(
+            md.row_group(rg).total_byte_size
+            for rg in range(md.num_row_groups)
+        )
+    return {"files": len(files), "bytes": total_bytes, "rows": rows}
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+    order_by: list[str] | None = None,
+    write_options: dict[str, str] | None = None,
+) -> dict[str, int]:
+    """Rewrite a small-files parquet directory into
+    ``ceil(bytes / target_bytes)`` right-sized files (the OPTIMIZE /
+    compaction maintenance job every long-lived ingest needs: each
+    streaming micro-batch appends a file, and a 100 TB table fed that
+    way becomes millions of footer-reads per scan).
+
+    Sizing comes from the source FOOTERS (compressed bytes), not a
+    row-count heuristic — wide and narrow tables compact to the same
+    on-disk file size. With ``order_by`` the rewrite range-partitions
+    + sorts, restoring cluster order (and row-group min/max skipping)
+    that appends destroyed; without it, a plain repartition suffices.
+    Returns {files_in, files_out, bytes, rows}.
+    """
+    stats = parquet_layout_stats(src)
+    n_out = max(1, -(-stats["bytes"] // target_bytes))
+    df = spark.read.parquet(src)
+    if order_by:
+        out = df.repartitionByRange(n_out, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        out = df.repartition(n_out)
+    w = out.write.mode("overwrite")
+    for k, v in (write_options or {}).items():
+        w = w.option(k, v)
+    w.parquet(dst)
+    return {
+        "files_in": stats["files"],
+        "files_out": n_out,
+        "bytes": stats["bytes"],
+        "rows": stats["rows"],
+    }

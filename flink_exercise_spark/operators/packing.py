@@ -178,3 +178,67 @@ def packing_profile(
 )
 def q_pack_chunks(spark, sf_dir):
     return pack_chunks(load_table(prep(spark), sf_dir, "documents"))
+
+
+# --- training-shard writer (the sink side of concat-and-chunk) ---
+
+SHARD_TOKENS = 64 * CONTEXT_LEN  # default shard budget: 64 chunks
+
+
+def shard_assignments(
+    docs: DataFrame,
+    context_len: int = CONTEXT_LEN,
+    shard_tokens: int = SHARD_TOKENS,
+) -> DataFrame:
+    """``pack_chunks`` + ``shard_id``: which fixed-token-budget output
+    shard each document STARTS in (``start_tok div shard_tokens`` —
+    integer div, exact at any offset magnitude). A boundary-spanning
+    document belongs to its start shard, so per-shard token mass is
+    ``shard_tokens`` +/- one document length — the standard
+    start-assigned sharding contract."""
+    return pack_chunks(docs, context_len).withColumn(
+        "shard_id", F.expr(f"start_tok div {shard_tokens}")
+    )
+
+
+def shard_manifest(assign: DataFrame) -> DataFrame:
+    """Per-shard accounting over an assignment relation: doc count,
+    token mass, and the start-offset span — the table a training job
+    reads to schedule shard consumption."""
+    return assign.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("start_tok").cast("long").alias("first_tok"),
+        F.max(F.col("start_tok") + F.col("n_tok")).cast("long").alias(
+            "end_tok"
+        ),
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    context_len: int = CONTEXT_LEN,
+    shard_tokens: int = SHARD_TOKENS,
+) -> None:
+    """Write the packed corpus as one parquet file per shard,
+    documents in stream order within each file.
+
+    Plan shape: ``repartition("shard_id")`` hash-routes every shard's
+    rows to one task (a shard is budget-bounded, so a partition is at
+    most a few shards — never corpus-sized), ``sortWithinPartitions``
+    orders by (shard, offset) so each written file is a contiguous,
+    ordered slice of the token stream, and ``partitionBy`` lays files
+    out as ``shard_id=N/`` directories a training loader can consume
+    shard-at-a-time. Readers resume mid-corpus by shard id without
+    touching earlier shards — the property a global-sort write (one
+    output task) and a random layout (no resumable order) both lack.
+    """
+    (
+        shard_assignments(docs, context_len, shard_tokens)
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "start_tok")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

@@ -121,3 +121,64 @@ def test_zvalue_is_jvm_side(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# --- compaction ---
+
+
+def test_compact_parquet_rightsizes(spark, tmp_path):
+    from flink_exercise_spark.operators.layout import (
+        compact_parquet,
+        parquet_layout_stats,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(64).write.parquet(src)  # micro-batch-append shape
+    n_rows = ev.count()
+
+    before = parquet_layout_stats(src)
+    assert before["files"] == 64 and before["rows"] == n_rows
+    # target sized so everything fits one file
+    res = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+    assert res == {
+        "files_in": 64,
+        "files_out": 1,
+        "bytes": before["bytes"],
+        "rows": n_rows,
+    }
+    after = parquet_layout_stats(dst)
+    assert after["files"] == 1 and after["rows"] == n_rows
+    assert spark.read.parquet(dst).count() == n_rows
+
+
+def test_compact_parquet_restores_cluster_order(spark, tmp_path):
+    from flink_exercise_spark.operators.layout import (
+        compact_parquet,
+        rowgroup_skip_stats,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "ordered")
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    ev.repartition(32).write.parquet(src)  # destroys time order
+
+    # tiny row groups so the fixture-sized table exercises footer
+    # skipping (production default: ~128 MB groups)
+    compact_parquet(spark, src, dst, target_bytes=1 << 18,
+                    order_by=["ts_us"],
+                    write_options={"parquet.block.size": "4096"})
+    lo = ev.agg(F.min("ts_us")).collect()[0][0]
+    hi = lo + 3 * 24 * 3600 * 1_000_000  # a 3-day strip
+    skip = rowgroup_skip_stats(dst, "ts_us", lo, hi)
+    # ordered layout: a narrow time strip touches a minority of the
+    # row groups (the fragmented source would touch all of them)
+    assert skip["row_groups"] >= 4
+    assert skip["touched"] < skip["row_groups"] / 2
