@@ -50,6 +50,11 @@ OPS = [
     # r7 third wave: heavy-hitters sketch + streaming LSH near-dup
     "events_heavy_hitters",
     "stream_neardup_ingest",
+    # r7 fourth wave: sf10 anchors for the sf100 decade column
+    # (BENCH_SF100.md rows measured before these existed)
+    "doc_quantiles_by_source",
+    "events_funnel_steps",
+    "text_bigram_lift",
 ]
 
 # Optional subset: comma-separated op names (e.g. just the newest
