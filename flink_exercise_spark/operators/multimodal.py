@@ -615,6 +615,12 @@ def q_binary_meta(spark, sf_dir):
 
 @register(
     "mm_decode_features",
+    # priority=1 (r7 rotation, fifth wave): driver-green in r6; takes
+    # a rotation slot so the new text_bm25_topk entry collects its
+    # first driver pass inside the window. Hash-verified locally every
+    # round by test_parity_demoted; hashlib pin:
+    # tests/test_rotation_pins.py::test_mm_decode_features_pin.
+    priority=1,
     # Value-oracled since r5 (was rows-only): FakeImageCodec.decode is
     # pure md5-byte arithmetic (width/height from digest bytes 0-1,
     # mean_luma from byte 2), so the whole decode pipeline is

@@ -1,0 +1,302 @@
+"""Lexical top-k retrieval (BM25 family) over the document corpus —
+the keyword-side complement of the embedding ANN operators in
+similarity.py. A training-data pipeline uses this for targeted corpus
+audits ("which documents score highest for these benchmark terms"),
+low-resource mining, and as the lexical arm of hybrid (BM25 + dense)
+retrieval.
+
+Scoring is BM25 with Robertson's idf kept in ODDS form (no logarithm)
+and every per-term score reduced to ONE floored integer division of
+two exact 128-bit integer products — the repo's cross-engine float
+discipline (see token_rarity, tokenizer.py): a value-hash oracle gate
+cannot tolerate libm ln() (last-ulp differences flip rounded digits)
+or float summation (partial-agg order differs between engines), so
+scores are exact integers by construction, identical on Spark and
+DuckDB bit for bit.
+
+With k1 = 6/5 and b = 3/4 (the textbook BM25 constants as exact
+rationals), multiplying numerator and denominator by 20·T:
+
+    tf_term = tf·(k1+1) / (tf + k1·(1 − b + b·dl·D/T))
+            = 44·tf·T / (20·tf·T + 6·T + 18·dl·D)
+    idf_odds = (D − df + ½)/(df + ½) = (2·(D−df)+1) / (2·df+1)
+
+    score_term = (SCALE · 44 · tf · T · (2·(D−df)+1))
+                 div ((20·tf·T + 6·T + 18·dl·D) · (2·df+1))
+
+where D = corpus document count, T = corpus token count, dl = document
+length, df = term document frequency, SCALE = 10^6. idf stays in odds
+space rather than log space — per-term ranking is identical (log is
+monotone); the multi-term sum weights rare terms more sharply than
+log-BM25, which is documented behavior, not an approximation error.
+Products are computed in decimal(38,0) (Spark) / HUGEINT (DuckDB):
+both are exact 128-bit integer arithmetic, verified to agree on the
+integral division, and the worst-case magnitude at 100 TB scale
+(tf ≤ 10^4, T ≤ 10^13, D ≤ 10^11) stays under 10^36 < 10^38.
+
+Scale shape (the reason this is not one SQL window):
+- The index pass (postings + doc length) is one explode → (doc, tok)
+  two-phase hash aggregate → doc-keyed window for dl; the window
+  rides a single doc_id exchange (partitioned — never the global
+  unpartitioned-window trap).
+- df and the (D, T) scalars are aggregate-sized; (D, T) rides a
+  1-row broadcast cross join (token_rarity pattern).
+- The query-term relation (queries ⋈ df) is query-sized and
+  BROADCAST to the postings join, so the corpus-sized postings
+  relation is never re-shuffled for scoring; only MATCHED postings
+  enter the (query_id, doc_id) aggregate.
+- Top-k is the two-phase partial/merge ranking (similarity.py
+  _rank_top_k rationale): a row_number window would shuffle every
+  scored candidate to one task per query.
+
+Reference parity note: the reference job (StreamingJob.scala) has no
+retrieval operator; this family extends the engine's LLM-pipeline
+surface (driver mandate), reusing its tokenizer conventions
+(tokenizer._corpus_tokens) so postings agree with vocab_stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.tokenizer import _corpus_tokens
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table
+
+SCALE = 1_000_000  # score resolution: floor(10^6 · tf_term · idf_odds)
+TOP_K = 5
+QUERY_STEP = 100  # registry query set: every 100th document
+QUERY_TERMS = 4  # ... queried by its first 4 tokens
+
+_D38 = "decimal(38,0)"
+
+
+def postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf, dl): the inverted-index relation — term
+    frequency per (document, token) plus document length (non-blank
+    token count). One explode, one two-phase hash aggregate, and a
+    doc-partitioned window that rides the aggregate's doc_id exchange
+    (``Window.partitionBy`` with no ordering: whole-partition frame,
+    no sort)."""
+    post = (
+        _corpus_tokens(docs)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return post.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
+    )
+
+
+def doc_frequencies(post: DataFrame) -> DataFrame:
+    """(tok, df): document frequency per term — postings already hold
+    one row per (doc, tok), so df is a plain count."""
+    return post.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+
+
+def corpus_stats(post: DataFrame) -> DataFrame:
+    """1-row (D, T): corpus document count and token count, from the
+    postings relation so empty/NULL-text documents are excluded the
+    same way on both engines."""
+    return post.agg(
+        F.countDistinct("doc_id").cast("long").alias("D"),
+        F.sum("tf").cast("long").alias("T"),
+    )
+
+
+def bm25_score_expr():
+    """Exact-integer per-term BM25 score (see module docstring).
+    Expects columns tf, dl, df, D, T; all products in decimal(38,0);
+    ``div`` on decimals is Spark's IntegralDivide → LongType, matching
+    DuckDB HUGEINT ``//`` exactly (verified in tests)."""
+    tf = F.col("tf").cast(_D38)
+    t = F.col("T").cast(_D38)
+    dl = F.col("dl").cast(_D38)
+    d = F.col("D").cast(_D38)
+    idf2 = (
+        F.lit(2).cast(_D38) * (F.col("D") - F.col("df")).cast(_D38)
+        + F.lit(1).cast(_D38)
+    )
+    num = F.lit(SCALE * 44).cast(_D38) * tf * t * idf2
+    den = (
+        F.lit(20).cast(_D38) * tf * t
+        + F.lit(6).cast(_D38) * t
+        + F.lit(18).cast(_D38) * dl * d
+    ) * (F.lit(2).cast(_D38) * F.col("df").cast(_D38) + F.lit(1).cast(_D38))
+    return num.alias("_num"), den.alias("_den")
+
+
+def _rank_top_k_int(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over integer-scored candidates — the
+    similarity.py two-phase partial/merge ranking (see _rank_top_k's
+    docstring for why not a row_number window), with an exact integer
+    sort key: ascending struct((-score), doc_id) == (score desc,
+    doc_id asc); integer negation is exact. Carries n_terms through
+    the struct unsorted-payload style."""
+    item = F.struct(
+        (-F.col("score")).alias("_ns"),
+        F.col("doc_id").alias("_id"),
+        F.col("n_terms").alias("_nt"),
+    )
+    partial = scored.groupBy(
+        F.spark_partition_id().alias("_pid"), "query_id"
+    ).agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
+    merged = partial.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
+        ).alias("_top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("_top").alias("_i", "_item")
+    ).select(
+        "query_id",
+        F.col("_item._id").alias("doc_id"),
+        (-F.col("_item._ns")).alias("score"),
+        F.col("_item._nt").alias("n_terms"),
+        (F.col("_i") + 1).cast("int").alias("rank"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k documents per query by exact-integer BM25.
+
+    ``queries`` is a (query_id, tok) term relation — by contract
+    query-sized (thousands of queries × a few terms), which is what
+    licenses the broadcast: the per-term metadata (df, D, T) is
+    attached to the QUERY side so the corpus-sized postings relation
+    joins against a broadcast and never re-shuffles for scoring.
+    ``exclude_self`` drops doc_id == query_id hits (for query sets
+    derived from corpus documents, the source document is a
+    guaranteed-top-1 self-match).
+
+    Returns (query_id, doc_id, score, n_terms, rank); score is the
+    BIGINT sum of per-term integer scores (order-independent), rank
+    is dense 1..k by (score desc, doc_id asc)."""
+    post = postings(docs)
+    qside = (
+        queries.join(doc_frequencies(post), "tok")
+        .crossJoin(corpus_stats(post))
+    )
+    matched = post.join(F.broadcast(qside), "tok")
+    if exclude_self:
+        matched = matched.filter(F.col("doc_id") != F.col("query_id"))
+    num, den = bm25_score_expr()
+    scored = (
+        matched.select("query_id", "doc_id", num, den)
+        .withColumn("_s", F.expr("_num div _den"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("_s").cast("long").alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+    )
+    return _rank_top_k_int(scored, k)
+
+
+def corpus_queries(
+    docs: DataFrame, step: int = QUERY_STEP, n_terms: int = QUERY_TERMS
+) -> DataFrame:
+    """Deterministic query set mined from the corpus itself: every
+    ``step``-th document contributes its first ``n_terms`` tokens
+    (de-duplicated) as a query keyed by the document id. The filter
+    runs before tokenization, so the tokenizer touches 1/step of the
+    corpus."""
+    from flink_exercise_spark.operators.text import tokens_expr
+
+    return (
+        docs.filter(F.col("doc_id") % step == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode_outer(
+                F.slice(tokens_expr(), 1, n_terms)
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .distinct()
+    )
+
+
+_BM25_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+      ) WHERE tok IS NOT NULL AND tok <> ''
+    ),
+    post AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    dlen AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      FROM post GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS d_docs,
+             CAST(sum(dl) AS BIGINT) AS t_toks
+      FROM dlen
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df
+      FROM post GROUP BY tok
+    ),
+    queries AS (
+      SELECT DISTINCT doc_id AS query_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text),
+                      '\\s+')[1:{QUERY_TERMS}]) AS tok
+        FROM documents WHERE doc_id % {QUERY_STEP} = 0
+      ) WHERE tok IS NOT NULL AND tok <> ''
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(sum(
+               ({SCALE * 44}::HUGEINT * p.tf * s.t_toks
+                 * (2 * (s.d_docs - f.df) + 1))
+               // ((20::HUGEINT * p.tf * s.t_toks
+                    + 6::HUGEINT * s.t_toks
+                    + 18::HUGEINT * d.dl * s.d_docs)
+                   * (2 * f.df + 1))
+             ) AS BIGINT) AS score,
+             CAST(count(*) AS INT) AS n_terms
+      FROM queries q
+      JOIN post p USING (tok)
+      JOIN dfreq f USING (tok)
+      JOIN dlen d ON d.doc_id = p.doc_id
+      CROSS JOIN stats s
+      WHERE p.doc_id <> q.query_id
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id, score, n_terms, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS INT) AS rank FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_BM25_ORACLE,
+    doc="Exact-integer BM25 top-k lexical retrieval: inverted-index "
+        "postings + doc-frequency aggregates, query-side broadcast "
+        "scoring join, two-phase window-free ranking; libm-free "
+        "odds-form idf so the integer scores hash identically across "
+        "engines",
+    tags=("text", "documents", "retrieval", "bm25"),
+)
+def q_bm25_topk(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    return bm25_topk(
+        docs, corpus_queries(docs), k=TOP_K, exclude_self=True
+    )

@@ -160,6 +160,7 @@ def _load_all_modules() -> None:
         sketches,
         profiling,
         funnel,
+        retrieval,
     )
     from flink_exercise_spark.streaming import jobs  # noqa: F401
 

@@ -51,7 +51,11 @@ def test_demoted_showcases_sort_last_within_oracled():
     # plus their existing numpy/python-set reference tests) take slots
     # so the new doc_quantiles_by_source, text_bigram_lift, and
     # events_funnel_steps entries collect their first driver passes.
+    # Fifth wave: mm_decode_features (r6-green, hashlib pin) takes a
+    # slot so the new text_bm25_topk entry collects its first driver
+    # pass.
     assert set(demoted) == {
+        "mm_decode_features",
         "sim_knn_brute_force",
         "dedup_jaccard_pairs",
         "text_fingerprints",

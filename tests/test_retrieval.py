@@ -1,0 +1,192 @@
+"""BM25 lexical retrieval: hand-computed integer scores, a pure-python
+reference over the smoke fixture (no Spark, no DuckDB), tie-break
+determinism, and plan-shape asserts (broadcast scoring join, no Python
+boundary, no unpartitioned window)."""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.retrieval import (
+    QUERY_STEP,
+    QUERY_TERMS,
+    SCALE,
+    TOP_K,
+    bm25_topk,
+    corpus_queries,
+    postings,
+)
+from flink_exercise_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, tok string")
+
+
+def test_hand_computed_scores(spark):
+    # Corpus: D=3 docs, T=6 tokens, every dl=2 (== avgdl, so the BM25
+    # tf saturation term is exactly 1 for tf=1). Hand-derived:
+    #   term 'a' (df=2): idf_odds = (2*(3-2)+1)/(2*2+1) = 3/5
+    #     tf=1, dl=2: score = floor(1e6 * 1 * 3/5)          = 600000
+    #   term 'b' (df=2): tf=2 in d3: tf_term = 44*2*6/(20*2*6+6*6+18*2*3)
+    #     = 528/384 = 1.375 -> floor(1e6 * 1.375 * 0.6)     = 825000
+    docs = _docs(spark, [(1, "a b"), (2, "a c"), (3, "b b")])
+    qs = _queries(spark, [(10, "a"), (20, "b")])
+    out = (
+        bm25_topk(docs, qs, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "query_id": [10, 10, 20, 20],
+            "doc_id": [1, 2, 3, 1],
+            "score": [600000, 600000, 825000, 600000],
+            "n_terms": [1, 1, 1, 1],
+            "rank": [1, 2, 1, 2],
+        }
+    )
+    assert (out["query_id"] == want["query_id"]).all()
+    assert (out["doc_id"] == want["doc_id"]).all()
+    assert (out["score"] == want["score"]).all()
+    assert (out["n_terms"] == want["n_terms"]).all()
+    assert (out["rank"] == want["rank"]).all()
+
+
+def test_tie_break_is_doc_id_asc(spark):
+    # Identical documents score identically; rank order among the tie
+    # must be ascending doc_id, regardless of input order.
+    docs = _docs(spark, [(9, "x y"), (4, "x y"), (7, "x y"), (1, "z z")])
+    qs = _queries(spark, [(100, "x")])
+    out = bm25_topk(docs, qs, k=3).toPandas().sort_values("rank")
+    assert list(out["doc_id"]) == [4, 7, 9]
+    assert out["score"].nunique() == 1
+
+
+def _ref_bm25(pdf, step, n_terms, k):
+    toks = {}
+    for _, r in pdf.iterrows():
+        t = r["text"]
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            continue
+        words = [w for w in re.split(r"\s+", t.strip()) if w]
+        if words:
+            toks[int(r["doc_id"])] = words
+    post = {d: Counter(ws) for d, ws in toks.items()}
+    dl = {d: sum(c.values()) for d, c in post.items()}
+    big_d = len(post)
+    big_t = sum(dl.values())
+    df = Counter()
+    for c in post.values():
+        df.update(c.keys())
+    out = []
+    for qid, ws in toks.items():
+        if qid % step:
+            continue
+        qt = set(ws[:n_terms])
+        scored = []
+        for cand, c in post.items():
+            if cand == qid:
+                continue
+            s = n = 0
+            for t in qt:
+                if t in c:
+                    tf = c[t]
+                    num = SCALE * 44 * tf * big_t * (2 * (big_d - df[t]) + 1)
+                    den = (
+                        20 * tf * big_t + 6 * big_t + 18 * dl[cand] * big_d
+                    ) * (2 * df[t] + 1)
+                    s += num // den
+                    n += 1
+            if n:
+                scored.append((-s, cand, n))
+        scored.sort()
+        for i, (ns, cand, n) in enumerate(scored[:k]):
+            out.append((qid, cand, -ns, n, i + 1))
+    return pd.DataFrame(
+        out, columns=["query_id", "doc_id", "score", "n_terms", "rank"]
+    )
+
+
+def test_fixture_matches_python_reference(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = (
+        bm25_topk(docs, corpus_queries(docs), k=TOP_K, exclude_self=True)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    want = (
+        _ref_bm25(pdf, QUERY_STEP, QUERY_TERMS, TOP_K)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ["query_id", "doc_id", "score", "n_terms", "rank"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_plan_shape(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = bm25_topk(docs, corpus_queries(docs), k=TOP_K, exclude_self=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # scoring join against the query-side relation is a broadcast
+    assert "BroadcastHashJoin" in plan
+    # integer scoring stays JVM-side
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # two-phase top-k: no row_number window over scored candidates;
+    # the only window is the dl sum, partitioned by doc_id
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    for frag in opt.split("windowspecdefinition(")[1:]:
+        assert frag.split(")")[0].find("doc_id") >= 0, frag[:120]
+    assert "row_number" not in opt
+
+
+def test_empty_and_null_text_docs_excluded(spark):
+    docs = _docs(
+        spark, [(1, "a b"), (2, ""), (3, None), (4, "   "), (5, "a")]
+    )
+    qs = _queries(spark, [(10, "a")])
+    out = bm25_topk(docs, qs, k=10).toPandas()
+    # only docs 1 and 5 have tokens; empty/blank/null docs neither
+    # match nor count toward D/T (D=2 here: idf_odds = (2*(2-2)+1)/5)
+    assert set(out["doc_id"]) == {1, 5}
+    # shorter doc (dl below avgdl) outranks for equal tf
+    assert list(out.sort_values("rank")["doc_id"]) == [5, 1]
+
+
+def test_postings_agree_with_vocab_stats(spark):
+    # retrieval postings and tokenizer vocab share one tokenizer: the
+    # per-token document frequencies must agree exactly
+    from flink_exercise_spark.operators.retrieval import doc_frequencies
+    from flink_exercise_spark.operators.tokenizer import vocab_stats
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = (
+        doc_frequencies(postings(docs))
+        .toPandas()
+        .set_index("tok")["df"]
+        .sort_index()
+    )
+    b = (
+        vocab_stats(docs)
+        .select("tok", F.col("doc_freq").cast("long").alias("df"))
+        .toPandas()
+        .set_index("tok")["df"]
+        .sort_index()
+    )
+    assert a.equals(b)

@@ -617,6 +617,24 @@ def test_mm_binary_metadata_pin(spark):
         assert row["content_hash"] == hashlib.md5(payload).hexdigest()
 
 
+def test_mm_decode_features_pin(spark):
+    import hashlib
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = _run(spark, "mm_decode_features").set_index("doc_id")
+    ref = docs[docs["text"].str.len() > 0]
+    assert set(out.index) == set(ref["doc_id"])
+    for _, r in ref.iterrows():
+        payload = r["text"].encode("utf-8")
+        hx = hashlib.md5(payload).hexdigest()
+        row = out.loc[r["doc_id"]]
+        assert row["n_bytes"] == len(payload)
+        assert row["format"] == "fake/raw"
+        assert row["width"] == 64 + int(hx[0:2], 16) % 192
+        assert row["height"] == 64 + int(hx[2:4], 16) % 192
+        assert row["mean_luma"] == round(int(hx[4:6], 16) / 255.0, 6)
+
+
 def test_dedup_exact_map_pin(spark):
     import hashlib
 
