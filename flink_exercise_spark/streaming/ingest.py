@@ -348,7 +348,19 @@ def band_buckets_projected(docs: DataFrame) -> DataFrame:
         tokens_expr,
     )
 
-    src = docs.select("doc_id", "text")
+    # Shingle-bearing docs only (>= 3 whitespace-separated runs <=>
+    # >= one 3-gram shingle), tested as ONE cheap regex on the raw
+    # text at the scan. NOT ``filter(size(_sh) > 0)`` after the
+    # shingle projection: predicate pushdown substitutes aliases all
+    # the way down, so that filter arrives at the scan carrying the
+    # ENTIRE inlined shingle construction (split re-evaluated per
+    # element_at reference) and runs it at scan parallelism — below
+    # the repartition — then the projection computes it all again
+    # above the shuffle (measured: 8.0 s -> 2.3 s for the sf0.1
+    # banding; SCALE.md "pushdown inlines your aliases").
+    src = docs.select("doc_id", "text").filter(
+        F.col("text").rlike(r"\S+\s+\S+\s+\S")
+    )
     if src.isStreaming:
         # Parallelism ahead of the fold: a single-file micro-batch
         # arrives as 1-2 partitions and the 8 md5 folds then grind on
@@ -371,7 +383,7 @@ def band_buckets_projected(docs: DataFrame) -> DataFrame:
     sh = toks.select(
         "doc_id",
         F.array_distinct(shingles_from_tokens(F.col("_toks"))).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    )
     # SQL-parsed lambdas, NOT python ``F.transform(..., lambda x: ...)``:
     # eight python lambdas in one Project all name their variable after
     # the same python argument (``x``), and the resolver binds some
