@@ -761,6 +761,12 @@ def q_audio_energy(spark, sf_dir):
         "a hex rendering of the fake re-encode plus an exact SQL twin "
         "of the resize arithmetic",
     tags=("multimodal", "documents", "pandas-udf", "binary"),
+    # priority=1 (r7 rotation, sixth wave): driver-green in r6; takes
+    # a rotation slot so the new retrieval_hybrid_rrf entry collects
+    # its first driver pass inside the window. Hash-verified locally
+    # every round by test_parity_demoted; hashlib/arithmetic pin:
+    # tests/test_rotation_pins.py::test_mm_resize_thumbs_pin.
+    priority=1,
 )
 def q_resize(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")

@@ -69,6 +69,9 @@ SCALE = 1_000_000  # score resolution: floor(10^6 · tf_term · idf_odds)
 TOP_K = 5
 QUERY_STEP = 100  # registry query set: every 100th document
 QUERY_TERMS = 4  # ... queried by its first 4 tokens
+N_QUERIES = 10  # hybrid query set: ids < 10 (the similarity.py convention)
+FUSE_K = 20  # per-arm candidate depth feeding the RRF fusion
+RRF_K0 = 60  # the standard RRF damping constant
 
 _D38 = "decimal(38,0)"
 
@@ -130,17 +133,19 @@ def bm25_score_expr():
     return num.alias("_num"), den.alias("_den")
 
 
-def _rank_top_k_int(scored: DataFrame, k: int) -> DataFrame:
+def _rank_top_k_int(
+    scored: DataFrame, k: int, payload: str = "n_terms"
+) -> DataFrame:
     """Per-query top-k over integer-scored candidates — the
     similarity.py two-phase partial/merge ranking (see _rank_top_k's
     docstring for why not a row_number window), with an exact integer
     sort key: ascending struct((-score), doc_id) == (score desc,
-    doc_id asc); integer negation is exact. Carries n_terms through
-    the struct unsorted-payload style."""
+    doc_id asc); integer negation is exact. Carries ``payload``
+    through the struct unsorted-payload style."""
     item = F.struct(
         (-F.col("score")).alias("_ns"),
         F.col("doc_id").alias("_id"),
-        F.col("n_terms").alias("_nt"),
+        F.col(payload).alias("_nt"),
     )
     partial = scored.groupBy(
         F.spark_partition_id().alias("_pid"), "query_id"
@@ -156,7 +161,7 @@ def _rank_top_k_int(scored: DataFrame, k: int) -> DataFrame:
         "query_id",
         F.col("_item._id").alias("doc_id"),
         (-F.col("_item._ns")).alias("score"),
-        F.col("_item._nt").alias("n_terms"),
+        F.col("_item._nt").alias(payload),
         (F.col("_i") + 1).cast("int").alias("rank"),
     )
 
@@ -202,19 +207,15 @@ def bm25_topk(
     return _rank_top_k_int(scored, k)
 
 
-def corpus_queries(
-    docs: DataFrame, step: int = QUERY_STEP, n_terms: int = QUERY_TERMS
-) -> DataFrame:
-    """Deterministic query set mined from the corpus itself: every
-    ``step``-th document contributes its first ``n_terms`` tokens
-    (de-duplicated) as a query keyed by the document id. The filter
-    runs before tokenization, so the tokenizer touches 1/step of the
-    corpus."""
+def query_terms(docs: DataFrame, n_terms: int = QUERY_TERMS) -> DataFrame:
+    """(query_id, tok): each document's first ``n_terms`` tokens
+    (de-duplicated) as a query keyed by the document id. Callers
+    filter ``docs`` down to the query subset FIRST so tokenization
+    touches only query documents."""
     from flink_exercise_spark.operators.text import tokens_expr
 
     return (
-        docs.filter(F.col("doc_id") % step == 0)
-        .select(
+        docs.select(
             F.col("doc_id").alias("query_id"),
             F.explode_outer(
                 F.slice(tokens_expr(), 1, n_terms)
@@ -223,6 +224,16 @@ def corpus_queries(
         .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
         .distinct()
     )
+
+
+def corpus_queries(
+    docs: DataFrame, step: int = QUERY_STEP, n_terms: int = QUERY_TERMS
+) -> DataFrame:
+    """Deterministic query set mined from the corpus itself: every
+    ``step``-th document contributes its first ``n_terms`` tokens as a
+    query (see ``query_terms``). The filter runs before tokenization,
+    so the tokenizer touches 1/step of the corpus."""
+    return query_terms(docs.filter(F.col("doc_id") % step == 0), n_terms)
 
 
 _BM25_ORACLE = f"""
@@ -283,6 +294,213 @@ _BM25_ORACLE = f"""
       ) AS INT) AS rank FROM scored
     ) WHERE rank <= {TOP_K}
     """
+
+
+def rrf_fuse(
+    arms: list[DataFrame], k: int = TOP_K, k0: int = RRF_K0
+) -> DataFrame:
+    """Reciprocal-rank fusion over ranked lists: per (query_id,
+    doc_id), score = Σ_arms SCALE div (k0 + rank) — the standard RRF
+    formula with the 1/(k0+r) reciprocal kept as ONE floored integer
+    division per arm (exact on both engines; the BM25 no-float
+    discipline), summed only over arms where the candidate appears.
+
+    Each arm is (query_id, doc_id, rank, ...) and is top-k-bounded BY
+    CONSTRUCTION (the arms are retrieval outputs), so every relation
+    here is query-sized: the fusion outer join and final ranking never
+    touch corpus-scale data — the expensive work already happened
+    inside the arms. Ties in the fused score break on doc_id asc,
+    deterministically on both engines."""
+    fused = None
+    for i, arm in enumerate(arms):
+        a = arm.select(
+            "query_id",
+            "doc_id",
+            F.col("rank").alias(f"_r{i}"),
+        )
+        fused = a if fused is None else fused.join(
+            a, ["query_id", "doc_id"], "full_outer"
+        )
+    per_arm = [
+        F.coalesce(
+            F.expr(f"{SCALE} div ({k0} + _r{i})").cast("long"), F.lit(0)
+        )
+        for i in range(len(arms))
+    ]
+    present = [
+        F.col(f"_r{i}").isNotNull().cast("int") for i in range(len(arms))
+    ]
+    scored = fused.select(
+        "query_id",
+        "doc_id",
+        sum(per_arm[1:], per_arm[0]).cast("long").alias("score"),
+        sum(present[1:], present[0]).cast("int").alias("n_arms"),
+    )
+    out = _rank_top_k_int(scored, k, payload="n_arms")
+    return out.withColumnRenamed("score", "rrf_score")
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    fuse_k: int = FUSE_K,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Hybrid (lexical + dense) retrieval: BM25 over the document
+    corpus and brute-force cosine over the embeddings, fused with
+    reciprocal-rank fusion. Query i is document i's first tokens on
+    the lexical arm and vector i on the dense arm (the fixture's
+    embeddings are doc-aligned: vec_id == doc_id); ids < ``n_queries``
+    are the query set on BOTH arms and are excluded from both corpora,
+    so the two arms rank the same candidate universe.
+
+    Scale shape: each arm is its own scale-correct pipeline (BM25's
+    broadcast-scoring join; kNN's broadcast-queries × streamed
+    corpus); fusion only sees the arms' top-``fuse_k`` outputs —
+    query-sized relations — so hybrid costs arm_lex + arm_dense plus
+    an epsilon of fusion, never a third corpus pass."""
+    from flink_exercise_spark.operators.similarity import knn_brute_force
+
+    lex = bm25_topk(
+        docs.filter(F.col("doc_id") >= n_queries),
+        query_terms(docs.filter(F.col("doc_id") < n_queries)),
+        k=fuse_k,
+    )
+    dense = knn_brute_force(emb, n_queries=n_queries, k=fuse_k).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, dense], k=k)
+
+
+_HYBRID_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id >= {N_QUERIES}
+      ) WHERE tok IS NOT NULL AND tok <> ''
+    ),
+    post AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    dlen AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      FROM post GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS d_docs,
+             CAST(sum(dl) AS BIGINT) AS t_toks
+      FROM dlen
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df
+      FROM post GROUP BY tok
+    ),
+    queries AS (
+      SELECT DISTINCT doc_id AS query_id, tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text),
+                      '\\s+')[1:{QUERY_TERMS}]) AS tok
+        FROM documents WHERE doc_id < {N_QUERIES}
+      ) WHERE tok IS NOT NULL AND tok <> ''
+    ),
+    bm25 AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(sum(
+               ({SCALE * 44}::HUGEINT * p.tf * s.t_toks
+                 * (2 * (s.d_docs - f.df) + 1))
+               // ((20::HUGEINT * p.tf * s.t_toks
+                    + 6::HUGEINT * s.t_toks
+                    + 18::HUGEINT * d.dl * s.d_docs)
+                   * (2 * f.df + 1))
+             ) AS BIGINT) AS score
+      FROM queries q
+      JOIN post p USING (tok)
+      JOIN dfreq f USING (tok)
+      JOIN dlen d ON d.doc_id = p.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    ),
+    lex_top AS (
+      SELECT query_id, doc_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS rn FROM bm25
+      ) WHERE rn <= {FUSE_K}
+    ),
+    unnested AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    vnorms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS norm FROM unnested GROUP BY 1
+    ),
+    qvec AS (
+      SELECT u.vec_id AS query_id, u.x, u.i, n.norm
+      FROM unnested u JOIN vnorms n USING (vec_id)
+      WHERE u.vec_id < {N_QUERIES}
+    ),
+    cvec AS (
+      SELECT u.vec_id AS doc_id, u.x, u.i, n.norm
+      FROM unnested u JOIN vnorms n USING (vec_id)
+      WHERE u.vec_id >= {N_QUERIES}
+    ),
+    cos AS (
+      SELECT query_id, doc_id,
+             round(sum(q.x * c.x)
+                   / (any_value(q.norm) * any_value(c.norm)), 6)
+               AS cosine
+      FROM qvec q JOIN cvec c ON q.i = c.i
+      GROUP BY 1, 2
+    ),
+    dense_top AS (
+      SELECT query_id, doc_id, rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, doc_id
+        ) AS rn FROM cos
+      ) WHERE rn <= {FUSE_K}
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, de.query_id) AS query_id,
+             coalesce(l.doc_id, de.doc_id) AS doc_id,
+             CAST(coalesce({SCALE} // ({RRF_K0} + l.rn), 0)
+                + coalesce({SCALE} // ({RRF_K0} + de.rn), 0)
+               AS BIGINT) AS rrf_score,
+             CAST((l.rn IS NOT NULL)::INT + (de.rn IS NOT NULL)::INT
+               AS INT) AS n_arms
+      FROM lex_top l
+      FULL OUTER JOIN dense_top de
+        ON l.query_id = de.query_id AND l.doc_id = de.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, n_arms,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+      ) AS rn FROM fused
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=_HYBRID_ORACLE,
+    doc="Hybrid lexical+dense retrieval: BM25 top-20 and brute-force "
+        "cosine top-20 over the same candidate universe, fused with "
+        "reciprocal-rank fusion (integer 10^6 div (60+rank) per arm) "
+        "— fusion sees only the arms' query-sized outputs, never a "
+        "third corpus pass",
+    tags=("text", "embeddings", "retrieval", "hybrid"),
+)
+def q_hybrid_rrf(spark, sf_dir):
+    s = prep(spark)
+    return hybrid_rrf_topk(
+        load_table(s, sf_dir, "documents"),
+        load_table(s, sf_dir, "embeddings"),
+    )
 
 
 @register(

@@ -54,8 +54,12 @@ def test_demoted_showcases_sort_last_within_oracled():
     # Fifth wave: mm_decode_features (r6-green, hashlib pin) takes a
     # slot so the new text_bm25_topk entry collects its first driver
     # pass.
+    # Sixth wave: mm_resize_thumbs (r6-green, hashlib/arithmetic pin)
+    # takes a slot so the new retrieval_hybrid_rrf entry collects its
+    # first driver pass.
     assert set(demoted) == {
         "mm_decode_features",
+        "mm_resize_thumbs",
         "sim_knn_brute_force",
         "dedup_jaccard_pairs",
         "text_fingerprints",

@@ -15,13 +15,18 @@ import pytest
 from pyspark.sql import functions as F
 
 from flink_exercise_spark.operators.retrieval import (
+    FUSE_K,
+    N_QUERIES,
     QUERY_STEP,
     QUERY_TERMS,
+    RRF_K0,
     SCALE,
     TOP_K,
     bm25_topk,
     corpus_queries,
+    hybrid_rrf_topk,
     postings,
+    rrf_fuse,
 )
 from flink_exercise_spark.sources.tables import load_table
 from tests.conftest import SF_SMOKE
@@ -190,3 +195,164 @@ def test_postings_agree_with_vocab_stats(spark):
         .sort_index()
     )
     assert a.equals(b)
+
+
+# --- hybrid RRF fusion ------------------------------------------------------
+
+
+def _arm(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+
+
+def test_rrf_fuse_arithmetic(spark):
+    # doc 7 in both arms (ranks 1 and 3), doc 8 lexical-only (rank 2),
+    # doc 9 dense-only (rank 1). k0=60, SCALE=1e6:
+    #   doc7 = 1e6//61 + 1e6//63 = 16393 + 15873 = 32266, n_arms=2
+    #   doc8 = 1e6//62 = 16129, n_arms=1
+    #   doc9 = 1e6//61 = 16393, n_arms=1
+    lex = _arm(spark, [(1, 7, 1), (1, 8, 2)])
+    dense = _arm(spark, [(1, 9, 1), (1, 7, 3)])
+    out = (
+        rrf_fuse([lex, dense], k=5)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [7, 9, 8]
+    assert list(out["rrf_score"]) == [32266, 16393, 16129]
+    assert list(out["n_arms"]) == [2, 1, 1]
+    assert list(out["rank"]) == [1, 2, 3]
+
+
+def test_rrf_tie_breaks_on_doc_id(spark):
+    # equal fused scores (same single-arm rank) order by doc_id asc
+    lex = _arm(spark, [(1, 30, 1), (1, 20, 1)])  # impossible from one
+    # real arm (dup rank), but rrf_fuse must still be deterministic
+    out = rrf_fuse([lex], k=5).toPandas().sort_values("rank")
+    assert list(out["doc_id"]) == [20, 30]
+
+
+def _ref_hybrid(docs_pdf, emb_pdf, k):
+    import numpy as np
+
+    # lexical arm: BM25 over corpus doc_id >= N_QUERIES, queries from
+    # docs < N_QUERIES (first QUERY_TERMS tokens)
+    toks = {}
+    for _, r in docs_pdf.iterrows():
+        t = r["text"]
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            continue
+        words = [w for w in re.split(r"\s+", t.strip()) if w]
+        if words:
+            toks[int(r["doc_id"])] = words
+    post = {
+        d: Counter(ws) for d, ws in toks.items() if d >= N_QUERIES
+    }
+    dl = {d: sum(c.values()) for d, c in post.items()}
+    big_d = len(post)
+    big_t = sum(dl.values())
+    df = Counter()
+    for c in post.values():
+        df.update(c.keys())
+    lex_ranks = {}
+    for qid in range(N_QUERIES):
+        if qid not in toks:
+            continue
+        qt = set(toks[qid][:QUERY_TERMS])
+        scored = []
+        for cand, c in post.items():
+            s = n = 0
+            for t in qt:
+                if t in c:
+                    tf = c[t]
+                    num = SCALE * 44 * tf * big_t * (2 * (big_d - df[t]) + 1)
+                    den = (
+                        20 * tf * big_t + 6 * big_t + 18 * dl[cand] * big_d
+                    ) * (2 * df[t] + 1)
+                    s += num // den
+                    n += 1
+            if n:
+                scored.append((-s, cand))
+        scored.sort()
+        for i, (_, cand) in enumerate(scored[:FUSE_K]):
+            lex_ranks[(qid, cand)] = i + 1
+    # dense arm: cosine, round 6, rank by (-cos, doc_id)
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for _, r in emb_pdf.iterrows()
+    }
+    dense_ranks = {}
+    for qid in range(N_QUERIES):
+        q = vecs[qid]
+        qn = np.sqrt((q * q).sum())
+        scored = []
+        for cand, v in vecs.items():
+            if cand < N_QUERIES:
+                continue
+            cos = round(
+                float((q * v).sum())
+                / (float(qn) * float(np.sqrt((v * v).sum()))),
+                6,
+            )
+            scored.append((-cos, cand))
+        scored.sort()
+        for i, (_, cand) in enumerate(scored[:FUSE_K]):
+            dense_ranks[(qid, cand)] = i + 1
+    # fusion
+    fused = {}
+    for (qid, cand), r in lex_ranks.items():
+        s, n = fused.get((qid, cand), (0, 0))
+        fused[(qid, cand)] = (s + SCALE // (RRF_K0 + r), n + 1)
+    for (qid, cand), r in dense_ranks.items():
+        s, n = fused.get((qid, cand), (0, 0))
+        fused[(qid, cand)] = (s + SCALE // (RRF_K0 + r), n + 1)
+    out = []
+    for qid in range(N_QUERIES):
+        cands = sorted(
+            ((-s, cand, n) for (q, cand), (s, n) in fused.items() if q == qid)
+        )
+        for i, (ns, cand, n) in enumerate(cands[:k]):
+            out.append((qid, cand, -ns, n, i + 1))
+    return pd.DataFrame(
+        out, columns=["query_id", "doc_id", "rrf_score", "n_arms", "rank"]
+    )
+
+
+def test_hybrid_fixture_matches_python_reference(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = (
+        hybrid_rrf_topk(docs, emb)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _ref_hybrid(
+            pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet")),
+            pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet")),
+            TOP_K,
+        )
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    # both arms must actually contribute somewhere, or the fusion
+    # test would vacuously pass on a broken arm
+    assert (got["n_arms"] == 2).any()
+    for c in ["query_id", "doc_id", "rrf_score", "n_arms", "rank"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_hybrid_plan_shape(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = hybrid_rrf_topk(docs, emb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both arms' broadcasts survive into the fused plan; fusion adds
+    # no python boundary and no cartesian product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in opt

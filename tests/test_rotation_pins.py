@@ -635,6 +635,26 @@ def test_mm_decode_features_pin(spark):
         assert row["mean_luma"] == round(int(hx[4:6], 16) / 255.0, 6)
 
 
+def test_mm_resize_thumbs_pin(spark):
+    import hashlib
+    import math
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = _run(spark, "mm_resize_thumbs").set_index("doc_id")
+    ref = docs[docs["text"].str.len() > 0]
+    assert set(out.index) == set(ref["doc_id"])
+    for _, r in ref.iterrows():
+        hx = hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+        w = 64 + int(hx[0:2], 16) % 192
+        h = 64 + int(hx[2:4], 16) % 192
+        scale = 64.0 / max(w, h)
+        row = out.loc[r["doc_id"]]
+        assert row["width"] == max(1, math.trunc(w * scale))
+        assert row["height"] == max(1, math.trunc(h * scale))
+        assert row["thumb_hex"] == hx
+        assert row["thumb_bytes"] == 16
+
+
 def test_dedup_exact_map_pin(spark):
     import hashlib
 
