@@ -481,6 +481,13 @@ def _minhash_oracle(k: int = N_MINHASH) -> str:
     doc="8-permutation MinHash signatures over 3-gram shingles "
         "(md5 hash family)",
     tags=("dedup", "documents", "minhash"),
+    # priority=1 (r7 rotation, seventh wave): driver-green in r6;
+    # takes a rotation slot so the new pipeline_temperature_mix entry
+    # collects its first driver pass. The signature math stays driver-
+    # checked via every downstream banding entry (band_pairs,
+    # lsh_verified, clusters, keep_best); independent hashlib pin:
+    # tests/test_rotation_pins.py::test_dedup_minhash_signatures_pin.
+    priority=1,
 )
 def q_minhash_sigs(spark, sf_dir):
     return minhash_signatures(load_table(prep(spark), sf_dir, "documents"))
@@ -742,12 +749,11 @@ def near_dup_clusters(
     )
 
 
-@register(
-    "dedup_near_dup_clusters",
-    # Recursive-CTE transitive closure: cluster_id = min doc_id
-    # reachable through the verified-pair graph.
-    oracle=f"""
-    WITH RECURSIVE verified AS (
+def _clusters_oracle_cte() -> str:
+    """``WITH RECURSIVE ... clusters AS (doc_id, cluster_id)``: the
+    transitive-closure twin of ``near_dup_clusters`` — shared by the
+    clusters oracle and the keep-best canonical-selection oracle."""
+    return f"""WITH RECURSIVE verified AS (
       SELECT doc_a, doc_b FROM (
         WITH cands AS (
           {_band_pairs_oracle()}
@@ -777,8 +783,18 @@ def near_dup_clusters(
       SELECT v, v AS u FROM (SELECT DISTINCT v FROM edges)
       UNION
       SELECT r.v, e.u FROM reach r JOIN edges e ON e.v = r.u
-    )
-    SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+    ), clusters AS (
+      SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+    )"""
+
+
+@register(
+    "dedup_near_dup_clusters",
+    # Recursive-CTE transitive closure: cluster_id = min doc_id
+    # reachable through the verified-pair graph.
+    oracle=f"""
+    {_clusters_oracle_cte()}
+    SELECT doc_id, cluster_id FROM clusters
     """,
     doc="Near-dup clusters: connected components (min-label "
         "propagation) over LSH-verified pairs — the keep-one-"
@@ -787,6 +803,75 @@ def near_dup_clusters(
 )
 def q_near_dup_clusters(spark, sf_dir):
     return near_dup_clusters(load_table(prep(spark), sf_dir, "documents"))
+
+
+def cluster_keep_best(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup
+    cluster keep the HIGHEST-quality member (ties to the lowest
+    doc_id) — the production dedup policy (keep the longest/cleanest
+    copy), vs ``near_dup_clusters``'s min-id label which is a cluster
+    NAME, not a keep decision.
+
+    Output: (doc_id, cluster_id, canonical_doc_id, keep) for every
+    clustered doc. Arg-max is the packed-struct max — one hash
+    aggregate over the CLUSTER relation (pair-graph-sized, not
+    corpus-sized): max(struct(quality, -doc_id)) is exact integer
+    ordering for (quality desc, doc_id asc); no per-cluster sort, no
+    window. The quality join ships only (doc_id, quality) — the text
+    never reshuffles."""
+    clusters = near_dup_clusters(docs, threshold=threshold)
+    feats = docs.select("doc_id", F.col(quality_col).cast("long").alias("_q"))
+    j = clusters.join(feats, "doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("_q"), (-F.col("doc_id")).alias("_nd"))
+        ).alias("_b")
+    )
+    canon = best.select(
+        "cluster_id", (-F.col("_b._nd")).alias("canonical_doc_id")
+    )
+    return clusters.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_doc_id",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
+    )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    # Reuses the transitive-closure CTE; canonical member = max
+    # n_chars then min doc_id, stated as max-filter + min rather than
+    # a window so the oracle stays deterministic under ties.
+    oracle=f"""
+    {_clusters_oracle_cte()}, q AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)
+    ), cmax AS (
+      SELECT cluster_id, max(n_chars) AS mx FROM q GROUP BY 1
+    ), canon AS (
+      SELECT q.cluster_id, min(q.doc_id) AS canonical_doc_id
+      FROM q JOIN cmax m
+        ON m.cluster_id = q.cluster_id AND q.n_chars = m.mx
+      GROUP BY 1
+    )
+    SELECT c.doc_id, c.cluster_id, n.canonical_doc_id,
+           c.doc_id = n.canonical_doc_id AS keep
+    FROM clusters c JOIN canon n USING (cluster_id)
+    """,
+    doc="Quality-aware near-dup canonical selection: within each "
+        "LSH-verified cluster keep the longest member (ties to lowest "
+        "doc_id) via a packed-struct arg-max over the pair-graph-"
+        "sized cluster relation — the keep-the-best-copy dedup "
+        "decision a training pipeline applies",
+    tags=("dedup", "documents", "minhash", "clusters"),
+)
+def q_cluster_keep_best(spark, sf_dir):
+    return cluster_keep_best(load_table(prep(spark), sf_dir, "documents"))
 
 
 @register(

@@ -238,6 +238,135 @@ def stratified_sample(docs: DataFrame, **kwargs) -> DataFrame:
     return docs.filter(mix_keep_expr(**kwargs))
 
 
+TEMP_SALT = "temp-mix-v1"
+_TEMP_D38 = "decimal(38,0)"
+
+
+def temperature_mix_thresholds(
+    docs: DataFrame, stratum: str = "source"
+) -> DataFrame:
+    """Per-stratum keep thresholds for square-root temperature
+    sampling (the multilingual-training mix, α = 1/2): target share
+    w_s / W with w_s = isqrt(n_s), sampled down to a total budget of
+    half the corpus — upweights rare strata relative to the natural
+    distribution, exactly the rebalancing a multi-source 100 TB corpus
+    needs before training.
+
+    Unlike MIX_RATES (operator inputs), these rates are COMPUTED from
+    the corpus, so the arithmetic must be cross-engine exact:
+    α = 1/2 because floor(sqrt(n)) over BIGINT counts is exact on both
+    engines (IEEE sqrt is correctly rounded and no non-square n lands
+    within an ulp of an integer below ~2^50 — no libm table involved,
+    unlike pow(n, α) for general α), and the threshold
+    min(RES, (RES · (N div 2) · w_s) div (W · n_s)) is one floored
+    128-bit integer division (decimal(38,0) / HUGEINT; int64 would
+    overflow at 10^11 docs: RES·N/2·w ≈ 10^20).
+
+    Scale shape: counts are one corpus hash-agg; everything after is
+    stratum-cardinality-sized (weights, the 1-row (W, N) broadcast
+    cross join, thresholds)."""
+    counts = docs.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    )
+    tot = w.agg(
+        F.sum("weight").cast("long").alias("w_total"),
+        F.sum("n_docs").cast("long").alias("n_total"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_tnum",
+            F.lit(MIX_RESOLUTION).cast(_TEMP_D38)
+            * F.expr("n_total div 2").cast(_TEMP_D38)
+            * F.col("weight").cast(_TEMP_D38),
+        )
+        .withColumn(
+            "_tden",
+            F.col("w_total").cast(_TEMP_D38) * F.col("n_docs").cast(_TEMP_D38),
+        )
+        .select(
+            stratum,
+            "n_docs",
+            "weight",
+            F.least(
+                F.lit(MIX_RESOLUTION).cast("long"),
+                F.expr("_tnum div _tden"),
+            ).alias("threshold"),
+        )
+    )
+
+
+def temperature_mix_profile(
+    docs: DataFrame, stratum: str = "source"
+) -> DataFrame:
+    """Accounting for the temperature mix: per stratum, the corpus
+    count, isqrt weight, computed keep threshold, and what the
+    salted-hash keep test retains (docs and chars). Two corpus passes
+    by necessity — the rates depend on global stats — with the
+    threshold relation broadcast back onto the second pass; the final
+    join is stratum-sized ⋈ stratum-sized."""
+    thr = temperature_mix_thresholds(docs, stratum)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(TEMP_SALT), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIX_RESOLUTION
+    )
+    keyed = docs.select(stratum, "n_chars", bucket.alias("_bucket"))
+    kept = (
+        keyed.join(F.broadcast(thr.select(stratum, "threshold")), stratum)
+        .groupBy(stratum)
+        .agg(
+            F.sum((F.col("_bucket") < F.col("threshold")).cast("long")).alias(
+                "n_kept"
+            ),
+            F.sum(
+                F.when(
+                    F.col("_bucket") < F.col("threshold"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            ).alias("kept_chars"),
+        )
+    )
+    return thr.join(kept, stratum)
+
+
+def temperature_mix_sample(
+    docs: DataFrame, stratum: str = "source"
+) -> DataFrame:
+    """The temperature-sampled corpus itself (filter form): join the
+    broadcast thresholds, keep rows whose salted hash clears the
+    stratum's computed rate."""
+    thr = temperature_mix_thresholds(docs, stratum)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(TEMP_SALT), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIX_RESOLUTION
+    )
+    return (
+        docs.join(F.broadcast(thr.select(stratum, "threshold")), stratum)
+        .filter(bucket < F.col("threshold"))
+        .drop("threshold")
+    )
+
+
 def split_profile(docs: DataFrame) -> DataFrame:
     """Corpus accounting per (split, lang): doc and char budgets, plus
     what the stratified data-mixing pass would keep — split assignment
@@ -301,6 +430,63 @@ def _mix_threshold_sql() -> str:
 )
 def q_hash_split(spark, sf_dir):
     return split_profile(load_table(prep(spark), sf_dir, "documents"))
+
+
+@register(
+    "pipeline_temperature_mix",
+    # Rates are corpus-derived, so the oracle restates the whole
+    # derivation: isqrt weights (exact — see
+    # temperature_mix_thresholds), the 1-row (W, N) totals, the
+    # HUGEINT/decimal(38,0) threshold division, and the salted
+    # md5-bucket keep test shared with pipeline_hash_split.
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ), w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight
+      FROM counts
+    ), tot AS (
+      SELECT CAST(sum(weight) AS BIGINT) AS w_total,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+      FROM w
+    ), thr AS (
+      SELECT source, n_docs, weight,
+             least(CAST({MIX_RESOLUTION} AS BIGINT),
+                   CAST(({MIX_RESOLUTION}::HUGEINT
+                         * (n_total // 2) * weight)
+                        // (w_total * n_docs) AS BIGINT)) AS threshold
+      FROM w CROSS JOIN tot
+    ), keyed AS (
+      SELECT source, n_chars,
+             CAST(('0x' || substr(md5('{TEMP_SALT}'
+                                      || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {MIX_RESOLUTION} AS bucket
+      FROM documents
+    ), kept AS (
+      SELECT k.source,
+             CAST(sum(CASE WHEN k.bucket < t.threshold
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN k.bucket < t.threshold
+                           THEN k.n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+      FROM keyed k JOIN thr t USING (source) GROUP BY 1
+    )
+    SELECT t.source, t.n_docs, t.weight, t.threshold,
+           k.n_kept, k.kept_chars
+    FROM thr t JOIN kept k USING (source)
+    """,
+    doc="Square-root temperature sampling (α=1/2 multilingual mix): "
+        "per-source keep rates COMPUTED from corpus counts (isqrt "
+        "weights, exact 128-bit threshold division, half-corpus "
+        "budget), applied via the salted content-hash keep test — "
+        "per-source accounting of docs/chars retained",
+    tags=("pipeline", "documents", "sampling"),
+)
+def q_temperature_mix(spark, sf_dir):
+    return temperature_mix_profile(
+        load_table(prep(spark), sf_dir, "documents")
+    )
 
 
 @register(

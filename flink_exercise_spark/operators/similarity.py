@@ -853,6 +853,11 @@ def _bucket_sql(alias: str) -> str:
     """,
     doc="ANN top-3 via deterministic sign-bucket LSH (single probe)",
     tags=("similarity", "embeddings", "lsh"),
+    # priority=1 (r7 rotation, seventh wave): driver-green in r6;
+    # takes a rotation slot so the new dedup_cluster_keep_best entry
+    # collects its first driver pass. Numpy pin:
+    # tests/test_rotation_pins.py::test_sim_knn_lsh_bucketed_pin.
+    priority=1,
 )
 def q_knn_lsh(spark, sf_dir):
     return knn_lsh_bucketed(load_table(prep(spark), sf_dir, "embeddings"))

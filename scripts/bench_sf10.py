@@ -55,6 +55,9 @@ OPS = [
     "doc_quantiles_by_source",
     "events_funnel_steps",
     "text_bigram_lift",
+    # r7 sixth wave: the retrieval family
+    "text_bm25_topk",
+    "retrieval_hybrid_rrf",
 ]
 
 # Optional subset: comma-separated op names (e.g. just the newest

@@ -246,3 +246,54 @@ def test_positioned_grams_pos_guard_raises(spark, monkeypatch):
     monkeypatch.setattr(D, "_POS_PACK", 1 << 20)
     grams_ok = D._positioned_grams(docs, k=2, key="doc_id")
     assert sorted(r["pos"] for r in grams_ok.collect()) == list(range(1, 8))
+
+
+def test_cluster_keep_best_prefers_quality_then_min_id(spark):
+    from flink_exercise_spark.operators.dedup import cluster_keep_best
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    longer = base + " extra trailing words"
+    rows = [
+        # cluster {1, 2, 3}: 2 and 3 are the longest (equal n_chars)
+        # -> canonical is min(2, 3) = 2
+        (1, base, len(base)),
+        (2, longer, len(longer)),
+        (3, longer, len(longer)),
+        # unclustered doc: not in the output at all
+        (4, "completely different text about unrelated things", 49),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["canonical_doc_id"], r["keep"])
+        for r in cluster_keep_best(docs).collect()
+    }
+    assert out == {
+        1: (1, 2, False),
+        2: (1, 2, True),
+        3: (1, 2, False),
+    }
+
+
+def test_cluster_keep_best_consistent_with_clusters(spark):
+    # same clustering as near_dup_clusters; exactly one keeper per
+    # cluster, and the keeper has the cluster's max n_chars
+    from flink_exercise_spark.operators.dedup import (
+        cluster_keep_best,
+        near_dup_clusters,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kb = cluster_keep_best(docs).toPandas()
+    cl = near_dup_clusters(docs).toPandas()
+    assert len(kb) == len(cl) > 0
+    m = kb.merge(cl, on="doc_id", suffixes=("", "_ref"))
+    assert (m["cluster_id"] == m["cluster_id_ref"]).all()
+    per = kb.groupby("cluster_id")["keep"].sum()
+    assert (per == 1).all()
+    docs_pd = docs.select("doc_id", "n_chars").toPandas()
+    j = kb.merge(docs_pd, on="doc_id")
+    mx = j.groupby("cluster_id")["n_chars"].transform("max")
+    keepers = j[j["keep"]]
+    assert (keepers["n_chars"] == mx[j["keep"]]).all()

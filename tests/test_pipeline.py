@@ -285,3 +285,119 @@ def test_decontaminate_fuzzy_matches_bruteforce_on_fixture(spark):
         assert j >= 0.2
     # the fixture's replicated near-dup families must surface
     assert len(got) > 0
+
+
+# --- square-root temperature mixing ----------------------------------------
+
+
+def test_temperature_thresholds_hand_computed(spark):
+    # counts 100/25/4/1 -> isqrt weights 10/5/2/1, W=18, N=130,
+    # budget N div 2 = 65:
+    #   A: (10000*65*10) div (18*100) = 6500000 div 1800  = 3611
+    #   B: (10000*65*5)  div (18*25)  = 3250000 div 450   = 7222
+    #   C: (10000*65*2)  div (18*4)   = 1300000 div 72    = 18055 -> cap
+    #   D: (10000*65*1)  div (18*1)   =  650000 div 18    = 36111 -> cap
+    # rare strata keep everything; the dominant one is cut hardest.
+    from flink_exercise_spark.operators.pipeline import (
+        temperature_mix_thresholds,
+    )
+
+    rows = (
+        [(i, "A") for i in range(100)]
+        + [(100 + i, "B") for i in range(25)]
+        + [(200 + i, "C") for i in range(4)]
+        + [(300, "D")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: (r["n_docs"], r["weight"], r["threshold"])
+        for r in temperature_mix_thresholds(docs).collect()
+    }
+    assert got == {
+        "A": (100, 10, 3611),
+        "B": (25, 5, 7222),
+        "C": (4, 2, 10000),
+        "D": (1, 1, 10000),
+    }
+
+
+def _py_temp_mix(pdf):
+    import hashlib
+    import math
+
+    counts = pdf.groupby("source")["doc_id"].count().to_dict()
+    w = {s: math.isqrt(int(n)) for s, n in counts.items()}
+    w_total = sum(w.values())
+    n_total = sum(int(n) for n in counts.values())
+    thr = {
+        s: min(
+            10_000,
+            (10_000 * (n_total // 2) * w[s]) // (w_total * int(n)),
+        )
+        for s, n in counts.items()
+    }
+    out = {}
+    for s in counts:
+        sub = pdf[pdf["source"] == s]
+        kept = n_kept = 0
+        for _, r in sub.iterrows():
+            h = hashlib.md5(
+                ("temp-mix-v1" + str(int(r["doc_id"]))).encode()
+            ).hexdigest()
+            if int(h[:8], 16) % 10_000 < thr[s]:
+                n_kept += 1
+                kept += int(r["n_chars"])
+        out[s] = (int(counts[s]), w[s], thr[s], n_kept, kept)
+    return out
+
+
+def test_temperature_profile_matches_python_reference(spark):
+    import os
+
+    import pandas as pd
+
+    from flink_exercise_spark.operators.pipeline import (
+        temperature_mix_profile,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["weight"],
+            r["threshold"],
+            r["n_kept"],
+            r["kept_chars"],
+        )
+        for r in temperature_mix_profile(docs).collect()
+    }
+    pdf = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    assert got == _py_temp_mix(pdf)
+    # the mix must actually cut something and keep something
+    assert any(v[3] < v[0] for v in got.values())
+    assert all(v[3] > 0 for v in got.values())
+
+
+def test_temperature_sample_agrees_with_profile(spark):
+    from flink_exercise_spark.operators.pipeline import (
+        temperature_mix_profile,
+        temperature_mix_sample,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sampled = (
+        temperature_mix_sample(docs)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["source"]: r["n"] for r in sampled.collect()}
+    prof = {
+        r["source"]: r["n_kept"]
+        for r in temperature_mix_profile(docs).collect()
+        if r["n_kept"] > 0
+    }
+    assert got == prof

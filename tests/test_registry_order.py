@@ -57,9 +57,17 @@ def test_demoted_showcases_sort_last_within_oracled():
     # Sixth wave: mm_resize_thumbs (r6-green, hashlib/arithmetic pin)
     # takes a slot so the new retrieval_hybrid_rrf entry collects its
     # first driver pass.
+    # Seventh wave: dedup_minhash_signatures (r6-green, hashlib pin;
+    # signature math still driver-checked through every banding
+    # entry) and sim_knn_lsh_bucketed (r6-green, numpy pin) take
+    # slots so the new pipeline_temperature_mix and
+    # dedup_cluster_keep_best entries collect their first driver
+    # passes.
     assert set(demoted) == {
         "mm_decode_features",
         "mm_resize_thumbs",
+        "dedup_minhash_signatures",
+        "sim_knn_lsh_bucketed",
         "sim_knn_brute_force",
         "dedup_jaccard_pairs",
         "text_fingerprints",

@@ -655,6 +655,80 @@ def test_mm_resize_thumbs_pin(spark):
         assert row["thumb_bytes"] == 16
 
 
+def test_dedup_minhash_signatures_pin(spark):
+    import hashlib
+    import re as _re
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = _run(spark, "dedup_minhash_signatures").set_index("doc_id")
+    want = {}
+    for _, r in docs.iterrows():
+        t = r["text"]
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            continue
+        words = [w for w in _re.split(r"\s+", t.strip()) if w]
+        sh = {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+        if not sh:
+            continue
+        want[int(r["doc_id"])] = [
+            min(
+                hashlib.md5(f"{i}|{s}".encode("utf-8")).hexdigest()
+                for s in sh
+            )
+            for i in range(8)
+        ]
+    assert set(out.index) == set(want)
+    for d, hs in want.items():
+        row = out.loc[d]
+        for i in range(8):
+            assert row[f"h{i}"] == hs[i], (d, i)
+
+
+def test_sim_knn_lsh_bucketed_pin(spark):
+    import numpy as np
+
+    emb = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    out = _run(spark, "sim_knn_lsh_bucketed")
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for _, r in emb.iterrows()
+    }
+    bucket = {
+        v: sum(1 << i for i in range(8) if vec[i] >= 0)
+        for v, vec in vecs.items()
+    }
+    want = []
+    for q in range(10):
+        scored = []
+        qv = vecs[q]
+        qn = float(np.sqrt((qv * qv).sum()))
+        for c, cv in vecs.items():
+            if c < 10 or bucket[c] != bucket[q]:
+                continue
+            cos = round(
+                float((qv * cv).sum())
+                / (qn * float(np.sqrt((cv * cv).sum()))),
+                6,
+            )
+            scored.append((-cos, c))
+        scored.sort()
+        for i, (nc, c) in enumerate(scored[:3]):
+            want.append((q, c, -nc, i + 1))
+    want_df = (
+        pd.DataFrame(
+            want, columns=["query_id", "neighbor_id", "cosine", "rank"]
+        )
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(got) == len(want_df) > 0
+    for c in ["query_id", "neighbor_id", "cosine", "rank"]:
+        assert (got[c].to_numpy() == want_df[c].to_numpy()).all(), c
+
+
 def test_dedup_exact_map_pin(spark):
     import hashlib
 
