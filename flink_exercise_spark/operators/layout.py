@@ -215,3 +215,39 @@ def compact_parquet(
         "bytes": stats["bytes"],
         "rows": stats["rows"],
     }
+
+
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write an EXTERNAL bucketed parquet table: pre-hashed into
+    ``n_buckets`` by Spark's bucket hash so equi-joins and
+    aggregations on ``key`` read the layout instead of shuffling —
+    the other half of the layout story (z-order kills scan I/O;
+    bucketing kills the JOIN shuffle). At 100 TB this is the
+    difference between re-shuffling the fact table on every join and
+    never shuffling it at all: bucket the big tables ONCE on their
+    join key, and every subsequent (key-equal, bucket-count-equal)
+    join is a zero-Exchange sort-merge over co-located files
+    (plan-asserted in test_layout.py).
+
+    ``repartition(n_buckets, key)`` before the write uses the SAME
+    Murmur3-pmod hash as ``bucketBy``, so each write task holds
+    exactly one bucket -> ONE FILE PER BUCKET. That is what lets the
+    reader honor ``sortBy`` metadata (multi-file buckets force a
+    re-sort) and keeps file count = bucket count, not
+    tasks x buckets."""
+    w = (
+        df.repartition(n_buckets, key)
+        .write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(*(sort_cols or [key]))
+    )
+    w.saveAsTable(table)

@@ -182,3 +182,120 @@ def test_compact_parquet_restores_cluster_order(spark, tmp_path):
     # row groups (the fragmented source would touch all of them)
     assert skip["row_groups"] >= 4
     assert skip["touched"] < skip["row_groups"] / 2
+
+
+# --- bucketed tables: the zero-Exchange co-located join ---------------------
+
+
+@pytest.fixture()
+def _no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path, _no_broadcast):
+    from flink_exercise_spark.operators.layout import write_bucketed
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        write_bucketed(
+            orders, str(tmp_path / "o"), "bkt_orders", "o_orderkey", 8
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            str(tmp_path / "l"),
+            "bkt_lineitem",
+            "o_orderkey",
+            8,
+        )
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_lineitem"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the whole point: co-located bucket files, sort-merge join,
+        # ZERO exchanges anywhere in the join plan
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # both scans read the bucket layout (not a plain file scan)
+        assert plan.count("Bucketed: true") == 2
+        # NOTE Spark still inserts in-partition Sort nodes above
+        # bucketed-sorted scans (sortBy metadata does not eliminate
+        # them in the v1 file source) — that sort is per-bucket-file
+        # and linear; the Exchange elimination is the scale win.
+        # the assert is not vacuous: the same join over plain parquet
+        # shuffles both sides
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+        # and the layout changes nothing about the answer
+        assert joined.count() == plain.count() > 0
+        # bucket pruning bonus: a key-equality filter scans 1 bucket
+        assert (
+            joined.filter(F.col("o_orderkey") == 7).count()
+            == plain.filter(F.col("o_orderkey") == 7).count()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_bucketed_aggregation_is_shuffle_free(spark, tmp_path):
+    from flink_exercise_spark.operators.layout import write_bucketed
+
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        write_bucketed(
+            lineitem, str(tmp_path / "l2"), "bkt_li_agg", "l_orderkey", 8
+        )
+        agg = (
+            spark.table("bkt_li_agg")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        want = (
+            lineitem.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+            .toPandas()
+            .sort_values("l_orderkey")
+            .reset_index(drop=True)
+        )
+        got = agg.toPandas().sort_values("l_orderkey").reset_index(drop=True)
+        assert got.equals(want)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_li_agg")
+
+
+def test_bucketed_one_file_per_bucket(spark, tmp_path):
+    import os as _os
+
+    from flink_exercise_spark.operators.layout import write_bucketed
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    try:
+        write_bucketed(
+            orders, str(tmp_path / "o2"), "bkt_o_files", "o_orderkey", 8
+        )
+        files = [
+            f
+            for f in _os.listdir(tmp_path / "o2")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_o_files")
