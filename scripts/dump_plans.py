@@ -108,6 +108,15 @@ SHOWCASE = [
      "per-vector window); a single ArrowEvalPython/FlatMapGroupsInPandas "
      "stage for the per-cluster Gram kernel; the corpus shuffles once, "
      "keyed by cell"),
+    ("text_bm25_topk",
+     "inverted-index scoring with a query-side broadcast",
+     "the corpus-sized postings relation never re-shuffles for "
+     "scoring: per-term (df, D, T) metadata is attached to the query "
+     "relation and broadcasts onto the postings (BroadcastHashJoin); "
+     "the dl window is partitioned by doc_id and rides the postings "
+     "aggregate's own exchange; ranking is the two-phase "
+     "HashAggregate top-k — no row_number, no unpartitioned window, "
+     "no Python"),
 ]
 
 
