@@ -58,6 +58,9 @@ OPS = [
     # r7 sixth wave: the retrieval family
     "text_bm25_topk",
     "retrieval_hybrid_rrf",
+    # r7 seventh wave: temperature mixing + keep-best selection
+    "pipeline_temperature_mix",
+    "dedup_cluster_keep_best",
 ]
 
 # Optional subset: comma-separated op names (e.g. just the newest
