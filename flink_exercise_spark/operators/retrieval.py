@@ -187,8 +187,14 @@ def bm25_topk(
     BIGINT sum of per-term integer scores (order-independent), rank
     is dense 1..k by (score desc, doc_id asc)."""
     post = postings(docs)
+    # queries is a term SET per query: a duplicated (query_id, tok)
+    # row must not double-count its term's score. The distinct is on
+    # the query-sized relation (by contract), so it costs nothing at
+    # corpus scale — found by the differential fuzz, not a driver
+    # fixture (corpus_queries/query_terms already deduplicate).
     qside = (
-        queries.join(doc_frequencies(post), "tok")
+        queries.distinct()
+        .join(doc_frequencies(post), "tok")
         .crossJoin(corpus_stats(post))
     )
     matched = post.join(F.broadcast(qside), "tok")

@@ -356,3 +356,120 @@ def test_hybrid_plan_shape(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     assert "row_number" not in opt
+
+
+# --- differential fuzz: random corpora vs a pure-python reference -----------
+
+
+def _py_bm25(doc_rows, query_rows, k):
+    """Independent reference: doc_rows = [(doc_id, text)], query_rows
+    = [(query_id, tok)]. Mirrors bm25_topk(exclude_self=False)."""
+    toks = {}
+    for d, t in doc_rows:
+        if t is None:
+            continue
+        ws = [w for w in re.split(r"\s+", t.strip()) if w]
+        if ws:
+            toks[d] = Counter(ws)
+    dl = {d: sum(c.values()) for d, c in toks.items()}
+    big_d = len(toks)
+    big_t = sum(dl.values())
+    df = Counter()
+    for c in toks.values():
+        df.update(c.keys())
+    by_q = {}
+    for q, t in set(query_rows):
+        by_q.setdefault(q, set()).add(t)
+    out = []
+    for q, qt in by_q.items():
+        scored = []
+        for cand, c in toks.items():
+            s = n = 0
+            for t in qt:
+                if t in c:
+                    tf = c[t]
+                    num = (
+                        SCALE * 44 * tf * big_t * (2 * (big_d - df[t]) + 1)
+                    )
+                    den = (
+                        20 * tf * big_t + 6 * big_t + 18 * dl[cand] * big_d
+                    ) * (2 * df[t] + 1)
+                    s += num // den
+                    n += 1
+            if n:
+                scored.append((-s, cand, n))
+        scored.sort()
+        for i, (ns, cand, n) in enumerate(scored[:k]):
+            out.append((q, cand, -ns, n, i + 1))
+    return sorted(out)
+
+
+def test_bm25_fuzz_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(20260815)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for case in range(8):
+        n_docs = rng.randint(1, 40)
+        doc_rows = []
+        for d in range(n_docs):
+            kind = rng.random()
+            if kind < 0.08:
+                doc_rows.append((d, None))
+            elif kind < 0.16:
+                doc_rows.append((d, rng.choice(["", "   "])))
+            else:
+                ws = [
+                    rng.choice(vocab)
+                    for _ in range(rng.randint(1, 12))
+                ]
+                doc_rows.append((d, " ".join(ws)))
+        query_rows = [
+            (q, rng.choice(vocab + ["zz"]))  # zz never matches
+            for q in range(rng.randint(1, 4))
+            for _ in range(rng.randint(1, 3))
+        ]
+        k = rng.choice([1, 3, 10])
+        got = sorted(
+            tuple(r)
+            for r in bm25_topk(
+                _docs(spark, doc_rows), _queries(spark, query_rows), k=k
+            ).collect()
+        )
+        want = _py_bm25(doc_rows, query_rows, k)
+        assert got == want, f"case {case}: {got} != {want}"
+
+
+def test_rrf_fuzz_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(20260814)
+    for case in range(6):
+        arms = []
+        arm_rows = []
+        for _ in range(rng.randint(1, 3)):
+            rows = []
+            for q in range(rng.randint(1, 3)):
+                cands = rng.sample(range(100), rng.randint(0, 6))
+                for i, c in enumerate(cands):
+                    rows.append((q, c, i + 1))
+            arm_rows.append(rows)
+            arms.append(_arm(spark, rows) if rows else _arm(spark, []))
+        if not any(arm_rows):
+            continue
+        k = rng.choice([2, 5])
+        fused = {}
+        for rows in arm_rows:
+            for q, c, r in rows:
+                s, n = fused.get((q, c), (0, 0))
+                fused[(q, c)] = (s + SCALE // (RRF_K0 + r), n + 1)
+        want = []
+        qids = {q for q, _ in fused}
+        for q in qids:
+            cands = sorted(
+                (-s, c, n) for (qq, c), (s, n) in fused.items() if qq == q
+            )
+            for i, (ns, c, n) in enumerate(cands[:k]):
+                want.append((q, c, -ns, n, i + 1))
+        got = sorted(tuple(r) for r in rrf_fuse(arms, k=k).collect())
+        assert got == sorted(want), f"case {case}"
