@@ -401,3 +401,44 @@ def test_temperature_sample_agrees_with_profile(spark):
         if r["n_kept"] > 0
     }
     assert got == prof
+
+
+def test_temperature_fuzz_vs_python_reference(spark):
+    # random stratum layouts: dominant/uniform/singleton mixes, doc_id
+    # gaps, 1-source corpora — the threshold arithmetic (isqrt, cap,
+    # integer division) must match the python model everywhere
+    import random
+
+    from flink_exercise_spark.operators.pipeline import (
+        temperature_mix_profile,
+    )
+
+    rng = random.Random(20260815)
+    for case in range(6):
+        n_sources = rng.randint(1, 6)
+        rows = []
+        d = rng.randint(0, 50)  # doc_id offset (hash varies with id)
+        for s in range(n_sources):
+            n = rng.choice([1, 2, 3, 7, 20, 120])
+            for _ in range(n):
+                rows.append((d, f"s{s}", rng.randint(0, 500)))
+                d += rng.randint(1, 3)
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        )
+        got = {
+            r["source"]: (
+                r["n_docs"],
+                r["weight"],
+                r["threshold"],
+                r["n_kept"],
+                r["kept_chars"],
+            )
+            for r in temperature_mix_profile(docs).collect()
+        }
+        import pandas as _pd
+
+        want = _py_temp_mix(
+            _pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+        )
+        assert got == want, f"case {case}"
