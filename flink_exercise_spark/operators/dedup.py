@@ -529,6 +529,12 @@ def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
     doc="MinHash-LSH candidate pairs over 3-gram shingles "
         "(4 bands x 2 rows)",
     tags=("dedup", "documents", "minhash"),
+    # priority=1 (r7 rotation, eighth wave): driver-green in r6; takes
+    # a rotation slot so the new text_chunk_overlap entry collects its
+    # first driver pass. The banding math stays driver-checked through
+    # lsh_verified_pairs / near_dup_clusters / cluster_keep_best;
+    # hashlib pin: test_rotation_pins.py::test_dedup_band_pairs_pin.
+    priority=1,
 )
 def q_minhash_pairs(spark, sf_dir):
     return minhash_band_pairs(load_table(prep(spark), sf_dir, "documents"))

@@ -599,6 +599,87 @@ _ORACLE_SCRUB = (
 )
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the RAG/embedding-
+    pipeline splitter (documents become ``chunk_tokens``-token windows
+    advancing by ``chunk_tokens - overlap``; the final window may be
+    short). Complements sequence packing (packing.py fills fixed
+    contexts ACROSS documents; this splits WITHIN a document, and the
+    overlap preserves cross-boundary context for retrieval).
+
+    One bound token array per document, one ``posexplode`` over the
+    start offsets, ``slice`` + ``concat_ws`` per chunk — pure codegen,
+    zero shuffles, scan-bound at any corpus size. The blank-doc guard
+    is a cheap regex on the raw text at the scan (the banding
+    pushdown lesson, SCALE.md: never filter on the built array).
+
+    Output: (doc_id, chunk_id, chunk_text, n_tokens), chunk_id dense
+    from 0 in document order."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap {overlap} must be < chunk_tokens {chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = docs.filter(F.col("text").rlike(r"\S")).select(
+        "doc_id", tokens_expr().alias("_toks")
+    )
+    starts = toks.select(
+        "doc_id",
+        "_toks",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("_toks"), F.lit(step))
+        ).alias("chunk_id", "_start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice("_toks", F.col("_start"), chunk_tokens)
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.size("_toks") - F.col("_start") + 1
+        ).cast("int").alias("n_tokens"),
+    )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE regexp_matches(text, '\\S')
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t),
+                    {CHUNK_TOKENS - CHUNK_OVERLAP})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_TOKENS - CHUNK_OVERLAP} AS INT)
+             AS chunk_id,
+           array_to_string(t[s : s + {CHUNK_TOKENS - 1}], ' ')
+             AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, len(t) - s + 1) AS INT)
+             AS n_tokens
+    FROM starts
+    """,
+    doc="RAG-style document chunking: fixed 64-token windows "
+        "advancing by 48 (16-token overlap), short final window — "
+        "pure-codegen slice/explode, zero shuffles",
+    tags=("text", "documents", "chunking"),
+)
+def q_chunk_overlap(spark, sf_dir):
+    return chunk_documents(load_table(prep(spark), sf_dir, "documents"))
+
+
 @register(
     "text_fingerprints",
     # Fingerprints + BPE-ish token budget + PII scrub accounting in one

@@ -1,0 +1,113 @@
+"""Document chunking (text.chunk_documents): hand-computed windows,
+overlap/tail semantics, blank-doc exclusion, a python reference over
+the smoke fixture, and the zero-shuffle plan assert."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pandas as pd
+import pytest
+
+from flink_exercise_spark.operators.text import (
+    CHUNK_OVERLAP,
+    CHUNK_TOKENS,
+    chunk_documents,
+)
+from flink_exercise_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_computed_windows(spark):
+    # chunk=4, overlap=1 -> step 3; 8 tokens -> starts 1, 4, 7
+    docs = _docs(spark, [(1, "a b c d e f g h")])
+    out = (
+        chunk_documents(docs, chunk_tokens=4, overlap=1)
+        .toPandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["chunk_text"]) == ["a b c d", "d e f g", "g h"]
+    assert list(out["n_tokens"]) == [4, 4, 2]
+    assert list(out["chunk_id"]) == [0, 1, 2]
+
+
+def test_overlap_preserves_boundary_context(spark):
+    # every adjacent chunk pair shares exactly `overlap` tokens
+    docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(20)))])
+    out = (
+        chunk_documents(docs, chunk_tokens=6, overlap=2)
+        .toPandas()
+        .sort_values("chunk_id")
+    )
+    chunks = [c.split(" ") for c in out["chunk_text"]]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-2:] == b[:2]
+
+
+def test_short_blank_null_docs(spark):
+    docs = _docs(spark, [(1, "only three tokens"), (2, ""), (3, None),
+                         (4, "   "), (5, "x")])
+    out = chunk_documents(docs).toPandas()
+    assert set(out["doc_id"]) == {1, 5}
+    assert len(out) == 2  # one short chunk each
+    assert out.set_index("doc_id").loc[1, "n_tokens"] == 3
+    assert out.set_index("doc_id").loc[5, "chunk_text"] == "x"
+
+
+def test_invalid_overlap_raises(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a b")]), 8, 8)
+
+
+def _py_chunks(pdf, chunk, overlap):
+    step = chunk - overlap
+    out = []
+    for _, r in pdf.iterrows():
+        t = r["text"]
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            continue
+        if not re.search(r"\S", t):
+            continue
+        ws = re.split(r"\s+", t.strip())
+        for i, s in enumerate(range(0, len(ws), step)):
+            out.append(
+                (
+                    int(r["doc_id"]),
+                    i,
+                    " ".join(ws[s : s + chunk]),
+                    min(chunk, len(ws) - s),
+                )
+            )
+    return sorted(out)
+
+
+def test_fixture_matches_python_reference(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(docs).collect()
+    )
+    pdf = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    want = _py_chunks(pdf, CHUNK_TOKENS, CHUNK_OVERLAP)
+    assert got == want
+    # multi-chunk docs exist in the fixture or the test is vacuous
+    assert max(c[1] for c in got) >= 1
+
+
+def test_plan_is_shuffle_free(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = chunk_documents(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the blank-doc guard reaches the scan as a cheap text predicate,
+    # not an inlined token-array construction (the banding lesson)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    flt = opt.split("Filter ")[1].split("\n")[0]
+    assert "split" not in flt

@@ -63,11 +63,16 @@ def test_demoted_showcases_sort_last_within_oracled():
     # slots so the new pipeline_temperature_mix and
     # dedup_cluster_keep_best entries collect their first driver
     # passes.
+    # Eighth wave: dedup_minhash_band_pairs (r6-green, hashlib pin;
+    # banding still driver-checked through the verified-pairs /
+    # clusters / keep-best entries) takes a slot so the new
+    # text_chunk_overlap entry collects its first driver pass.
     assert set(demoted) == {
         "mm_decode_features",
         "mm_resize_thumbs",
         "dedup_minhash_signatures",
         "sim_knn_lsh_bucketed",
+        "dedup_minhash_band_pairs",
         "sim_knn_brute_force",
         "dedup_jaccard_pairs",
         "text_fingerprints",

@@ -729,6 +729,44 @@ def test_sim_knn_lsh_bucketed_pin(spark):
         assert (got[c].to_numpy() == want_df[c].to_numpy()).all(), c
 
 
+def test_dedup_band_pairs_pin(spark):
+    import hashlib
+    import re as _re
+    from itertools import combinations
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for _, r in _run(spark, "dedup_minhash_band_pairs").iterrows()
+    }
+    buckets = {}
+    for _, r in docs.iterrows():
+        t = r["text"]
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            continue
+        words = [w for w in _re.split(r"\s+", t.strip()) if w]
+        sh = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        if not sh:
+            continue
+        hs = [
+            min(
+                hashlib.md5(f"{i}|{s}".encode("utf-8")).hexdigest()
+                for s in sh
+            )
+            for i in range(8)
+        ]
+        for b in range(4):
+            band = hashlib.md5(
+                f"{hs[2 * b]}|{hs[2 * b + 1]}".encode("utf-8")
+            ).hexdigest()
+            buckets.setdefault((b, band), []).append(int(r["doc_id"]))
+    want = set()
+    for members in buckets.values():
+        for a, b in combinations(sorted(members), 2):
+            want.add((a, b))
+    assert got == want and len(want) > 0
+
+
 def test_dedup_exact_map_pin(spark):
     import hashlib
 
