@@ -830,7 +830,15 @@ def cluster_keep_best(
     window. The quality join ships only (doc_id, quality) — the text
     never reshuffles."""
     clusters = near_dup_clusters(docs, threshold=threshold)
-    feats = docs.select("doc_id", F.col(quality_col).cast("long").alias("_q"))
+    # NULL quality -> sentinel below any real value (n_chars >= 0):
+    # a cluster whose every member lacks the quality column must still
+    # pick a canonical (min doc_id), identically on both engines — a
+    # NULL-valued struct-max field and the oracle's `n_chars = max`
+    # equality would otherwise diverge (code-review r7 finding).
+    feats = docs.select(
+        "doc_id",
+        F.coalesce(F.col(quality_col).cast("long"), F.lit(-1)).alias("_q"),
+    )
     j = clusters.join(feats, "doc_id")
     best = j.groupBy("cluster_id").agg(
         F.max(
@@ -855,7 +863,8 @@ def cluster_keep_best(
     # a window so the oracle stays deterministic under ties.
     oracle=f"""
     {_clusters_oracle_cte()}, q AS (
-      SELECT c.doc_id, c.cluster_id, d.n_chars
+      SELECT c.doc_id, c.cluster_id,
+             coalesce(d.n_chars, -1) AS n_chars
       FROM clusters c JOIN documents d USING (doc_id)
     ), cmax AS (
       SELECT cluster_id, max(n_chars) AS mx FROM q GROUP BY 1

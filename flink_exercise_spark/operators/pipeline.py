@@ -242,6 +242,27 @@ TEMP_SALT = "temp-mix-v1"
 _TEMP_D38 = "decimal(38,0)"
 
 
+def _temp_bucket() -> F.Column:
+    """The temperature-mix keep bucket: salted md5 of the doc key in
+    1/MIX_RESOLUTION units — ONE definition shared by profile and
+    sample (their agreement is test-pinned and the oracle restates
+    exactly this expression)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(TEMP_SALT), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIX_RESOLUTION
+    )
+
+
 def temperature_mix_thresholds(
     docs: DataFrame, stratum: str = "source"
 ) -> DataFrame:
@@ -307,21 +328,7 @@ def temperature_mix_profile(
     threshold relation broadcast back onto the second pass; the final
     join is stratum-sized ⋈ stratum-sized."""
     thr = temperature_mix_thresholds(docs, stratum)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(TEMP_SALT), F.col("doc_id").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % MIX_RESOLUTION
-    )
-    keyed = docs.select(stratum, "n_chars", bucket.alias("_bucket"))
+    keyed = docs.select(stratum, "n_chars", _temp_bucket().alias("_bucket"))
     kept = (
         keyed.join(F.broadcast(thr.select(stratum, "threshold")), stratum)
         .groupBy(stratum)
@@ -346,23 +353,9 @@ def temperature_mix_sample(
     broadcast thresholds, keep rows whose salted hash clears the
     stratum's computed rate."""
     thr = temperature_mix_thresholds(docs, stratum)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(TEMP_SALT), F.col("doc_id").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % MIX_RESOLUTION
-    )
     return (
         docs.join(F.broadcast(thr.select(stratum, "threshold")), stratum)
-        .filter(bucket < F.col("threshold"))
+        .filter(_temp_bucket() < F.col("threshold"))
         .drop("threshold")
     )
 

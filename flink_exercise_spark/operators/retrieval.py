@@ -136,33 +136,15 @@ def bm25_score_expr():
 def _rank_top_k_int(
     scored: DataFrame, k: int, payload: str = "n_terms"
 ) -> DataFrame:
-    """Per-query top-k over integer-scored candidates — the
-    similarity.py two-phase partial/merge ranking (see _rank_top_k's
-    docstring for why not a row_number window), with an exact integer
-    sort key: ascending struct((-score), doc_id) == (score desc,
-    doc_id asc); integer negation is exact. Carries ``payload``
-    through the struct unsorted-payload style."""
-    item = F.struct(
-        (-F.col("score")).alias("_ns"),
-        F.col("doc_id").alias("_id"),
-        F.col(payload).alias("_nt"),
-    )
-    partial = scored.groupBy(
-        F.spark_partition_id().alias("_pid"), "query_id"
-    ).agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
-    merged = partial.groupBy("query_id").agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
-        ).alias("_top")
-    )
-    return merged.select(
-        "query_id", F.posexplode("_top").alias("_i", "_item")
-    ).select(
-        "query_id",
-        F.col("_item._id").alias("doc_id"),
-        (-F.col("_item._ns")).alias("score"),
-        F.col("_item._nt").alias(payload),
-        (F.col("_i") + 1).cast("int").alias("rank"),
+    """Per-query top-k over integer-scored candidates: ONE shared
+    two-phase partial/merge ranking with similarity.py (see
+    _rank_top_k's docstring for why not a row_number window) —
+    integer negation is exact, so the double trick carries over
+    unchanged; ``payload`` rides the struct unsorted."""
+    from flink_exercise_spark.operators.similarity import _rank_top_k
+
+    return _rank_top_k(
+        scored, k, score_col="score", id_col="doc_id", payload=payload
     )
 
 
@@ -242,12 +224,21 @@ def corpus_queries(
     return query_terms(docs.filter(F.col("doc_id") % step == 0), n_terms)
 
 
-_BM25_ORACLE = f"""
-    WITH toks AS (
+def _bm25_scored_cte(
+    corpus_where: str, query_where: str, exclude_self: bool
+) -> str:
+    """``toks ... bm25_scored`` CTE chain: the exact-integer BM25
+    derivation stated ONCE — the registered BM25 oracle and the hybrid
+    oracle's lexical arm must never drift apart on the load-bearing
+    arithmetic (code-review r7 finding). ``corpus_where``/
+    ``query_where`` are SQL predicates selecting the corpus and query
+    documents; ``exclude_self`` drops doc_id == query_id hits."""
+    excl = "WHERE p.doc_id <> q.query_id" if exclude_self else ""
+    return f"""toks AS (
       SELECT doc_id, tok FROM (
         SELECT doc_id,
                unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-        FROM documents
+        FROM documents WHERE {corpus_where}
       ) WHERE tok IS NOT NULL AND tok <> ''
     ),
     post AS (
@@ -272,10 +263,10 @@ _BM25_ORACLE = f"""
         SELECT doc_id,
                unnest(regexp_split_to_array(trim(text),
                       '\\s+')[1:{QUERY_TERMS}]) AS tok
-        FROM documents WHERE doc_id % {QUERY_STEP} = 0
+        FROM documents WHERE {query_where}
       ) WHERE tok IS NOT NULL AND tok <> ''
     ),
-    scored AS (
+    bm25_scored AS (
       SELECT q.query_id, p.doc_id,
              CAST(sum(
                ({SCALE * 44}::HUGEINT * p.tf * s.t_toks
@@ -291,13 +282,21 @@ _BM25_ORACLE = f"""
       JOIN dfreq f USING (tok)
       JOIN dlen d ON d.doc_id = p.doc_id
       CROSS JOIN stats s
-      WHERE p.doc_id <> q.query_id
+      {excl}
       GROUP BY q.query_id, p.doc_id
-    )
+    )"""
+
+
+_BM25_ORACLE = f"""
+    WITH {_bm25_scored_cte(
+        corpus_where="TRUE",
+        query_where=f"doc_id % {QUERY_STEP} = 0",
+        exclude_self=True,
+    )}
     SELECT query_id, doc_id, score, n_terms, rank FROM (
       SELECT *, CAST(row_number() OVER (
         PARTITION BY query_id ORDER BY score DESC, doc_id
-      ) AS INT) AS rank FROM scored
+      ) AS INT) AS rank FROM bm25_scored
     ) WHERE rank <= {TOP_K}
     """
 
@@ -380,60 +379,16 @@ def hybrid_rrf_topk(
 
 
 _HYBRID_ORACLE = f"""
-    WITH toks AS (
-      SELECT doc_id, tok FROM (
-        SELECT doc_id,
-               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-        FROM documents WHERE doc_id >= {N_QUERIES}
-      ) WHERE tok IS NOT NULL AND tok <> ''
-    ),
-    post AS (
-      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-      FROM toks GROUP BY doc_id, tok
-    ),
-    dlen AS (
-      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-      FROM post GROUP BY doc_id
-    ),
-    stats AS (
-      SELECT CAST(count(*) AS BIGINT) AS d_docs,
-             CAST(sum(dl) AS BIGINT) AS t_toks
-      FROM dlen
-    ),
-    dfreq AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS df
-      FROM post GROUP BY tok
-    ),
-    queries AS (
-      SELECT DISTINCT doc_id AS query_id, tok FROM (
-        SELECT doc_id,
-               unnest(regexp_split_to_array(trim(text),
-                      '\\s+')[1:{QUERY_TERMS}]) AS tok
-        FROM documents WHERE doc_id < {N_QUERIES}
-      ) WHERE tok IS NOT NULL AND tok <> ''
-    ),
-    bm25 AS (
-      SELECT q.query_id, p.doc_id,
-             CAST(sum(
-               ({SCALE * 44}::HUGEINT * p.tf * s.t_toks
-                 * (2 * (s.d_docs - f.df) + 1))
-               // ((20::HUGEINT * p.tf * s.t_toks
-                    + 6::HUGEINT * s.t_toks
-                    + 18::HUGEINT * d.dl * s.d_docs)
-                   * (2 * f.df + 1))
-             ) AS BIGINT) AS score
-      FROM queries q
-      JOIN post p USING (tok)
-      JOIN dfreq f USING (tok)
-      JOIN dlen d ON d.doc_id = p.doc_id
-      CROSS JOIN stats s
-      GROUP BY q.query_id, p.doc_id
-    ),
+    WITH {_bm25_scored_cte(
+        corpus_where=f"doc_id >= {N_QUERIES}",
+        query_where=f"doc_id < {N_QUERIES}",
+        exclude_self=False,
+    )},
     lex_top AS (
       SELECT query_id, doc_id, rn FROM (
         SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY score DESC, doc_id
-        ) AS rn FROM bm25
+        ) AS rn FROM bm25_scored
       ) WHERE rn <= {FUSE_K}
     ),
     unnested AS (

@@ -42,10 +42,20 @@ N_QUERIES = 10  # fixture convention: vec_id < 10 are the query vectors
 TOP_K = 5
 
 
-def _rank_top_k(scored: DataFrame, k: int) -> DataFrame:
-    """Per-query top-k over (query_id, neighbor_id, cosine) — the
-    ranking tail every kNN variant shares. Deterministic order:
-    cosine desc, then lowest neighbor_id.
+def _rank_top_k(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "cosine",
+    id_col: str = "neighbor_id",
+    payload: str | None = None,
+) -> DataFrame:
+    """Per-query top-k over (query_id, <id_col>, <score_col>) — the
+    ranking tail every kNN variant shares, and (parameterized) the
+    retrieval family's integer ranking too: negation is bit-exact for
+    doubles (sign flip) and exact for longs, so one implementation
+    serves both score types; ``payload`` carries one extra column
+    through the struct unsorted. Deterministic order:
+    score desc, then lowest id.
 
     Two-phase distributed top-k, NOT a row_number window: a
     ``row_number() OVER (PARTITION BY query_id)`` shuffles every scored
@@ -65,10 +75,13 @@ def _rank_top_k(scored: DataFrame, k: int) -> DataFrame:
     struct((-cosine), neighbor_id); double negation is bit-exact (sign
     flip), so the emitted cosine is unchanged. Plan-asserted
     window-free in tests/test_plans.py."""
-    item = F.struct(
-        (-F.col("cosine")).alias("_nc"),
-        F.col("neighbor_id").alias("_id"),
-    )
+    fields = [
+        (-F.col(score_col)).alias("_nc"),
+        F.col(id_col).alias("_id"),
+    ]
+    if payload is not None:
+        fields.append(F.col(payload).alias("_pl"))
+    item = F.struct(*fields)
     partial = scored.groupBy(
         F.spark_partition_id().alias("_pid"), "query_id"
     ).agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
@@ -77,14 +90,16 @@ def _rank_top_k(scored: DataFrame, k: int) -> DataFrame:
             F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
         ).alias("_top")
     )
+    out_cols = [
+        F.col("_item._id").alias(id_col),
+        (-F.col("_item._nc")).alias(score_col),
+    ]
+    if payload is not None:
+        out_cols.append(F.col("_item._pl").alias(payload))
+    out_cols.append((F.col("_i") + 1).cast("int").alias("rank"))
     return merged.select(
         "query_id", F.posexplode("_top").alias("_i", "_item")
-    ).select(
-        "query_id",
-        F.col("_item._id").alias("neighbor_id"),
-        (-F.col("_item._nc")).alias("cosine"),
-        (F.col("_i") + 1).cast("int").alias("rank"),
-    )
+    ).select("query_id", *out_cols)
 
 
 def embedding_norms(emb: DataFrame) -> DataFrame:

@@ -631,11 +631,22 @@ def chunk_documents(
     toks = docs.filter(F.col("text").rlike(r"\S")).select(
         "doc_id", tokens_expr().alias("_toks")
     )
+    # Start offsets stop at greatest(1, n - overlap), NOT n: a start
+    # inside the final window's overlap region would emit a chunk that
+    # is a strict SUBSET of the previous chunk (e.g. n = chunk_tokens
+    # exactly would yield the whole doc AND its own tail) — duplicate
+    # content injected into the very pipeline chunking feeds. With the
+    # cap, every chunk contributes >= 1 new token and the document end
+    # stays covered (last start + chunk_tokens - 1 >= n).
     starts = toks.select(
         "doc_id",
         "_toks",
         F.posexplode(
-            F.sequence(F.lit(1), F.size("_toks"), F.lit(step))
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(1), F.size("_toks") - overlap),
+                F.lit(step),
+            )
         ).alias("chunk_id", "_start"),
     )
     return starts.select(
@@ -658,7 +669,8 @@ def chunk_documents(
       FROM documents WHERE regexp_matches(text, '\\S')
     ), starts AS (
       SELECT doc_id, t,
-             unnest(generate_series(1, len(t),
+             unnest(generate_series(1,
+                    greatest(1, len(t) - {CHUNK_OVERLAP}),
                     {CHUNK_TOKENS - CHUNK_OVERLAP})) AS s
       FROM toks
     )

@@ -65,6 +65,29 @@ def test_invalid_overlap_raises(spark):
         chunk_documents(_docs(spark, [(1, "a b")]), 8, 8)
 
 
+def test_no_redundant_tail_chunk(spark):
+    # a doc of exactly chunk_tokens tokens is ONE chunk, not the doc
+    # plus its own tail; a tail landing inside the overlap region of
+    # the previous window never emits a subset chunk
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(f"t{i}" for i in range(6))),   # n == chunk
+            (2, " ".join(f"t{i}" for i in range(10))),  # tail of 2 <=
+        ],                                              # overlap -> no
+    )                                                   # extra chunk
+    out = chunk_documents(docs, chunk_tokens=6, overlap=2).toPandas()
+    per = out.groupby("doc_id")["chunk_id"].count()
+    assert per[1] == 1
+    # doc 2: starts capped at greatest(1, 10-2)=8 -> starts 1, 5
+    # (start 9 would re-emit tokens already covered by chunk 1)
+    assert per[2] == 2
+    chunks = list(
+        out[out["doc_id"] == 2].sort_values("chunk_id")["chunk_text"]
+    )
+    assert chunks == ["t0 t1 t2 t3 t4 t5", "t4 t5 t6 t7 t8 t9"]
+
+
 def _py_chunks(pdf, chunk, overlap):
     step = chunk - overlap
     out = []
@@ -75,7 +98,7 @@ def _py_chunks(pdf, chunk, overlap):
         if not re.search(r"\S", t):
             continue
         ws = re.split(r"\s+", t.strip())
-        for i, s in enumerate(range(0, len(ws), step)):
+        for i, s in enumerate(range(0, max(1, len(ws) - overlap), step)):
             out.append(
                 (
                     int(r["doc_id"]),
