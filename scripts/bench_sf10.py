@@ -61,6 +61,8 @@ OPS = [
     # r7 seventh wave: temperature mixing + keep-best selection
     "pipeline_temperature_mix",
     "dedup_cluster_keep_best",
+    # r7 eighth wave: document chunking
+    "text_chunk_overlap",
 ]
 
 # Optional subset: comma-separated op names (e.g. just the newest
