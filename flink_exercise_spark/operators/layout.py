@@ -251,3 +251,33 @@ def write_bucketed(
         .sortBy(*(sort_cols or [key]))
     )
     w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic: bool = False,
+) -> None:
+    """Hive-layout partitioned parquet write — the third leg of the
+    layout story (z-order: row-group skipping; bucketing: join
+    shuffle; THIS: partition pruning — a filter on the partition
+    column eliminates whole directories before any footer is read,
+    the coarsest and cheapest skip level at 100 TB).
+
+    ``dynamic=True`` sets partitionOverwriteMode=dynamic for THIS
+    write: overwrite replaces only the partitions present in ``df``
+    and leaves every other partition intact — the daily-refresh
+    pattern (re-land one day of a years-deep table without rewriting
+    or dropping history). Static overwrite (the default) truncates
+    the whole table first. The session conf is restored afterward so
+    a library call cannot silently change unrelated writes'
+    semantics."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "dynamic" if dynamic else "static")
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, old)

@@ -60,6 +60,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_exercise_spark.caching import persist_tracked
 from flink_exercise_spark.operators.tokenizer import _corpus_tokens
 from flink_exercise_spark.registry import register
 from flink_exercise_spark.session import prep
@@ -168,7 +169,13 @@ def bm25_topk(
     Returns (query_id, doc_id, score, n_terms, rank); score is the
     BIGINT sum of per-term integer scores (order-independent), rank
     is dense 1..k by (score desc, doc_id asc)."""
-    post = postings(docs)
+    # The plan references the postings relation THREE times (document
+    # frequencies, corpus stats, the scoring join) — unpersisted,
+    # Spark re-executes the corpus explode + aggregate + window per
+    # reference (measured: the sf100 BM25 arm spent ~2/3 of its time
+    # rebuilding postings). persist_tracked materializes it once;
+    # the registry releases it when the next query starts.
+    post = persist_tracked(postings(docs))
     # queries is a term SET per query: a duplicated (query_id, tok)
     # row must not double-count its term's score. The distinct is on
     # the query-sized relation (by contract), so it costs nothing at
@@ -365,16 +372,21 @@ def hybrid_rrf_topk(
     corpus); fusion only sees the arms' top-``fuse_k`` outputs —
     query-sized relations — so hybrid costs arm_lex + arm_dense plus
     an epsilon of fusion, never a third corpus pass."""
-    from flink_exercise_spark.operators.similarity import knn_brute_force
+    from flink_exercise_spark.operators.similarity import (
+        knn_brute_force_kernel,
+    )
 
     lex = bm25_topk(
         docs.filter(F.col("doc_id") >= n_queries),
         query_terms(docs.filter(F.col("doc_id") < n_queries)),
         k=fuse_k,
     )
-    dense = knn_brute_force(emb, n_queries=n_queries, k=fuse_k).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    )
+    # kernel form of brute-force kNN: bit-identical to the HOF fold
+    # (equality-pinned in test_similarity.py) and ~40x cheaper at
+    # sf100, where the interpreted per-pair fold dominated the hybrid
+    dense = knn_brute_force_kernel(
+        emb, n_queries=n_queries, k=fuse_k
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, dense], k=k)
 
 

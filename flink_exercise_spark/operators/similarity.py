@@ -140,6 +140,101 @@ def knn_brute_force(
     return _rank_top_k(scored, k)
 
 
+def knn_brute_force_kernel(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """``knn_brute_force`` with the per-pair scoring moved into an
+    Arrow kernel — BIT-IDENTICAL results (equality-pinned and fuzzed
+    in test_similarity.py), ~linear speedup over the HOF form.
+
+    Why: the Column-fold dot product is an interpreted higher-order
+    function (no whole-stage codegen — the same finding behind the
+    SimHash and SemDeDup kernels); at sf100 the 2M x 10 fold pays
+    ~390 s where this kernel pays seconds. Exactness is engineered,
+    not hoped for:
+
+    - dot products and norms accumulate ACROSS ROWS with numpy but
+      ACROSS DIMS sequentially (``acc += M[:, i] * q[i]`` in dim
+      order) — the exact IEEE operation order of the
+      ``aggregate(zip_with(...))`` fold, so every cosine is the same
+      double bit for bit;
+    - rounding and final ranking stay in Spark (same ``F.round`` +
+      ``_rank_top_k`` tail as the HOF form). The kernel pre-prunes per
+      batch on UNROUNDED cosines with a 1e-6 margin below its k-th
+      best: rounding moves a value by < 5e-7, so a dropped candidate
+      (cos < kth - 1e-6) rounds strictly below k retained ones and
+      can never enter the true rounded top-k — the prune is lossless.
+
+    The query block (n_queries x dims) is collected to the driver —
+    model-sized by the same contract that licenses the HOF form's
+    broadcast."""
+    import numpy as np
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]
+    )
+    dims = Q.shape[1]
+    q_norms = np.zeros(len(q_ids))
+    for i in range(dims):  # sequential dim order == the Column fold
+        q_norms += Q[:, i] * Q[:, i]
+    q_norms = np.sqrt(q_norms)
+
+    corpus = spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id").select(
+        "vec_id", "embedding"
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            cn = np.zeros(len(ids))
+            for i in range(dims):
+                cn += M[:, i] * M[:, i]
+            cn = np.sqrt(cn)
+            out_q, out_id, out_cos = [], [], []
+            for qi in range(len(q_ids)):
+                acc = np.zeros(len(ids))
+                for i in range(dims):
+                    acc += M[:, i] * Q[qi, i]
+                cos = acc / (q_norms[qi] * cn)
+                if len(cos) > k:
+                    kth = np.partition(cos, len(cos) - k)[len(cos) - k]
+                    keep = np.flatnonzero(cos >= kth - 1e-6)
+                else:
+                    keep = np.arange(len(cos))
+                out_q.append(np.full(len(keep), q_ids[qi], dtype=np.int64))
+                out_id.append(ids[keep])
+                out_cos.append(cos[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "_cos_raw": np.concatenate(out_cos),
+                }
+            )
+
+    scored = corpus.mapInPandas(
+        score, schema="query_id long, neighbor_id long, _cos_raw double"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("_cos_raw"), 6).alias("cosine"),
+    )
+    return _rank_top_k(scored, k)
+
+
 def sign_bucket_expr(col: str = "embedding", bits: int = 8):
     """Deterministic LSH bucket: sign bits of the first ``bits`` dims."""
     terms = [

@@ -299,3 +299,55 @@ def test_bucketed_one_file_per_bucket(spark, tmp_path):
         assert len(files) == 8
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_o_files")
+
+
+# --- hive partitioning: pruning + dynamic partition overwrite ---------------
+
+
+def test_partition_pruning_reaches_the_scan(spark, tmp_path):
+    from flink_exercise_spark.operators.layout import write_partitioned
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "ev_by_date")
+    write_partitioned(ev, path, ["event_date"])
+    back = spark.read.parquet(path)
+    some_date = ev.select(F.min("event_date")).first()[0]
+    q = back.filter(F.col("event_date") == F.lit(some_date))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the date predicate is a PARTITION filter (directory pruning),
+    # not a data filter evaluated per row after reading everything
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_date" in pf
+    assert q.count() == ev.filter(F.col("event_date") == some_date).count() > 0
+
+
+def test_dynamic_partition_overwrite_preserves_history(spark, tmp_path):
+    from flink_exercise_spark.operators.layout import write_partitioned
+
+    path = str(tmp_path / "daily")
+    d1 = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id long, day string"
+    )
+    write_partitioned(d1, path, ["day"])
+    # re-land ONLY day 2 with corrected data
+    fix = spark.createDataFrame([(99, "2024-01-02")], "id long, day string")
+    write_partitioned(fix, path, ["day"], dynamic=True)
+    got = {
+        (r["id"], r["day"]) for r in spark.read.parquet(path).collect()
+    }
+    # day 1 history intact, day 2 replaced
+    assert got == {(1, "2024-01-01"), (99, "2024-01-02")}
+    # static overwrite of day 2 truncates the whole table
+    write_partitioned(fix, path, ["day"])
+    got2 = {
+        (r["id"], r["day"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got2 == {(99, "2024-01-02")}
+    # the session conf was restored both times
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        == "static"
+    )

@@ -343,3 +343,57 @@ def test_semantic_prune_tiled_kernel_equals_untiled(spark):
         for r in semantic_prune(emb, block=1 << 20).collect()
     }
     assert tiled == whole
+
+
+def test_kernel_knn_bit_equal_to_hof_form(spark):
+    from flink_exercise_spark.operators.similarity import (
+        knn_brute_force,
+        knn_brute_force_kernel,
+    )
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = sorted(tuple(r) for r in knn_brute_force(emb, k=20).collect())
+    b = sorted(
+        tuple(r) for r in knn_brute_force_kernel(emb, k=20).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_kernel_knn_fuzz_bit_equal(spark):
+    # random vectors with exact-duplicate rows (rounded-cosine ties)
+    # and near-boundary values — the sequential-dim accumulation must
+    # make kernel and HOF cosines the same double bit for bit
+    import random
+
+    import numpy as np
+
+    from flink_exercise_spark.operators.similarity import (
+        knn_brute_force,
+        knn_brute_force_kernel,
+    )
+
+    rng = np.random.default_rng(20260815)
+    py = random.Random(7)
+    for case in range(4):
+        n, dims = py.choice([(15, 8), (40, 16), (25, 64)])
+        V = rng.normal(size=(n, dims))
+        # inject exact duplicates (tie-break territory)
+        for _ in range(n // 5):
+            V[py.randrange(n)] = V[py.randrange(n)]
+        rows = [
+            (i, [float(x) for x in V[i]], 0) for i in range(n)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        k = py.choice([1, 3, 7])
+        a = sorted(
+            tuple(r) for r in knn_brute_force(emb, n_queries=5, k=k).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in knn_brute_force_kernel(emb, n_queries=5, k=k).collect()
+        )
+        assert a == b, f"case {case}"
