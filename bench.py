@@ -200,6 +200,25 @@ def main() -> None:
         }
 
     print(json.dumps(out))
+    # The driver's artifact capture keeps only the TAIL of stdout when
+    # the big JSON line exceeds its buffer (BENCH_r06/r07 recorded
+    # "parsed": null with the headline totals truncated away). Emit the
+    # totals AGAIN as a second, short, self-contained JSON line so tail
+    # truncation always preserves the numbers the 2x bar reads.
+    summary = {
+        "metric": "headline_totals",
+        "value": total,
+        "spark_total_s": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+    }
+    if "ratio" in out:
+        summary["duckdb_total_s"] = out["duckdb"]["value"]
+        summary["spark_matched_total_s"] = out["ratio"]["spark_matched_total"]
+        summary["ratio"] = out["ratio"]["value"]
+        summary["matched"] = out["ratio"]["matched_queries"]
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -102,11 +102,22 @@ def funnel_summary(
             lag_us = F.unix_micros(F.col(f"t{i}")) - F.unix_micros(
                 F.col(f"t{i - 1}")
             )
+            # avg() accumulates a DOUBLE partial sum, whose result can
+            # depend on partial-aggregation order once the summed lags
+            # exceed 2^53 us — sum exactly as LONG (order-independent),
+            # then ONE fixed left-assoc division chain (sum/n)/1e6,
+            # mirrored verbatim in the oracle SQL.
             agg = rel.agg(
                 F.count(F.lit(1)).cast("long").alias("n_users"),
-                F.round(F.avg(lag_us) / F.lit(1000000), 2).alias(
-                    "avg_lag_sec"
-                ),
+                F.sum(lag_us).cast("long").alias("_sum_lag_us"),
+            ).select(
+                "n_users",
+                F.round(
+                    F.col("_sum_lag_us").cast("double")
+                    / F.col("n_users").cast("double")
+                    / F.lit(1000000.0),
+                    2,
+                ).alias("avg_lag_sec"),
             )
         parts.append(agg.select(F.lit(label).alias("stage"), "*"))
     res = parts[0]
@@ -138,11 +149,15 @@ def funnel_summary(
     FROM s0
     UNION ALL
     SELECT 'click_after_view', CAST(count(*) AS BIGINT),
-           round(avg(epoch_us(t1) - epoch_us(t0)) / 1000000, 2)
+           round(CAST(CAST(sum(epoch_us(t1) - epoch_us(t0)) AS BIGINT)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000.0, 2)
     FROM s1
     UNION ALL
     SELECT 'purchase_after_click', CAST(count(*) AS BIGINT),
-           round(avg(epoch_us(t2) - epoch_us(t1)) / 1000000, 2)
+           round(CAST(CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT)
+                      AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000.0, 2)
     FROM s2
     """,
     doc="Conversion funnel view -> click -> purchase with "

@@ -197,6 +197,17 @@ def compact_parquet(
     Returns {files_in, files_out, bytes, rows}.
     """
     stats = parquet_layout_stats(src)
+    if stats["files"] == 0:
+        # A maintenance job can legitimately sweep a directory before
+        # its first micro-batch lands; spark.read.parquet on it would
+        # die with an unrelated schema-inference error. Nothing to
+        # compact — report it instead of writing anything.
+        return {
+            "files_in": 0,
+            "files_out": 0,
+            "bytes": 0,
+            "rows": 0,
+        }
     n_out = max(1, -(-stats["bytes"] // target_bytes))
     df = spark.read.parquet(src)
     if order_by:
@@ -272,7 +283,18 @@ def write_partitioned(
     or dropping history). Static overwrite (the default) truncates
     the whole table first. The session conf is restored afterward so
     a library call cannot silently change unrelated writes'
-    semantics."""
+    semantics.
+
+    Round-trip dtype note (decided r8): partition values are stored as
+    DIRECTORY NAMES, so the on-read dtype is governed by the reader's
+    ``spark.sql.sources.partitionColumnTypeInference`` (a string
+    ``day=2024-01-01`` comes back as DATE). This writer deliberately
+    does NOT pin that conf: it is a read-side session setting, and a
+    write-side library call mutating read-side inference for the whole
+    session would be the same spooky action this function's try/finally
+    exists to prevent. Callers needing dtype-stable round-trips should
+    write typed partition columns (DATE in, DATE out) or cast on read —
+    tests/test_layout.py demonstrates the cast-on-read form."""
     spark = df.sparkSession
     key = "spark.sql.sources.partitionOverwriteMode"
     old = spark.conf.get(key)

@@ -175,6 +175,14 @@ def knn_brute_force_kernel(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not q_rows:
+        # np.stack over an empty list raises an opaque ValueError;
+        # an empty query set is a legitimate (if degenerate) input —
+        # return the empty result with the contract schema instead.
+        return emb.sparkSession.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cosine double, rank int",
+        )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack(
         [np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]

@@ -361,6 +361,22 @@ def test_kernel_knn_bit_equal_to_hof_form(spark):
     assert a == b and len(a) > 0
 
 
+def test_kernel_knn_empty_query_set(spark):
+    """No vector satisfies vec_id < n_queries: the kernel must return
+    an empty result with the contract schema, not die in np.stack."""
+    from flink_exercise_spark.operators.similarity import (
+        knn_brute_force_kernel,
+    )
+
+    emb = spark.createDataFrame(
+        [(100, [1.0, 0.0], 0), (101, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = knn_brute_force_kernel(emb, n_queries=5, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
+
+
 def test_kernel_knn_fuzz_bit_equal(spark):
     # random vectors with exact-duplicate rows (rounded-cosine ties)
     # and near-boundary values — the sequential-dim accumulation must
