@@ -244,13 +244,6 @@ def q_ref_q1(spark, sf_dir):
 
 @register(
     "ref_q1_top_host_str",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH c AS (
       SELECT {_ORACLE_WIN} AS window_start,
@@ -328,13 +321,6 @@ def cumulative_distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFr
 
 @register(
     "ref_q2_cumulative_distinct",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH firsts AS (
       SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
@@ -385,13 +371,6 @@ def q_ref_q3(spark, sf_dir):
 
 @register(
     "a1_requests_per_host",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="SELECT user_id, count(*) AS n_requests FROM events GROUP BY 1",
     doc="A1: keyed count",
     tags=("aggregate", "events"),
@@ -402,13 +381,6 @@ def q_a1(spark, sf_dir):
 
 @register(
     "a2_count_events",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # A2 (global count) and A4 (exact distinct count) in one entry:
     # both are single-pass global aggregates over the same scan, and
     # Spark computes them in one plan (expand + two-phase hash agg).
@@ -431,13 +403,6 @@ def q_a2(spark, sf_dir):
 
 @register(
     "a3_first_event_per_host",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="""
     SELECT user_id, min(event_id) AS first_event_id,
            arg_min(event_type, event_id) AS first_event_type
@@ -465,13 +430,6 @@ def q_a4_approx(spark, sf_dir):
 
 @register(
     "a6_top3_hosts_per_window",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH c AS (
       SELECT {_ORACLE_WIN} AS window_start, user_id,
@@ -511,6 +469,12 @@ def q_a6_top3(spark, sf_dir):
         "plus exact interpolated percentiles (at stream/100TB scale "
         "use approx_percentile sketches)",
     tags=("aggregate", "events", "percentile"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_type_stats(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")
@@ -544,6 +508,12 @@ def q_type_stats(spark, sf_dir):
     doc="A1 continuous-emission semantics in batch: per-record running "
         "aggregates via analytic windows",
     tags=("aggregate", "events", "analytic"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_running_counts(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")
@@ -575,6 +545,12 @@ def q_running_counts(spark, sf_dir):
     """,
     doc="JSON scalar extraction over events.props (get_json_object)",
     tags=("aggregate", "events", "json"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_json_props(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")

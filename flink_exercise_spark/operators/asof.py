@@ -276,6 +276,12 @@ def range_join_counts(
         "burst-hot bin raises an actionable plan-side error instead "
         "of silently undercounting into a hash mismatch",
     tags=("range-join", "join", "events", "temporal"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Quadratic-reference differential fuzz: tests/test_asof_range.py (the r6-accepted precedent).
+    priority=1,
 )
 def q_range_join(spark, sf_dir):
     return range_join_counts(
@@ -285,11 +291,6 @@ def q_range_join(spark, sf_dir):
 
 @register(
     "asof_purchase_attribution",
-    # priority=1 (r7 rotation): driver-green in r6 — see the standard
-    # rotation note on a1_requests_per_host. Independent pin while
-    # demoted: pandas merge_asof differential
-    # (tests/test_rotation_pins.py::test_asof_purchase_attribution_pin).
-    priority=1,
     # DuckDB's native ASOF JOIN is the oracle for our windowed
     # composition; >= semantics on the timestamp, per-user key.
     oracle="""

@@ -454,10 +454,6 @@ _ORACLE_SHINGLE_CTE = """
     doc="Exact-dedup canonical-id mapping (hash-groupBy; only "
         "(md5, id) pairs shuffle, text never crosses the wire)",
     tags=("dedup", "documents"),
-    # priority=1 (r7 rotation, second wave): driver-green r6; takes a
-    # rotation slot so the new dedup_semantic_prune entry collects its
-    # first driver pass. Pandas pin: test_rotation_pins.py.
-    priority=1,
 )
 def q_dedup_map(spark, sf_dir):
     return exact_dedup_map(load_table(prep(spark), sf_dir, "documents"))
@@ -481,13 +477,6 @@ def _minhash_oracle(k: int = N_MINHASH) -> str:
     doc="8-permutation MinHash signatures over 3-gram shingles "
         "(md5 hash family)",
     tags=("dedup", "documents", "minhash"),
-    # priority=1 (r7 rotation, seventh wave): driver-green in r6;
-    # takes a rotation slot so the new pipeline_temperature_mix entry
-    # collects its first driver pass. The signature math stays driver-
-    # checked via every downstream banding entry (band_pairs,
-    # lsh_verified, clusters, keep_best); independent hashlib pin:
-    # tests/test_rotation_pins.py::test_dedup_minhash_signatures_pin.
-    priority=1,
 )
 def q_minhash_sigs(spark, sf_dir):
     return minhash_signatures(load_table(prep(spark), sf_dir, "documents"))
@@ -529,12 +518,6 @@ def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
     doc="MinHash-LSH candidate pairs over 3-gram shingles "
         "(4 bands x 2 rows)",
     tags=("dedup", "documents", "minhash"),
-    # priority=1 (r7 rotation, eighth wave): driver-green in r6; takes
-    # a rotation slot so the new text_chunk_overlap entry collects its
-    # first driver pass. The banding math stays driver-checked through
-    # lsh_verified_pairs / near_dup_clusters / cluster_keep_best;
-    # hashlib pin: test_rotation_pins.py::test_dedup_band_pairs_pin.
-    priority=1,
 )
 def q_minhash_pairs(spark, sf_dir):
     return minhash_band_pairs(load_table(prep(spark), sf_dir, "documents"))
@@ -563,12 +546,6 @@ def q_minhash_pairs(spark, sf_dir):
     doc="Token-set Jaccard near-dup pairs (inverted-index join, "
         "lang-blocked)",
     tags=("dedup", "documents", "jaccard"),
-    # priority=1 (r7 rotation, fourth wave): driver-green in r6; takes
-    # a rotation slot so the new text_bigram_lift entry collects its
-    # first driver pass. Pinned independently by the python-set
-    # reference in tests/test_dedup.py::test_jaccard_scores plus the
-    # pandas pin in test_rotation_pins.py.
-    priority=1,
 )
 def q_jaccard(spark, sf_dir):
     return jaccard_pairs(load_table(prep(spark), sf_dir, "documents"))
@@ -884,6 +861,12 @@ def cluster_keep_best(
         "sized cluster relation — the keep-the-best-copy dedup "
         "decision a training pipeline applies",
     tags=("dedup", "documents", "minhash", "clusters"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Python union-find fixture pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_cluster_keep_best(spark, sf_dir):
     return cluster_keep_best(load_table(prep(spark), sf_dir, "documents"))

@@ -585,13 +585,6 @@ def resize_images(with_payload: DataFrame, target: int = 64) -> DataFrame:
 
 @register(
     "mm_binary_metadata",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # The engine hashes the BINARY payload directly (binary-safe).
     # DuckDB's md5 only accepts VARCHAR, but it hashes the string's
     # UTF-8 encoding — exactly the bytes attach_binary_payload
@@ -615,12 +608,6 @@ def q_binary_meta(spark, sf_dir):
 
 @register(
     "mm_decode_features",
-    # priority=1 (r7 rotation, fifth wave): driver-green in r6; takes
-    # a rotation slot so the new text_bm25_topk entry collects its
-    # first driver pass inside the window. Hash-verified locally every
-    # round by test_parity_demoted; hashlib pin:
-    # tests/test_rotation_pins.py::test_mm_decode_features_pin.
-    priority=1,
     # Value-oracled since r5 (was rows-only): FakeImageCodec.decode is
     # pure md5-byte arithmetic (width/height from digest bytes 0-1,
     # mean_luma from byte 2), so the whole decode pipeline is
@@ -654,10 +641,6 @@ def q_decode_features(spark, sf_dir):
     # The fake prober's arithmetic (md5-derived frame count, integer
     # frame timestamps, per-frame content hash) is reproduced exactly
     # in SQL, so this Pandas-UDF fan-out op IS value-hash-checked.
-    # priority=1 (r7 rotation, third wave): driver-green in r6; takes
-    # a rotation slot so the new events_heavy_hitters entry collects
-    # its first driver pass (hashlib pin in test_rotation_pins.py).
-    priority=1,
     oracle=f"""
     WITH probed AS (
       SELECT doc_id, text,
@@ -683,10 +666,6 @@ def q_frame_sample(spark, sf_dir):
 
 @register(
     "mm_audio_energy",
-    # priority=1 (r7 rotation, third wave): driver-green in r6; takes
-    # a rotation slot so the new stream_neardup_ingest entry collects
-    # its first driver pass (hashlib pin in test_rotation_pins.py).
-    priority=1,
     # Promoted back for r6 (demoted in r5, driver-green r4): the
     # rotation contract requires a driver pass within two rounds.
     # The fake prober's arithmetic (md5-derived rate/window count,
@@ -761,12 +740,6 @@ def q_audio_energy(spark, sf_dir):
         "a hex rendering of the fake re-encode plus an exact SQL twin "
         "of the resize arithmetic",
     tags=("multimodal", "documents", "pandas-udf", "binary"),
-    # priority=1 (r7 rotation, sixth wave): driver-green in r6; takes
-    # a rotation slot so the new retrieval_hybrid_rrf entry collects
-    # its first driver pass inside the window. Hash-verified locally
-    # every round by test_parity_demoted; hashlib/arithmetic pin:
-    # tests/test_rotation_pins.py::test_mm_resize_thumbs_pin.
-    priority=1,
 )
 def q_resize(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")

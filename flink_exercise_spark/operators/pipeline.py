@@ -416,10 +416,6 @@ def _mix_threshold_sql() -> str:
         "salted per-language stratified data-mixing accounting in the "
         "same hash-agg pass",
     tags=("pipeline", "documents", "sampling"),
-    # priority=1 (r7 rotation, second wave): driver-green r6; takes a
-    # rotation slot so the new text_dsir_weights entry collects its
-    # first driver pass. Pandas pin: test_rotation_pins.py.
-    priority=1,
 )
 def q_hash_split(spark, sf_dir):
     return split_profile(load_table(prep(spark), sf_dir, "documents"))
@@ -475,6 +471,12 @@ def q_hash_split(spark, sf_dir):
         "budget), applied via the salted content-hash keep test — "
         "per-source accounting of docs/chars retained",
     tags=("pipeline", "documents", "sampling"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Python fixture reference: tests/test_pipeline.py::test_temperature_profile_matches_python_reference.
+    priority=1,
 )
 def q_temperature_mix(spark, sf_dir):
     return temperature_mix_profile(

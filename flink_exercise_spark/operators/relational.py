@@ -63,6 +63,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
     doc="TPC-H Q1 shape: pricing summary report over lineitem",
     tags=("relational", "lineitem"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -106,6 +112,12 @@ def q_tpch_q1(spark, sf_dir):
     doc="TPC-H Q3 shape: top unshipped orders by revenue "
         "(broadcast dim join + fact-fact join + TakeOrdered top-k)",
     tags=("relational", "join", "topk"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_tpch_q3(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(
@@ -157,6 +169,12 @@ def q_tpch_q3(spark, sf_dir):
     """,
     doc="TPC-H Q5 shape: revenue by nation through a 6-table join chain",
     tags=("relational", "join"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_tpch_q5(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
@@ -203,6 +221,12 @@ def q_tpch_q5(spark, sf_dir):
     doc="TPC-H Q6 shape: scan-heavy filtered aggregate "
         "(all predicates push into the parquet scan)",
     tags=("relational", "lineitem", "scan"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_tpch_q6(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -242,6 +266,12 @@ def q_tpch_q6(spark, sf_dir):
         "fact scan with pushed date range, part dim broadcast "
         "(plan-asserted), conditional aggregate",
     tags=("relational", "join", "part"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_tpch_q14(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -281,6 +311,12 @@ def q_tpch_q14(spark, sf_dir):
     doc="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one "
         "partitioned result: customers with vs without orders",
     tags=("relational", "join"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_semi_anti(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
@@ -296,13 +332,6 @@ def q_semi_anti(spark, sf_dir):
 
 @register(
     "join_outer_order_counts",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="""
     SELECT c_custkey, count(o_orderkey) AS n_orders,
            round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
@@ -333,13 +362,6 @@ def q_outer(spark, sf_dir):
 
 @register(
     "cube_orders_status_priority",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
            round(avg(o_totalprice), 4) AS avg_price
@@ -358,13 +380,6 @@ def q_cube(spark, sf_dir):
 
 @register(
     "grouping_sets_lineitem",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # The four explicit sets are ROLLUP(l_returnflag, l_linestatus)
     # plus the (l_linestatus) slice — one entry covering both the
     # ROLLUP hierarchy and arbitrary GROUPING SETS (Spark plans either
@@ -400,13 +415,6 @@ def q_grouping_sets(spark, sf_dir):
 
 @register(
     "sort_limit_top_orders",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
     FROM orders
@@ -431,13 +439,6 @@ def q_sort_limit(spark, sf_dir):
 
 @register(
     "union_orders_and_purchases",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="""
     SELECT 'order' AS src, o_orderkey AS id, round(o_totalprice, 2) AS amount
     FROM orders WHERE o_totalprice > 400000
@@ -483,6 +484,12 @@ def q_union(spark, sf_dir):
     """,
     doc="INTERSECT / EXCEPT set operations",
     tags=("relational", "setop"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_setops(spark, sf_dir):
     building = (
@@ -504,13 +511,6 @@ def q_setops(spark, sf_dir):
 
 @register(
     "scalar_functions_showcase",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="""
     SELECT o_orderkey,
            upper(substr(o_orderpriority, 1, 8))       AS pri_code,

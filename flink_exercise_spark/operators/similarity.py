@@ -918,12 +918,6 @@ _VEC_CTE = f"""
     """,
     doc="Exact cosine top-5 neighbors for query vectors (vec_id<10)",
     tags=("similarity", "embeddings", "knn"),
-    # priority=1 (r7 rotation, fourth wave): driver-green in r6; takes
-    # a rotation slot so the new doc_quantiles_by_source entry collects
-    # its first driver pass. Pinned independently by the numpy
-    # reference in tests/test_similarity.py::test_knn_ordering_exact
-    # plus the pandas pin in test_rotation_pins.py.
-    priority=1,
 )
 def q_knn_brute(spark, sf_dir):
     return knn_brute_force(load_table(prep(spark), sf_dir, "embeddings"))
@@ -971,11 +965,6 @@ def _bucket_sql(alias: str) -> str:
     """,
     doc="ANN top-3 via deterministic sign-bucket LSH (single probe)",
     tags=("similarity", "embeddings", "lsh"),
-    # priority=1 (r7 rotation, seventh wave): driver-green in r6;
-    # takes a rotation slot so the new dedup_cluster_keep_best entry
-    # collects its first driver pass. Numpy pin:
-    # tests/test_rotation_pins.py::test_sim_knn_lsh_bucketed_pin.
-    priority=1,
 )
 def q_knn_lsh(spark, sf_dir):
     return knn_lsh_bucketed(load_table(prep(spark), sf_dir, "embeddings"))
@@ -1140,6 +1129,12 @@ def q_near_dup(spark, sf_dir):
         "the farthest-from-centroid representative of each dense "
         "region; cluster id is the blocking key at 100 TB",
     tags=("similarity", "embeddings", "dedup", "pandas-udf"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Numpy fixture pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_semantic_prune(spark, sf_dir):
     return semantic_prune(load_table(prep(spark), sf_dir, "embeddings"))
@@ -1163,6 +1158,12 @@ def q_semantic_prune(spark, sf_dir):
     """,
     doc="Vector aggregation: per-label centroid norms",
     tags=("similarity", "embeddings"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_centroids(spark, sf_dir):
     return label_centroid_norms(load_table(prep(spark), sf_dir, "embeddings"))

@@ -687,6 +687,12 @@ def chunk_documents(
         "advancing by 48 (16-token overlap), short final window — "
         "pure-codegen slice/explode, zero shuffles",
     tags=("text", "documents", "chunking"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Python fixture reference: tests/test_chunking.py::test_fixture_matches_python_reference.
+    priority=1,
 )
 def q_chunk_overlap(spark, sf_dir):
     return chunk_documents(load_table(prep(spark), sf_dir, "documents"))
@@ -718,11 +724,6 @@ def q_chunk_overlap(spark, sf_dir):
         "PII-scrub accounting (URL/email/IPv4 counts + scrubbed-text "
         "fingerprint)",
     tags=("text", "documents", "dedup", "pii"),
-    # priority=1 (r7 rotation, fourth wave): driver-green in r6; takes
-    # a rotation slot so the new events_funnel_steps entry collects
-    # its first driver pass. Pinned independently by the hashlib
-    # reference pin in test_rotation_pins.py.
-    priority=1,
 )
 def q_fingerprints(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
@@ -764,3 +765,163 @@ def q_fingerprints(spark, sf_dir):
 # onto the per-document predictions — to hold the oracled-entry count
 # at the rotation window's steady-state capacity (registry._ordered).
 
+
+
+# --- HTML -> text extraction (the web-corpus front door) ---------------------
+#
+# Web corpora arrive as markup; CCNet/RefinedWeb-style pipelines strip
+# tags + boilerplate BEFORE the quality gates implemented above (VERDICT
+# r7 gap #1). Same discipline as every operator in this module: pure
+# Column expressions — regexp_replace / replace chains that whole-stage-
+# codegen compiles, shuffle-free, scan-bound at 100 TB — with the exact
+# twin expressible in DuckDB SQL for the value-hash oracle.
+#
+# Scope (documented seam): regex-level extraction. Tags with a literal
+# '>' inside a QUOTED attribute value (<a title="a>b">) truncate early —
+# full HTML5 tokenization needs a parser (a mapInPandas seam, like the
+# multimodal codecs), which real pipelines take from resiliparse/trafila-
+# tura. Every pattern is linear-time in both Java regex and RE2 (no
+# nested quantifiers; the non-greedy .*? is anchored by literal tails).
+
+# Unescape order is load-bearing and identical on both engines: named/
+# numeric entities first, '&amp;' LAST — so 'x &amp;lt; y' round-trips
+# to 'x &lt; y' (one level), never double-unescapes to 'x < y'.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+_HTML_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
+_HTML_STYLE = r"(?is)<style[^>]*>.*?</style>"
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_TAG = r"(?s)<[^>]+>"
+
+
+def escape_html_expr(col: str | Column) -> Column:
+    """Escape text for embedding as HTML character data ('&' first so
+    escaping never re-escapes its own output)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        c = F.replace(c, F.lit(ch), F.lit(ent))
+    return c
+
+
+def strip_html_expr(col: str | Column) -> Column:
+    """Markup -> visible text: drop script/style SUBTREES (their
+    character data is code, not prose), drop comments, replace every
+    remaining tag with a space (tags are word boundaries: '<p>a</p>b'
+    must not fuse words), THEN unescape entities — unescaping first
+    would turn '&lt;script&gt;' character data into live markup —
+    and finally collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _HTML_SCRIPT, " ")
+    c = F.regexp_replace(c, _HTML_STYLE, " ")
+    c = F.regexp_replace(c, _HTML_COMMENT, " ")
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_extract(
+    docs: DataFrame, html: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document HTML -> text extraction: (id, n_chars_html,
+    text_clean, n_chars_clean). A shuffle-free projection — the
+    extracted column feeds the existing quality/language/dedup gates
+    directly (see pipeline.llm_data_prep)."""
+    return docs.select(
+        id_col,
+        F.length(F.col(html)).cast("long").alias("n_chars_html"),
+        strip_html_expr(html).alias("text_clean"),
+    ).withColumn("n_chars_clean", F.length("text_clean").cast("long"))
+
+
+def wrap_documents_html(docs: DataFrame) -> DataFrame:
+    """Deterministic HTML rendering of the documents fixture — the
+    test/oracle harness for ``html_extract`` (the fixture corpus has no
+    markup column; the mm_* operators' attach-payload pattern). The
+    wrapper exercises every extraction rule: a script with '<' '&' and
+    quotes, a style block, a comment carrying the doc id, attributes,
+    a self-closing tag, and entity-escaped body text."""
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            did,
+            F.lit(
+                '</title><style>p { color: #fff; }</style>'
+                '<script>if (1 < 2) { alert("x & y"); }</script>'
+                "</head><body><!-- doc "
+            ),
+            did,
+            F.lit(' --><h1 class="hd">'),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            escape_html_expr(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit("</p><br/></body></html>"),
+        ).alias("html"),
+    )
+
+
+_HTML_ORACLE = """
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title><style>p {{ color: #fff; }}</style>' ||
+             '<script>if (1 < 2) {{ alert("x & y"); }}</script>' ||
+             '</head><body><!-- doc ' || CAST(doc_id AS VARCHAR) ||
+             ' --><h1 class="hd">' || source || '</h1><p>' ||
+             replace(replace(replace(coalesce(text, ''),
+               '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+             '</p><br/></body></html>' AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, html,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '{script}', ' ', 'g'),
+               '{style}', ' ', 'g'),
+               '{comment}', ' ', 'g'),
+               '{tag}', ' ', 'g') AS t
+      FROM wrapped
+    )
+    SELECT doc_id,
+           CAST(length(html) AS BIGINT) AS n_chars_html,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS text_clean,
+           CAST(length(trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+    FROM stripped
+""".format(
+    script=_HTML_SCRIPT,
+    style=_HTML_STYLE,
+    comment=_HTML_COMMENT,
+    tag=_HTML_TAG,
+)
+
+
+@register(
+    "text_html_extract",
+    oracle=_HTML_ORACLE,
+    doc="HTML -> text extraction (script/style subtree drop, comment "
+        "drop, tag-as-boundary strip, entity unescape, whitespace "
+        "normalization) over a deterministic HTML rendering of the "
+        "corpus — the web-corpus front door ahead of the quality "
+        "gates; pure codegen projection, zero shuffles",
+    tags=("text", "documents", "html"),
+)
+def q_html_extract(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    return html_extract(wrap_documents_html(docs))

@@ -74,6 +74,12 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """,
     doc="Sliding event-time window (7d size, 1d slide) counts",
     tags=("window", "events"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_sliding(spark, sf_dir):
     return sliding_window_counts(load_table(prep(spark), sf_dir, "events"))
@@ -81,13 +87,6 @@ def q_sliding(spark, sf_dir):
 
 @register(
     "t4_session_windows",
-    # priority=1 (r7 rotation): driver-green in r6; takes a rotation
-    # slot so the 15 r6-demoted entries (freshest pass r5) return to
-    # the driver window and the newly-oracled
-    # stream_interval_join_attribution fits (registry._ordered).
-    # Hash-verified locally every round by test_parity_demoted;
-    # pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # Gaps-and-islands: a new session starts where the gap from the
     # previous event (per user) is >= 30 min (Spark session semantics:
     # the window is [start, last+gap), an event at exactly prev+gap is
@@ -178,6 +177,12 @@ def hypertable_rollup(events: DataFrame, value: str = "value") -> DataFrame:
         "aggregates of the events stream in one Expand+hash-agg pass "
         "(continuous-aggregate pattern; grain = grouping_id)",
     tags=("window", "events", "rollup", "temporal"),
+    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
+    # slot so the 28 r7-demoted entries (freshest pass r6) return to
+    # the driver window (+1 seat for the new html extraction entry).
+    # Hash-verified locally every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_hypertable_rollup(spark, sf_dir):
     return hypertable_rollup(load_table(prep(spark), sf_dir, "events"))

@@ -213,15 +213,6 @@ def _register_roundtrip() -> None:
 
     @register(
         "clf_golden_log",
-        # priority=1 (r7 rotation): driver-green in r6; takes a
-        # rotation slot so the 15 r6-demoted entries return to the
-        # driver window (registry._ordered). Pin while demoted: the
-        # oracle below is hand-computed VALUES constants, so the local
-        # parity run (test_parity_demoted) compares the engine against
-        # fixed expected outputs — engine-independent by construction,
-        # no pandas pin needed (same exemption class as
-        # range_join_concurrent_events' quadratic fuzz).
-        priority=1,
         # VALUES oracle: expected outputs hand-computed from the
         # immutable checked-in log (see GOLDEN_LOG_PATH comment) — this
         # pins P1-P5 parsing + Q1 (string-key arg-max) + Q2 (windowed

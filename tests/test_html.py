@@ -1,0 +1,102 @@
+"""HTML -> text extraction: crafted-markup semantics, the documented
+regex-extraction seam, round-trip through the fixture wrapper, and the
+shuffle-free / no-Python plan contract."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.text import (
+    html_extract,
+    strip_html_expr,
+    wrap_documents_html,
+)
+from flink_exercise_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _strip(spark, html: str) -> str:
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(strip_html_expr("html").alias("t")).first()["t"]
+
+
+def test_tags_are_word_boundaries(spark):
+    assert _strip(spark, "<p>alpha</p>beta <b>bold</b>") == "alpha beta bold"
+
+
+def test_script_and_style_subtrees_dropped(spark):
+    html = (
+        "<head><style>p { color: red; }</style>"
+        '<script type="text/javascript">if (a < b && c > d) { f("x"); }'
+        "</script></head><body>kept</body>"
+    )
+    assert _strip(spark, html) == "kept"
+
+
+def test_script_case_insensitive_multiline(spark):
+    html = "<SCRIPT>\nvar x = 1;\nvar y = 2;\n</SCRIPT>text"
+    assert _strip(spark, html) == "text"
+
+
+def test_comments_dropped_including_markup_inside(spark):
+    html = "a<!-- <p>not text</p>\nstill comment -->b"
+    assert _strip(spark, html) == "a b"
+
+
+def test_entities_unescaped_once_after_tag_strip(spark):
+    # character-data '&lt;script&gt;' must NOT become a live tag, and
+    # '&amp;lt;' unescapes exactly one level
+    assert (
+        _strip(spark, "<p>&lt;script&gt;alert(1)&lt;/script&gt;</p>")
+        == "<script>alert(1)</script>"
+    )
+    assert _strip(spark, "x &amp;lt; y") == "x &lt; y"
+    assert _strip(spark, "a&nbsp;b &quot;q&quot; it&#39;s") == 'a b "q" it\'s'
+
+
+def test_attributes_and_selfclosing_tags(spark):
+    html = '<a href="http://x/y?a=1&amp;b=2" title="t">link</a><br/>end'
+    assert _strip(spark, html) == "link end"
+
+
+def test_whitespace_normalized(spark):
+    assert _strip(spark, "  <div>\n a\t\tb \n</div> ") == "a b"
+
+
+def test_documented_seam_quoted_gt_in_attribute(spark):
+    # regex-level extraction truncates the tag at the first '>', so a
+    # literal '>' inside a quoted attribute leaks the attr tail — the
+    # documented seam (full HTML5 tokenization needs a parser)
+    assert _strip(spark, '<a title="a>b">x</a>') == 'b">x'
+
+
+def test_fixture_wrapper_roundtrip(spark):
+    """Extraction over the deterministic wrapper recovers exactly
+    'Doc <id> <source> <ws-normalized text>' for every fixture doc."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = html_extract(wrap_documents_html(docs))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    src = {r["doc_id"]: r for r in docs.collect()}
+    assert set(rows) == set(src)
+    for d, r in rows.items():
+        text = src[d]["text"] or ""
+        want = f"Doc {d} {src[d]['source']} " + re.sub(r"\s+", " ", text.strip())
+        assert r["text_clean"] == want.strip(), d
+        assert r["n_chars_clean"] == len(r["text_clean"])
+        assert r["n_chars_html"] > r["n_chars_clean"]
+
+
+def test_plan_shuffle_free_no_python(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        html_extract(wrap_documents_html(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

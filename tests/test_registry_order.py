@@ -28,74 +28,54 @@ def test_demoted_showcases_sort_last_within_oracled():
     specs = registry.specs()
     oracled = [n for n in _names() if specs[n].oracle is not None]
     demoted = [n for n in oracled if specs[n].priority > 0]
-    # Round-7 rotation: the fifteen entries demoted in r6 return to
-    # the driver window (their freshest driver pass is r5 — one more
-    # round out would break the 2-round bound). Eighteen entries green
-    # in r6 take the rotation slots — fifteen returners' seats plus
-    # three more because three entries need their FIRST hash-checked
-    # pass inside the window: stream_interval_join_attribution (newly
-    # oracled — its batch-twin SQL replaced the rows-only check) and
-    # the two operators added mid-round-7, text_dsir_weights (DSIR
-    # importance weighting) and dedup_semantic_prune (SemDeDup).
-    # Every demoted entry holds an r6 driver pass (enforced below) and
-    # an independent non-DuckDB pin: pandas pins in
-    # tests/test_rotation_pins.py, except clf_golden_log whose oracle
-    # is hand-computed VALUES constants (engine-independent by
-    # construction — the parity run compares against fixed literals).
-    # Third wave (this session): mm_frame_sample and mm_audio_energy
-    # (both r6-green, hashlib pins in test_rotation_pins.py) take
-    # slots so the new events_heavy_hitters and stream_neardup_ingest
-    # entries collect their first driver passes.
-    # Fourth wave: sim_knn_brute_force, dedup_jaccard_pairs, and
-    # text_fingerprints (all r6-green, pinned in test_rotation_pins.py
-    # plus their existing numpy/python-set reference tests) take slots
-    # so the new doc_quantiles_by_source, text_bigram_lift, and
-    # events_funnel_steps entries collect their first driver passes.
-    # Fifth wave: mm_decode_features (r6-green, hashlib pin) takes a
-    # slot so the new text_bm25_topk entry collects its first driver
-    # pass.
-    # Sixth wave: mm_resize_thumbs (r6-green, hashlib/arithmetic pin)
-    # takes a slot so the new retrieval_hybrid_rrf entry collects its
-    # first driver pass.
-    # Seventh wave: dedup_minhash_signatures (r6-green, hashlib pin;
-    # signature math still driver-checked through every banding
-    # entry) and sim_knn_lsh_bucketed (r6-green, numpy pin) take
-    # slots so the new pipeline_temperature_mix and
-    # dedup_cluster_keep_best entries collect their first driver
-    # passes.
-    # Eighth wave: dedup_minhash_band_pairs (r6-green, hashlib pin;
-    # banding still driver-checked through the verified-pairs /
-    # clusters / keep-best entries) takes a slot so the new
-    # text_chunk_overlap entry collects its first driver pass.
+    # Round-8 rotation (executes VERDICT r7 ask #3): the 28 entries
+    # demoted in r7 return to the driver window (their freshest driver
+    # pass is r6 — one more round out would break the 2-round bound).
+    # Twenty-nine entries green in r7 (CORRECTNESS_r07: 50/50) take the
+    # rotation slots — the 28 returners' seats plus one more so the new
+    # text_html_extract entry collects its FIRST hash-checked pass
+    # inside the window. Every demoted entry holds an r7 driver pass
+    # (enforced below) and an independent non-DuckDB pin, noted at its
+    # register() site: pandas/numpy/Counter pins in
+    # tests/test_rotation_pins.py, or an own-file pure-python / pandas
+    # fixture-reference test (test_chunking / test_profiling /
+    # test_sketches / test_retrieval / test_tokenizer / test_importance
+    # / test_pipeline / test_packing), or — for
+    # range_join_concurrent_events — the quadratic-reference
+    # differential fuzz (the r6-accepted exemption class).
     assert set(demoted) == {
-        "mm_decode_features",
-        "mm_resize_thumbs",
-        "dedup_minhash_signatures",
-        "sim_knn_lsh_bucketed",
-        "dedup_minhash_band_pairs",
-        "sim_knn_brute_force",
-        "dedup_jaccard_pairs",
-        "text_fingerprints",
-        "mm_frame_sample",
-        "mm_audio_energy",
-        "dedup_exact_map",
-        "pipeline_hash_split",
-        "ref_q1_top_host_str",
-        "ref_q2_cumulative_distinct",
-        "a1_requests_per_host",
-        "a2_count_events",
-        "a3_first_event_per_host",
-        "a6_top3_hosts_per_window",
-        "t4_session_windows",
-        "clf_golden_log",
-        "asof_purchase_attribution",
-        "mm_binary_metadata",
-        "join_outer_order_counts",
-        "cube_orders_status_priority",
-        "grouping_sets_lineitem",
-        "sort_limit_top_orders",
-        "union_orders_and_purchases",
-        "scalar_functions_showcase",
+        # existing test_rotation_pins.py pins (demoted r6, returned r7)
+        "events_type_stats",
+        "a1_running_counts_analytic",
+        "events_json_props",
+        "intersect_except_custkeys",
+        "sim_label_centroid_norms",
+        "skew_salted_distinct_count",
+        "hypertable_rollup_events",
+        "t4_sliding_window_counts",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+        "tpch_q14_promo_revenue",
+        "join_semi_anti_customers",
+        # own-file fixture-reference pins (cited at the register site)
+        "text_chunk_overlap",
+        "doc_quantiles_by_source",
+        "events_heavy_hitters",
+        "retrieval_hybrid_rrf",
+        "text_bm25_topk",
+        "text_bigram_lift",
+        "text_dsir_weights",
+        "pipeline_temperature_mix",
+        "pipeline_pack_chunks",
+        "range_join_concurrent_events",
+        # new pins added to test_rotation_pins.py this round
+        "ts_pattern_search",
+        "text_vocab_topk",
+        "text_token_rarity",
+        "dedup_semantic_prune",
+        "dedup_cluster_keep_best",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

@@ -992,3 +992,261 @@ def test_text_fingerprints_pin(spark):
         assert row["n_emails"] == len(re.findall(EMAIL_PATTERN, text))
         assert row["n_ipv4"] == len(re.findall(IPV4_PATTERN, text))
         assert row["scrubbed_fp"] == md5(scrubbed)
+
+
+# --- r8 rotation pins --------------------------------------------------------
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark/DuckDB ROUND (HALF_UP, away from zero) — python's built-in
+    round() is banker's and can differ exactly on .5 boundaries."""
+    import math
+
+    scale = 10**digits
+    return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+
+def test_ts_pattern_search_pin(spark, events_pdf):
+    """Numpy reference: per-user (ts, value)-sorted series, L=8 sliding
+    windows, z-normalized correlation vs the upward RAMP, top-20 by
+    (score desc, user_id, offset) — the registered bucketed kernel is
+    bit-equal to this declarative semantics (test_timeseries.py)."""
+    from flink_exercise_spark.operators.timeseries import (
+        PATTERN_LEN,
+        RAMP,
+        TOP_K,
+    )
+
+    rows = []
+    ordered = events_pdf.sort_values(["user_id", "ts", "value"])
+    for uid, sub in ordered.groupby("user_id"):
+        vals = sub["value"].to_numpy(np.float64)
+        n = len(vals)
+        for off in range(1, n - PATTERN_LEN + 2):  # 1-based offsets
+            w = vals[off - 1 : off - 1 + PATTERN_LEN]
+            # sequential folds, mirroring the Column aggregate() order
+            s = 0.0
+            for x in w:
+                s = s + x
+            m = s / float(PATTERN_LEN)
+            ss = 0.0
+            for x in w:
+                ss = ss + (x - m) * (x - m)
+            if ss <= 0:
+                continue
+            dot = 0.0
+            for x, p in zip(w, RAMP):
+                dot = dot + (x - m) * p
+            rows.append(
+                (uid, off, _round_half_up(dot / np.sqrt(ss), 6))
+            )
+    rows.sort(key=lambda t: (-t[2], t[0], t[1]))
+    want = rows[:TOP_K]
+    got = [
+        (r.user_id, r.offset, r.match_score)
+        for r in _run(spark, "ts_pattern_search").itertuples()
+    ]
+    assert len(got) == TOP_K
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    np.testing.assert_allclose(
+        [g[2] for g in got], [w[2] for w in want], atol=2e-6
+    )
+
+
+def test_text_vocab_topk_pin(spark):
+    """Counter reference for the tokenizer-induction statistics: word
+    top-k (count + doc freq) unioned with weighted adjacent char-pair
+    counts over the vocabulary."""
+    import re
+    from collections import Counter
+
+    from flink_exercise_spark.operators.tokenizer import (
+        PAIR_TOP_K,
+        VOCAB_TOP_K,
+    )
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    word_n: Counter = Counter()
+    word_docs: dict[str, set] = {}
+    for r in docs.itertuples():
+        if r.text is None:
+            continue
+        toks = [w for w in re.split(r"\s+", r.text.strip()) if w]
+        word_n.update(toks)
+        for w in set(toks):
+            word_docs.setdefault(w, set()).add(r.doc_id)
+    topw = sorted(word_n.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :VOCAB_TOP_K
+    ]
+    pair_n: Counter = Counter()
+    for w, n in word_n.items():
+        for i in range(len(w) - 1):
+            pair_n[w[i : i + 2]] += n
+    topp = sorted(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :PAIR_TOP_K
+    ]
+    want = [
+        ("word", w, n, len(word_docs[w])) for w, n in topw
+    ] + [("char_pair", p, n, None) for p, n in topp]
+    out = _run(spark, "text_vocab_topk")
+    got = [
+        (
+            r.kind,
+            r.item,
+            int(r.n),
+            None if pd.isna(r.doc_freq) else int(r.doc_freq),
+        )
+        for r in out.itertuples()
+    ]
+    assert sorted(got, key=str) == sorted(want, key=str)
+
+
+def test_text_token_rarity_pin(spark):
+    """Dict reference: rarity = mean floored inverse corpus token
+    frequency, integer-exact by construction."""
+    import re
+    from collections import Counter
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    doc_toks = {}
+    vocab: Counter = Counter()
+    for r in docs.itertuples():
+        if r.text is None:
+            continue
+        toks = [w for w in re.split(r"\s+", r.text.strip()) if w]
+        if toks:
+            doc_toks[r.doc_id] = toks
+            vocab.update(toks)
+    n_total = sum(vocab.values())
+    out = _run(spark, "text_token_rarity").set_index("doc_id")
+    assert set(out.index) == set(doc_toks)
+    for d, toks in doc_toks.items():
+        row = out.loc[d]
+        assert row["n_tokens"] == len(toks)
+        s = sum(n_total // vocab[t] for t in toks)
+        assert row["rarity"] == pytest.approx(
+            _round_half_up(s / len(toks), 4), abs=1e-4
+        )
+
+
+def test_dedup_semantic_prune_pin(spark):
+    """Numpy reference of the full SemDeDup pipeline on the fixture:
+    nearest-centroid assignment over the deterministic 8-cell default
+    codebook (max rounded cosine, ties to the lower cell id), then
+    within-cell pair-domination — drop v iff an earlier-(cent_cos,
+    vec_id)-ranked u has round-6 cosine >= threshold."""
+    from flink_exercise_spark.operators.similarity import (
+        SEMDEDUP_TARGET_CELL,
+        SEMDEDUP_TAU,
+    )
+
+    emb = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    ids = emb["vec_id"].to_numpy(np.int64)
+    M = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    n_cells = max(8, -(-len(ids) // SEMDEDUP_TARGET_CELL))
+    cent_rows = np.flatnonzero(ids < n_cells)
+    cent_ids = ids[cent_rows]
+    cos = np.round(
+        (M @ M[cent_rows].T) / np.outer(norms, norms[cent_rows]), 6
+    )
+    micro = np.round(cos * 1e6).astype(np.int64)
+    # packed argmax, mirroring _assign_cells: highest micro-cosine,
+    # ties to the LOWER cell id (larger complement field)
+    pack = micro * (1 << 20) + ((1 << 20) - 1 - cent_ids.astype(np.int64))
+    best = pack.argmax(axis=1)
+    cell = cent_ids[best]
+    cent_cos = micro[np.arange(len(ids)), best] / 1e6
+    keep = {}
+    for c in np.unique(cell):
+        rows = np.flatnonzero(cell == c)
+        rank = rows[np.lexsort((ids[rows], cent_cos[rows]))]
+        G = np.round(
+            (M[rank] @ M[rank].T) / np.outer(norms[rank], norms[rank]), 6
+        )
+        dominated = np.tril(G >= SEMDEDUP_TAU, k=-1).any(axis=1)
+        for r, d in zip(rank, dominated):
+            keep[int(ids[r])] = (int(c), float(cent_cos[r]), not d)
+    out = _run(spark, "dedup_semantic_prune").set_index("vec_id")
+    assert set(out.index) == set(keep)
+    for v, (c, cc, k) in keep.items():
+        row = out.loc[v]
+        assert int(row["cell_id"]) == c, v
+        assert bool(row["keep"]) == k, v
+        assert row["cent_cos"] == pytest.approx(cc, abs=2e-6)
+
+
+def test_dedup_cluster_keep_best_pin(spark):
+    """Pure-python (hashlib + union-find) reference of the full
+    keep-best pipeline: MinHash signatures -> 4x2 band buckets ->
+    candidate pairs -> exact shingle-Jaccard verify (>= 0.2) ->
+    connected components -> canonical = max n_chars then min doc_id."""
+    import hashlib
+    import re
+    from itertools import combinations
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    sh = {}
+    quality = {}
+    for r in docs.itertuples():
+        quality[int(r.doc_id)] = (
+            -1 if pd.isna(r.n_chars) else int(r.n_chars)
+        )
+        if r.text is None:
+            continue
+        words = [w for w in re.split(r"\s+", r.text.strip()) if w]
+        s = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        if s:
+            sh[int(r.doc_id)] = s
+    buckets: dict = {}
+    for d, s in sh.items():
+        hs = [
+            min(
+                hashlib.md5(f"{i}|{g}".encode("utf-8")).hexdigest()
+                for g in s
+            )
+            for i in range(8)
+        ]
+        for b in range(4):
+            band = hashlib.md5(
+                f"{hs[2 * b]}|{hs[2 * b + 1]}".encode("utf-8")
+            ).hexdigest()
+            buckets.setdefault((b, band), []).append(d)
+    cands = set()
+    for members in buckets.values():
+        cands.update(combinations(sorted(members), 2))
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    verified = set()
+    for a, b in cands:
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        union = len(sh[a]) + len(sh[b]) - inter
+        if _round_half_up(inter / union, 4) >= 0.2:
+            verified.add((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list] = {}
+    for d in {x for p in verified for x in p}:
+        members.setdefault(find(d), []).append(d)
+    want = {}
+    for ms in members.values():
+        cid = min(ms)
+        canon = min(ms, key=lambda d: (-quality[d], d))
+        for d in ms:
+            want[d] = (cid, canon, d == canon)
+    out = _run(spark, "dedup_cluster_keep_best").set_index("doc_id")
+    assert set(out.index) == set(want) and len(want) > 0
+    for d, (cid, canon, k) in want.items():
+        row = out.loc[d]
+        assert int(row["cluster_id"]) == cid, d
+        assert int(row["canonical_doc_id"]) == canon, d
+        assert bool(row["keep"]) == k, d
