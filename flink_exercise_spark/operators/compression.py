@@ -1,0 +1,280 @@
+"""int8 embedding compression for the ANN family (VERDICT r7 ask #8).
+
+At 100 TB the embedding STORE, not the probe count, is the bill:
+IVF-flat (similarity.knn_ivf) reads full float64 vectors for every
+probed candidate. Symmetric per-dimension int8 scalar quantization
+cuts the probed bytes 8x (64-dim float64 512 B -> 64 B + one stored
+float norm) while keeping the FINAL ranking exact: the quantized store
+only selects a per-query SHORTLIST, and the shortlist is re-scored
+against the original float vectors — so with an adequate shortlist
+the output is row-for-row identical to ``knn_ivf`` (equality-pinned
+in tests/test_compression.py; recall-vs-shortlist measured there too).
+
+Shape discipline (the package's standing rules):
+- the per-dim scale model is aggregate-sized (dims rows): built with
+  one posexplode + hash agg whose partial maxima combine map-side
+  (shuffle = partitions x dims rows, never corpus-sized), folded to a
+  single array row and BROADCAST — the corpus never reshuffles;
+- quantization itself is a shuffle-free zip_with projection;
+- the shortlist join back to the float store is a vec_id equi-join of
+  a (queries x shortlist)-sized relation against the corpus — AQE
+  broadcasts it; no cartesian anywhere (plan-asserted).
+
+Product quantization (PQ: per-subvector codebooks, 16-32x) is the next
+compression level on the same seam — the store/score/rescore contract
+here is codebook-agnostic, so a PQ store slots in by swapping
+``quantize_int8``/``approx_score_expr`` only.
+
+Exactness notes: quantized values are integers in [-127, 127]; the
+round-half-up is Spark's ROUND, and the stored ``norm`` is the exact
+float norm (functions.vectors.l2_norm_expr fold), so the approximate
+cosine's DENOMINATOR is exact — only the dot product carries
+quantization error, bounded by scale/2 per dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.functions.vectors import l2_norm_expr, with_norm
+from flink_exercise_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    _rank_top_k,
+)
+from flink_exercise_spark.sources.tables import spread
+
+INT8_MAX = 127
+
+
+def int8_scales(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension symmetric quantization scales: ``(dim, scale)``
+    with scale = absmax(dim) / 127 (1.0 for an all-zero dimension so
+    quantize/dequantize stay total). Aggregate-sized output; the
+    posexplode feeds a two-phase hash agg, so the shuffle carries
+    partitions x dims rows regardless of corpus size."""
+    absmax = (
+        emb.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.max(F.abs(F.col("v"))).alias("absmax"))
+    )
+    return absmax.select(
+        "dim",
+        F.when(F.col("absmax") == 0.0, F.lit(1.0))
+        .otherwise(F.col("absmax") / F.lit(float(INT8_MAX)))
+        .alias("scale"),
+    )
+
+
+def _scales_array(scales: DataFrame) -> DataFrame:
+    """Fold the (dim, scale) model to ONE array row (dim order) for
+    broadcasting next to a corpus-sized relation."""
+    return scales.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("scale")))
+            ),
+            lambda s: s["scale"],
+        ).alias("_scales")
+    )
+
+
+def quantize_int8(
+    emb: DataFrame, scales: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """The compressed store: ``(vec_id, qvec array<tinyint>, norm)``.
+    qvec_d = clamp(round(v_d / scale_d)) in [-127, 127]; ``norm`` is
+    the EXACT float L2 norm (one double per vector — the standard
+    companion so cosine denominators carry no quantization error).
+    One broadcast of the 1-row scale array + a zip_with projection:
+    zero shuffles on the corpus."""
+    with_scales = emb.crossJoin(F.broadcast(_scales_array(scales)))
+    q = F.zip_with(
+        F.col(vec_col),
+        F.col("_scales"),
+        lambda v, s: F.greatest(
+            F.lit(-INT8_MAX),
+            F.least(F.lit(INT8_MAX), F.round(v / s, 0)),
+        ).cast("tinyint"),
+    )
+    return with_scales.select(
+        "vec_id",
+        q.alias("qvec"),
+        l2_norm_expr(vec_col).alias("norm"),
+    )
+
+
+def dequantize_expr(qvec: Column | str, scales_arr: Column | str) -> Column:
+    """Reconstruct approximate floats: q_d * scale_d."""
+    q = F.col(qvec) if isinstance(qvec, str) else qvec
+    s = F.col(scales_arr) if isinstance(scales_arr, str) else scales_arr
+    return F.zip_with(q, s, lambda a, b: a.cast("double") * b)
+
+
+def approx_cosine_expr(
+    qvec: str, scales_arr: str, q_emb: str, c_norm: str, q_norm: str
+) -> Column:
+    """cos~(candidate, query) = <dequantized, query> / (norm_c *
+    norm_q) — numerator approximate (quantization error only),
+    denominator exact (stored norms)."""
+    dot = F.aggregate(
+        F.zip_with(
+            dequantize_expr(qvec, scales_arr),
+            F.col(q_emb),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (F.col(c_norm) * F.col(q_norm))
+
+
+def knn_ivf_int8(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    k: int = TOP_K,
+    shortlist: int | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat ANN over the int8-compressed store with exact
+    re-scoring: identical probing to ``similarity.knn_ivf`` (the
+    deterministic first-``n_cells``-corpus-vectors codebook, or a
+    trained one), but probed candidates are PRE-RANKED by the
+    quantized approximate cosine and only the per-query top
+    ``shortlist`` (default 4k, floor 32) join back to the float store
+    for exact scoring — the output contract (query_id, neighbor_id,
+    cosine, rank) matches ``knn_ivf`` and EQUALS it whenever the
+    shortlist covers the true top-k (guaranteed at shortlist >= cell
+    population; measured-recall at tighter budgets in tests).
+
+    100 TB reading: the corpus-sized relation that the probe join
+    scans is the 8x-smaller qvec store; the float store is touched
+    only by the (queries x shortlist)-row equi-join, which AQE
+    broadcasts."""
+    if shortlist is None:
+        shortlist = max(4 * k, 32)
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+
+    corpus_f = spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
+    scales = int8_scales(corpus_f)
+    store = quantize_int8(corpus_f, scales).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+
+    # Assignment + probing are centroid-vs-vector (model-sized math,
+    # full precision here exactly as in knn_ivf — quantization must
+    # only touch CANDIDATE scoring, where the corpus bytes are); the
+    # packed-argmax below is knn_ivf's assignment idiom verbatim, so
+    # the two operators probe identical cells by construction
+    # (equality-pinned in tests/test_compression.py).
+    from flink_exercise_spark.functions.vectors import cosine_from_norms
+
+    n_cells_eff = 8 if n_cells is None else n_cells
+    if codebook is not None:
+        cents = with_norm(codebook, vec_col="cent", out="cent_norm").select(
+            F.col("cell_id").cast("int"), "cent", "cent_norm"
+        )
+    else:
+        cents = with_norm(
+            emb.filter(
+                (F.col("vec_id") >= n_queries)
+                & (F.col("vec_id") < n_queries + n_cells_eff)
+            )
+        ).select(
+            (F.col("vec_id") - n_queries).cast("int").alias("cell_id"),
+            F.col("embedding").alias("cent"),
+            F.col("norm").alias("cent_norm"),
+        )
+    corpus = with_norm(corpus_f).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    queries = with_norm(emb.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    aff = corpus.crossJoin(F.broadcast(cents)).select(
+        "neighbor_id",
+        "cell_id",
+        F.round(
+            cosine_from_norms("c_emb", "cent", "c_norm", "cent_norm"), 6
+        ).alias("cos"),
+    )
+    packed = (
+        F.round(F.col("cos") * 1_000_000, 0).cast("long") + 1_000_000
+    ) * 256 + (255 - F.col("cell_id"))
+    assigned_ids = (
+        aff.groupBy("neighbor_id")
+        .agg(F.max(packed).alias("p"))
+        .select(
+            "neighbor_id",
+            (255 - F.col("p") % 256).cast("int").alias("cell_id"),
+        )
+    )
+    probe_item = F.struct(
+        (
+            -F.round(
+                cosine_from_norms("q_emb", "cent", "q_norm", "cent_norm"), 6
+            )
+        ).alias("_nc"),
+        F.col("cell_id").alias("_cid"),
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(probe_item)), 1, n_probe
+            ).alias("_top"),
+            F.first("q_emb").alias("q_emb"),
+            F.first("q_norm").alias("q_norm"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            F.explode("_top._cid").alias("cell_id"),
+        )
+    )
+
+    # APPROXIMATE pass over the COMPRESSED store: the corpus-sized
+    # relation here carries qvec (tinyint) + norm, not float vectors.
+    q_store = store.join(assigned_ids, "neighbor_id").crossJoin(
+        F.broadcast(_scales_array(scales))
+    )
+    approx = q_store.join(F.broadcast(probes), "cell_id").select(
+        "query_id",
+        "neighbor_id",
+        approx_cosine_expr(
+            "qvec", "_scales", "q_emb", "norm", "q_norm"
+        ).alias("acos"),
+    )
+    short = _rank_top_k(approx, shortlist, score_col="acos").select(
+        "query_id", "neighbor_id"
+    )
+
+    # EXACT re-score of the shortlist against the float store: the
+    # shortlist is (queries x shortlist) rows — AQE broadcasts it.
+    rescored = (
+        short.join(corpus, "neighbor_id")
+        .join(
+            F.broadcast(
+                queries.select("query_id", "q_emb", "q_norm")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
+            ).alias("cosine"),
+        )
+    )
+    return _rank_top_k(rescored, k)

@@ -10,9 +10,11 @@ is identical whether the decoder is real or stubbed.
 The container has no image/audio libraries, so the default decode
 kernel is a clearly-marked deterministic fake (FakeImageCodec) behind
 the same interface a real libvips/PIL/ffmpeg kernel would implement.
-Two seams are REAL since r7, stdlib-only: uncompressed 24-bit BMP
-(BmpImageCodec) and 16-bit PCM mono WAV (WavAudioCodec, via the
-``wave`` module) — ``decode_any`` / the audio kernel dispatch on
+Three image/audio seams are REAL, stdlib-only: uncompressed 24-bit BMP
+(BmpImageCodec, r7), compressed PNG (PngImageCodec, r8 — zlib inflate
++ per-scanline unfilter, all five filter types) and 16-bit PCM mono
+WAV (WavAudioCodec, r7, via the ``wave`` module) — ``decode_any`` /
+the audio kernel dispatch on
 strict container sniffs (magic bytes + internal length consistency),
 so genuine media bytes get real pixel/sample math while everything
 else keeps the deterministic stub. The fixtures carry no binary
@@ -138,6 +140,152 @@ class BmpImageCodec:
 BMP_DECODER = BmpImageCodec()
 
 
+@dataclass(frozen=True)
+class PngImageCodec:
+    """REAL image decoder for PNG — stdlib-only (zlib inflate +
+    per-scanline unfilter), no PIL/libvips in this container. Fills
+    the compressed-image half of the codec seam (VERDICT r7 gap #2):
+    same (format, width, height, mean_luma) contract as
+    FakeImageCodec/BmpImageCodec, values from actual pixel data.
+
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA), interlace 0, all five filter types
+    (None/Sub/Up/Average/Paeth). Palette (3), sub-byte depths, 16-bit
+    channels, and Adam7 interlacing raise NotImplementedError — still
+    a documented seam, narrower again."""
+
+    _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+    def probe(self, payload: bytes) -> tuple[int, int, int]:
+        """IHDR-only parse: (width, height, channels). O(1) — the dims
+        path for kernels that never inflate pixels (resize)."""
+        if len(payload) < 33 or payload[12:16] != b"IHDR":
+            raise NotImplementedError("truncated PNG / missing IHDR")
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        depth, color, comp, filt, interlace = payload[24:29]
+        if depth != 8 or color not in self._CHANNELS:
+            raise NotImplementedError(
+                f"real decoder covers 8-bit gray/RGB/GA/RGBA only "
+                f"(got depth={depth}, color_type={color})"
+            )
+        if comp != 0 or filt != 0 or interlace != 0:
+            raise NotImplementedError(
+                f"unsupported PNG encoding (compression={comp}, "
+                f"filter_method={filt}, interlace={interlace})"
+            )
+        if width == 0 or height == 0:
+            raise NotImplementedError(
+                f"degenerate PNG dimensions {width}x{height}"
+            )
+        return width, height, self._CHANNELS[color]
+
+    @staticmethod
+    def _paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    def decode_pixels(self, payload: bytes) -> tuple[int, int, int, bytes]:
+        """Full decode: (width, height, channels, raw) with ``raw`` the
+        unfiltered row-major samples (height x width x channels bytes).
+        Split from ``decode`` so tests can pin the unfilter arithmetic
+        byte-for-byte against known pixel data per filter type."""
+        import zlib
+
+        width, height, channels = self.probe(payload)
+        # Walk chunks: 4-byte BE length, 4-byte type, data, 4-byte CRC.
+        idat = bytearray()
+        pos = 8
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos : pos + 4], "big")
+            ctype = payload[pos + 4 : pos + 8]
+            data_end = pos + 8 + ln
+            if data_end + 4 > len(payload):
+                raise NotImplementedError("truncated PNG chunk")
+            if ctype == b"IDAT":
+                idat += payload[pos + 8 : data_end]
+            elif ctype == b"IEND":
+                break
+            pos = data_end + 4
+        if not idat:
+            raise NotImplementedError("PNG carries no IDAT data")
+        try:
+            data = zlib.decompress(bytes(idat))
+        except zlib.error as exc:
+            raise NotImplementedError(f"corrupt PNG IDAT stream: {exc}")
+        stride = width * channels
+        if len(data) != (stride + 1) * height:
+            raise NotImplementedError(
+                f"PNG scanline data is {len(data)} bytes, expected "
+                f"{(stride + 1) * height}"
+            )
+        out = bytearray()
+        prev = bytes(stride)
+        pos = 0
+        for _ in range(height):
+            ft = data[pos]
+            cur = bytearray(data[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ft == 1:  # Sub
+                for i in range(channels, stride):
+                    cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(stride):
+                    cur[i] = (cur[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(stride):
+                    left = cur[i - channels] if i >= channels else 0
+                    cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(stride):
+                    left = cur[i - channels] if i >= channels else 0
+                    ul = prev[i - channels] if i >= channels else 0
+                    cur[i] = (cur[i] + self._paeth(left, prev[i], ul)) & 0xFF
+            elif ft != 0:
+                raise NotImplementedError(f"unknown PNG filter type {ft}")
+            out += cur
+            prev = bytes(cur)
+        return width, height, channels, bytes(out)
+
+    def decode(self, payload: bytes) -> tuple[str, int, int, float]:
+        width, height, channels, raw = self.decode_pixels(payload)
+        total = 0.0
+        if channels <= 2:  # gray / gray+alpha: luma IS the gray sample
+            for p in range(width * height):
+                total += raw[p * channels]
+        else:  # RGB / RGBA (alpha ignored, the BMP luma convention)
+            for p in range(width * height):
+                o = p * channels
+                total += (
+                    0.299 * raw[o] + 0.587 * raw[o + 1] + 0.114 * raw[o + 2]
+                )
+        mean_luma = round(total / (width * height) / 255.0, 6)
+        return "png", width, height, mean_luma
+
+
+PNG_DECODER = PngImageCodec()
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _looks_png(payload: bytes) -> bool:
+    """Strict container sniff (the _looks_bmp contract): the 8-byte PNG
+    signature AND a well-formed IHDR first chunk. The signature's \\x89
+    first byte is not valid UTF-8 lead, so the fixtures' text-derived
+    payloads can never route here (md5-arithmetic oracles stay exact)."""
+    return (
+        len(payload) >= 33
+        and payload[:8] == _PNG_MAGIC
+        and payload[8:12] == b"\x00\x00\x00\x0d"
+        and payload[12:16] == b"IHDR"
+    )
+
+
 def _looks_bmp(payload: bytes) -> bool:
     """Strict container sniff: 'BM' magic AND the header's file-size
     field equal to the actual payload length — a UTF-8 text that
@@ -159,6 +307,8 @@ def decode_any(payload: bytes) -> tuple[str, int, int, float]:
     fixture contract unchanged."""
     if _looks_bmp(payload):
         return BMP_DECODER.decode(payload)
+    if _looks_png(payload):
+        return PNG_DECODER.decode(payload)
     return DECODER.decode(payload)
 
 
@@ -170,6 +320,9 @@ def probe_dims_any(payload: bytes) -> tuple[int, int]:
     if _looks_bmp(payload):
         _, w, n_rows = BMP_DECODER.probe(payload)
         return w, n_rows
+    if _looks_png(payload):
+        w, h, _ = PNG_DECODER.probe(payload)
+        return w, h
     _, w, h, _ = DECODER.decode(payload)
     return w, h
 

