@@ -278,3 +278,260 @@ def knn_ivf_int8(
         )
     )
     return _rank_top_k(rescored, k)
+
+
+# --- product quantization (the 64x level on the same seam) -------------------
+#
+# PQ (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search", IEEE TPAMI): split each vector into M subvectors, quantize
+# each against its own 2^B-codeword codebook, store M small codes per
+# vector. At M=8, B=8 a 64-dim float64 vector (512 B) becomes 8 bytes —
+# 64x — and scoring uses asymmetric distance computation (ADC): the
+# QUERY precomputes, per subspace, its dot product with every codeword
+# (an M x 2^B lookup table, model-sized), so scoring a candidate is M
+# integer lookups + adds, never a float vector read.
+#
+# Spark shape (the int8 rules, one level up):
+# - codebooks are model-sized (M x 2^B x dims/M doubles): default
+#   deterministic (the first 2^B corpus vectors' subvectors — the
+#   knn_ivf default-codebook convention, so tests can restate them);
+#   training hook = clustering.kmeans_centroids per subspace;
+# - encoding is one broadcast of the codebooks + a per-row argmin —
+#   pure Column HOFs (no Python);
+# - ADC scoring joins the corpus-sized CODE relation against a
+#   broadcast per-query LUT and folds M lookups — the corpus never
+#   reshuffles and never reads floats;
+# - exactness: like knn_ivf_int8, PQ only RANKS the shortlist; the
+#   final top-k re-scores survivors against the float store.
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: ``(subspace, code, codeword)`` with
+    subspace in [0, m), code in [0, n_codes), codeword = the code-th
+    corpus vector's subspace slice (dims/m doubles). Model-sized
+    (m x n_codes rows); swap in per-subspace kmeans_centroids slices
+    for trained codebooks — the consumers below only see the relation
+    shape."""
+    from pyspark.sql import Window
+
+    base = (
+        emb.orderBy("vec_id")
+        .limit(n_codes)
+        .select(
+            # model-sized relation (n_codes rows) — the global window
+            # sorts 16 rows, not data
+            F.row_number().over(Window.orderBy("vec_id")).alias("_rn"),
+            vec_col,
+        )
+    )
+    sub = base.select(
+        (F.col("_rn") - 1).cast("int").alias("code"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(m - 1))
+        ).alias("subspace"),
+        F.col(vec_col).alias("_v"),
+    )
+    seg = F.size("_v") / m
+    return sub.select(
+        "subspace",
+        "code",
+        F.slice(
+            "_v",
+            (F.col("subspace") * seg + 1).cast("int"),
+            seg.cast("int"),
+        ).alias("codeword"),
+    )
+
+
+def _codebooks_array(codebooks: DataFrame) -> DataFrame:
+    """Fold the codebook relation to ONE row: ``_cb`` is an array over
+    subspaces of arrays over codes of codeword arrays (m x n_codes x
+    seg doubles) — model-sized, broadcastable."""
+    per_sub = codebooks.groupBy("subspace").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("code"), F.col("codeword")))
+            ),
+            lambda s: s["codeword"],
+        ).alias("_codes")
+    )
+    return per_sub.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("subspace"), F.col("_codes")))
+            ),
+            lambda s: s["_codes"],
+        ).alias("_cb")
+    )
+
+
+def _sub_slice(vec_col: str, sub: Column, m: int) -> Column:
+    seg = F.size(vec_col) / m
+    return F.slice(vec_col, (sub * seg + 1).cast("int"), seg.cast("int"))
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ store: ``(vec_id, codes array<tinyint>, norm double)``.
+    codes[j] = argmin_c ||subvector_j - codeword_{j,c}||^2, ties to the
+    LOWEST code (packed integer argmin — the knn_ivf idiom; squared
+    distance rounded to 6 dp micro-units so the pack is exact).
+    One broadcast codebook row + Column HOFs: zero shuffles, no
+    Python. The exact float ``norm`` rides along (the int8 rationale:
+    ADC approximates the numerator only)."""
+    with_cb = emb.crossJoin(F.broadcast(_codebooks_array(codebooks)))
+
+    def best_code(sub_idx: Column) -> Column:
+        sv = _sub_slice(vec_col, sub_idx, m)
+        codes = F.element_at(F.col("_cb"), sub_idx.cast("int") + 1)
+        # packed (micro-distance, code) argmin over the code axis
+        packed = F.transform(
+            codes,
+            lambda cw, i: (
+                F.round(
+                    F.aggregate(
+                        F.zip_with(sv, cw, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * 1_000_000,
+                    0,
+                ).cast("long")
+                * 256
+                + i
+            ),
+        )
+        return (F.array_min(packed) % 256).cast("tinyint")
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), lambda j: best_code(j)
+    )
+    return with_cb.select(
+        "vec_id",
+        codes.alias("codes"),
+        l2_norm_expr(vec_col).alias("norm"),
+    )
+
+
+def pq_adc_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    vec_col: str = "q_emb",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query ADC lookup table: ``(query_id, lut)`` where lut is a
+    FLAT array of m x n_codes doubles — lut[j*n_codes + c] =
+    <query_subvector_j, codeword_{j,c}>. Query-sized x model-sized:
+    broadcastable next to the code store."""
+    n_codes = codebooks.agg(F.max("code")).first()[0] + 1
+    with_cb = queries.crossJoin(F.broadcast(_codebooks_array(codebooks)))
+    lut = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.transform(
+                F.element_at(F.col("_cb"), j.cast("int") + 1),
+                lambda cw: F.aggregate(
+                    F.zip_with(
+                        _sub_slice(vec_col, j, m), cw, lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        )
+    )
+    return with_cb.select(
+        id_col, lut.alias("lut"), F.lit(n_codes).alias("_nc")
+    )
+
+
+def pq_adc_scores(store: DataFrame, luts: DataFrame) -> DataFrame:
+    """Approximate dot products over the CODE store: score =
+    sum_j lut[j * n_codes + codes[j]] — m lookups per (query,
+    candidate), the corpus-sized relation carries only tinyint codes.
+    ``(query_id, vec_id, adot)``; divide by stored norms upstream if a
+    cosine-shaped score is needed (ranking is scale-invariant per
+    query since the query norm is constant)."""
+    joined = store.crossJoin(F.broadcast(luts))
+    adot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.size("codes") - 1),
+            lambda c, j: F.element_at(
+                F.col("lut"), (j * F.col("_nc") + c.cast("int") + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.select(
+        "query_id", "vec_id", (adot / F.col("norm")).alias("adot")
+    )
+
+
+def knn_pq(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Exhaustive ANN over the PQ code store (ADC pre-rank) with exact
+    re-scoring — the knn_ivf_int8 contract at the 64x compression
+    level: candidates are ranked by sum of M lookup-table entries (the
+    corpus-sized scan reads M tinyint codes + one norm per vector,
+    never floats), the per-query top ``shortlist`` joins back to the
+    float store, and the final (query_id, neighbor_id, cosine, rank)
+    EQUALS knn_brute_force whenever the shortlist covers the true
+    top-k (guaranteed at shortlist >= corpus size; measured recall at
+    real budgets in tests). Compose with the IVF cell filter for the
+    probed variant — the stores are orthogonal."""
+    if shortlist is None:
+        shortlist = max(8 * k, 64)
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    from flink_exercise_spark.functions.vectors import cosine_from_norms
+
+    corpus_f = spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
+    cbs = pq_codebooks(corpus_f, m=m, n_codes=n_codes)
+    store = pq_encode(corpus_f, cbs, m=m)
+    queries = with_norm(emb.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    luts = pq_adc_lut(queries, cbs, m=m)
+    approx = pq_adc_scores(store, luts).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    short = _rank_top_k(approx, shortlist, score_col="adot").select(
+        "query_id", "neighbor_id"
+    )
+    corpus = with_norm(corpus_f).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    rescored = (
+        short.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
+            ).alias("cosine"),
+        )
+    )
+    return _rank_top_k(rescored, k)

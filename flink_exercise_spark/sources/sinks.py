@@ -46,6 +46,23 @@ def write_json(
     out.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC writer — the second columnar interchange format Spark ships
+    natively (stripe-level statistics and predicate pushdown like
+    parquet; the format Hive-centric estates standardize on). Same
+    layout rules as write_parquet: hive partitioning via partition_by,
+    no implicit coalesce."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def read_back(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     reader = spark.read
     if fmt == "csv":

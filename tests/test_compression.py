@@ -143,3 +143,158 @@ def test_plan_contract(spark, emb):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "BroadcastExchange" in plan
+
+
+# --- product quantization -----------------------------------------------------
+
+
+def _pq_numpy(pdf, m, n_codes, n_queries=10):
+    """Pure-numpy PQ reference: deterministic codebooks (first n_codes
+    corpus vectors' subvector slices), argmin-by-squared-distance codes
+    (ties to the lowest code via micro-unit rounding, mirroring the
+    packed argmin), and per-query ADC lookup tables."""
+    ids = pdf["vec_id"].to_numpy()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    corder = np.argsort(ids)
+    ids, M = ids[corder], M[corder]
+    cmask = ids >= n_queries
+    C, cids = M[cmask], ids[cmask]
+    seg = M.shape[1] // m
+    books = [
+        C[:n_codes, j * seg : (j + 1) * seg] for j in range(m)
+    ]  # m x n_codes x seg
+    codes = {}
+    for vid, v in zip(cids, C):
+        cs = []
+        for j in range(m):
+            sv = v[j * seg : (j + 1) * seg]
+            d = ((books[j] - sv) ** 2).sum(axis=1)
+            micro = np.round(d * 1e6).astype(np.int64)
+            cs.append(int(np.argmin(micro * 256 + np.arange(n_codes))))
+        codes[int(vid)] = cs
+    return books, codes, (ids, M, cids, C, seg)
+
+
+def test_pq_encode_matches_numpy(spark, emb):
+    from flink_exercise_spark.operators.compression import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cbs = pq_codebooks(corpus, m=8, n_codes=16)
+    got_books = {
+        (r["subspace"], r["code"]): np.array(r["codeword"])
+        for r in cbs.collect()
+    }
+    books, codes, _ = _pq_numpy(
+        pdf[pdf["vec_id"] >= 10].reset_index(drop=True), 8, 16, n_queries=10
+    )
+    assert len(got_books) == 8 * 16
+    for (j, c), cw in got_books.items():
+        np.testing.assert_allclose(cw, books[j][c], rtol=0, atol=0)
+
+    store = pq_encode(corpus, cbs, m=8)
+    schema = dict(store.dtypes)
+    assert schema["codes"] == "array<tinyint>"
+    rows = store.collect()
+    assert len(rows) == len(codes)
+    for r in rows:
+        assert list(r["codes"]) == codes[r["vec_id"]], r["vec_id"]
+
+
+def test_pq_adc_scores_match_numpy(spark, emb):
+    from flink_exercise_spark.operators.compression import (
+        pq_adc_lut,
+        pq_adc_scores,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cbs = pq_codebooks(corpus, m=8, n_codes=16)
+    store = pq_encode(corpus, cbs, m=8)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    luts = pq_adc_lut(queries, cbs, m=8, vec_col="q_emb")
+    got = {
+        (r["query_id"], r["vec_id"]): r["adot"]
+        for r in pq_adc_scores(store, luts).collect()
+    }
+    books, codes, (_, M, cids, C, seg) = _pq_numpy(
+        pdf[pdf["vec_id"] >= 10].reset_index(drop=True), 8, 16, n_queries=10
+    )
+    qpdf = pdf[pdf["vec_id"] < 10]
+    norms = {
+        int(r["vec_id"]): float(
+            np.linalg.norm(np.asarray(r["embedding"]))
+        )
+        for _, r in pdf.iterrows()
+    }
+    checked = 0
+    for _, qr in qpdf.iterrows():
+        q = np.asarray(qr["embedding"], np.float64)
+        for vid, cs in codes.items():
+            want = sum(
+                float(q[j * seg : (j + 1) * seg] @ books[j][cs[j]])
+                for j in range(8)
+            ) / norms[vid]
+            # numpy BLAS dot vs the Column fold differ in summation
+            # order — ADC is an approximate score, so compare to the
+            # quantization-noise floor, not bit-exactness
+            assert got[(int(qr["vec_id"]), vid)] == pytest.approx(
+                want, abs=1e-6
+            )
+            checked += 1
+    assert checked == len(got) > 0
+
+
+def test_knn_pq_equals_brute_force_with_covering_shortlist(spark, emb):
+    from flink_exercise_spark.operators.compression import knn_pq
+    from flink_exercise_spark.operators.similarity import knn_brute_force
+
+    n_corpus = emb.count()
+    a = sorted(tuple(r) for r in knn_brute_force(emb, k=3).collect())
+    b = sorted(
+        tuple(r) for r in knn_pq(emb, k=3, shortlist=n_corpus).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_knn_pq_recall_at_real_budget(spark, emb):
+    """At the default shortlist (64 of ~490 corpus vectors read as
+    floats) PQ-ADC recall@3 vs exact brute force stays high on the
+    fixture — the quality/IO tradeoff the 64x store buys."""
+    from flink_exercise_spark.operators.compression import knn_pq
+    from flink_exercise_spark.operators.similarity import knn_brute_force
+
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_brute_force(emb, k=3).collect()
+    }
+
+    def recall(short):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn_pq(emb, k=3, shortlist=short).collect()
+        }
+        return len(got & want) / len(want)
+
+    tight, wide = recall(64), recall(192)
+    # 64x compression with the deterministic (untrained) codebook:
+    # usable recall at a 13% float-read budget, near-perfect at 40%
+    assert tight >= 0.6
+    assert wide >= tight and wide >= 0.9
+
+
+def test_knn_pq_plan_no_python_no_cartesian(spark, emb):
+    from flink_exercise_spark.operators.compression import knn_pq
+
+    plan = knn_pq(emb, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -595,3 +595,71 @@ def test_run_to_memory_timeout_is_loud(spark, tmp_path):
     )
     with pytest.raises(TimeoutError, match="incomplete"):
         run_to_memory(stream, "slow_sink_probe", "append", timeout_sec=1)
+
+
+def test_session_windows_stream_equals_batch(spark):
+    """T4 session variant under streaming (complete mode — Spark
+    rejects update for session windows, and append would withhold the
+    final sessions of a bounded run): end-of-stream state must equal
+    the batch operator row for row."""
+    from flink_exercise_spark.operators.windows import session_windows
+    from flink_exercise_spark.streaming.jobs import session_windows_stream
+
+    stream = session_windows_stream(events_stream(spark, SF_SMOKE))
+    run_to_memory(stream, "session_stream", "complete")
+    got = _rows(
+        spark,
+        "SELECT user_id, session_start, n_events, sum_value "
+        "FROM session_stream",
+    )
+    want = {
+        tuple(r)
+        for r in session_windows(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_session_windows_stream_merges_across_batches(spark, tmp_path):
+    """Cross-batch session state: an in-progress session must absorb a
+    later micro-batch's within-gap event — the two batches' events land
+    in ONE session with the batch-1 start — while an event past the gap
+    opens a distinct session. Complete mode: the memory sink holds the
+    final merged state after the last batch."""
+    from flink_exercise_spark.streaming.jobs import session_windows_stream
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, name)
+        )
+        time.sleep(1.1)  # distinct mtimes => deterministic ordering
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # batch 1: two events 10 min apart (one open session)
+    write_batch("b1", [(t0, 1, 1.0), (t0 + 10 * m, 1, 2.0)])
+    # batch 2: within-gap extension (+20 min) and a far event (+2 h)
+    write_batch(
+        "b2", [(t0 + 20 * m, 1, 4.0), (t0 + 120 * m, 1, 8.0)]
+    )
+
+    stream = session_windows_stream(
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    run_to_memory(stream, "session_merge", "complete")
+    got = _rows(
+        spark,
+        "SELECT user_id, session_start, n_events, sum_value "
+        "FROM session_merge",
+    )
+    ts0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # the batch-2 within-gap event merged INTO the batch-1 session
+    # (same start, all three events), and the past-gap event opened
+    # its own session — nothing else
+    assert got == {(1, ts0, 3, 7.0), (1, ts0 + 120 * 60, 1, 8.0)}
