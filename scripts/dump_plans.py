@@ -117,6 +117,13 @@ SHOWCASE = [
      "aggregate's own exchange; ranking is the two-phase "
      "HashAggregate top-k — no row_number, no unpartitioned window, "
      "no Python"),
+    ("text_html_extract",
+     "HTML -> text extraction as a pure codegen projection",
+     "one WholeStageCodegen span over the scan: the whole wrap + "
+     "script/style/comment/tag strip + entity unescape + whitespace "
+     "normalization chain is regexp_replace/replace Column "
+     "expressions — zero Exchange, no Python, scan-bound at any "
+     "corpus size"),
 ]
 
 
