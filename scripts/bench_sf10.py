@@ -63,6 +63,8 @@ OPS = [
     "dedup_cluster_keep_best",
     # r7 eighth wave: document chunking
     "text_chunk_overlap",
+    # r8: HTML -> text extraction (pure codegen projection)
+    "text_html_extract",
 ]
 
 # Optional subset: comma-separated op names (e.g. just the newest
