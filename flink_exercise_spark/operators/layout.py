@@ -303,3 +303,86 @@ def write_partitioned(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set(key, old)
+
+
+def merge_upsert(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str | None = None,
+) -> dict[str, int]:
+    """MERGE (upsert, updates-win-on-key) into a plain-parquet table —
+    the CDC/daily-correction maintenance job, the fourth leg of the
+    layout story (z-order: scan I/O; bucketing: join shuffle;
+    partitioned write: pruning; THIS: mutation without rewriting the
+    world).
+
+    Semantics: rows of ``updates`` replace base rows sharing ``key``;
+    other base rows survive; new keys insert. ``updates`` must be
+    key-unique (guarded — a duplicate-keyed CDC batch has no defined
+    winner without an ordering column; collapse upstream with
+    arg-max-by-version, e.g. the packed-struct max idiom).
+
+    Scale shape: with ``partition_col`` (the 100 TB form) only the
+    partitions PRESENT IN THE UPDATES are read, merged (left-anti on
+    the broadcastable update keyset + union), and rewritten under
+    dynamic partition overwrite — a CDC batch touching 3 of 10,000
+    day-directories rewrites 3 directories, and the anti-join's scan
+    is partition-pruned to those 3. Without it, the whole table
+    rewrites (correct, and the right shape only for small tables).
+    Partition-scoped merging requires ``partition_col`` to be STABLE
+    per key (a key may not move between partitions across updates —
+    its stale copy in the untouched source partition would survive);
+    the standard constraint of every dynamic-partition merge, guarded
+    by nothing cheaper than a full-table scan, so stated as contract.
+
+    Transactional seam (documented, not hidden): plain parquet has no
+    atomic multi-file commit — a crash between materialization and the
+    overwrite can leave a partial partition, and concurrent writers
+    are undefined; table formats (Delta/Iceberg/Hudi) exist to close
+    exactly this gap. This operator is the single-writer maintenance
+    form. The merged result is ``localCheckpoint``-materialized before
+    writing because Spark cannot lazily read the very files the
+    overwrite is deleting (materialized size = the touched partitions,
+    not the table)."""
+    base = spark.read.parquet(path)
+    n_updates = updates.count()
+    if updates.select(key).distinct().count() != n_updates:
+        raise ValueError(
+            f"updates are not key-unique on {key!r}: collapse the CDC "
+            "batch (e.g. max_by version) before merging"
+        )
+    if partition_col is None:
+        survivors = base.join(
+            F.broadcast(updates.select(key).distinct()), key, "left_anti"
+        )
+        merged = survivors.unionByName(updates).localCheckpoint()
+        merged.write.mode("overwrite").parquet(path)
+        return {
+            "rows_after": merged.count(),
+            "rows_upserted": n_updates,
+            "partitions_rewritten": -1,  # whole table
+        }
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]  # CDC-batch-partition-count-sized collect (bounded by contract)
+    survivors = base.filter(
+        F.col(partition_col).isin(touched)  # -> PartitionFilters
+    ).join(F.broadcast(updates.select(key).distinct()), key, "left_anti")
+    merged = survivors.unionByName(updates).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "rows_in_rewritten_partitions": merged.count(),
+        "rows_upserted": n_updates,
+        "partitions_rewritten": len(touched),
+    }

@@ -373,3 +373,109 @@ def test_dynamic_partition_overwrite_preserves_history(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
         == "static"
     )
+
+
+# --- merge / upsert maintenance job ------------------------------------------
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    from flink_exercise_spark.operators.layout import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string"
+    )
+    res = merge_upsert(spark, path, updates, "id")
+    assert res["rows_upserted"] == 2 and res["rows_after"] == 4
+    got = {
+        (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    # key 2 replaced, key 4 inserted, keys 1/3 survive
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+
+def test_merge_upsert_rejects_duplicate_keyed_updates(spark, tmp_path):
+    from flink_exercise_spark.operators.layout import merge_upsert
+
+    path = str(tmp_path / "tbl_dup")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        path
+    )
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, v string"
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_upsert(spark, path, dup, "id")
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    """The 100 TB form: a CDC batch touching one day rewrites that
+    day's directory only — the untouched partition's data FILES are
+    byte-identical afterward (same names, same mtimes), and the
+    anti-join scan is partition-pruned."""
+    import os as _os
+
+    from flink_exercise_spark.operators.layout import merge_upsert
+
+    path = str(tmp_path / "daily")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01", "a"),
+            (2, "2024-01-01", "b"),
+            (3, "2024-01-02", "c"),
+        ],
+        "id long, day string, v string",
+    ).write.partitionBy("day").parquet(path)
+
+    def day_files(day):
+        d = _os.path.join(path, f"day={day}")
+        return {
+            f: _os.stat(_os.path.join(d, f)).st_mtime_ns
+            for f in _os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    day1_before = day_files("2024-01-01")
+    updates = spark.createDataFrame(
+        [(3, "2024-01-02", "C2"), (4, "2024-01-02", "d")],
+        "id long, day string, v string",
+    )
+    res = merge_upsert(spark, path, updates, "id", partition_col="day")
+    assert res["partitions_rewritten"] == 1
+    assert res["rows_in_rewritten_partitions"] == 2
+    got = {
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(path)
+        .withColumn("day", F.col("day").cast("string"))
+        .collect()
+    }
+    assert got == {
+        (1, "2024-01-01", "a"),
+        (2, "2024-01-01", "b"),
+        (3, "2024-01-02", "C2"),
+        (4, "2024-01-02", "d"),
+    }
+    # untouched partition: identical files, untouched on disk
+    assert day_files("2024-01-01") == day1_before
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    from flink_exercise_spark.operators.layout import merge_upsert
+
+    path = str(tmp_path / "idem")
+    spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-02", "b")],
+        "id long, day string, v string",
+    ).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "2024-01-02", "B")], "id long, day string, v string"
+    )
+    for _ in range(2):
+        merge_upsert(spark, path, updates, "id", partition_col="day")
+    got = {
+        (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a"), (2, "B")}
