@@ -535,3 +535,73 @@ def knn_pq(
         )
     )
     return _rank_top_k(rescored, k)
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED PQ codebooks: per-subspace Lloyd k-means (the
+    clustering.kmeans_centroids machinery on each subvector slice),
+    returned in the exact ``(subspace, code, codeword)`` shape
+    ``pq_encode``/``pq_adc_lut`` consume — train here, encode there
+    (the tokenizer/classifier pattern). m model fits of n_codes x
+    (dims/m) driver-held state each; the corpus is read per fit (an
+    offline, amortized layout job, the z-order rationale)."""
+    from flink_exercise_spark.operators.clustering import kmeans_centroids
+
+    parts = []
+    for j in range(m):
+        sub = emb.select(
+            "vec_id",
+            F.lit(0).alias("label"),
+            _sub_slice(vec_col, F.lit(j), m).alias("embedding"),
+        )
+        cb = kmeans_centroids(sub, k=n_codes, iters=iters)
+        parts.append(
+            cb.select(
+                F.lit(j).cast("int").alias("subspace"),
+                F.col("cell_id").cast("int").alias("code"),
+                F.col("cent").alias("codeword"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_reconstruction_mse(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared reconstruction error of the PQ store against the
+    float corpus — the quantization-quality scalar that makes codebook
+    comparisons (deterministic vs trained) measurable. One encode pass
+    + one broadcast-codebook lookup join; a single double returns."""
+    store = pq_encode(emb, codebooks, m=m, vec_col=vec_col)
+    joined = (
+        store.join(emb.select("vec_id", vec_col), "vec_id")
+        .crossJoin(F.broadcast(_codebooks_array(codebooks)))
+    )
+    recon = F.flatten(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.size("codes") - 1),
+            lambda c, j: F.element_at(
+                F.element_at(F.col("_cb"), j.cast("int") + 1),
+                c.cast("int") + 1,
+            ),
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with(recon, F.col(vec_col), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.agg(F.avg(sq)).first()[0]

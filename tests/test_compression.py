@@ -298,3 +298,30 @@ def test_knn_pq_plan_no_python_no_cartesian(spark, emb):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_pq_trained_codebooks_beat_deterministic(spark, emb):
+    """Per-subspace k-means codebooks must cut reconstruction MSE vs
+    the deterministic first-vectors codebook (Lloyd monotonically
+    improves within-cluster SSE on its training data), and the trained
+    relation must flow through the same encode/search path."""
+    from flink_exercise_spark.operators.compression import (
+        knn_pq,
+        pq_codebooks,
+        pq_encode,
+        pq_reconstruction_mse,
+        pq_train_codebooks,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    det = pq_codebooks(corpus, m=8, n_codes=16)
+    trained = pq_train_codebooks(corpus, m=8, n_codes=16, iters=3)
+    assert trained.count() == 8 * 16
+    mse_det = pq_reconstruction_mse(corpus, det, m=8)
+    mse_tr = pq_reconstruction_mse(corpus, trained, m=8)
+    assert mse_tr < mse_det
+
+    # same consumer contract: encode + ADC search run unchanged
+    store = pq_encode(corpus, trained, m=8)
+    assert dict(store.dtypes)["codes"] == "array<tinyint>"
+    assert store.count() == corpus.count()
