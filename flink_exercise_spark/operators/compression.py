@@ -53,7 +53,9 @@ def int8_scales(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     with scale = absmax(dim) / 127 (1.0 for an all-zero dimension so
     quantize/dequantize stay total). Aggregate-sized output; the
     posexplode feeds a two-phase hash agg, so the shuffle carries
-    partitions x dims rows regardless of corpus size."""
+    partitions x dims rows regardless of corpus size. Consumers that
+    fold this more than once should persist it (caching.py) — each
+    fold otherwise re-runs the corpus aggregate."""
     absmax = (
         emb.select(F.posexplode(vec_col).alias("dim", "v"))
         .groupBy("dim")
@@ -158,89 +160,35 @@ def knn_ivf_int8(
         shortlist = max(4 * k, 32)
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    from flink_exercise_spark.caching import persist_tracked
+    from flink_exercise_spark.functions.vectors import cosine_from_norms
+    from flink_exercise_spark.operators.similarity import (
+        N_CELLS,
+        _ivf_assign_probe,
+    )
 
     corpus_f = spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
-    scales = int8_scales(corpus_f)
+    # persist the dims-row scale model: quantize_int8 and the q_store
+    # attach below both fold it, and without the persist each fold
+    # re-runs the corpus-wide posexplode aggregate (code-review r8)
+    scales = persist_tracked(int8_scales(corpus_f))
     store = quantize_int8(corpus_f, scales).withColumnRenamed(
         "vec_id", "neighbor_id"
     )
 
     # Assignment + probing are centroid-vs-vector (model-sized math,
-    # full precision here exactly as in knn_ivf — quantization must
-    # only touch CANDIDATE scoring, where the corpus bytes are); the
-    # packed-argmax below is knn_ivf's assignment idiom verbatim, so
-    # the two operators probe identical cells by construction
-    # (equality-pinned in tests/test_compression.py).
-    from flink_exercise_spark.functions.vectors import cosine_from_norms
-
-    n_cells_eff = 8 if n_cells is None else n_cells
-    if codebook is not None:
-        cents = with_norm(codebook, vec_col="cent", out="cent_norm").select(
-            F.col("cell_id").cast("int"), "cent", "cent_norm"
-        )
-    else:
-        cents = with_norm(
-            emb.filter(
-                (F.col("vec_id") >= n_queries)
-                & (F.col("vec_id") < n_queries + n_cells_eff)
-            )
-        ).select(
-            (F.col("vec_id") - n_queries).cast("int").alias("cell_id"),
-            F.col("embedding").alias("cent"),
-            F.col("norm").alias("cent_norm"),
-        )
-    corpus = with_norm(corpus_f).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    queries = with_norm(emb.filter(F.col("vec_id") < n_queries)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    aff = corpus.crossJoin(F.broadcast(cents)).select(
-        "neighbor_id",
-        "cell_id",
-        F.round(
-            cosine_from_norms("c_emb", "cent", "c_norm", "cent_norm"), 6
-        ).alias("cos"),
-    )
-    packed = (
-        F.round(F.col("cos") * 1_000_000, 0).cast("long") + 1_000_000
-    ) * 256 + (255 - F.col("cell_id"))
-    assigned_ids = (
-        aff.groupBy("neighbor_id")
-        .agg(F.max(packed).alias("p"))
-        .select(
-            "neighbor_id",
-            (255 - F.col("p") % 256).cast("int").alias("cell_id"),
-        )
-    )
-    probe_item = F.struct(
-        (
-            -F.round(
-                cosine_from_norms("q_emb", "cent", "q_norm", "cent_norm"), 6
-            )
-        ).alias("_nc"),
-        F.col("cell_id").alias("_cid"),
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(probe_item)), 1, n_probe
-            ).alias("_top"),
-            F.first("q_emb").alias("q_emb"),
-            F.first("q_norm").alias("q_norm"),
-        )
-        .select(
-            "query_id",
-            "q_emb",
-            "q_norm",
-            F.explode("_top._cid").alias("cell_id"),
-        )
+    # full precision exactly as in knn_ivf — quantization must only
+    # touch CANDIDATE scoring, where the corpus bytes are): ONE shared
+    # implementation (similarity._ivf_assign_probe), so the two
+    # operators probe identical cells structurally — including the
+    # <=256-cell codebook guard (equality also pinned in
+    # tests/test_compression.py).
+    corpus, queries, assigned_ids, probes = _ivf_assign_probe(
+        emb,
+        n_queries,
+        N_CELLS if n_cells is None else n_cells,
+        n_probe,
+        codebook,
     )
 
     # APPROXIMATE pass over the COMPRESSED store: the corpus-sized
@@ -284,12 +232,14 @@ def knn_ivf_int8(
 #
 # PQ (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
 # Search", IEEE TPAMI): split each vector into M subvectors, quantize
-# each against its own 2^B-codeword codebook, store M small codes per
-# vector. At M=8, B=8 a 64-dim float64 vector (512 B) becomes 8 bytes —
-# 64x — and scoring uses asymmetric distance computation (ADC): the
-# QUERY precomputes, per subspace, its dot product with every codeword
-# (an M x 2^B lookup table, model-sized), so scoring a candidate is M
-# integer lookups + adds, never a float vector read.
+# each against its own n_codes-codeword codebook, store M small codes
+# per vector. At M=8 a 64-dim float64 vector (512 B) becomes 8 tinyint
+# bytes — 64x (the signed-tinyint store caps n_codes at 128 = 2^7,
+# guarded; a 2^8 store would be smallint at 32x). Scoring uses
+# asymmetric distance computation (ADC): the QUERY precomputes, per
+# subspace, its dot product with every codeword (an M x n_codes lookup
+# table, model-sized), so scoring a candidate is M integer lookups +
+# adds, never a float vector read.
 #
 # Spark shape (the int8 rules, one level up):
 # - codebooks are model-sized (M x 2^B x dims/M doubles): default
@@ -305,6 +255,30 @@ def knn_ivf_int8(
 #   final top-k re-scores survivors against the float store.
 
 
+def _pq_guard(
+    df: DataFrame, m: int, vec_col: str, n_codes: int | None = None
+) -> None:
+    """Fail fast on the two silent-corruption inputs (code-review r8):
+    signed-tinyint codes wrap negative past 128 (ADC would then index
+    the LUT from the wrong end), and a non-divisible m makes the
+    int-truncated subspace slices skip/overlap dimensions — quality
+    degrades with no error. One LIMIT-1 probe for dims."""
+    if n_codes is not None and not (0 < n_codes <= 128):
+        raise ValueError(
+            f"n_codes {n_codes} must be in (0, 128]: codes are stored "
+            "as signed tinyint (use a smallint store for 2^8+)"
+        )
+    row = df.select(F.size(vec_col)).limit(1).first()
+    if row is None:
+        return  # empty input: nothing to mis-slice
+    dims = row[0]
+    if dims % m != 0:
+        raise ValueError(
+            f"m {m} must divide the vector length {dims}: truncated "
+            "subspace slices would silently skip/overlap dimensions"
+        )
+
+
 def pq_codebooks(
     emb: DataFrame,
     m: int = 8,
@@ -318,6 +292,8 @@ def pq_codebooks(
     for trained codebooks — the consumers below only see the relation
     shape."""
     from pyspark.sql import Window
+
+    _pq_guard(emb, m, vec_col, n_codes)
 
     base = (
         emb.orderBy("vec_id")
@@ -388,6 +364,7 @@ def pq_encode(
     One broadcast codebook row + Column HOFs: zero shuffles, no
     Python. The exact float ``norm`` rides along (the int8 rationale:
     ADC approximates the numerator only)."""
+    _pq_guard(emb, m, vec_col)
     with_cb = emb.crossJoin(F.broadcast(_codebooks_array(codebooks)))
 
     def best_code(sub_idx: Column) -> Column:
@@ -432,8 +409,12 @@ def pq_adc_lut(
     """Per-query ADC lookup table: ``(query_id, lut)`` where lut is a
     FLAT array of m x n_codes doubles — lut[j*n_codes + c] =
     <query_subvector_j, codeword_{j,c}>. Query-sized x model-sized:
-    broadcastable next to the code store."""
-    n_codes = codebooks.agg(F.max("code")).first()[0] + 1
+    broadcastable next to the code store. ``_nc`` (the per-subspace
+    code count the scorer's index arithmetic needs) is derived LAZILY
+    from the folded codebook row — an eager max(code) action here
+    would re-run the whole codebook lineage (e.g. m k-means fits for
+    trained books) before any plan is assembled (code-review r8)."""
+    _pq_guard(queries, m, vec_col)
     with_cb = queries.crossJoin(F.broadcast(_codebooks_array(codebooks)))
     lut = F.flatten(
         F.transform(
@@ -451,7 +432,9 @@ def pq_adc_lut(
         )
     )
     return with_cb.select(
-        id_col, lut.alias("lut"), F.lit(n_codes).alias("_nc")
+        id_col,
+        lut.alias("lut"),
+        F.size(F.element_at(F.col("_cb"), 1)).alias("_nc"),
     )
 
 
@@ -552,6 +535,8 @@ def pq_train_codebooks(
     (dims/m) driver-held state each; the corpus is read per fit (an
     offline, amortized layout job, the z-order rationale)."""
     from flink_exercise_spark.operators.clustering import kmeans_centroids
+
+    _pq_guard(emb, m, vec_col, n_codes)
 
     parts = []
     for j in range(m):

@@ -370,33 +370,37 @@ N_CELLS = 8  # IVF codebook size (deterministic seed vectors)
 N_PROBE = 2  # cells searched per query
 
 
-def knn_ivf(
+def _ivf_assign_probe(
     emb: DataFrame,
-    n_queries: int = N_QUERIES,
-    n_cells: int = N_CELLS,
-    n_probe: int = N_PROBE,
-    k: int = 3,
-    codebook: DataFrame | None = None,
-) -> DataFrame:
-    """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` cells
-    (nearest centroid by cosine), search only each query's ``n_probe``
-    nearest cells.
+    n_queries: int,
+    n_cells: int,
+    n_probe: int,
+    codebook: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """IVF front half shared by ``knn_ivf`` and the compressed-store
+    variant (compression.knn_ivf_int8) — ONE implementation so the two
+    operators probe identical cells structurally, not just by test
+    (code-review r8 finding). Returns ``(corpus, queries,
+    assigned_ids, probes)``:
 
-    The default codebook is deterministic — the first ``n_cells``
-    corpus vectors serve as centroids — so the DuckDB oracle can
-    verify the whole pipeline. Pass ``codebook`` (a tiny
-    ``(cell_id int, cent array<double>)`` relation, e.g.
-    clustering.kmeans_centroids) to swap in a TRAINED codebook: the
-    plan shape is byte-for-byte identical (broadcast codebook,
-    packed-BIGINT hash-agg assignment) — asserted in
-    tests/test_similarity.py. ``cell_id`` must fit in 8 bits (the
-    packed tie-break); guarded below.
-
-    Scale shape: assignment is corpus x codebook with the codebook
-    broadcast (the only full-corpus pass); at 100 TB the cell id
-    becomes the partition/bucket key of the stored corpus, so a query
-    touches ``n_probe / n_cells`` of the data. All ranking is on
-    round(cosine, 6) — float-associativity-safe against the oracle.
+    - corpus: (neighbor_id, c_emb, c_norm), queries: (query_id, q_emb,
+      q_norm) — normed splits of ``emb`` on the vec_id < n_queries
+      fixture convention;
+    - assigned_ids: corpus -> cell assignment. Affinities are computed
+      map-side against the broadcast codebook; the arg-max is a hash
+      aggregation over narrow (id, packed) rows — partial maxima
+      combine map-side, so the shuffle carries one row per corpus
+      vector, not n_cells. The (cos, -cell) ordering is packed into
+      ONE exact BIGINT because max(struct(...)) silently degrades to
+      SortAggregate (the trap aggregates.top_host_per_window
+      documents); scaled by 1e6 the 6-dp-rounded cosine is
+      integer-exact, and the low 8 bits break ties toward the lowest
+      cell id. (A row_number window would sort n_cells x corpus rows
+      with their arrays — wrong shape at scale.)
+    - probes: each query's n_probe nearest cells (tiny relation,
+      queries x cells), ranked with the same sort_array+slice top-k
+      shape as _rank_top_k so the whole kNN family stays window-free —
+      one plan idiom to audit, asserted in tests/test_plans.py.
     """
     if codebook is not None:
         if codebook.count() > 256:
@@ -427,17 +431,6 @@ def knn_ivf(
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-
-    # Corpus->cell assignment. Affinities are computed map-side against
-    # the broadcast codebook; the arg-max is a hash aggregation over
-    # narrow (id, packed) rows — partial maxima combine map-side, so
-    # the shuffle carries one row per corpus vector, not n_cells. The
-    # (cos, -cell) ordering is packed into ONE exact BIGINT because
-    # max(struct(...)) silently degrades to SortAggregate (the same
-    # trap aggregates.top_host_per_window documents); scaled by 1e6 the
-    # 6-dp-rounded cosine is integer-exact, and the low 8 bits break
-    # ties toward the lowest cell id. (A row_number window would sort
-    # n_cells x corpus rows with their arrays — wrong shape at scale.)
     aff = corpus.crossJoin(F.broadcast(cents)).select(
         "neighbor_id",
         "cell_id",
@@ -456,12 +449,6 @@ def knn_ivf(
             (255 - F.col("p") % 256).cast("int").alias("cell_id"),
         )
     )
-    assigned = corpus.join(assigned_ids, "neighbor_id")
-    # Query->probe-cells: tiny relation (queries x cells), ranked with
-    # the same sort_array+slice top-k shape as _rank_top_k (q_emb and
-    # q_norm ride along via first(); constant within a query_id group)
-    # so the whole kNN family stays window-free — one plan idiom to
-    # audit, asserted in tests/test_plans.py.
     probe_item = F.struct(
         (
             -F.round(
@@ -487,6 +474,41 @@ def knn_ivf(
             F.explode("_top._cid").alias("cell_id"),
         )
     )
+    return corpus, queries, assigned_ids, probes
+
+
+def knn_ivf(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+    k: int = 3,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` cells
+    (nearest centroid by cosine), search only each query's ``n_probe``
+    nearest cells.
+
+    The default codebook is deterministic — the first ``n_cells``
+    corpus vectors serve as centroids — so the DuckDB oracle can
+    verify the whole pipeline. Pass ``codebook`` (a tiny
+    ``(cell_id int, cent array<double>)`` relation, e.g.
+    clustering.kmeans_centroids) to swap in a TRAINED codebook: the
+    plan shape is byte-for-byte identical (broadcast codebook,
+    packed-BIGINT hash-agg assignment) — asserted in
+    tests/test_similarity.py. ``cell_id`` must fit in 8 bits (the
+    packed tie-break); guarded below.
+
+    Scale shape: assignment is corpus x codebook with the codebook
+    broadcast (the only full-corpus pass); at 100 TB the cell id
+    becomes the partition/bucket key of the stored corpus, so a query
+    touches ``n_probe / n_cells`` of the data. All ranking is on
+    round(cosine, 6) — float-associativity-safe against the oracle.
+    """
+    corpus, queries, assigned_ids, probes = _ivf_assign_probe(
+        emb, n_queries, n_cells, n_probe, codebook
+    )
+    assigned = corpus.join(assigned_ids, "neighbor_id")
     scored = assigned.join(F.broadcast(probes), "cell_id").select(
         "query_id",
         "neighbor_id",

@@ -325,3 +325,32 @@ def test_pq_trained_codebooks_beat_deterministic(spark, emb):
     store = pq_encode(corpus, trained, m=8)
     assert dict(store.dtypes)["codes"] == "array<tinyint>"
     assert store.count() == corpus.count()
+
+
+def test_guards_fail_fast(spark, emb):
+    """The silent-corruption inputs raise descriptive errors: an
+    oversized IVF codebook (the knn_ivf guard, shared structurally),
+    n_codes past the signed-tinyint range, and an m that does not
+    divide the vector length."""
+    from flink_exercise_spark.operators.compression import (
+        knn_pq,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    big_cb = spark.range(300).select(
+        F.col("id").cast("int").alias("cell_id"),
+        F.array(*[F.lit(1.0)] * 64).alias("cent"),
+    )
+    with pytest.raises(ValueError, match="8 bits"):
+        knn_ivf_int8(emb, k=3, codebook=big_cb)
+
+    with pytest.raises(ValueError, match="tinyint"):
+        pq_codebooks(emb, m=8, n_codes=200)
+    with pytest.raises(ValueError, match="divide"):
+        pq_codebooks(emb, m=6, n_codes=16)  # 64 % 6 != 0
+    with pytest.raises(ValueError, match="divide"):
+        knn_pq(emb, k=3, m=7)
+    cbs = pq_codebooks(emb, m=8, n_codes=16)
+    with pytest.raises(ValueError, match="divide"):
+        pq_encode(emb, cbs, m=6)
