@@ -100,3 +100,64 @@ def test_plan_shuffle_free_no_python(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def _strip_py(html: str) -> str:
+    """Pure-python reference of strip_html_expr: same patterns, same
+    order, python `re` instead of Java regex — a THIRD engine, so a
+    Java-vs-RE2 semantic drift in any pattern shows up here before it
+    shows up as an oracle hash mismatch."""
+    out = re.sub(r"(?is)<script[^>]*>.*?</script>", " ", html)
+    out = re.sub(r"(?is)<style[^>]*>.*?</style>", " ", out)
+    out = re.sub(r"(?s)<!--.*?-->", " ", out)
+    out = re.sub(r"(?s)<[^>]+>", " ", out)
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = out.replace(ent, ch)
+    return re.sub(r"\s+", " ", out).strip()
+
+
+def test_strip_fuzz_matches_python_reference(spark):
+    """Differential fuzz: random markup soup assembled from the
+    grammar the extractor handles (tags with attributes, script/style
+    blocks with hostile contents, comments, entities incl. doubled
+    ones, messy whitespace) must strip identically in Spark's Java
+    regex chain and the python `re` reference."""
+    import random
+
+    rng = random.Random(20260815)
+    words = ["alpha", "beta", "x & y", "a<b", "q&quot;z", "&amp;lt;", "7"]
+    pieces = (
+        lambda: rng.choice(words),
+        lambda: " \t\n"[: rng.randint(1, 3)],
+        lambda: f"<{rng.choice(['p', 'div', 'b', 'span'])}>",
+        lambda: f"</{rng.choice(['p', 'div', 'b'])}>",
+        lambda: '<a href="u?a=1&amp;b=2" class="k">',
+        lambda: "<br/>",
+        lambda: f"<!-- {rng.choice(words)} <p>hidden</p> -->",
+        lambda: f"<script>if (1 < 2) {{ f(\"{rng.choice(words)}\"); }}"
+                "</script>",
+        lambda: "<style>p { color: red; }</style>",
+        lambda: "<SCRIPT>\nmultl<ine\n</SCRIPT>",
+        lambda: rng.choice(
+            ["&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "&amp;"]
+        ),
+    )
+    docs = [
+        "".join(rng.choice(pieces)() for _ in range(rng.randint(1, 30)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "i long, html string")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", strip_html_expr("html").alias("t")).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _strip_py(d), (i, d)
