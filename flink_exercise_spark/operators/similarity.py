@@ -1090,6 +1090,13 @@ def q_knn_ivf(spark, sf_dir):
         "Gram-matrix kernel — 17x the HOF-fold join at sf1 (Catalyst "
         "HOFs don't fuse into codegen), bit-equal on the fixtures; "
         "the join form remains the skew-safe library fallback",
+    # priority=1 (r8 rotation, second wave): driver-green in r7; takes
+    # a rotation slot so the new stream_session_parity entry (merging
+    # session state under the value-hash gate) collects its first
+    # driver pass. Hash-verified locally every round by
+    # test_parity_demoted. Numpy fixture pin:
+    # tests/test_rotation_pins.py (added in the same commit).
+    priority=1,
     tags=("similarity", "embeddings", "dedup", "pandas-udf"),
 )
 def q_near_dup(spark, sf_dir):

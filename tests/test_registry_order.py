@@ -76,6 +76,10 @@ def test_demoted_showcases_sort_last_within_oracled():
         "text_token_rarity",
         "dedup_semantic_prune",
         "dedup_cluster_keep_best",
+        # second wave (mid-round): +1 slot for the new
+        # stream_session_parity entry's first driver pass (numpy pin
+        # added in the same commit)
+        "sim_embedding_near_dup_pairs",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

@@ -1250,3 +1250,35 @@ def test_dedup_cluster_keep_best_pin(spark):
         assert int(row["cluster_id"]) == cid, d
         assert int(row["canonical_doc_id"]) == canon, d
         assert bool(row["keep"]) == k, d
+
+
+def test_sim_embedding_near_dup_pairs_pin(spark):
+    """Numpy reference: sign-bucket (first 8 dims) blocking, exact
+    cosine on bucket-equal pairs (vec_a < vec_b), keep round-6 cosine
+    >= 0.35."""
+    emb = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
+        for _, r in emb.iterrows()
+    }
+    bucket = {
+        v: sum(1 << i for i in range(8) if vec[i] >= 0)
+        for v, vec in vecs.items()
+    }
+    norms = {v: float(np.sqrt((x * x).sum())) for v, x in vecs.items()}
+    want = {}
+    ids = sorted(vecs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            if bucket[a] != bucket[b]:
+                continue
+            cos = round(
+                float(vecs[a] @ vecs[b]) / (norms[a] * norms[b]), 6
+            )
+            if cos >= 0.35:
+                want[(a, b)] = cos
+    out = _run(spark, "sim_embedding_near_dup_pairs")
+    got = {(r.vec_a, r.vec_b): r.cosine for r in out.itertuples()}
+    assert set(got) == set(want) and len(want) > 0
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=2e-6), k
