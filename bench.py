@@ -117,8 +117,12 @@ def main() -> None:
 
     # Degrade gracefully on a loaded host: once past the soft budget,
     # skip the per-query warm-up pass (accept cold timings) so the run
-    # always finishes and always emits its JSON line.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "360"))
+    # always finishes and always emits its JSON line. 480 s since r8:
+    # the suite reached 82 queries (~64 s/pass) and at 360 the budget
+    # expired mid-suite, recording first-execution codegen/state-store
+    # init as if it were steady-state cost (measured: the streaming
+    # session entry is 7.5 s cold, 2.0 s warm).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     start = time.perf_counter()
 
     timings: dict[str, float] = {}
