@@ -590,3 +590,97 @@ def pq_reconstruction_mse(
         lambda acc, x: acc + x,
     )
     return joined.agg(F.avg(sq)).first()[0]
+
+
+def knn_ivf_pq(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    k: int = TOP_K,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int | None = None,
+    codebook: DataFrame | None = None,
+    pq_books: DataFrame | None = None,
+) -> DataFrame:
+    """The composed FAISS-IVFPQ shape: the IVF cell filter bounds WHICH
+    candidates are scored (n_probe/n_cells of the corpus, the
+    knn_ivf/_ivf_assign_probe machinery verbatim), PQ-ADC bounds WHAT
+    scoring a candidate costs (M tinyint lookups against the broadcast
+    per-query LUT — the probe scan reads codes + one norm, never
+    floats), and the exact shortlist re-score bounds the error: output
+    EQUALS knn_ivf whenever the per-query shortlist covers the probed
+    candidates (pinned in tests). The coarse ``codebook`` and the PQ
+    ``pq_books`` are independent models — pass trained relations
+    (kmeans_centroids / pq_train_codebooks) for either, same plans.
+
+    At 100 TB: the corpus persists partitioned by cell id carrying
+    (codes, norm) — 8 + 8 bytes per vector at the defaults vs 512 for
+    float64 — so a probe is a partition-pruned scan of compressed
+    bytes, and the float store is only touched by the
+    (queries x shortlist)-row re-score join."""
+    if shortlist is None:
+        shortlist = max(4 * k, 32)
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    from flink_exercise_spark.functions.vectors import cosine_from_norms
+    from flink_exercise_spark.operators.similarity import (
+        N_CELLS,
+        _ivf_assign_probe,
+    )
+
+    corpus_f = spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
+    if pq_books is None:
+        pq_books = pq_codebooks(corpus_f, m=m, n_codes=n_codes)
+    store = pq_encode(corpus_f, pq_books, m=m).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    corpus, queries, assigned_ids, probes = _ivf_assign_probe(
+        emb,
+        n_queries,
+        N_CELLS if n_cells is None else n_cells,
+        n_probe,
+        codebook,
+    )
+    luts = pq_adc_lut(
+        queries.select("query_id", "q_emb"), pq_books, m=m
+    )
+    # probe scan over the COMPRESSED store, cell-filtered
+    cand = (
+        store.join(assigned_ids, "neighbor_id")
+        .join(
+            F.broadcast(probes.select("query_id", "cell_id")), "cell_id"
+        )
+        .join(F.broadcast(luts), "query_id")
+    )
+    adot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.size("codes") - 1),
+            lambda c, j: F.element_at(
+                F.col("lut"),
+                (j * F.col("_nc") + c.cast("int") + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx = cand.select(
+        "query_id", "neighbor_id", (adot / F.col("norm")).alias("adot")
+    )
+    short = _rank_top_k(approx, shortlist, score_col="adot").select(
+        "query_id", "neighbor_id"
+    )
+    rescored = (
+        short.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
+            ).alias("cosine"),
+        )
+    )
+    return _rank_top_k(rescored, k)

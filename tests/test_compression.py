@@ -354,3 +354,59 @@ def test_guards_fail_fast(spark, emb):
     cbs = pq_codebooks(emb, m=8, n_codes=16)
     with pytest.raises(ValueError, match="divide"):
         pq_encode(emb, cbs, m=6)
+
+
+def test_knn_ivf_pq_equals_knn_ivf_with_covering_shortlist(spark, emb):
+    """The composed IVF+PQ search: same probed cells as knn_ivf
+    (shared _ivf_assign_probe), ADC pre-rank, exact re-score — with a
+    covering shortlist the output must equal knn_ivf row for row."""
+    from flink_exercise_spark.operators.compression import knn_ivf_pq
+
+    n_corpus = emb.count()
+    a = sorted(tuple(r) for r in knn_ivf(emb, k=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in knn_ivf_pq(emb, k=3, shortlist=n_corpus).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_knn_ivf_pq_recall_and_plan(spark, emb):
+    from flink_exercise_spark.operators.compression import knn_ivf_pq
+
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(emb, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf_pq(emb, k=3, shortlist=48).collect()
+    }
+    assert len(got & want) / len(want) >= 0.7
+    plan = (
+        knn_ivf_pq(emb, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_knn_ivf_pq_trained_models_flow_through(spark, emb):
+    """Both models swappable independently: a trained coarse codebook
+    (kmeans_centroids) + trained PQ books run the same plan and return
+    the contract schema."""
+    from flink_exercise_spark.operators.clustering import kmeans_centroids
+    from flink_exercise_spark.operators.compression import (
+        knn_ivf_pq,
+        pq_train_codebooks,
+    )
+
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    coarse = kmeans_centroids(corpus, k=8, iters=2)
+    books = pq_train_codebooks(corpus, m=8, n_codes=16, iters=2)
+    out = knn_ivf_pq(emb, k=3, codebook=coarse, pq_books=books)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() > 0
