@@ -479,3 +479,67 @@ def test_merge_upsert_idempotent(spark, tmp_path):
         (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
     }
     assert got == {(1, "a"), (2, "B")}
+
+
+def test_merge_upsert_fuzz_vs_pandas(spark, tmp_path):
+    """Differential fuzz: random base tables and key-unique CDC
+    batches (overlapping + new keys, multi-partition updates) must
+    land exactly where a pandas upsert puts them — both the
+    partition-scoped and the whole-table path."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260815)
+    days = [f"2024-02-{d:02d}" for d in range(1, 6)]
+    for case in range(4):
+        base_rows = [
+            (k, rng.choice(days), f"v{rng.randrange(1000)}")
+            for k in rng.sample(range(100), rng.randint(10, 40))
+        ]
+        base_keys = [r[0] for r in base_rows]
+        upd_keys = rng.sample(
+            range(120), rng.randint(3, 12)
+        )  # mix of existing + new keys
+        base_by_key = {r[0]: r for r in base_rows}
+        upd_rows = [
+            (
+                k,
+                # stable-partition-per-key contract: an existing key
+                # keeps its day; new keys pick any
+                base_by_key[k][1] if k in base_by_key
+                else rng.choice(days),
+                f"U{case}_{k}",
+            )
+            for k in upd_keys
+        ]
+        want = {r[0]: r for r in base_rows}
+        want.update({r[0]: r for r in upd_rows})
+
+        for scoped in (True, False):
+            path = str(tmp_path / f"t{case}_{scoped}")
+            df = spark.createDataFrame(
+                base_rows, "id long, day string, v string"
+            )
+            if scoped:
+                df.write.partitionBy("day").parquet(path)
+            else:
+                df.write.parquet(path)
+            from flink_exercise_spark.operators.layout import merge_upsert
+
+            merge_upsert(
+                spark,
+                path,
+                spark.createDataFrame(
+                    upd_rows, "id long, day string, v string"
+                ),
+                "id",
+                partition_col="day" if scoped else None,
+            )
+            got = {
+                r["id"]: (r["id"], r["day"], r["v"])
+                for r in spark.read.parquet(path)
+                .withColumn("day", F.col("day").cast("string"))
+                .collect()
+            }
+            assert got == want, (case, scoped)
