@@ -161,3 +161,28 @@ def test_strip_fuzz_matches_python_reference(spark):
     }
     for i, d in enumerate(docs):
         assert got[i] == _strip_py(d), (i, d)
+
+
+def test_html_extract_stream_equals_batch(spark):
+    """The extraction chain is a stateless projection, so it drops
+    into the streaming ingest front door unchanged: streaming
+    wrap->extract over the fixture equals the batch operator exactly
+    (the corpus-source pattern — markup stripping happens AT ingest,
+    before the quality gates)."""
+    from flink_exercise_spark.streaming.ingest import documents_stream
+    from flink_exercise_spark.streaming.jobs import run_to_memory
+
+    stream = html_extract(
+        wrap_documents_html(documents_stream(spark, SF_SMOKE))
+    )
+    run_to_memory(stream, "html_stream_sink", "append")
+    got = {
+        tuple(r) for r in spark.table("html_stream_sink").collect()
+    }
+    want = {
+        tuple(r)
+        for r in html_extract(
+            wrap_documents_html(load_table(spark, SF_SMOKE, "documents"))
+        ).collect()
+    }
+    assert got == want and len(want) > 0
