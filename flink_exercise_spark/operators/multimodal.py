@@ -10,9 +10,11 @@ is identical whether the decoder is real or stubbed.
 The container has no image/audio libraries, so the default decode
 kernel is a clearly-marked deterministic fake (FakeImageCodec) behind
 the same interface a real libvips/PIL/ffmpeg kernel would implement.
-Three image/audio seams are REAL, stdlib-only: uncompressed 24-bit BMP
+Four image/audio seams are REAL, stdlib-only: uncompressed 24-bit BMP
 (BmpImageCodec, r7), compressed PNG (PngImageCodec, r8 — zlib inflate
-+ per-scanline unfilter, all five filter types) and 16-bit PCM mono
++ per-scanline unfilter, all five filter types), compressed GIF
+(GifImageCodec, r8 — hand-rolled variable-width LZW; GIF's entropy
+coding has no stdlib module to lean on) and 16-bit PCM mono
 WAV (WavAudioCodec, r7, via the ``wave`` module) — ``decode_any`` /
 the audio kernel dispatch on
 strict container sniffs (magic bytes + internal length consistency),
@@ -309,6 +311,8 @@ def decode_any(payload: bytes) -> tuple[str, int, int, float]:
         return BMP_DECODER.decode(payload)
     if _looks_png(payload):
         return PNG_DECODER.decode(payload)
+    if _looks_gif(payload):
+        return GIF_DECODER.decode(payload)
     return DECODER.decode(payload)
 
 
@@ -323,6 +327,8 @@ def probe_dims_any(payload: bytes) -> tuple[int, int]:
     if _looks_png(payload):
         w, h, _ = PNG_DECODER.probe(payload)
         return w, h
+    if _looks_gif(payload):
+        return GIF_DECODER.probe(payload)
     _, w, h, _ = DECODER.decode(payload)
     return w, h
 
@@ -904,3 +910,200 @@ def q_resize(spark, sf_dir):
         F.lower(F.hex("thumb")).alias("thumb_hex"),
         "thumb_bytes",
     )
+
+
+@dataclass(frozen=True)
+class GifImageCodec:
+    """REAL image decoder for GIF87a/GIF89a — stdlib-only, including a
+    hand-rolled variable-width LZW decoder (GIF's entropy coding is
+    LZW, not zlib, so unlike PNG there is no stdlib inflate to lean
+    on). Third real image container behind the seam (BMP r7, PNG r8):
+    same (format, width, height, mean_luma) contract, values from
+    actual palette-mapped pixel data of the FIRST frame.
+
+    Supported: global or local color table, non-interlaced first
+    image, any extension blocks (skipped by the standard sub-block
+    walk). Interlaced frames, frames without any color table, and
+    corrupt/truncated LZW streams raise NotImplementedError — the
+    documented seam, narrower again. Transparency (GCE) is ignored
+    for luma, matching the PNG codec's alpha convention.
+    """
+
+    def _screen(self, payload: bytes) -> tuple[int, bytes, int]:
+        """Parse up to the first byte after the logical screen
+        descriptor (+ global color table): (pos, gct, gct_size)."""
+        if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise NotImplementedError("not a GIF container")
+        packed = payload[10]
+        pos = 13
+        gct = b""
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            gct = payload[pos : pos + n]
+            if len(gct) < n:
+                raise NotImplementedError("GIF global color table truncated")
+            pos += n
+        return pos, gct, len(gct) // 3
+
+    def _first_image(
+        self, payload: bytes
+    ) -> tuple[int, int, int, bytes, int, bool]:
+        """Walk blocks to the first image descriptor: returns
+        (data_pos, width, height, color_table, n_colors, interlaced)
+        with data_pos at the LZW-min-code-size byte."""
+        pos, gct, n_gct = self._screen(payload)
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                if pos + 10 > len(payload):
+                    raise NotImplementedError("GIF image descriptor truncated")
+                w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+                h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+                packed = payload[pos + 9]
+                pos += 10
+                ct, n_ct = gct, n_gct
+                if packed & 0x80:  # local color table
+                    n = 3 * (2 << (packed & 0x07))
+                    ct = payload[pos : pos + n]
+                    if len(ct) < n:
+                        raise NotImplementedError(
+                            "GIF local color table truncated"
+                        )
+                    n_ct = n // 3
+                    pos += n
+                if w == 0 or h == 0:
+                    raise NotImplementedError(f"degenerate GIF dims {w}x{h}")
+                if not n_ct:
+                    raise NotImplementedError(
+                        "GIF frame has no color table (global or local)"
+                    )
+                return pos, w, h, ct, n_ct, bool(packed & 0x40)
+            elif b == 0x3B:  # trailer before any image
+                break
+            else:
+                raise NotImplementedError(
+                    f"unknown GIF block 0x{b:02x} at {pos}"
+                )
+        raise NotImplementedError("GIF carries no image descriptor")
+
+    def probe(self, payload: bytes) -> tuple[int, int]:
+        """(width, height) of the first frame — header walk only, no
+        LZW work (the resize dims path)."""
+        _, w, h, _, _, _ = self._first_image(payload)
+        return w, h
+
+    @staticmethod
+    def _lzw(data: bytes, mcs: int, expected: int) -> bytes:
+        """Variable-width LZW (GIF flavor): codes LSB-first, clear =
+        2^mcs resets the table, widths grow at table-full up to 12
+        bits."""
+        clear = 1 << mcs
+        end = clear + 1
+        literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+        table = list(literals)
+        width = mcs + 1
+        out = bytearray()
+        prev: bytes | None = None
+        bitpos = 0
+        total = len(data) * 8
+        while bitpos + width <= total:
+            i = bitpos >> 3
+            word = int.from_bytes(data[i : i + 3], "little")
+            code = (word >> (bitpos & 7)) & ((1 << width) - 1)
+            bitpos += width
+            if code == clear:
+                table = list(literals)
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                if code >= len(table):
+                    raise NotImplementedError("corrupt GIF LZW stream")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise NotImplementedError("corrupt GIF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                break
+        if len(out) < expected:
+            raise NotImplementedError(
+                f"GIF LZW data yields {len(out)} of {expected} pixels"
+            )
+        return bytes(out[:expected])
+
+    def decode_indices(self, payload: bytes) -> tuple[int, int, bytes, bytes]:
+        """(width, height, palette, index bytes) of the first frame —
+        split from decode so tests pin the LZW arithmetic byte-exact."""
+        pos, w, h, ct, n_ct, interlaced = self._first_image(payload)
+        if interlaced:
+            raise NotImplementedError(
+                "interlaced GIF frames are outside the seam"
+            )
+        if pos >= len(payload):
+            raise NotImplementedError("GIF image data truncated")
+        mcs = payload[pos]
+        if not (2 <= mcs <= 8):
+            raise NotImplementedError(f"GIF LZW min code size {mcs}")
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + n]
+            if len(chunk) < n:
+                raise NotImplementedError("GIF data sub-block truncated")
+            data += chunk
+            pos += 1 + n
+        idx = self._lzw(bytes(data), mcs, w * h)
+        if max(idx) >= n_ct:
+            raise NotImplementedError("GIF pixel index outside color table")
+        return w, h, ct, idx
+
+    def decode(self, payload: bytes) -> tuple[str, int, int, float]:
+        w, h, ct, idx = self.decode_indices(payload)
+        # palette-mapped luma: count per index, weight by the palette
+        # entry's luma — O(pixels + palette), never pixels x 3 floats
+        counts = [0] * (len(ct) // 3)
+        for p in idx:
+            counts[p] += 1
+        total = 0.0
+        for i, n in enumerate(counts):
+            if n:
+                r, g, b = ct[3 * i], ct[3 * i + 1], ct[3 * i + 2]
+                total += n * (0.299 * r + 0.587 * g + 0.114 * b)
+        return "gif", w, h, round(total / (w * h) / 255.0, 6)
+
+
+GIF_DECODER = GifImageCodec()
+
+
+def _looks_gif(payload: bytes) -> bool:
+    """Strict container sniff (the _looks_bmp contract): the GIF magic
+    AND a structurally walkable header reaching a real image
+    descriptor. The magic is printable ASCII, so unlike PNG a text
+    payload COULD start with it — the full block walk (sub-block
+    lengths consistent with the payload, known block types only) is
+    what text cannot satisfy, keeping the fixtures' md5-arithmetic
+    oracles exact."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return False
+    try:
+        GIF_DECODER._first_image(payload)
+        return True
+    except NotImplementedError:
+        return False

@@ -501,3 +501,179 @@ def test_resize_uses_header_probe_on_real_png(spark):
     assert len(out) == 1
     # 6x4 -> longest side 3 preserves aspect: 3x2
     assert (out[0]["width"], out[0]["height"]) == (3, 2)
+
+
+# --- real GIF codec (r8 seam fill #2) ----------------------------------------
+
+
+def _encode_gif(width, height, palette, indices, mcs=None):
+    """Minimal spec-correct GIF89a encoder for test fixtures, using
+    the 'uncompressed GIF' LZW strategy: literal codes only, a CLEAR
+    before the decoder's table could force a width change — every
+    byte the decoder sees exercises the real spec (sub-block framing,
+    clear handling, palette mapping) without this test sharing a
+    compressor's dictionary logic with the code under test."""
+    n = len(palette)
+    ct_bits = max(1, (n - 1).bit_length())
+    gct_field = ct_bits - 1
+    table_n = 2 << gct_field
+    mcs = mcs or max(2, ct_bits)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes = [clear]
+    count = 0
+    for idx in indices:
+        if count >= (1 << mcs) - 2:
+            codes.append(clear)
+            count = 0
+        codes.append(idx)
+        count += 1
+    codes.append(end)
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += mcs + 1
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    hdr = (
+        b"GIF89a"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0x80 | gct_field, 0, 0])
+    )
+    gct = b"".join(bytes(p) for p in palette) + b"\x00\x00\x00" * (
+        table_n - n
+    )
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, exercises the walk
+    desc = (
+        b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"
+    )
+    data = bytes([mcs])
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        data += bytes([len(chunk)]) + bytes(chunk)
+    data += b"\x00"
+    return hdr + gct + ext + desc + data + b"\x3b"
+
+
+def _pack_codes(codes_widths):
+    """LSB-first bit packing with per-code widths (for hand-derived
+    LZW streams)."""
+    acc = bits = 0
+    out = bytearray()
+    for c, w in codes_widths:
+        acc |= c << bits
+        bits += w
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_real_decode_via_spark(spark):
+    """sample.gif (checked in): 4x3 two-color, 6 black / 6 white
+    pixels -> mean luma exactly 0.5 through real LZW decode + palette
+    mapping, end-to-end through the mapInPandas path."""
+    from flink_exercise_spark.operators.multimodal import decode_features
+
+    out = decode_features(_media_df(spark, f"{_DATA}/sample.gif")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["format"] == "gif"
+    assert (r["width"], r["height"]) == (4, 3)
+    assert r["mean_luma"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_gif_lzw_hand_derived_sequences():
+    """The LZW state machine against hand-derived code sequences:
+    dictionary growth, the KwKwK (code == table size) case, and the
+    width bump when the table fills — spec arithmetic worked out by
+    hand, not round-tripped through our own encoder."""
+    from flink_exercise_spark.operators.multimodal import GIF_DECODER
+
+    mcs, w3 = 2, 3
+    # clear, 1, 1, 6(=the entry just added: b'\x01\x01'), end
+    data = _pack_codes([(4, w3), (1, w3), (1, w3), (6, w3), (5, w3)])
+    assert GIF_DECODER._lzw(data, mcs, 4) == bytes([1, 1, 1, 1])
+    # KwKwK: clear, 0, 6 (== len(table): prev + prev[0])
+    data = _pack_codes([(4, w3), (0, w3), (6, w3), (5, w3)])
+    assert GIF_DECODER._lzw(data, mcs, 3) == bytes([0, 0, 0])
+    # width growth: after literals 0,1,2 the table holds 8 == 2^3
+    # entries, so the NEXT codes (3, 0, end) read at 4 bits
+    data = _pack_codes(
+        [(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (0, 4), (5, 4)]
+    )
+    assert GIF_DECODER._lzw(data, mcs, 5) == bytes([0, 1, 2, 3, 0])
+
+
+def test_gif_encoder_roundtrip_multiblock(spark):
+    """A 300-pixel 4-color image: the code stream spans multiple
+    clears and multiple 255-byte sub-blocks; indices must round-trip
+    exactly and the luma must equal the palette-weighted mean."""
+    from flink_exercise_spark.operators.multimodal import GIF_DECODER
+
+    palette = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+    idx = [(7 * i) % 4 for i in range(300)]
+    payload = _encode_gif(20, 15, palette, idx)
+    w, h, ct, got = GIF_DECODER.decode_indices(payload)
+    assert (w, h) == (20, 15)
+    assert list(got) == idx
+    fmt, _, _, luma = GIF_DECODER.decode(payload)
+    lumas = [
+        (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        for r, g, b in palette
+    ]
+    want = sum(lumas[i] for i in idx) / len(idx)
+    assert fmt == "gif" and luma == pytest.approx(want, abs=1e-6)
+
+
+def test_gif_sniff_and_seam_boundaries():
+    from flink_exercise_spark.operators.multimodal import (
+        GIF_DECODER,
+        _looks_bmp,
+        _looks_gif,
+        _looks_png,
+    )
+
+    gif = open(f"{_DATA}/sample.gif", "rb").read()
+    assert _looks_gif(gif) and not _looks_png(gif) and not _looks_bmp(gif)
+    # the magic is printable ASCII — a text payload starting with it
+    # must still fail the structural walk
+    assert not _looks_gif(b"GIF89a is a file format from 1989, " + b"x" * 40)
+    png = open(f"{_DATA}/sample.png", "rb").read()
+    assert not _looks_gif(png)
+
+    base = bytearray(gif)
+    # find the image descriptor and set the interlace flag
+    pos = base.index(0x2C, 13)
+    base[pos + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        GIF_DECODER.decode_indices(bytes(base))
+    with pytest.raises(NotImplementedError):
+        GIF_DECODER.decode_indices(gif[:20])  # truncated
+    # code stream shorter than width x height -> pixels run short
+    broken = _encode_gif(4, 6, [(0, 0, 0), (255, 255, 255)], [1] * 12)
+    with pytest.raises(NotImplementedError, match="pixels"):
+        GIF_DECODER.decode_indices(broken)
+
+
+def test_resize_uses_header_probe_on_real_gif(spark):
+    from flink_exercise_spark.operators.multimodal import resize_images
+
+    out = resize_images(
+        _media_df(spark, f"{_DATA}/sample.gif"), target=2
+    ).collect()
+    assert len(out) == 1
+    # 4x3 -> longest side 2 preserves aspect: 2x1
+    assert (out[0]["width"], out[0]["height"]) == (2, 1)
