@@ -161,7 +161,6 @@ def knn_ivf_int8(
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
     from flink_exercise_spark.caching import persist_tracked
-    from flink_exercise_spark.functions.vectors import cosine_from_norms
     from flink_exercise_spark.operators.similarity import (
         N_CELLS,
         _ivf_assign_probe,
@@ -209,23 +208,7 @@ def knn_ivf_int8(
 
     # EXACT re-score of the shortlist against the float store: the
     # shortlist is (queries x shortlist) rows — AQE broadcasts it.
-    rescored = (
-        short.join(corpus, "neighbor_id")
-        .join(
-            F.broadcast(
-                queries.select("query_id", "q_emb", "q_norm")
-            ),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
-            ).alias("cosine"),
-        )
-    )
-    return _rank_top_k(rescored, k)
+    return _exact_rescore_topk(short, corpus, queries, k)
 
 
 # --- product quantization (the 64x level on the same seam) -------------------
@@ -438,6 +421,26 @@ def pq_adc_lut(
     )
 
 
+def _adc_fold() -> Column:
+    """The ADC lookup fold: sum_j lut[j * n_codes + codes[j]] over a
+    frame carrying ``codes`` (tinyint array) and a joined LUT row
+    (``lut``, ``_nc``). ONE implementation — the one-based element_at
+    offset and the index arithmetic must never fork between the
+    exhaustive and the cell-filtered scorer (code-review r8)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.size("codes") - 1),
+            lambda c, j: F.element_at(
+                F.col("lut"),
+                (j * F.col("_nc") + c.cast("int") + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_adc_scores(store: DataFrame, luts: DataFrame) -> DataFrame:
     """Approximate dot products over the CODE store: score =
     sum_j lut[j * n_codes + codes[j]] — m lookups per (query,
@@ -446,20 +449,37 @@ def pq_adc_scores(store: DataFrame, luts: DataFrame) -> DataFrame:
     cosine-shaped score is needed (ranking is scale-invariant per
     query since the query norm is constant)."""
     joined = store.crossJoin(F.broadcast(luts))
-    adot = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.size("codes") - 1),
-            lambda c, j: F.element_at(
-                F.col("lut"), (j * F.col("_nc") + c.cast("int") + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return joined.select(
-        "query_id", "vec_id", (adot / F.col("norm")).alias("adot")
+        "query_id", "vec_id", (_adc_fold() / F.col("norm")).alias("adot")
     )
+
+
+def _exact_rescore_topk(
+    short: DataFrame, corpus: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Shared tail of every compressed-store search: join the
+    per-query shortlist back to the float ``corpus`` (neighbor_id,
+    c_emb, c_norm), broadcast the ``queries`` (query_id, q_emb,
+    q_norm), re-score with the exact round-6 cosine, and rank —
+    the contract that makes the output equal the uncompressed
+    operator whenever the shortlist covers the true top-k."""
+    from flink_exercise_spark.functions.vectors import cosine_from_norms
+
+    rescored = (
+        short.join(corpus, "neighbor_id")
+        .join(
+            F.broadcast(queries.select("query_id", "q_emb", "q_norm")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
+            ).alias("cosine"),
+        )
+    )
+    return _rank_top_k(rescored, k)
 
 
 def knn_pq(
@@ -484,7 +504,6 @@ def knn_pq(
         shortlist = max(8 * k, 64)
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
-    from flink_exercise_spark.functions.vectors import cosine_from_norms
 
     corpus_f = spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
     cbs = pq_codebooks(corpus_f, m=m, n_codes=n_codes)
@@ -506,18 +525,7 @@ def knn_pq(
         F.col("embedding").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
-    rescored = (
-        short.join(corpus, "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
-            ).alias("cosine"),
-        )
-    )
-    return _rank_top_k(rescored, k)
+    return _exact_rescore_topk(short, corpus, queries, k)
 
 
 def pq_train_codebooks(
@@ -624,7 +632,6 @@ def knn_ivf_pq(
         shortlist = max(4 * k, 32)
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
-    from flink_exercise_spark.functions.vectors import cosine_from_norms
     from flink_exercise_spark.operators.similarity import (
         N_CELLS,
         _ivf_assign_probe,
@@ -654,33 +661,12 @@ def knn_ivf_pq(
         )
         .join(F.broadcast(luts), "query_id")
     )
-    adot = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.size("codes") - 1),
-            lambda c, j: F.element_at(
-                F.col("lut"),
-                (j * F.col("_nc") + c.cast("int") + 1).cast("int"),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     approx = cand.select(
-        "query_id", "neighbor_id", (adot / F.col("norm")).alias("adot")
+        "query_id",
+        "neighbor_id",
+        (_adc_fold() / F.col("norm")).alias("adot"),
     )
     short = _rank_top_k(approx, shortlist, score_col="adot").select(
         "query_id", "neighbor_id"
     )
-    rescored = (
-        short.join(corpus, "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_from_norms("q_emb", "c_emb", "q_norm", "c_norm"), 6
-            ).alias("cosine"),
-        )
-    )
-    return _rank_top_k(rescored, k)
+    return _exact_rescore_topk(short, corpus, queries, k)

@@ -85,13 +85,14 @@ def q_sliding(spark, sf_dir):
     return sliding_window_counts(load_table(prep(spark), sf_dir, "events"))
 
 
-@register(
-    "t4_session_windows",
-    # Gaps-and-islands: a new session starts where the gap from the
-    # previous event (per user) is >= 30 min (Spark session semantics:
-    # the window is [start, last+gap), an event at exactly prev+gap is
-    # outside it).
-    oracle="""
+# Gaps-and-islands: a new session starts where the gap from the
+# previous event (per user) is >= 30 min (Spark session semantics:
+# the window is [start, last+gap), an event at exactly prev+gap is
+# outside it). ONE constant shared by the batch entry and its
+# streaming twin (stream_session_parity) so the two registrations can
+# never verify divergent session contracts (code-review r8; the
+# _banded_oracle_cte precedent).
+SESSION_WINDOWS_ORACLE = """
     WITH o AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -109,7 +110,12 @@ def q_sliding(spark, sf_dir):
            count(*) AS n_events,
            round(sum(value), 2) AS sum_value
     FROM s GROUP BY user_id, sid
-    """,
+    """
+
+
+@register(
+    "t4_session_windows",
+    oracle=SESSION_WINDOWS_ORACLE,
     doc="Per-user session windows, 30-minute gap",
     tags=("window", "events"),
 )

@@ -644,38 +644,25 @@ def _register_streaming() -> None:
             .agg(F.count(F.lit(1)).alias("n_unique_users"))
         )
 
+    from flink_exercise_spark.operators.windows import (
+        SESSION_WINDOWS_ORACLE,
+    )
+
     @register(
         "stream_session_parity",
-        # Same gaps-and-islands oracle as batch t4_session_windows —
-        # the stream's end-of-input state must equal the batch session
-        # assignment exactly. This puts MERGING state under the value-
-        # hash gate (every other stateful entry aggregates within a
-        # fixed key: here the state store merges/extends session
-        # intervals as batches arrive — the cross-batch merge is
-        # pinned on a 2-batch replay in test_streaming.py). Complete
-        # mode by necessity: Spark rejects update mode for session
-        # windows (merging would need retractions), and append gates
-        # emission on watermark expiry that never comes for a bounded
-        # run's final sessions.
-        oracle="""
-        WITH o AS (
-          SELECT user_id, ts, value,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
-                      THEN 1 ELSE 0 END AS brk
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        ), s AS (
-          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                   ROWS UNBOUNDED PRECEDING) AS sid
-          FROM o
-        )
-        SELECT user_id,
-               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-               count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
-        FROM s GROUP BY user_id, sid
-        """,
+        # THE SAME gaps-and-islands oracle constant as batch
+        # t4_session_windows (shared so the twins can never verify
+        # divergent session contracts) — the stream's end-of-input
+        # state must equal the batch session assignment exactly. This
+        # puts MERGING state under the value-hash gate (every other
+        # stateful entry aggregates within a fixed key: here the state
+        # store merges/extends session intervals as batches arrive —
+        # the cross-batch merge is pinned on a 2-batch replay in
+        # test_streaming.py). Complete mode by necessity: Spark
+        # rejects update mode for session windows (merging would need
+        # retractions), and append gates emission on watermark expiry
+        # that never comes for a bounded run's final sessions.
+        oracle=SESSION_WINDOWS_ORACLE,
         doc="Per-user 30-minute-gap session windows executed as a "
             "Structured Streaming job: session_window aggregation in "
             "the keyed state store, sessions merging across "

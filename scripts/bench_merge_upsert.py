@@ -1,11 +1,17 @@
-"""Partition-scoped MERGE vs whole-table rewrite, measured at sf10.
+"""Partition-scoped MERGE vs whole-table rewrite over the events table
+of whatever fixture SPARK_GRAFT_SF10_DIR points at (default the sf10
+one; the BENCH_SF100.md row pointed it at .localdata/sf100).
 
 The claim under test (layout.merge_upsert): a CDC batch confined to one
 day of a day-partitioned table should cost the TOUCHED partition, not
 the table — the anti-join scan partition-prunes and dynamic overwrite
-rewrites one directory. This measures both paths on the same 10M-row
-events table and prints one JSON line with the wall-clocks and the
-ratio.
+rewrites one directory. Two table builds from the same rows: the
+day-partitioned layout for the scoped path, and an UNPARTITIONED flat
+twin for the whole-table path (the honest comparison: the flat layout
+IS what merge_upsert's docstring reserves whole-table rewrites for —
+the headline therefore measures path + its natural layout together,
+stated as such in the record). One JSON line with wall-clocks and the
+ratio; the sf label is derived from the fixture dir.
 
 Usage: SPARK_GRAFT_DRIVER_MEM=64g python scripts/bench_merge_upsert.py
 """
@@ -83,7 +89,12 @@ def main() -> None:
     )
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
-    print(json.dumps({"sf": 10, "merge_upsert": out}))
+    # label from the fixture dir, not a literal — this script has been
+    # pointed at sf100 (BENCH_SF100.md) and a hardcoded 10 would
+    # mislabel that record (code-review r8)
+    tag = SF10.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(tag) if tag.replace(".", "").isdigit() else tag
+    print(json.dumps({"sf": sf, "merge_upsert": out}))
 
 
 if __name__ == "__main__":

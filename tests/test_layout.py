@@ -481,14 +481,12 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     assert got == {(1, "a"), (2, "B")}
 
 
-def test_merge_upsert_fuzz_vs_pandas(spark, tmp_path):
+def test_merge_upsert_fuzz_vs_dict_reference(spark, tmp_path):
     """Differential fuzz: random base tables and key-unique CDC
     batches (overlapping + new keys, multi-partition updates) must
-    land exactly where a pandas upsert puts them — both the
-    partition-scoped and the whole-table path."""
+    land exactly where the last-writer-wins dict reference puts them —
+    both the partition-scoped and the whole-table path."""
     import random
-
-    import pandas as pd
 
     rng = random.Random(20260815)
     days = [f"2024-02-{d:02d}" for d in range(1, 6)]
@@ -497,7 +495,6 @@ def test_merge_upsert_fuzz_vs_pandas(spark, tmp_path):
             (k, rng.choice(days), f"v{rng.randrange(1000)}")
             for k in rng.sample(range(100), rng.randint(10, 40))
         ]
-        base_keys = [r[0] for r in base_rows]
         upd_keys = rng.sample(
             range(120), rng.randint(3, 12)
         )  # mix of existing + new keys

@@ -618,16 +618,27 @@ def test_gif_lzw_hand_derived_sequences():
 
 
 def test_gif_encoder_roundtrip_multiblock(spark):
-    """A 300-pixel 4-color image: the code stream spans multiple
-    clears and multiple 255-byte sub-blocks; indices must round-trip
-    exactly and the luma must equal the palette-weighted mean."""
+    """A 2000-pixel 4-color image: at mcs=2 the code stream is ~1 kB
+    (VERIFIED below to span multiple 255-byte sub-blocks, so the
+    descriptor's sub-block reassembly walk genuinely iterates) and
+    crosses many clears; indices must round-trip exactly and the luma
+    must equal the palette-weighted mean."""
     from flink_exercise_spark.operators.multimodal import GIF_DECODER
 
     palette = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
-    idx = [(7 * i) % 4 for i in range(300)]
-    payload = _encode_gif(20, 15, palette, idx)
+    idx = [(7 * i) % 4 for i in range(2000)]
+    payload = _encode_gif(50, 40, palette, idx)
+    # the claim under test must actually hold: >1 data sub-block.
+    # Walk from the known structure (searching for 0x2C could match a
+    # data byte): header(13) + GCT(3*4 colors) + ext(8) + desc(10).
+    pos = 13 + 3 * 4 + 8 + 10 + 1  # + the mcs byte
+    n_blocks = 0
+    while payload[pos] != 0:
+        n_blocks += 1
+        pos += 1 + payload[pos]
+    assert n_blocks >= 2, "fixture no longer spans sub-blocks"
     w, h, ct, got = GIF_DECODER.decode_indices(payload)
-    assert (w, h) == (20, 15)
+    assert (w, h) == (50, 40)
     assert list(got) == idx
     fmt, _, _, luma = GIF_DECODER.decode(payload)
     lumas = [
