@@ -186,3 +186,18 @@ def test_html_extract_stream_equals_batch(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_strip_null_and_empty_html(spark):
+    """Library-op totality: NULL markup stays NULL (the Spark column
+    convention), empty/whitespace-only markup strips to the empty
+    string — documented behavior, not an accident."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  \n\t "), (4, "<p></p>")],
+        "i long, html string",
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", strip_html_expr("html").alias("t")).collect()
+    }
+    assert got == {1: None, 2: "", 3: "", 4: ""}
