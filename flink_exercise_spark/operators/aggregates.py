@@ -263,6 +263,13 @@ def q_ref_q1(spark, sf_dir):
         "arg-max (windowed max count + broadcast semi-join back), no "
         "BIGINT packing, no SortAggregate",
     tags=("reference", "events", "string-key"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_ref_q1_str(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")
@@ -341,6 +348,13 @@ def cumulative_distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFr
     doc="Reference Q2 exact semantics: cumulative distinct clients at "
         "each window end (running-count window-max composition)",
     tags=("reference", "events"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_ref_q2_cumulative(spark, sf_dir):
     return cumulative_distinct_hosts(load_table(prep(spark), sf_dir, "events"))
@@ -374,6 +388,13 @@ def q_ref_q3(spark, sf_dir):
     oracle="SELECT user_id, count(*) AS n_requests FROM events GROUP BY 1",
     doc="A1: keyed count",
     tags=("aggregate", "events"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_a1(spark, sf_dir):
     return requests_per_host(load_table(prep(spark), sf_dir, "events"))
@@ -392,6 +413,13 @@ def q_a1(spark, sf_dir):
     doc="A2+A4: global element count and exact distinct-key count "
         "(StreamingJob.scala:153-155, 167-169)",
     tags=("aggregate", "events"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_a2(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")
@@ -410,6 +438,13 @@ def q_a2(spark, sf_dir):
     """,
     doc="A3: stateful distinct -> deterministic first record per key",
     tags=("aggregate", "events"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_a3(spark, sf_dir):
     return first_event_per_host(load_table(prep(spark), sf_dir, "events"))
@@ -445,6 +480,13 @@ def q_a4_approx(spark, sf_dir):
     """,
     doc="A6 generalized: top-k clients per window",
     tags=("aggregate", "events", "topk"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_a6_top3(spark, sf_dir):
     return top_k_hosts_per_window(load_table(prep(spark), sf_dir, "events"), k=3)
@@ -469,12 +511,6 @@ def q_a6_top3(spark, sf_dir):
         "plus exact interpolated percentiles (at stream/100TB scale "
         "use approx_percentile sketches)",
     tags=("aggregate", "events", "percentile"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_type_stats(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")
@@ -508,12 +544,6 @@ def q_type_stats(spark, sf_dir):
     doc="A1 continuous-emission semantics in batch: per-record running "
         "aggregates via analytic windows",
     tags=("aggregate", "events", "analytic"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_running_counts(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")
@@ -545,12 +575,6 @@ def q_running_counts(spark, sf_dir):
     """,
     doc="JSON scalar extraction over events.props (get_json_object)",
     tags=("aggregate", "events", "json"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_json_props(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")

@@ -276,12 +276,6 @@ def range_join_counts(
         "burst-hot bin raises an actionable plan-side error instead "
         "of silently undercounting into a hash mismatch",
     tags=("range-join", "join", "events", "temporal"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Quadratic-reference differential fuzz: tests/test_asof_range.py (the r6-accepted precedent).
-    priority=1,
 )
 def q_range_join(spark, sf_dir):
     return range_join_counts(
@@ -305,6 +299,13 @@ def q_range_join(spark, sf_dir):
     doc="As-of join: each purchase attributed to the user's most recent "
         "prior view (windowed union composition vs native ASOF oracle)",
     tags=("asof", "join", "events"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_asof_attribution(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")

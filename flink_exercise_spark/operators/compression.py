@@ -83,9 +83,12 @@ def _scales_array(scales: DataFrame) -> DataFrame:
 
 
 def quantize_int8(
-    emb: DataFrame, scales: DataFrame, vec_col: str = "embedding"
+    emb: DataFrame,
+    scales: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """The compressed store: ``(vec_id, qvec array<tinyint>, norm)``.
+    """The compressed store: ``(id_col, qvec array<tinyint>, norm)``.
     qvec_d = clamp(round(v_d / scale_d)) in [-127, 127]; ``norm`` is
     the EXACT float L2 norm (one double per vector — the standard
     companion so cosine denominators carry no quantization error).
@@ -101,7 +104,7 @@ def quantize_int8(
         ).cast("tinyint"),
     )
     return with_scales.select(
-        "vec_id",
+        id_col,
         q.alias("qvec"),
         l2_norm_expr(vec_col).alias("norm"),
     )
@@ -239,22 +242,30 @@ def knn_ivf_int8(
 
 
 def _pq_guard(
-    df: DataFrame, m: int, vec_col: str, n_codes: int | None = None
+    df: DataFrame,
+    m: int,
+    vec_col: str,
+    n_codes: int | None = None,
+    dims: int | None = None,
 ) -> None:
     """Fail fast on the two silent-corruption inputs (code-review r8):
     signed-tinyint codes wrap negative past 128 (ADC would then index
     the LUT from the wrong end), and a non-divisible m makes the
     int-truncated subspace slices skip/overlap dimensions — quality
-    degrades with no error. One LIMIT-1 probe for dims."""
+    degrades with no error. One LIMIT-1 probe for dims — skipped when
+    the caller passes an already-probed ``dims`` (a composing operator
+    like knn_ivf_pq validates three helpers against ONE driver
+    round-trip, r8 ADVICE)."""
     if n_codes is not None and not (0 < n_codes <= 128):
         raise ValueError(
             f"n_codes {n_codes} must be in (0, 128]: codes are stored "
             "as signed tinyint (use a smallint store for 2^8+)"
         )
-    row = df.select(F.size(vec_col)).limit(1).first()
-    if row is None:
-        return  # empty input: nothing to mis-slice
-    dims = row[0]
+    if dims is None:
+        row = df.select(F.size(vec_col)).limit(1).first()
+        if row is None:
+            return  # empty input: nothing to mis-slice
+        dims = row[0]
     if dims % m != 0:
         raise ValueError(
             f"m {m} must divide the vector length {dims}: truncated "
@@ -267,6 +278,7 @@ def pq_codebooks(
     m: int = 8,
     n_codes: int = 16,
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Deterministic PQ codebooks: ``(subspace, code, codeword)`` with
     subspace in [0, m), code in [0, n_codes), codeword = the code-th
@@ -276,7 +288,7 @@ def pq_codebooks(
     shape."""
     from pyspark.sql import Window
 
-    _pq_guard(emb, m, vec_col, n_codes)
+    _pq_guard(emb, m, vec_col, n_codes, dims=dims)
 
     base = (
         emb.orderBy("vec_id")
@@ -339,6 +351,7 @@ def pq_encode(
     codebooks: DataFrame,
     m: int = 8,
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """The PQ store: ``(vec_id, codes array<tinyint>, norm double)``.
     codes[j] = argmin_c ||subvector_j - codeword_{j,c}||^2, ties to the
@@ -347,7 +360,7 @@ def pq_encode(
     One broadcast codebook row + Column HOFs: zero shuffles, no
     Python. The exact float ``norm`` rides along (the int8 rationale:
     ADC approximates the numerator only)."""
-    _pq_guard(emb, m, vec_col)
+    _pq_guard(emb, m, vec_col, dims=dims)
     with_cb = emb.crossJoin(F.broadcast(_codebooks_array(codebooks)))
 
     def best_code(sub_idx: Column) -> Column:
@@ -388,6 +401,7 @@ def pq_adc_lut(
     m: int = 8,
     vec_col: str = "q_emb",
     id_col: str = "query_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """Per-query ADC lookup table: ``(query_id, lut)`` where lut is a
     FLAT array of m x n_codes doubles — lut[j*n_codes + c] =
@@ -397,7 +411,7 @@ def pq_adc_lut(
     from the folded codebook row — an eager max(code) action here
     would re-run the whole codebook lineage (e.g. m k-means fits for
     trained books) before any plan is assembled (code-review r8)."""
-    _pq_guard(queries, m, vec_col)
+    _pq_guard(queries, m, vec_col, dims=dims)
     with_cb = queries.crossJoin(F.broadcast(_codebooks_array(codebooks)))
     lut = F.flatten(
         F.transform(
@@ -638,9 +652,15 @@ def knn_ivf_pq(
     )
 
     corpus_f = spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
+    # ONE dims probe validates all three PQ helpers below — without
+    # it each helper runs its own LIMIT-1 Spark action at composition
+    # time, three driver round-trips for the same check (r8 ADVICE).
+    dims_row = emb.select(F.size("embedding")).limit(1).first()
+    dims = dims_row[0] if dims_row is not None else None
+    _pq_guard(emb, m, "embedding", n_codes, dims=dims)
     if pq_books is None:
-        pq_books = pq_codebooks(corpus_f, m=m, n_codes=n_codes)
-    store = pq_encode(corpus_f, pq_books, m=m).withColumnRenamed(
+        pq_books = pq_codebooks(corpus_f, m=m, n_codes=n_codes, dims=dims)
+    store = pq_encode(corpus_f, pq_books, m=m, dims=dims).withColumnRenamed(
         "vec_id", "neighbor_id"
     )
     corpus, queries, assigned_ids, probes = _ivf_assign_probe(
@@ -651,7 +671,7 @@ def knn_ivf_pq(
         codebook,
     )
     luts = pq_adc_lut(
-        queries.select("query_id", "q_emb"), pq_books, m=m
+        queries.select("query_id", "q_emb"), pq_books, m=m, dims=dims
     )
     # probe scan over the COMPRESSED store, cell-filtered
     cand = (

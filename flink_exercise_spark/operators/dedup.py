@@ -454,6 +454,13 @@ _ORACLE_SHINGLE_CTE = """
     doc="Exact-dedup canonical-id mapping (hash-groupBy; only "
         "(md5, id) pairs shuffle, text never crosses the wire)",
     tags=("dedup", "documents"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_dedup_map(spark, sf_dir):
     return exact_dedup_map(load_table(prep(spark), sf_dir, "documents"))
@@ -477,6 +484,13 @@ def _minhash_oracle(k: int = N_MINHASH) -> str:
     doc="8-permutation MinHash signatures over 3-gram shingles "
         "(md5 hash family)",
     tags=("dedup", "documents", "minhash"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_minhash_sigs(spark, sf_dir):
     return minhash_signatures(load_table(prep(spark), sf_dir, "documents"))
@@ -518,6 +532,13 @@ def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
     doc="MinHash-LSH candidate pairs over 3-gram shingles "
         "(4 bands x 2 rows)",
     tags=("dedup", "documents", "minhash"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_minhash_pairs(spark, sf_dir):
     return minhash_band_pairs(load_table(prep(spark), sf_dir, "documents"))
@@ -546,6 +567,13 @@ def q_minhash_pairs(spark, sf_dir):
     doc="Token-set Jaccard near-dup pairs (inverted-index join, "
         "lang-blocked)",
     tags=("dedup", "documents", "jaccard"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Python-set pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_jaccard(spark, sf_dir):
     return jaccard_pairs(load_table(prep(spark), sf_dir, "documents"))
@@ -861,12 +889,6 @@ def cluster_keep_best(
         "sized cluster relation — the keep-the-best-copy dedup "
         "decision a training pipeline applies",
     tags=("dedup", "documents", "minhash", "clusters"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Python union-find fixture pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_cluster_keep_best(spark, sf_dir):
     return cluster_keep_best(load_table(prep(spark), sf_dir, "documents"))
@@ -1070,6 +1092,13 @@ def line_dedup(
         "order — line-level dedup complementing the document-level "
         "families",
     tags=("dedup", "documents", "text"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pure-python fixture pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_line_boilerplate(spark, sf_dir):
     return line_dedup(load_table(prep(spark), sf_dir, "documents"))
@@ -1332,6 +1361,13 @@ def _substring_oracle(k: int = SUBSTR_K) -> str:
         "and the text rebuilt — passage-level dedup via the "
         "distributed k-gram inverted index",
     tags=("dedup", "documents", "text"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pure-python fixture pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_exact_substring(spark, sf_dir):
     return substring_dedup(load_table(prep(spark), sf_dir, "documents"))

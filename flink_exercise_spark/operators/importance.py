@@ -283,12 +283,6 @@ def _dsir_oracle(n: int = DSIR_N, k: int = DSIR_BUCKETS) -> str:
         "train-split raw model, per train document, in exact integer "
         "micro-nats (ln runs once per bucket; corpus sums are longs)",
     tags=("text", "documents", "pipeline", "sampling"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Python fixture reference: tests/test_importance.py::test_dsir_fixture_against_reference.
-    priority=1,
 )
 def q_dsir_weights(spark, sf_dir):
     return dsir_scores(load_table(prep(spark), sf_dir, "documents"))

@@ -344,8 +344,10 @@ def merge_upsert(
     exactly this gap. This operator is the single-writer maintenance
     form. The merged result is ``localCheckpoint``-materialized before
     writing because Spark cannot lazily read the very files the
-    overwrite is deleting (materialized size = the touched partitions,
-    not the table)."""
+    overwrite is deleting. In the partition-scoped branch the
+    materialized size is the touched partitions, not the table; the
+    ``partition_col=None`` branch materializes the FULL table,
+    consistent with its small-table-only framing."""
     base = spark.read.parquet(path)
     n_updates = updates.count()
     if updates.select(key).distinct().count() != n_updates:
@@ -367,8 +369,18 @@ def merge_upsert(
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]  # CDC-batch-partition-count-sized collect (bounded by contract)
+    # NULL partition values need the null-safe form: with None in the
+    # IN-list, `isin(touched)` evaluates to NULL (never true) for the
+    # base's null-partition rows, so they would silently miss the
+    # merge and dynamic overwrite would replace
+    # __HIVE_DEFAULT_PARTITION__ with only the update rows — base
+    # rows lost without an error (r8 ADVICE, reproduced).
+    touched_nonnull = [t for t in touched if t is not None]
+    part_filter = F.col(partition_col).isin(touched_nonnull)
+    if len(touched_nonnull) < len(touched):  # updates touch NULL part
+        part_filter = part_filter | F.col(partition_col).isNull()
     survivors = base.filter(
-        F.col(partition_col).isin(touched)  # -> PartitionFilters
+        part_filter  # -> PartitionFilters
     ).join(F.broadcast(updates.select(key).distinct()), key, "left_anti")
     merged = survivors.unionByName(updates).localCheckpoint()
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")

@@ -175,12 +175,6 @@ def packing_profile(
         "offset, chunk span, boundary crossings — via a two-pass "
         "distributed prefix sum (no global sort)",
     tags=("pipeline", "documents", "packing"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Naive-python reference: tests/test_packing.py::test_matches_naive_python.
-    priority=1,
 )
 def q_pack_chunks(spark, sf_dir):
     return pack_chunks(load_table(prep(spark), sf_dir, "documents"))

@@ -416,6 +416,13 @@ def _mix_threshold_sql() -> str:
         "salted per-language stratified data-mixing accounting in the "
         "same hash-agg pass",
     tags=("pipeline", "documents", "sampling"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_hash_split(spark, sf_dir):
     return split_profile(load_table(prep(spark), sf_dir, "documents"))
@@ -471,12 +478,6 @@ def q_hash_split(spark, sf_dir):
         "budget), applied via the salted content-hash keep test — "
         "per-source accounting of docs/chars retained",
     tags=("pipeline", "documents", "sampling"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Python fixture reference: tests/test_pipeline.py::test_temperature_profile_matches_python_reference.
-    priority=1,
 )
 def q_temperature_mix(spark, sf_dir):
     return temperature_mix_profile(
@@ -681,6 +682,13 @@ def _decontam_oracle(n: int = DECONTAM_N) -> str:
         "overlap), broadcast join on the n-gram — the held-out side "
         "is a fixed-size benchmark, so the corpus side never shuffles",
     tags=("pipeline", "documents", "dedup", "text"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: hand-computed cases + hashlib bucket reference, tests/test_pipeline.py.
+    priority=1,
 )
 def q_decontaminate(spark, sf_dir):
     return decontaminate(load_table(prep(spark), sf_dir, "documents"))

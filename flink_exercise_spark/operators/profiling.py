@@ -163,12 +163,6 @@ def source_quantile_profile(docs: DataFrame) -> DataFrame:
         "histogram-sized window) instead of percentile()'s "
         "hold-the-group-in-RAM buffer",
     tags=("documents", "profiling", "quantiles"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas fixture reference: tests/test_profiling.py::test_profile_on_fixture_matches_reference.
-    priority=1,
 )
 def q_doc_quantiles(spark, sf_dir):
     return source_quantile_profile(load_table(prep(spark), sf_dir, "documents"))

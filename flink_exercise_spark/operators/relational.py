@@ -63,12 +63,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
     doc="TPC-H Q1 shape: pricing summary report over lineitem",
     tags=("relational", "lineitem"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_tpch_q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -112,12 +106,6 @@ def q_tpch_q1(spark, sf_dir):
     doc="TPC-H Q3 shape: top unshipped orders by revenue "
         "(broadcast dim join + fact-fact join + TakeOrdered top-k)",
     tags=("relational", "join", "topk"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_tpch_q3(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(
@@ -169,12 +157,6 @@ def q_tpch_q3(spark, sf_dir):
     """,
     doc="TPC-H Q5 shape: revenue by nation through a 6-table join chain",
     tags=("relational", "join"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_tpch_q5(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
@@ -221,12 +203,6 @@ def q_tpch_q5(spark, sf_dir):
     doc="TPC-H Q6 shape: scan-heavy filtered aggregate "
         "(all predicates push into the parquet scan)",
     tags=("relational", "lineitem", "scan"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_tpch_q6(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -266,12 +242,6 @@ def q_tpch_q6(spark, sf_dir):
         "fact scan with pushed date range, part dim broadcast "
         "(plan-asserted), conditional aggregate",
     tags=("relational", "join", "part"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_tpch_q14(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -311,12 +281,6 @@ def q_tpch_q14(spark, sf_dir):
     doc="Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one "
         "partitioned result: customers with vs without orders",
     tags=("relational", "join"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_semi_anti(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
@@ -340,6 +304,13 @@ def q_semi_anti(spark, sf_dir):
     """,
     doc="Left-outer join preserving customers with zero orders",
     tags=("relational", "join"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_outer(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
@@ -369,6 +340,13 @@ def q_outer(spark, sf_dir):
     """,
     doc="CUBE over order status x priority",
     tags=("relational", "groupingsets"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_cube(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
@@ -394,6 +372,13 @@ def q_cube(spark, sf_dir):
     doc="GROUPING SETS superset of ROLLUP(l_returnflag, l_linestatus): "
         "full, per-flag, per-status, and grand totals",
     tags=("relational", "groupingsets"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_grouping_sets(spark, sf_dir):
     prep(spark)
@@ -423,6 +408,13 @@ def q_grouping_sets(spark, sf_dir):
     """,
     doc="Global top-k (TakeOrderedAndProject — no full sort at scale)",
     tags=("relational", "sort"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_sort_limit(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
@@ -448,6 +440,13 @@ def q_sort_limit(spark, sf_dir):
     """,
     doc="UNION ALL across heterogeneous sources aligned to one schema",
     tags=("relational", "setop"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_union(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
@@ -484,12 +483,6 @@ def q_union(spark, sf_dir):
     """,
     doc="INTERSECT / EXCEPT set operations",
     tags=("relational", "setop"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_setops(spark, sf_dir):
     building = (
@@ -525,6 +518,13 @@ def q_setops(spark, sf_dir):
     """,
     doc="String/date/math scalar function coverage (P-series analog)",
     tags=("relational", "scalar"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_scalars(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")

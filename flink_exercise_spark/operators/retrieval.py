@@ -467,12 +467,6 @@ _HYBRID_ORACLE = f"""
         "— fusion sees only the arms' query-sized outputs, never a "
         "third corpus pass",
     tags=("text", "embeddings", "retrieval", "hybrid"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Python fixture reference: tests/test_retrieval.py::test_hybrid_fixture_matches_python_reference.
-    priority=1,
 )
 def q_hybrid_rrf(spark, sf_dir):
     s = prep(spark)
@@ -491,12 +485,6 @@ def q_hybrid_rrf(spark, sf_dir):
         "odds-form idf so the integer scores hash identically across "
         "engines",
     tags=("text", "documents", "retrieval", "bm25"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Python fixture reference: tests/test_retrieval.py::test_fixture_matches_python_reference.
-    priority=1,
 )
 def q_bm25_topk(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")

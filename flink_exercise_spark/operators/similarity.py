@@ -940,6 +940,13 @@ _VEC_CTE = f"""
     """,
     doc="Exact cosine top-5 neighbors for query vectors (vec_id<10)",
     tags=("similarity", "embeddings", "knn"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Numpy pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_knn_brute(spark, sf_dir):
     return knn_brute_force(load_table(prep(spark), sf_dir, "embeddings"))
@@ -987,6 +994,13 @@ def _bucket_sql(alias: str) -> str:
     """,
     doc="ANN top-3 via deterministic sign-bucket LSH (single probe)",
     tags=("similarity", "embeddings", "lsh"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Numpy pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_knn_lsh(spark, sf_dir):
     return knn_lsh_bucketed(load_table(prep(spark), sf_dir, "embeddings"))
@@ -1090,13 +1104,6 @@ def q_knn_ivf(spark, sf_dir):
         "Gram-matrix kernel — 17x the HOF-fold join at sf1 (Catalyst "
         "HOFs don't fuse into codegen), bit-equal on the fixtures; "
         "the join form remains the skew-safe library fallback",
-    # priority=1 (r8 rotation, second wave): driver-green in r7; takes
-    # a rotation slot so the new stream_session_parity entry (merging
-    # session state under the value-hash gate) collects its first
-    # driver pass. Hash-verified locally every round by
-    # test_parity_demoted. Numpy fixture pin:
-    # tests/test_rotation_pins.py (added in the same commit).
-    priority=1,
     tags=("similarity", "embeddings", "dedup", "pandas-udf"),
 )
 def q_near_dup(spark, sf_dir):
@@ -1158,12 +1165,6 @@ def q_near_dup(spark, sf_dir):
         "the farthest-from-centroid representative of each dense "
         "region; cluster id is the blocking key at 100 TB",
     tags=("similarity", "embeddings", "dedup", "pandas-udf"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Numpy fixture pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_semantic_prune(spark, sf_dir):
     return semantic_prune(load_table(prep(spark), sf_dir, "embeddings"))
@@ -1187,12 +1188,6 @@ def q_semantic_prune(spark, sf_dir):
     """,
     doc="Vector aggregation: per-label centroid norms",
     tags=("similarity", "embeddings"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_centroids(spark, sf_dir):
     return label_centroid_norms(load_table(prep(spark), sf_dir, "embeddings"))

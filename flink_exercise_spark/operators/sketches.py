@@ -188,12 +188,6 @@ def heavy_hitters(
         "row per distinct key — the skew-detection front end to every "
         "salted join",
     tags=("events", "sketch", "heavy-hitters", "skew"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas fixture reference: tests/test_sketches.py::test_heavy_hitters_fixture_exact.
-    priority=1,
 )
 def q_events_heavy_hitters(spark, sf_dir):
     return heavy_hitters(

@@ -65,12 +65,6 @@ def salted_distinct_count(
     doc="Skew-resistant two-stage distinct count (salted shuffle), "
         "results identical to the naive plan",
     tags=("skew", "events", "aggregate"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_salted_distinct(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")

@@ -687,12 +687,6 @@ def chunk_documents(
         "advancing by 48 (16-token overlap), short final window — "
         "pure-codegen slice/explode, zero shuffles",
     tags=("text", "documents", "chunking"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Python fixture reference: tests/test_chunking.py::test_fixture_matches_python_reference.
-    priority=1,
 )
 def q_chunk_overlap(spark, sf_dir):
     return chunk_documents(load_table(prep(spark), sf_dir, "documents"))
@@ -724,6 +718,13 @@ def q_chunk_overlap(spark, sf_dir):
         "PII-scrub accounting (URL/email/IPv4 counts + scrubbed-text "
         "fingerprint)",
     tags=("text", "documents", "dedup", "pii"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_fingerprints(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
@@ -921,6 +922,13 @@ _HTML_ORACLE = """
         "corpus — the web-corpus front door ahead of the quality "
         "gates; pure codegen projection, zero shuffles",
     tags=("text", "documents", "html"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: python-re differential fuzz + fixture round-trip, tests/test_html.py.
+    priority=1,
 )
 def q_html_extract(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")

@@ -407,12 +407,6 @@ def _oracle(pattern: list[float], k: int = TOP_K, L: int = PATTERN_LEN) -> str:
         "to both the full-series vectorized kernel and the declarative "
         "Column-fold reference form (test_timeseries.py)",
     tags=("timeseries", "events", "similarity", "pandas-udf"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Numpy fixture pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_ts_pattern_search(spark, sf_dir):
     return pattern_search_bucketed(

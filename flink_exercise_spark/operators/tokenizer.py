@@ -201,12 +201,6 @@ def bpe_train(
         "adjacent char-pair counts (BPE iteration-0 merge candidates) "
         "— the corpus-scale aggregations a tokenizer trainer consumes",
     tags=("text", "documents", "tokenizer"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Counter fixture pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_vocab_topk(spark, sf_dir):
     from flink_exercise_spark.caching import persist_tracked
@@ -322,12 +316,6 @@ def token_rarity(docs: DataFrame) -> DataFrame:
         "no libm) — the vocabulary trained by the corpus-scale "
         "aggregate is the model, joined back inverted-index style",
     tags=("text", "documents", "tokenizer", "quality"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Dict-reference fixture pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_token_rarity(spark, sf_dir):
     return token_rarity(load_table(prep(spark), sf_dir, "documents"))
@@ -554,12 +542,6 @@ def bigram_lift(
         "ratio scoring — the collocation mining pass of corpus "
         "analysis",
     tags=("text", "documents", "tokenizer", "collocations"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Python fixture reference: tests/test_tokenizer.py::test_bigram_lift_fixture_matches_python.
-    priority=1,
 )
 def q_bigram_lift(spark, sf_dir):
     return bigram_lift(load_table(prep(spark), sf_dir, "documents"))

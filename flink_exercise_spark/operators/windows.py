@@ -74,12 +74,6 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """,
     doc="Sliding event-time window (7d size, 1d slide) counts",
     tags=("window", "events"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_sliding(spark, sf_dir):
     return sliding_window_counts(load_table(prep(spark), sf_dir, "events"))
@@ -118,6 +112,13 @@ SESSION_WINDOWS_ORACLE = """
     oracle=SESSION_WINDOWS_ORACLE,
     doc="Per-user session windows, 30-minute gap",
     tags=("window", "events"),
+    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
+    # slot so the 30 r8-demoted entries (freshest pass r7) return to
+    # the driver window (+2 seats for the new incremental-dedup and
+    # perplexity entries). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
 )
 def q_sessions(spark, sf_dir):
     return session_windows(load_table(prep(spark), sf_dir, "events"))
@@ -183,12 +184,6 @@ def hypertable_rollup(events: DataFrame, value: str = "value") -> DataFrame:
         "aggregates of the events stream in one Expand+hash-agg pass "
         "(continuous-aggregate pattern; grain = grouping_id)",
     tags=("window", "events", "rollup", "temporal"),
-    # priority=1 (r8 rotation): driver-green in r7; takes a rotation
-    # slot so the 28 r7-demoted entries (freshest pass r6) return to
-    # the driver window (+1 seat for the new html extraction entry).
-    # Hash-verified locally every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_hypertable_rollup(spark, sf_dir):
     return hypertable_rollup(load_table(prep(spark), sf_dir, "events"))

@@ -462,6 +462,37 @@ def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
     assert day_files("2024-01-01") == day1_before
 
 
+def test_merge_upsert_null_partition_preserves_base_rows(spark, tmp_path):
+    """r8 ADVICE (high): with a NULL partition value in the updates,
+    the naive isin(touched) filter evaluates to NULL for the base's
+    null-partition rows, silently dropping them from the merge while
+    dynamic overwrite replaces __HIVE_DEFAULT_PARTITION__ with only
+    the update rows. The null-safe filter must keep them."""
+    from flink_exercise_spark.operators.layout import merge_upsert
+
+    path = str(tmp_path / "nullpart")
+    spark.createDataFrame(
+        [(1, None, "keep-me"), (2, None, "also-keep"), (3, "d1", "other")],
+        "id long, day string, v string",
+    ).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, None, "UPDATED")], "id long, day string, v string"
+    )
+    res = merge_upsert(spark, path, updates, "id", partition_col="day")
+    assert res["partitions_rewritten"] == 1
+    got = {
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(path)
+        .withColumn("day", F.col("day").cast("string"))
+        .collect()
+    }
+    assert got == {
+        (1, None, "keep-me"),
+        (2, None, "UPDATED"),
+        (3, "d1", "other"),
+    }
+
+
 def test_merge_upsert_idempotent(spark, tmp_path):
     from flink_exercise_spark.operators.layout import merge_upsert
 

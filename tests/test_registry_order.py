@@ -28,58 +28,60 @@ def test_demoted_showcases_sort_last_within_oracled():
     specs = registry.specs()
     oracled = [n for n in _names() if specs[n].oracle is not None]
     demoted = [n for n in oracled if specs[n].priority > 0]
-    # Round-8 rotation (executes VERDICT r7 ask #3): the 28 entries
-    # demoted in r7 return to the driver window (their freshest driver
-    # pass is r6 — one more round out would break the 2-round bound).
-    # Twenty-nine entries green in r7 (CORRECTNESS_r07: 50/50) take the
-    # rotation slots — the 28 returners' seats plus one more so the new
-    # text_html_extract entry collects its FIRST hash-checked pass
-    # inside the window. Every demoted entry holds an r7 driver pass
-    # (enforced below) and an independent non-DuckDB pin, noted at its
-    # register() site: pandas/numpy/Counter pins in
+    # Round-9 rotation (executes VERDICT r8 ask #1): the 30 entries
+    # demoted in r8 return to the driver window (their freshest driver
+    # pass is r7 — one more round out would break the 2-round bound).
+    # Thirty-three entries green in r8 (CORRECTNESS_r08: 50/50) take
+    # the rotation slots — the 30 returners' seats plus two more so
+    # the new incremental cross-snapshot dedup and n-gram perplexity
+    # entries collect their FIRST hash-checked passes inside the
+    # window (one spare seat kept free). Every demoted entry holds an
+    # r8 driver pass (enforced below) and an independent non-DuckDB
+    # pin, noted at its register() site: pandas/numpy/hashlib pins in
     # tests/test_rotation_pins.py, or an own-file pure-python / pandas
-    # fixture-reference test (test_chunking / test_profiling /
-    # test_sketches / test_retrieval / test_tokenizer / test_importance
-    # / test_pipeline / test_packing), or — for
-    # range_join_concurrent_events — the quadratic-reference
-    # differential fuzz (the r6-accepted exemption class).
+    # fixture-reference test (test_html / test_pipeline /
+    # test_funnel), or — for clf_golden_log — the hand-computed
+    # VALUES oracle over the immutable checked-in log (the r7-accepted
+    # exemption class).
     assert set(demoted) == {
-        # existing test_rotation_pins.py pins (demoted r6, returned r7)
-        "events_type_stats",
-        "a1_running_counts_analytic",
-        "events_json_props",
-        "intersect_except_custkeys",
-        "sim_label_centroid_norms",
-        "skew_salted_distinct_count",
-        "hypertable_rollup_events",
-        "t4_sliding_window_counts",
-        "tpch_q1_pricing_summary",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume",
-        "tpch_q6_forecast_revenue",
-        "tpch_q14_promo_revenue",
-        "join_semi_anti_customers",
+        # existing test_rotation_pins.py pins (demoted in r7 waves,
+        # returned r8)
+        "ref_q1_top_host_str",
+        "ref_q2_cumulative_distinct",
+        "a1_requests_per_host",
+        "a2_count_events",
+        "a3_first_event_per_host",
+        "a6_top3_hosts_per_window",
+        "t4_session_windows",
+        "sim_knn_brute_force",
+        "sim_knn_lsh_bucketed",
+        "text_fingerprints",
+        "dedup_exact_map",
+        "dedup_minhash_signatures",
+        "dedup_minhash_band_pairs",
+        "dedup_jaccard_pairs",
+        "asof_purchase_attribution",
+        "mm_binary_metadata",
+        "mm_decode_features",
+        "mm_frame_sample",
+        "mm_audio_energy",
+        "mm_resize_thumbs",
+        "pipeline_hash_split",
+        "join_outer_order_counts",
+        "cube_orders_status_priority",
+        "grouping_sets_lineitem",
+        "sort_limit_top_orders",
+        "union_orders_and_purchases",
+        "scalar_functions_showcase",
         # own-file fixture-reference pins (cited at the register site)
-        "text_chunk_overlap",
-        "doc_quantiles_by_source",
-        "events_heavy_hitters",
-        "retrieval_hybrid_rrf",
-        "text_bm25_topk",
-        "text_bigram_lift",
-        "text_dsir_weights",
-        "pipeline_temperature_mix",
-        "pipeline_pack_chunks",
-        "range_join_concurrent_events",
-        # new pins added to test_rotation_pins.py this round
-        "ts_pattern_search",
-        "text_vocab_topk",
-        "text_token_rarity",
-        "dedup_semantic_prune",
-        "dedup_cluster_keep_best",
-        # second wave (mid-round): +1 slot for the new
-        # stream_session_parity entry's first driver pass (numpy pin
-        # added in the same commit)
-        "sim_embedding_near_dup_pairs",
+        "text_html_extract",
+        "pipeline_decontaminate",
+        "events_funnel_steps",
+        "clf_golden_log",
+        # new pure-python fixture pins added to test_rotation_pins.py
+        # this round
+        "dedup_line_boilerplate",
+        "dedup_exact_substring",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 

@@ -1282,3 +1282,151 @@ def test_sim_embedding_near_dup_pairs_pin(spark):
     assert set(got) == set(want) and len(want) > 0
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=2e-6), k
+
+
+def test_dedup_line_boilerplate_pin(spark):
+    """Pure-python reference of line_dedup on the fixture: trimmed
+    non-blank lines, a line is boilerplate when its exact content
+    appears in >= 2 DISTINCT documents, survivors rejoin in order;
+    documents with zero non-blank lines pass through verbatim."""
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+
+    def doc_lines(t):
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            return []
+        return [s for s in (ln.strip(" ") for ln in t.split("\n")) if s]
+
+    per_doc = {
+        int(r["doc_id"]): doc_lines(r["text"])
+        for _, r in docs.iterrows()
+    }
+    n_docs_per_line: dict[str, set[int]] = {}
+    for d, lines in per_doc.items():
+        for ln in set(lines):
+            n_docs_per_line.setdefault(ln, set()).add(d)
+    boiler = {ln for ln, ds in n_docs_per_line.items() if len(ds) >= 2}
+    # The fixture corpus is single-line with unique texts, so the
+    # registered query is a pass-through there (exactly what the
+    # driver's oracle checks too); the boiler-dropping arm is pinned
+    # below on a crafted corpus through the same library function.
+
+    want = {}
+    texts = {int(r["doc_id"]): r["text"] for _, r in docs.iterrows()}
+    for d, lines in per_doc.items():
+        if not lines:
+            want[d] = (texts[d], 0, 0)
+            continue
+        kept = [ln for ln in lines if ln not in boiler]
+        want[d] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+    out = _run(spark, "dedup_line_boilerplate").set_index("doc_id")
+    assert len(out) == len(want)
+    for d, (text, n_kept, n_drop) in want.items():
+        row = out.loc[d]
+        got_text = row["text"]
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            assert got_text is None or pd.isna(got_text), d
+        else:
+            assert got_text == text, d
+        assert row["n_lines_kept"] == n_kept, d
+        assert row["n_lines_dropped"] == n_drop, d
+
+    # Crafted corpus through the same library function, same python
+    # reference: the boiler line drops, unique body lines survive in
+    # order, the all-boiler doc ends up empty.
+    from flink_exercise_spark.operators.dedup import line_dedup
+
+    crafted = {
+        1: "cookie banner\nunique body one\nfooter",
+        2: "cookie banner\nunique body two\nfooter",
+        3: "footer",
+        4: "only unique content here",
+    }
+    cboiler = {"cookie banner", "footer"}
+    cwant = {}
+    for d, t in crafted.items():
+        lines = [s for s in (x.strip(" ") for x in t.split("\n")) if s]
+        kept = [ln for ln in lines if ln not in cboiler]
+        cwant[d] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    cdf = spark.createDataFrame(
+        [(d, t) for d, t in crafted.items()], "doc_id long, text string"
+    )
+    cout = line_dedup(cdf).toPandas().set_index("doc_id")
+    for d, (text, n_kept, n_drop) in cwant.items():
+        row = cout.loc[d]
+        assert row["text"] == text, d
+        assert row["n_lines_kept"] == n_kept, d
+        assert row["n_lines_dropped"] == n_drop, d
+
+
+def test_dedup_exact_substring_pin(spark):
+    """Pure-python reference of substring_dedup (Lee et al.
+    ExactSubstr, keep-first) on the fixture: whitespace-split token
+    positions, k=10 grams, any gram occurring >= 2 times corpus-wide
+    keeps only its min-packed-(doc_id,pos) occurrence; every token
+    position covered by a non-canonical occurrence is removed and the
+    text rebuilt from the survivors in order."""
+    import re
+
+    from flink_exercise_spark.operators.dedup import SUBSTR_K, _POS_PACK
+
+    k = SUBSTR_K
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+
+    toks = {}
+    for _, r in docs.iterrows():
+        t = r["text"]
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            toks[int(r["doc_id"])] = None
+        else:
+            toks[int(r["doc_id"])] = re.split(r"\s+", t.strip(" "))
+
+    # corpus-wide gram occurrence index (raw gram text as the key —
+    # equality on the md5 digest the operator shuffles is equality on
+    # the text up to collisions)
+    occ: dict[str, list[int]] = {}
+    for d in sorted(toks):
+        t = toks[d]
+        if t is None or len(t) < k:
+            continue
+        for pos in range(1, len(t) - k + 2):  # 1-based
+            gram = " ".join(t[pos - 1 : pos - 1 + k])
+            occ.setdefault(gram, []).append(d * _POS_PACK + pos)
+    dup = {g: min(ps) for g, ps in occ.items() if len(ps) >= 2}
+    assert dup, "fixture should contain duplicated k-gram runs"
+
+    want = {}
+    for d, t in toks.items():
+        if t is None:
+            want[d] = (None, 0, 0, 0)
+            continue
+        removed_starts = []
+        if len(t) >= k:
+            for pos in range(1, len(t) - k + 2):
+                gram = " ".join(t[pos - 1 : pos - 1 + k])
+                cmin = dup.get(gram)
+                if cmin is not None and d * _POS_PACK + pos != cmin:
+                    removed_starts.append(pos)
+        covered = set()
+        for p in removed_starts:
+            covered.update(range(p, p + k))
+        kept = [j for j in range(1, len(t) + 1) if j not in covered]
+        want[d] = (
+            " ".join(t[j - 1] for j in kept),
+            len(t),
+            len(kept),
+            len(t) - len(kept),
+        )
+
+    out = _run(spark, "dedup_exact_substring").set_index("doc_id")
+    assert len(out) == len(want)
+    for d, (text, n_tok, n_kept, n_drop) in want.items():
+        row = out.loc[d]
+        got_text = row["text"]
+        if text is None:
+            assert got_text is None or pd.isna(got_text), d
+        else:
+            assert got_text == text, d
+        assert row["n_tokens"] == n_tok, d
+        assert row["n_tokens_kept"] == n_kept, d
+        assert row["n_tokens_dropped"] == n_drop, d
