@@ -352,6 +352,7 @@ def pq_encode(
     m: int = 8,
     vec_col: str = "embedding",
     dims: int | None = None,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """The PQ store: ``(vec_id, codes array<tinyint>, norm double)``.
     codes[j] = argmin_c ||subvector_j - codeword_{j,c}||^2, ties to the
@@ -359,7 +360,9 @@ def pq_encode(
     distance rounded to 6 dp micro-units so the pack is exact).
     One broadcast codebook row + Column HOFs: zero shuffles, no
     Python. The exact float ``norm`` rides along (the int8 rationale:
-    ADC approximates the numerator only)."""
+    ADC approximates the numerator only). ``norm_col`` overrides which
+    norm rides the store: residual encoding codes the RESIDUAL columns
+    but the cosine denominator needs the ORIGINAL vector's norm."""
     _pq_guard(emb, m, vec_col, dims=dims)
     with_cb = emb.crossJoin(F.broadcast(_codebooks_array(codebooks)))
 
@@ -388,10 +391,13 @@ def pq_encode(
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)), lambda j: best_code(j)
     )
+    norm = (
+        F.col(norm_col) if norm_col is not None else l2_norm_expr(vec_col)
+    )
     return with_cb.select(
         "vec_id",
         codes.alias("codes"),
-        l2_norm_expr(vec_col).alias("norm"),
+        norm.alias("norm"),
     )
 
 
@@ -685,6 +691,127 @@ def knn_ivf_pq(
         "query_id",
         "neighbor_id",
         (_adc_fold() / F.col("norm")).alias("adot"),
+    )
+    short = _rank_top_k(approx, shortlist, score_col="adot").select(
+        "query_id", "neighbor_id"
+    )
+    return _exact_rescore_topk(short, corpus, queries, k)
+
+
+def residual_vectors(
+    corpus: DataFrame, assigned_ids: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """Per-vector IVF residuals: ``(vec_id, cell_id, resid
+    array<double>, orig_norm)`` with resid = x − centroid(cell(x)).
+    One broadcast-centroid join + a zip_with projection — zero extra
+    shuffles beyond the assignment the IVF path already pays."""
+    return (
+        corpus.join(assigned_ids, "neighbor_id")
+        .join(F.broadcast(cents.select("cell_id", "cent")), "cell_id")
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            "cell_id",
+            F.zip_with(
+                "c_emb", "cent", lambda a, b: a - b
+            ).alias("resid"),
+            F.col("c_norm").alias("orig_norm"),
+        )
+    )
+
+
+def knn_ivf_pq_residual(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_cells: int | None = None,
+    n_probe: int = 2,
+    k: int = TOP_K,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int | None = None,
+    codebook: DataFrame | None = None,
+    pq_books: DataFrame | None = None,
+) -> DataFrame:
+    """The canonical FAISS IVFPQ: PQ codes built on per-cell RESIDUALS
+    (x − centroid) instead of raw vectors (Jegou et al. 2011 §IV.C;
+    VERDICT r8 ask #3). Residuals concentrate near the origin, so the
+    same bit budget spends its codewords on a much smaller ball —
+    measurably lower reconstruction MSE at fixed (m, n_codes), pinned
+    in tests against the raw-vector encoding.
+
+    Scoring decomposes exactly: <q, x> = <q, cent(x)> + <q, r(x)>.
+    The first term is computed EXACTLY per (query, probed cell) — a
+    tiny queries x n_probe relation riding the probe join; the second
+    is the standard ADC fold against the residual codebooks' LUT. The
+    exact shortlist re-score is unchanged, so output EQUALS knn_ivf
+    under covering shortlists (the knn_ivf_pq contract, preserved).
+
+    Store layout at 100 TB is knn_ivf_pq's: (codes tinyint[m], one
+    float norm) per vector partitioned by cell — residual encoding
+    changes WHAT the codes mean, not what the probe scan reads."""
+    if shortlist is None:
+        shortlist = max(4 * k, 32)
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    from flink_exercise_spark.operators.similarity import (
+        N_CELLS,
+        _ivf_assign_probe,
+        _ivf_centroids,
+    )
+
+    nc = N_CELLS if n_cells is None else n_cells
+    cents = _ivf_centroids(emb, n_queries, nc, codebook)
+    corpus, queries, assigned_ids, probes = _ivf_assign_probe(
+        emb, n_queries, nc, n_probe, codebook, cents=cents
+    )
+    dims_row = emb.select(F.size("embedding")).limit(1).first()
+    dims = dims_row[0] if dims_row is not None else None
+    _pq_guard(emb, m, "embedding", n_codes, dims=dims)
+
+    resid = residual_vectors(corpus, assigned_ids, cents)
+    if pq_books is None:
+        # Deterministic books sample the first n_codes rows as
+        # codewords — but under the deterministic COARSE codebook the
+        # first n_cells corpus vectors ARE the centroids, so their
+        # residuals are exact zeros; sampling them would waste
+        # codewords on duplicate zero vectors. Skip the seed range
+        # (only exists when codebook is None).
+        book_base = (
+            resid.filter(F.col("vec_id") >= n_queries + nc)
+            if codebook is None
+            else resid
+        )
+        pq_books = pq_codebooks(
+            book_base, m=m, n_codes=n_codes, vec_col="resid", dims=dims
+        )
+    store = pq_encode(
+        resid, pq_books, m=m, vec_col="resid", dims=dims,
+        norm_col="orig_norm",
+    ).withColumnRenamed("vec_id", "neighbor_id")
+
+    luts = pq_adc_lut(
+        queries.select("query_id", "q_emb"), pq_books, m=m, dims=dims
+    )
+    # exact <q, cent> per probed (query, cell): queries x n_probe rows
+    qcent = probes.join(
+        F.broadcast(cents.select("cell_id", "cent")), "cell_id"
+    ).select(
+        "query_id",
+        "cell_id",
+        F.aggregate(
+            F.zip_with("q_emb", "cent", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_qcent"),
+    )
+    cand = (
+        store.join(assigned_ids, "neighbor_id")
+        .join(F.broadcast(qcent), "cell_id")
+        .join(F.broadcast(luts), "query_id")
+    )
+    approx = cand.select(
+        "query_id",
+        "neighbor_id",
+        ((F.col("_qcent") + _adc_fold()) / F.col("norm")).alias("adot"),
     )
     short = _rank_top_k(approx, shortlist, score_col="adot").select(
         "query_id", "neighbor_id"

@@ -1,0 +1,376 @@
+"""Incremental cross-snapshot dedup: dedup a corpus INCREMENT against
+a PERSISTED index without rescanning the historical corpus (VERDICT r8
+ask #2 — the top real-pipeline gap).
+
+Production corpora re-crawl. The daily increment must answer "is this
+document an exact or near duplicate of ANYTHING we already hold?"
+without touching the historical documents themselves — at 100 TB the
+history is the one relation you cannot afford to rescan per batch. The
+persisted state is therefore two INDEX relations, both tiny relative
+to the corpus text:
+
+- fingerprint index ``(text_hash, canonical_doc_id, n_copies)`` — the
+  exact_dedup_map output (dedup.py:exact_dedup_map), one row per
+  distinct text;
+- band index ``(band_id, band_hash, min_doc_id, n_members)`` — one row
+  per MinHash-LSH band bucket holding only the bucket's MINIMUM doc id
+  and size. This is the streaming near-dup ingest state shape
+  (streaming/ingest.py: state = (min id, n) per bucket, O(1) per
+  bucket), persisted batch-side: the index NEVER stores members, so
+  the hot-bucket N^2 bomb structurally cannot exist on the index probe.
+
+``incremental_dedup`` classifies each increment document:
+
+- ``exact_dup``  — its md5(text) is in the fingerprint index, or an
+  EARLIER (smaller doc_id) increment document shares it; canonical =
+  the smallest doc id holding that text (first-arrival, the
+  arrival-order-independent min-id rule every dedup family here uses);
+- ``near_dup``   — no exact match, but at least one of its MinHash
+  band buckets is present in the band index or shared with a
+  smaller-id increment document; canonical = the smallest such doc id;
+- ``new``        — neither; canonical = itself.
+
+Because canonical ids are bucket/hash MINIMA, the incremental verdicts
+EQUAL the full-batch semantics computed over history ∪ increment
+(given the index contract that history ids precede increment ids) —
+pinned in tests/test_incremental.py against a pure-python full-corpus
+reference and against batch-split equivalence.
+
+Scale shape: the increment joins the index on (text_hash) and
+(band_id, band_hash) — plain equi-joins of an increment-sized relation
+against index-sized relations (AQE picks the broadcast side; a daily
+increment is typically the small side). The increment-internal
+self-join is the standard capped band join (BUCKET_CAP defuses the
+within-batch bomb; the index probe needs no cap — O(1) rows per
+bucket by construction). History text is never read.
+
+Index maintenance: ``updated_fingerprint_index`` /
+``updated_band_index`` produce the post-increment index relations from
+(old index, increment) only — a full-outer merge of aggregate-sized
+relations. ``merge_fingerprint_index`` persists the delta through
+``layout.merge_upsert`` on a hash-prefix-partitioned parquet store, so
+only touched hash-prefix directories rewrite (the 26x-at-sf100
+partition-scoped merge path).
+
+Reference anchor: the reference engine's only stateful dedup is the
+first-seen Set at StreamingJob.scala:157-165; this operator is that
+semantics generalized to a persisted cross-snapshot index with the
+LSH near-dup family layered on, per the extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.caching import persist_tracked
+from flink_exercise_spark.operators.dedup import (
+    BAND_ROWS,
+    BUCKET_CAP,
+    N_MINHASH,
+    _banded_signatures,
+    _cap_hot_buckets,
+    exact_dedup_map,
+    minhash_signatures,
+)
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table, spread
+
+# Registered-entry fixture split: doc_id < SPLIT is the "historical
+# snapshot" the index is built from; doc_id >= SPLIT is the increment.
+# At both sf0.001 and sf0.01 this yields cross-snapshot AND
+# within-increment near-dups (probed: 15 cross + 8 within at sf0.01).
+SNAPSHOT_SPLIT = 250
+
+
+def fingerprint_index(docs: DataFrame) -> DataFrame:
+    """The exact-dedup index: ``(text_hash, canonical_doc_id,
+    n_copies)`` — exact_dedup_map's output, persisted as state."""
+    return exact_dedup_map(docs)
+
+
+def band_index(
+    docs: DataFrame, k: int = N_MINHASH, r: int = BAND_ROWS
+) -> DataFrame:
+    """The near-dup index: ``(band_id, band_hash, min_doc_id,
+    n_members)`` — one O(1) row per LSH band bucket (min id + size,
+    the streaming ingest state shape), never the member list."""
+    banded = _banded_signatures(minhash_signatures(docs, k), k, r)
+    return banded.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("min_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def incremental_dedup(
+    increment: DataFrame,
+    fingerprints: DataFrame,
+    bands: DataFrame,
+    k: int = N_MINHASH,
+    r: int = BAND_ROWS,
+    bucket_cap: int | None = BUCKET_CAP,
+) -> DataFrame:
+    """Classify each increment document against the persisted index +
+    the increment itself: ``(doc_id, verdict, canonical_doc_id)`` with
+    verdict in ('exact_dup', 'near_dup', 'new').
+
+    Exact beats near; canonical is always the MINIMUM doc id among the
+    matching sources, so verdicts are arrival-order independent and
+    equal the full-batch semantics over history ∪ increment (index
+    contract: history ids precede increment ids). NULL-text documents
+    have no fingerprint and no shingles: verdict 'new', canonical
+    themselves — identical in the SQL twin (md5(NULL) is NULL and
+    joins never match on NULL).
+
+    ``bucket_cap`` applies to the increment-INTERNAL band self-join
+    only (the within-batch N^2 bomb); the index probe is uncapped
+    because the index holds one row per bucket by construction.
+    """
+    inc = spread(increment, "doc_id")
+    hashed = persist_tracked(
+        inc.select("doc_id", F.md5("text").alias("text_hash"))
+    )
+    inc_first = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("_inc_first")
+    )
+    exact = (
+        hashed.join(
+            fingerprints.select(
+                "text_hash",
+                F.col("canonical_doc_id").alias("_idx_exact"),
+            ),
+            "text_hash",
+            "left",
+        )
+        .join(inc_first, "text_hash", "left")
+        .select(
+            "doc_id",
+            F.least("_idx_exact", "_inc_first").alias("_exact_src"),
+        )
+    )
+
+    banded = persist_tracked(
+        _banded_signatures(minhash_signatures(increment, k), k, r)
+    )
+    idx_near = (
+        banded.join(
+            bands.select(
+                "band_id", "band_hash", F.col("min_doc_id").alias("_m")
+            ),
+            ["band_id", "band_hash"],
+        )
+        .groupBy("doc_id")
+        .agg(F.min("_m").alias("_idx_near"))
+    )
+    capped = _cap_hot_buckets(banded, ("band_id", "band_hash"), bucket_cap)
+    l, rr = capped.alias("l"), capped.alias("r")
+    within_near = (
+        l.join(
+            rr,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("r.doc_id") < F.col("l.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("r.doc_id")).alias("_inc_near"))
+    )
+
+    joined = (
+        exact.join(idx_near, "doc_id", "left")
+        .join(within_near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "_exact_src",
+            F.least("_idx_near", "_inc_near").alias("_near_src"),
+        )
+    )
+    is_exact = F.col("_exact_src") < F.col("doc_id")
+    is_near = F.col("_near_src") < F.col("doc_id")
+    return joined.select(
+        "doc_id",
+        F.when(is_exact, F.lit("exact_dup"))
+        .when(is_near, F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+        F.when(is_exact, F.col("_exact_src"))
+        .when(is_near, F.col("_near_src"))
+        .otherwise(F.col("doc_id"))
+        .cast("long")
+        .alias("canonical_doc_id"),
+    )
+
+
+def updated_fingerprint_index(
+    fingerprints: DataFrame, increment: DataFrame
+) -> DataFrame:
+    """Post-increment fingerprint index from (old index, increment)
+    ONLY — full-outer merge on text_hash: canonical = min across both
+    sides, counts add. History text is never read. NULL-text increment
+    rows carry no fingerprint and are excluded (they can never match)."""
+    inc_agg = (
+        increment.select(F.md5("text").alias("text_hash"), "doc_id")
+        .filter(F.col("text_hash").isNotNull())
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("_c2"),
+            F.count(F.lit(1)).alias("_n2"),
+        )
+    )
+    return (
+        fingerprints.withColumnRenamed("canonical_doc_id", "_c1")
+        .withColumnRenamed("n_copies", "_n1")
+        .join(inc_agg, "text_hash", "full_outer")
+        .select(
+            "text_hash",
+            F.least("_c1", "_c2").cast("long").alias("canonical_doc_id"),
+            (
+                F.coalesce("_n1", F.lit(0)) + F.coalesce("_n2", F.lit(0))
+            ).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def updated_band_index(
+    bands: DataFrame,
+    increment: DataFrame,
+    k: int = N_MINHASH,
+    r: int = BAND_ROWS,
+) -> DataFrame:
+    """Post-increment band index: full-outer merge of the O(1)-per-
+    bucket aggregates — min ids combine by min, sizes add."""
+    inc_bands = band_index(increment, k, r)
+    return (
+        bands.withColumnRenamed("min_doc_id", "_m1")
+        .withColumnRenamed("n_members", "_n1")
+        .join(
+            inc_bands.withColumnRenamed("min_doc_id", "_m2")
+            .withColumnRenamed("n_members", "_n2"),
+            ["band_id", "band_hash"],
+            "full_outer",
+        )
+        .select(
+            "band_id",
+            "band_hash",
+            F.least("_m1", "_m2").cast("long").alias("min_doc_id"),
+            (
+                F.coalesce("_n1", F.lit(0)) + F.coalesce("_n2", F.lit(0))
+            ).cast("long").alias("n_members"),
+        )
+    )
+
+
+# Hash-prefix partition column for the persisted fingerprint store:
+# 256 directories, so a CDC merge rewrites only the prefixes the
+# increment's hashes land in.
+def _fp_bucket() -> F.Column:
+    return F.substring("text_hash", 1, 2).alias("bucket")
+
+
+def write_fingerprint_index(docs: DataFrame, path: str) -> None:
+    """Materialize the fingerprint index partitioned by 2-hex-char
+    hash prefix — the layout ``merge_fingerprint_index`` prunes on."""
+    fingerprint_index(docs).select(
+        "text_hash", "canonical_doc_id", "n_copies", _fp_bucket()
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def merge_fingerprint_index(
+    spark, path: str, increment: DataFrame
+) -> dict[str, int]:
+    """Persist an increment into the on-disk fingerprint index via the
+    partition-scoped MERGE: compute post-state rows for TOUCHED hashes
+    only (increment aggregate + current index values for those hashes,
+    a partition-pruned read), then ``layout.merge_upsert`` rewrites
+    only the touched hash-prefix directories. The historical corpus
+    and the untouched index partitions are never read or written."""
+    from flink_exercise_spark.operators.layout import merge_upsert
+
+    inc_agg = (
+        increment.select(F.md5("text").alias("text_hash"), "doc_id")
+        .filter(F.col("text_hash").isNotNull())
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("_c2"),
+            F.count(F.lit(1)).alias("_n2"),
+        )
+        .select("text_hash", "_c2", "_n2", _fp_bucket())
+    )
+    buckets = [r[0] for r in inc_agg.select("bucket").distinct().collect()]
+    base = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
+        .select(
+            "text_hash",
+            F.col("canonical_doc_id").alias("_c1"),
+            F.col("n_copies").alias("_n1"),
+        )
+    )
+    upserts = inc_agg.join(base, "text_hash", "left").select(
+        "text_hash",
+        F.least("_c1", "_c2").cast("long").alias("canonical_doc_id"),
+        (F.coalesce("_n1", F.lit(0)) + F.col("_n2")).cast("long").alias(
+            "n_copies"
+        ),
+        "bucket",
+    )
+    # merge_upsert re-derives touched partitions from the upsert rows;
+    # localCheckpoint inside it materializes before the overwrite.
+    return merge_upsert(spark, path, upserts, "text_hash",
+                        partition_col="bucket")
+
+
+def _incremental_oracle(
+    split: int = SNAPSHOT_SPLIT,
+    k: int = N_MINHASH,
+    r: int = BAND_ROWS,
+) -> str:
+    """Full-batch SQL twin over history ∪ increment: the incremental
+    verdicts must equal the batch min-smaller-id semantics (the whole
+    point of the min-id index construction)."""
+    from flink_exercise_spark.operators.dedup import _banded_oracle_cte
+
+    return f"""
+    WITH {_banded_oracle_cte(k, r)},
+    nearmin AS (
+      SELECT l.doc_id, min(r.doc_id) AS near_src
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND r.doc_id < l.doc_id
+      GROUP BY l.doc_id
+    ),
+    exmin AS (
+      SELECT md5(text) AS th, min(doc_id) AS first_id
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN em.first_id < d.doc_id THEN 'exact_dup'
+                WHEN nm.near_src IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           CAST(CASE WHEN em.first_id < d.doc_id THEN em.first_id
+                     WHEN nm.near_src IS NOT NULL THEN nm.near_src
+                     ELSE d.doc_id END AS BIGINT) AS canonical_doc_id
+    FROM documents d
+    LEFT JOIN exmin em ON md5(d.text) = em.th
+    LEFT JOIN nearmin nm ON nm.doc_id = d.doc_id
+    WHERE d.doc_id >= {split}
+    """
+
+
+@register(
+    "dedup_incremental_snapshot",
+    oracle=_incremental_oracle(),
+    doc="Incremental cross-snapshot dedup: classify an increment "
+        "(doc_id >= 250) against a persisted fingerprint + MinHash "
+        "band index built from the historical snapshot (doc_id < "
+        "250) — exact/near/new verdicts with first-arrival canonical "
+        "ids; history text never rescanned, only index joins",
+    tags=("dedup", "documents", "minhash", "incremental"),
+)
+def q_incremental_snapshot(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < SNAPSHOT_SPLIT)
+    increment = docs.filter(F.col("doc_id") >= SNAPSHOT_SPLIT)
+    return incremental_dedup(
+        increment, fingerprint_index(history), band_index(history)
+    )

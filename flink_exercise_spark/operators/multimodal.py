@@ -150,13 +150,18 @@ class PngImageCodec:
     same (format, width, height, mean_luma) contract as
     FakeImageCodec/BmpImageCodec, values from actual pixel data.
 
-    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 4
-    (gray+alpha), 6 (RGBA), interlace 0, all five filter types
-    (None/Sub/Up/Average/Paeth). Palette (3), sub-byte depths, 16-bit
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
+    (palette: PLTE lookup after the shared inflate+unfilter path —
+    r9, the most common real class after RGB), 4 (gray+alpha), 6
+    (RGBA), interlace 0, all five filter types
+    (None/Sub/Up/Average/Paeth). Sub-byte palette depths, 16-bit
     channels, and Adam7 interlacing raise NotImplementedError — still
     a documented seam, narrower again."""
 
-    _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+    # samples per pixel in the filtered stream; palette (3) is ONE
+    # index byte per pixel — the unfilter path is shared, only the
+    # luma step differs (indexed PLTE lookup)
+    _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
     def probe(self, payload: bytes) -> tuple[int, int, int]:
         """IHDR-only parse: (width, height, channels). O(1) — the dims
@@ -168,8 +173,8 @@ class PngImageCodec:
         depth, color, comp, filt, interlace = payload[24:29]
         if depth != 8 or color not in self._CHANNELS:
             raise NotImplementedError(
-                f"real decoder covers 8-bit gray/RGB/GA/RGBA only "
-                f"(got depth={depth}, color_type={color})"
+                f"real decoder covers 8-bit gray/RGB/palette/GA/RGBA "
+                f"only (got depth={depth}, color_type={color})"
             )
         if comp != 0 or filt != 0 or interlace != 0:
             raise NotImplementedError(
@@ -254,10 +259,53 @@ class PngImageCodec:
             prev = bytes(cur)
         return width, height, channels, bytes(out)
 
+    def _plte(self, payload: bytes) -> bytes:
+        """The PLTE chunk's RGB triples (mandatory for color type 3;
+        its absence is a malformed file -> seam)."""
+        pos = 8
+        while pos + 8 <= len(payload):
+            ln = int.from_bytes(payload[pos : pos + 4], "big")
+            ctype = payload[pos + 4 : pos + 8]
+            data_end = pos + 8 + ln
+            if data_end + 4 > len(payload):
+                raise NotImplementedError("truncated PNG chunk")
+            if ctype == b"PLTE":
+                if ln == 0 or ln % 3 != 0 or ln > 256 * 3:
+                    raise NotImplementedError(
+                        f"malformed PLTE length {ln}"
+                    )
+                return payload[pos + 8 : data_end]
+            if ctype in (b"IDAT", b"IEND"):
+                break  # PLTE must precede IDAT
+            pos = data_end + 4
+        raise NotImplementedError("palette PNG carries no PLTE chunk")
+
     def decode(self, payload: bytes) -> tuple[str, int, int, float]:
         width, height, channels, raw = self.decode_pixels(payload)
+        color = payload[25]
         total = 0.0
-        if channels <= 2:  # gray / gray+alpha: luma IS the gray sample
+        if color == 3:  # palette: indexed PLTE lookup
+            plte = self._plte(payload)
+            n_entries = len(plte) // 3
+            # count per index, weight by the entry's luma —
+            # O(pixels + palette), the GIF-decoder idiom
+            counts = [0] * 256
+            for b in raw:
+                counts[b] += 1
+            for i in range(256):
+                if not counts[i]:
+                    continue
+                if i >= n_entries:
+                    raise NotImplementedError(
+                        f"palette index {i} beyond PLTE size {n_entries}"
+                    )
+                o = i * 3
+                total += counts[i] * (
+                    0.299 * plte[o]
+                    + 0.587 * plte[o + 1]
+                    + 0.114 * plte[o + 2]
+                )
+        elif channels <= 2:  # gray / gray+alpha: luma IS the gray sample
             for p in range(width * height):
                 total += raw[p * channels]
         else:  # RGB / RGBA (alpha ignored, the BMP luma convention)

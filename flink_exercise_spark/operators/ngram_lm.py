@@ -1,0 +1,251 @@
+"""n-gram LM log-probability quality gate — the KenLM-shaped
+perplexity filter (VERDICT r8 ask #5), completing the quality-signal
+set next to DSIR (importance.py) and token rarity (tokenizer.py).
+
+The standard corpus-quality signal: train a small n-gram language
+model, score every document by mean token log-probability, gate on the
+score (low log-prob = high perplexity = gibberish / boilerplate /
+wrong-language text). The deployed filter trains the LM on a CLEAN
+reference corpus and scores the crawl; ``bigram_lm`` / ``score_with_lm``
+split exactly that way (train here, score there — the tokenizer /
+quality-classifier pattern). The registered entry self-scores the
+fixture corpus (model corpus = scored corpus), which the DuckDB oracle
+restates end to end.
+
+Model: add-one-smoothed bigram conditionals
+``p(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)`` with V = follower
+vocabulary size — smoothing makes the model total (every (w1, w2)
+scores, including OOV), and the constant is fixed at 1 so the SQL twin
+restates it verbatim.
+
+Integer-exactness discipline (the DSIR/token_rarity rules):
+
+- ``ln`` runs ONLY on model-sized relations — once per distinct bigram
+  (the LM), once per distinct prefix (the seen-w1/unseen-w2 fallback),
+  once globally (the unseen-w1 fallback) — each fixed to integer
+  MICRO-NATS (round(ln(p) * 1e6), the importance.py construction), so
+  every corpus-sized aggregate is exact long arithmetic with no
+  float-summation order anywhere near the value-hash gate;
+- the per-doc mean is ONE final float division of two exact integers,
+  rounded once — identical IEEE operation in both engines.
+
+Scale shape: ONE corpus pass builds the bigram histogram (two-phase
+hash agg — distinct pairs shuffle, not occurrences; the bigram_lift
+shape); prefix totals and V derive from the histogram, never a second
+corpus pass. Scoring joins the corpus's bigram instances against the
+vocabulary-sized LM on (w1, w2) — AQE picks the broadcast side (the
+token_rarity rule: no unconditional broadcast, vocabulary size is
+data-dependent) — and per-doc partial sums combine map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.caching import persist_tracked
+from flink_exercise_spark.operators.text import tokens_expr
+from flink_exercise_spark.registry import register
+from flink_exercise_spark.session import prep
+from flink_exercise_spark.sources.tables import load_table, spread
+
+MICRO = 1_000_000
+
+
+def bigram_instances(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """``(key, w1, w2)`` — one row per ADJACENT whitespace-token pair
+    occurrence (frequencies, not sets: LMs model counts). The token
+    array binds in its own SELECT before the pair fold references it
+    (the Catalyst lambda-CSE discipline); documents with < 2 tokens
+    (including NULL/blank text) have no bigrams and drop here — the
+    scorer restores them via left join."""
+    toked = (
+        spread(docs, key)
+        .select(F.col(key), tokens_expr().alias("_t"))
+        .filter(F.size("_t") >= 2)
+    )
+    return toked.select(
+        key,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+            )
+        ).alias("_p"),
+    ).select(key, "_p.w1", "_p.w2")
+
+
+def bigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the smoothed bigram LM. Returns three MODEL relations:
+
+    - ``lm``: (w1, w2, logp_micronats) — round(ln((c12+1)/(c1+V))*1e6)
+      per observed bigram;
+    - ``prefixes``: (w1, oov_w2_micronats) — the seen-prefix OOV
+      fallback round(ln(1/(c1+V))*1e6), one row per distinct w1;
+    - ``oov``: 1-row (oov_w1_micronats) — the unseen-prefix fallback
+      round(ln(1/V)*1e6) plus V itself.
+
+    All three are vocabulary-sized or smaller; every ``ln`` in the
+    operator lives here."""
+    c12 = persist_tracked(
+        bigram_instances(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    v = c12.select(
+        F.countDistinct("w2").cast("long").alias("nv")
+    )
+    lm = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("n12") + 1).cast("double")
+                    / (F.col("n1") + F.col("nv")).cast("double")
+                )
+                * MICRO,
+                0,
+            )
+            .cast("long")
+            .alias("logp_micronats"),
+        )
+    )
+    prefixes = c1.crossJoin(F.broadcast(v)).select(
+        "w1",
+        F.round(
+            F.log(
+                F.lit(1.0) / (F.col("n1") + F.col("nv")).cast("double")
+            )
+            * MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("oov_w2_micronats"),
+    )
+    oov = v.select(
+        F.round(F.log(F.lit(1.0) / F.col("nv").cast("double")) * MICRO, 0)
+        .cast("long")
+        .alias("oov_w1_micronats"),
+        "nv",
+    )
+    return lm, prefixes, oov
+
+
+def score_with_lm(
+    docs: DataFrame,
+    lm: DataFrame,
+    prefixes: DataFrame,
+    oov: DataFrame,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document LM score: ``(key, n_bigrams, sum_logp_micronats,
+    mean_logp)`` — one output row per input document, always (the
+    classifier contract). n_bigrams = 0 and NULL mean for documents
+    with < 2 tokens. mean_logp = round(sum / (n * 1e6), 6): one float
+    division of exact integers, rounded once. Perplexity is
+    exp(-mean_logp) — monotone in the emitted score, so gates
+    threshold this column directly (exp would put libm in the
+    corpus-sized path for no ranking information).
+
+    OOV fallbacks (unseen bigram under a seen prefix; unseen prefix)
+    resolve from the model-sized relations — no per-row ``ln``."""
+    inst = bigram_instances(docs, key)
+    scored = (
+        inst.join(lm, ["w1", "w2"], "left")
+        .join(prefixes, "w1", "left")
+        .crossJoin(F.broadcast(oov.select("oov_w1_micronats")))
+        .select(
+            key,
+            F.coalesce(
+                "logp_micronats", "oov_w2_micronats", "oov_w1_micronats"
+            ).alias("_lp"),
+        )
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_lp").cast("long").alias("sum_logp_micronats"),
+        )
+    )
+    return (
+        docs.select(key)
+        .join(scored, key, "left")
+        .select(
+            key,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce("sum_logp_micronats", F.lit(0)).cast("long").alias(
+                "sum_logp_micronats"
+            ),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    F.col("sum_logp_micronats")
+                    / (F.col("n_bigrams") * F.lit(float(MICRO))),
+                    6,
+                ),
+            ).alias("mean_logp"),
+        )
+    )
+
+
+def doc_logprob(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Self-scored corpus LM log-probability: fit the bigram LM on
+    ``docs`` and score ``docs`` with it — the registered derivation
+    (every bigram is observed, so the OOV arms never fire; they are
+    exercised cross-corpus in tests)."""
+    lm, prefixes, oov = bigram_lm(docs)
+    return score_with_lm(docs, lm, prefixes, oov, key)
+
+
+_NGRAM_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+  FROM toked WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS nv FROM c12),
+lm AS (
+  SELECT w1, w2,
+         CAST(round(ln((n12 + 1)::DOUBLE / (n1 + nv)::DOUBLE)
+                    * {MICRO}, 0) AS BIGINT) AS lp
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lm.lp) AS BIGINT) AS s
+  FROM big b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.s, 0) AS BIGINT) AS sum_logp_micronats,
+       round(sc.s / (sc.n_bigrams * {MICRO}.0), 6) AS mean_logp
+FROM documents d LEFT JOIN scored sc USING (doc_id)
+"""
+
+
+@register(
+    "text_ngram_logprob",
+    oracle=_NGRAM_ORACLE,
+    doc="n-gram LM quality gate (KenLM-shaped perplexity filter): "
+        "add-one-smoothed bigram LM fitted on the corpus, every "
+        "document scored by exact-integer micro-nat log-prob sum and "
+        "once-rounded mean — perplexity = exp(-mean_logp), monotone "
+        "in the emitted score",
+    tags=("text", "documents", "quality", "lm"),
+)
+def q_ngram_logprob(spark, sf_dir):
+    return doc_logprob(load_table(prep(spark), sf_dir, "documents"))

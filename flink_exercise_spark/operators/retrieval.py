@@ -68,7 +68,8 @@ from flink_exercise_spark.sources.tables import load_table
 
 SCALE = 1_000_000  # score resolution: floor(10^6 · tf_term · idf_odds)
 TOP_K = 5
-QUERY_STEP = 100  # registry query set: every 100th document
+QUERY_STEP = 100  # registry query set: every 100th document ...
+QUERY_CAP = 50  # ... among the first 5000 (fixed query COUNT, r9)
 QUERY_TERMS = 4  # ... queried by its first 4 tokens
 N_QUERIES = 10  # hybrid query set: ids < 10 (the similarity.py convention)
 FUSE_K = 20  # per-arm candidate depth feeding the RRF fusion
@@ -222,13 +223,27 @@ def query_terms(docs: DataFrame, n_terms: int = QUERY_TERMS) -> DataFrame:
 
 
 def corpus_queries(
-    docs: DataFrame, step: int = QUERY_STEP, n_terms: int = QUERY_TERMS
+    docs: DataFrame,
+    step: int = QUERY_STEP,
+    n_terms: int = QUERY_TERMS,
+    cap: int = QUERY_CAP,
 ) -> DataFrame:
     """Deterministic query set mined from the corpus itself: every
-    ``step``-th document contributes its first ``n_terms`` tokens as a
-    query (see ``query_terms``). The filter runs before tokenization,
-    so the tokenizer touches 1/step of the corpus."""
-    return query_terms(docs.filter(F.col("doc_id") % step == 0), n_terms)
+    ``step``-th document among the first ``cap * step`` contributes
+    its first ``n_terms`` tokens as a query (see ``query_terms``).
+    The ``cap`` makes the query COUNT size-stable (VERDICT r8 ask #6):
+    without it the registered entry's cost model scaled with
+    corpus-size^2 at the sf benches — a fixture artifact, not the
+    operator (BENCH_SF100.md documents the discovery). The filter
+    runs before tokenization, so the tokenizer touches at most
+    ``cap`` documents."""
+    return query_terms(
+        docs.filter(
+            (F.col("doc_id") % step == 0)
+            & (F.col("doc_id") < step * cap)
+        ),
+        n_terms,
+    )
 
 
 def _bm25_scored_cte(
@@ -297,7 +312,7 @@ def _bm25_scored_cte(
 _BM25_ORACLE = f"""
     WITH {_bm25_scored_cte(
         corpus_where="TRUE",
-        query_where=f"doc_id % {QUERY_STEP} = 0",
+        query_where=f"doc_id % {QUERY_STEP} = 0 AND doc_id < {QUERY_STEP * QUERY_CAP}",
         exclude_self=True,
     )}
     SELECT query_id, doc_id, score, n_terms, rank FROM (

@@ -370,12 +370,46 @@ N_CELLS = 8  # IVF codebook size (deterministic seed vectors)
 N_PROBE = 2  # cells searched per query
 
 
+def _ivf_centroids(
+    emb: DataFrame,
+    n_queries: int,
+    n_cells: int,
+    codebook: DataFrame | None,
+) -> DataFrame:
+    """The IVF coarse codebook as a ``(cell_id int, cent, cent_norm)``
+    relation — either the caller's trained codebook or the
+    deterministic first-``n_cells``-corpus-vectors one. Extracted from
+    ``_ivf_assign_probe`` so consumers that also need the centroids
+    themselves (compression.knn_ivf_pq_residual: residual = x − cent,
+    and the per-probe <q, cent> term) build them ONCE and share the
+    relation with the assign/probe front half."""
+    if codebook is not None:
+        if codebook.count() > 256:
+            raise ValueError(
+                "codebook cell_id must fit in 8 bits (<=256 cells)"
+            )
+        return with_norm(codebook, vec_col="cent", out="cent_norm").select(
+            F.col("cell_id").cast("int"), "cent", "cent_norm"
+        )
+    return with_norm(
+        emb.filter(
+            (F.col("vec_id") >= n_queries)
+            & (F.col("vec_id") < n_queries + n_cells)
+        )
+    ).select(
+        (F.col("vec_id") - n_queries).cast("int").alias("cell_id"),
+        F.col("embedding").alias("cent"),
+        F.col("norm").alias("cent_norm"),
+    )
+
+
 def _ivf_assign_probe(
     emb: DataFrame,
     n_queries: int,
     n_cells: int,
     n_probe: int,
     codebook: DataFrame | None,
+    cents: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """IVF front half shared by ``knn_ivf`` and the compressed-store
     variant (compression.knn_ivf_int8) — ONE implementation so the two
@@ -401,24 +435,12 @@ def _ivf_assign_probe(
       queries x cells), ranked with the same sort_array+slice top-k
       shape as _rank_top_k so the whole kNN family stays window-free —
       one plan idiom to audit, asserted in tests/test_plans.py.
-    """
-    if codebook is not None:
-        if codebook.count() > 256:
-            raise ValueError("codebook cell_id must fit in 8 bits (<=256 cells)")
-        cents = with_norm(codebook, vec_col="cent", out="cent_norm").select(
-            F.col("cell_id").cast("int"), "cent", "cent_norm"
-        )
-    else:
-        cents = with_norm(
-            emb.filter(
-                (F.col("vec_id") >= n_queries)
-                & (F.col("vec_id") < n_queries + n_cells)
-            )
-        ).select(
-            (F.col("vec_id") - n_queries).cast("int").alias("cell_id"),
-            F.col("embedding").alias("cent"),
-            F.col("norm").alias("cent_norm"),
-        )
+
+    ``cents`` short-circuits the codebook build when the caller
+    already holds the ``_ivf_centroids`` relation (avoids re-running
+    its codebook.count() guard action)."""
+    if cents is None:
+        cents = _ivf_centroids(emb, n_queries, n_cells, codebook)
     corpus = with_norm(
         spread(emb.filter(F.col("vec_id") >= n_queries), "vec_id")
     ).select(

@@ -842,6 +842,30 @@ def html_extract(
     ).withColumn("n_chars_clean", F.length("text_clean").cast("long"))
 
 
+def html_wrap_expr() -> Column:
+    """The deterministic fixture-HTML rendering as a bare Column
+    (expects doc_id/source/text columns) — shared by
+    ``wrap_documents_html`` and streaming tests that need an
+    HTML-carrying stream while keeping the source schema (a stateless
+    projection, so it composes onto streaming relations)."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit(
+            '</title><style>p { color: #fff; }</style>'
+            '<script>if (1 < 2) { alert("x & y"); }</script>'
+            "</head><body><!-- doc "
+        ),
+        did,
+        F.lit(' --><h1 class="hd">'),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        escape_html_expr(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("</p><br/></body></html>"),
+    )
+
+
 def wrap_documents_html(docs: DataFrame) -> DataFrame:
     """Deterministic HTML rendering of the documents fixture — the
     test/oracle harness for ``html_extract`` (the fixture corpus has no
@@ -849,25 +873,7 @@ def wrap_documents_html(docs: DataFrame) -> DataFrame:
     wrapper exercises every extraction rule: a script with '<' '&' and
     quotes, a style block, a comment carrying the doc id, attributes,
     a self-closing tag, and entity-escaped body text."""
-    did = F.col("doc_id").cast("string")
-    return docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("<html><head><title>Doc "),
-            did,
-            F.lit(
-                '</title><style>p { color: #fff; }</style>'
-                '<script>if (1 < 2) { alert("x & y"); }</script>'
-                "</head><body><!-- doc "
-            ),
-            did,
-            F.lit(' --><h1 class="hd">'),
-            F.col("source"),
-            F.lit("</h1><p>"),
-            escape_html_expr(F.coalesce(F.col("text"), F.lit(""))),
-            F.lit("</p><br/></body></html>"),
-        ).alias("html"),
-    )
+    return docs.select("doc_id", html_wrap_expr().alias("html"))
 
 
 _HTML_ORACLE = """

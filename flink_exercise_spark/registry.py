@@ -161,6 +161,8 @@ def _load_all_modules() -> None:
         profiling,
         funnel,
         retrieval,
+        incremental,
+        ngram_lm,
     )
     from flink_exercise_spark.streaming import jobs  # noqa: F401
 

@@ -230,6 +230,7 @@ def ingest_data_prep(
     eval_grams: DataFrame,
     store_path: str | None = None,
     timeout_sec: int = 120,
+    html: bool = False,
 ) -> str:
     """The LLM data-prep front door as ONE streaming job: arriving
     documents pass cross-batch exact dedup on the keyed state store
@@ -254,6 +255,14 @@ def ingest_data_prep(
     Scale: the dedup state store is the documented bounded/unbounded
     trade (see ``streaming_exact_dedup_bounded``); the per-batch work
     adds no state and the eval-gram side is a fixed-size broadcast.
+
+    ``html=True`` prepends the HTML->text extraction front-door step
+    (text.strip_html_expr — a pure per-row Column projection, so it
+    is streaming-safe with no state): the ``text`` column is expected
+    to carry markup and is replaced by the extracted visible text
+    BEFORE the dedup stage, so deduplication and every downstream
+    gate key on content, not markup (two pages differing only in
+    markup are duplicates — the CCNet convention).
     """
     from flink_exercise_spark.operators.pipeline import (
         decontaminate_against,
@@ -264,6 +273,11 @@ def ingest_data_prep(
     from flink_exercise_spark.streaming.jobs import tracked_tempdir
 
     path = store_path or tracked_tempdir("ingest_prep_")
+
+    if html:
+        from flink_exercise_spark.operators.text import strip_html_expr
+
+        docs = docs.withColumn("text", strip_html_expr("text"))
 
     def prep_batch(batch: DataFrame, batch_id: int) -> None:
         # The feature projection and keep predicate are the SAME code

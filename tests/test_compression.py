@@ -410,3 +410,167 @@ def test_knn_ivf_pq_trained_models_flow_through(spark, emb):
     out = knn_ivf_pq(emb, k=3, codebook=coarse, pq_books=books)
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
     assert out.count() > 0
+
+
+def _clustered_emb(
+    spark, n_per_cell=12, dims=64, n_cells=8, noise=0.05, dense=False
+):
+    """Deterministic clustered embeddings — the geometry IVFPQ
+    targets: well-separated centers, members = center + small seeded
+    perturbation; ids < 10 are queries (perturbed centers too). Cells
+    interleave so the deterministic coarse codebook (the FIRST n_cells
+    corpus vectors) spans one member of every cluster. ``dense=False``
+    uses one-hot centers (clean recall geometry); ``dense=True`` uses
+    uniform random centers — inter-center spread in EVERY dim, the
+    regime where a 16-code budget cannot encode cluster identity and
+    residual encoding pays. The package fixture is structureless
+    synthetic noise where residuals have HIGHER variance than raw
+    vectors (measured: 0.023 vs 0.016), so residual claims are pinned
+    here, on data with the structure the encoding exploits."""
+    rng = np.random.RandomState(7)
+    if dense:
+        centers = rng.uniform(-1, 1, (n_cells, dims))
+    else:
+        centers = np.zeros((n_cells, dims))
+        for cell in range(n_cells):
+            centers[cell][(cell % n_cells) * (dims // n_cells)] = 1.0
+    rows = []
+    vid = 0
+    for q in range(10):
+        c = centers[q % n_cells]
+        rows.append((vid, (c + rng.uniform(-noise, noise, dims)).tolist()))
+        vid += 1
+    for _ in range(n_per_cell):
+        for cell in range(n_cells):
+            rows.append(
+                (
+                    vid,
+                    (
+                        centers[cell] + rng.uniform(-noise, noise, dims)
+                    ).tolist(),
+                )
+            )
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_residual_encoding_beats_raw_mse_on_clustered_data(spark):
+    """The point of residual encoding (Jegou et al. IVFPQ): when the
+    corpus has more cluster structure than the PQ budget can encode
+    (64 dense centers vs 16 codes/subspace), residuals concentrate
+    near the origin and the same (m, n_codes) budget reconstructs
+    them orders of magnitude better. Trained books both sides — the
+    canonical comparison; the residual training set excludes the
+    deterministic-codebook seed vectors (their residuals are exact
+    zeros, which would waste k-means init on duplicates — the same
+    degeneracy knn_ivf_pq_residual's deterministic-book path skips)."""
+    from flink_exercise_spark.operators.compression import (
+        pq_reconstruction_mse,
+        pq_train_codebooks,
+        residual_vectors,
+    )
+    from flink_exercise_spark.operators.similarity import (
+        _ivf_assign_probe,
+        _ivf_centroids,
+    )
+
+    emb = _clustered_emb(spark, n_per_cell=3, n_cells=64, dense=True)
+    cents = _ivf_centroids(emb, 10, 64, None)
+    corpus, _, assigned_ids, _ = _ivf_assign_probe(
+        emb, 10, 64, 2, None, cents=cents
+    )
+    resid = residual_vectors(corpus, assigned_ids, cents).select(
+        "vec_id", "resid"
+    )
+    corpus_raw = emb.filter(F.col("vec_id") >= 10)
+
+    raw_books = pq_train_codebooks(corpus_raw, m=8, n_codes=16, iters=3)
+    raw_mse = pq_reconstruction_mse(corpus_raw, raw_books, m=8)
+    res_books = pq_train_codebooks(
+        resid.filter(F.col("vec_id") >= 10 + 64),
+        m=8,
+        n_codes=16,
+        iters=3,
+        vec_col="resid",
+    )
+    res_mse = pq_reconstruction_mse(
+        resid, res_books, m=8, vec_col="resid"
+    )
+    # not just strictly below: structurally below (numpy probe of the
+    # same geometry: ~7.7 raw vs ~0.04 residual)
+    assert res_mse < 0.1 * raw_mse, (res_mse, raw_mse)
+
+
+def test_knn_ivf_pq_residual_equals_knn_ivf_with_covering_shortlist(
+    spark, emb
+):
+    """Residual encoding changes the approximate RANKING only; the
+    exact shortlist re-score is unchanged, so with a covering
+    shortlist the output equals knn_ivf row for row (the knn_ivf_pq
+    contract, preserved)."""
+    from flink_exercise_spark.operators.compression import (
+        knn_ivf_pq_residual,
+    )
+
+    n_corpus = emb.count()
+    a = sorted(tuple(r) for r in knn_ivf(emb, k=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in knn_ivf_pq_residual(
+            emb, k=3, shortlist=n_corpus
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_knn_ivf_pq_residual_recall_dominates_raw_on_clustered_data(
+    spark,
+):
+    """At a tight shortlist budget on clustered data, residual-ADC
+    pre-ranking must recall at least as much of knn_ivf's answer set
+    as raw-vector ADC — the accuracy the encoding buys where its
+    geometry assumption holds."""
+    from flink_exercise_spark.operators.compression import (
+        knn_ivf_pq,
+        knn_ivf_pq_residual,
+    )
+
+    emb = _clustered_emb(spark)
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(emb, n_cells=8, k=3).collect()
+    }
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf_pq(
+            emb, n_cells=8, k=3, shortlist=12
+        ).collect()
+    }
+    res = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf_pq_residual(
+            emb, n_cells=8, k=3, shortlist=12
+        ).collect()
+    }
+    raw_recall = len(raw & want) / len(want)
+    res_recall = len(res & want) / len(want)
+    assert res_recall >= raw_recall, (res_recall, raw_recall)
+    assert res_recall >= 0.9
+
+
+def test_knn_ivf_pq_residual_plan_no_python_no_cartesian(spark, emb):
+    from flink_exercise_spark.operators.compression import (
+        knn_ivf_pq_residual,
+    )
+
+    plan = (
+        knn_ivf_pq_residual(emb, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

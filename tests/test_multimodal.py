@@ -335,7 +335,7 @@ def test_avi_sniff_and_prober_domain(spark):
 # --- real PNG codec (r8 seam fill) -------------------------------------------
 
 
-def _encode_png(rows, channels=3, filters=None, color_type=None):
+def _encode_png(rows, channels=3, filters=None, color_type=None, plte=None):
     """Minimal stdlib PNG encoder for test fixtures: 8-bit depth, any
     of the decoder's color types, explicit per-row filter choice (the
     decoder's unfilter is the thing under test)."""
@@ -389,9 +389,11 @@ def _encode_png(rows, channels=3, filters=None, color_type=None):
     ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
         [8, ct, 0, 0, 0]
     )
+    plte_chunk = chunk(b"PLTE", plte) if plte is not None else b""
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte_chunk
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
@@ -454,10 +456,65 @@ def test_png_gray_and_rgba_luma():
     assert got[3] == pytest.approx(want, abs=1e-6)
 
 
+def test_png_palette_decode_bit_exact():
+    """Palette (color type 3) decode: indices run through the shared
+    inflate+unfilter path, luma through the PLTE lookup — hand-built
+    2x2 indexed image with exactly-known palette lumas."""
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    # palette: 0=black, 1=white, 2=pure red, 3=mid gray
+    plte = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0, 128, 128, 128])
+    rows = [bytes([0, 1]), bytes([2, 3])]
+    payload = _encode_png(rows, channels=1, color_type=3, plte=plte)
+    w, h, ch, raw = PNG_DECODER.decode_pixels(payload)
+    assert (w, h, ch) == (2, 2, 1)
+    assert raw == b"\x00\x01\x02\x03"
+    want = (
+        0.0
+        + (0.299 + 0.587 + 0.114) * 255
+        + 0.299 * 255
+        + (0.299 + 0.587 + 0.114) * 128
+    ) / 4 / 255.0
+    got = PNG_DECODER.decode(payload)
+    assert got[:3] == ("png", 2, 2)
+    assert got[3] == round(want, 6)
+    # filtered palette rows go through the same unfilter path
+    filtered = _encode_png(
+        rows, channels=1, color_type=3, plte=plte, filters=[1, 4]
+    )
+    assert PNG_DECODER.decode(filtered) == got
+
+
+def test_png_palette_seams():
+    """Malformed palette files fail loudly: missing PLTE, out-of-range
+    index, bad PLTE length."""
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    plte = bytes([0, 0, 0, 255, 255, 255])
+    rows = [bytes([0, 1])]
+    ok = _encode_png(rows, channels=1, color_type=3, plte=plte)
+    assert PNG_DECODER.decode(ok)[3] == round(
+        (0 + 255) / 2 / 255.0, 6
+    )
+    no_plte = _encode_png(rows, channels=1, color_type=3)
+    with pytest.raises(NotImplementedError, match="PLTE"):
+        PNG_DECODER.decode(no_plte)
+    oob = _encode_png(
+        [bytes([0, 5])], channels=1, color_type=3, plte=plte
+    )
+    with pytest.raises(NotImplementedError, match="beyond PLTE"):
+        PNG_DECODER.decode(oob)
+    bad_len = _encode_png(
+        rows, channels=1, color_type=3, plte=bytes([1, 2])
+    )
+    with pytest.raises(NotImplementedError, match="PLTE"):
+        PNG_DECODER.decode(bad_len)
+
+
 def test_png_sniff_and_seam_boundaries():
-    """Strict sniff: no text payload routes to the PNG codec; palette /
-    16-bit / interlaced / truncated containers hit the documented
-    seam instead of crashing."""
+    """Strict sniff: no text payload routes to the PNG codec; sub-byte
+    palette / 16-bit / interlaced / truncated containers hit the
+    documented seam instead of crashing."""
     from flink_exercise_spark.operators.multimodal import (
         PNG_DECODER,
         _looks_bmp,
@@ -472,8 +529,9 @@ def test_png_sniff_and_seam_boundaries():
     assert not _looks_png("plain text".encode())
 
     base = bytearray(png)
-    base[25] = 3  # color type 3 = palette
-    with pytest.raises(NotImplementedError, match="color_type"):
+    base[24] = 4
+    base[25] = 3  # 4-bit palette: sub-byte depths stay the seam
+    with pytest.raises(NotImplementedError, match="depth"):
         PNG_DECODER.probe(bytes(base))
     base = bytearray(png)
     base[24] = 16  # 16-bit depth
