@@ -758,11 +758,18 @@ def knn_ivf_pq_residual(
         _ivf_centroids,
     )
 
+    from flink_exercise_spark.caching import persist_tracked
+
     nc = N_CELLS if n_cells is None else n_cells
     cents = _ivf_centroids(emb, n_queries, nc, codebook)
     corpus, queries, assigned_ids, probes = _ivf_assign_probe(
         emb, n_queries, nc, n_probe, codebook, cents=cents
     )
+    # assigned_ids feeds TWO subtrees (the residual build and the
+    # candidate scan join — pq_encode cannot carry cell_id through);
+    # unpersisted, the corpus-vs-centroid packed-argmax aggregation
+    # would run twice (code-review r9). Narrow relation: 2 longs/vec.
+    assigned_ids = persist_tracked(assigned_ids)
     dims_row = emb.select(F.size("embedding")).limit(1).first()
     dims = dims_row[0] if dims_row is not None else None
     _pq_guard(emb, m, "embedding", n_codes, dims=dims)

@@ -66,10 +66,8 @@ from pyspark.sql import functions as F
 from flink_exercise_spark.caching import persist_tracked
 from flink_exercise_spark.operators.dedup import (
     BAND_ROWS,
-    BUCKET_CAP,
     N_MINHASH,
     _banded_signatures,
-    _cap_hot_buckets,
     exact_dedup_map,
     minhash_signatures,
 )
@@ -86,8 +84,13 @@ SNAPSHOT_SPLIT = 250
 
 def fingerprint_index(docs: DataFrame) -> DataFrame:
     """The exact-dedup index: ``(text_hash, canonical_doc_id,
-    n_copies)`` — exact_dedup_map's output, persisted as state."""
-    return exact_dedup_map(docs)
+    n_copies)`` — exact_dedup_map's output MINUS the NULL-fingerprint
+    group: NULL text has no content identity, never matches a join,
+    and keeping it in the index would drift its n_copies on every
+    merge (NULL keys don't combine across full-outer joins or the
+    MERGE's anti-join — code-review r9). incremental_dedup gives
+    NULL-text documents verdict 'new' without consulting the index."""
+    return exact_dedup_map(docs).filter(F.col("text_hash").isNotNull())
 
 
 def band_index(
@@ -109,7 +112,6 @@ def incremental_dedup(
     bands: DataFrame,
     k: int = N_MINHASH,
     r: int = BAND_ROWS,
-    bucket_cap: int | None = BUCKET_CAP,
 ) -> DataFrame:
     """Classify each increment document against the persisted index +
     the increment itself: ``(doc_id, verdict, canonical_doc_id)`` with
@@ -123,9 +125,17 @@ def incremental_dedup(
     themselves — identical in the SQL twin (md5(NULL) is NULL and
     joins never match on NULL).
 
-    ``bucket_cap`` applies to the increment-INTERNAL band self-join
-    only (the within-batch N^2 bomb); the index probe is uncapped
-    because the index holds one row per bucket by construction.
+    No pair join anywhere — including within the increment: the
+    near-dup source we need per document is only the MINIMUM
+    smaller-id bucket sharer, and the minimum over a bucket is a
+    per-bucket aggregate, not a pair enumeration (min_b < d is
+    exactly "some member smaller than d", and it is the smallest).
+    So the within-batch relation is groupBy(bucket).min + a join
+    back — O(members) — and the hot-bucket N^2 bomb that forces
+    BUCKET_CAP onto minhash_band_pairs structurally cannot exist
+    here, which also keeps one-batch == two-batch equivalence exact
+    on adversarial all-duplicate batches (code-review r9: the capped
+    self-join formulation silently dropped >cap buckets' verdicts).
     """
     inc = spread(increment, "doc_id")
     hashed = persist_tracked(
@@ -163,17 +173,17 @@ def incremental_dedup(
         .groupBy("doc_id")
         .agg(F.min("_m").alias("_idx_near"))
     )
-    capped = _cap_hot_buckets(banded, ("band_id", "band_hash"), bucket_cap)
-    l, rr = capped.alias("l"), capped.alias("r")
+    # within-increment: per-bucket minimum joined back (no pair join,
+    # see docstring); min_b < d <=> a smaller-id member shares the
+    # bucket, and min_b is then the smallest such
+    bucket_min = banded.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("_bmin")
+    )
     within_near = (
-        l.join(
-            rr,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("r.doc_id") < F.col("l.doc_id")),
-        )
-        .groupBy(F.col("l.doc_id").alias("doc_id"))
-        .agg(F.min(F.col("r.doc_id")).alias("_inc_near"))
+        banded.join(bucket_min, ["band_id", "band_hash"])
+        .filter(F.col("_bmin") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("_bmin").alias("_inc_near"))
     )
 
     joined = (
@@ -262,9 +272,17 @@ def updated_band_index(
 
 # Hash-prefix partition column for the persisted fingerprint store:
 # 256 directories, so a CDC merge rewrites only the prefixes the
-# increment's hashes land in.
+# increment's hashes land in. The value is LETTER-PREFIXED ("h3f",
+# not "3f"): an all-digit hex prefix like "00" would be read back as
+# INT 0 by Spark's partition-type inference, mangling the
+# touched-bucket filter and forking bucket=00 into a new bucket=0
+# directory on the dynamic overwrite (code-review r9, reproduced
+# reasoning) — a non-numeric first character makes inference
+# unconditionally string.
 def _fp_bucket() -> F.Column:
-    return F.substring("text_hash", 1, 2).alias("bucket")
+    return F.concat(
+        F.lit("h"), F.substring("text_hash", 1, 2)
+    ).alias("bucket")
 
 
 def write_fingerprint_index(docs: DataFrame, path: str) -> None:

@@ -44,35 +44,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_exercise_spark.caching import persist_tracked
-from flink_exercise_spark.operators.text import tokens_expr
 from flink_exercise_spark.registry import register
 from flink_exercise_spark.session import prep
-from flink_exercise_spark.sources.tables import load_table, spread
+from flink_exercise_spark.sources.tables import load_table
 
 MICRO = 1_000_000
 
 
 def bigram_instances(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """``(key, w1, w2)`` — one row per ADJACENT whitespace-token pair
-    occurrence (frequencies, not sets: LMs model counts). The token
-    array binds in its own SELECT before the pair fold references it
-    (the Catalyst lambda-CSE discipline); documents with < 2 tokens
-    (including NULL/blank text) have no bigrams and drop here — the
-    scorer restores them via left join."""
-    toked = (
-        spread(docs, key)
-        .select(F.col(key), tokens_expr().alias("_t"))
-        .filter(F.size("_t") >= 2)
+    occurrence (frequencies, not sets: LMs model counts). Delegates to
+    tokenizer.bigram_pairs (ONE implementation of the load-bearing
+    pair fold and its lambda-CSE binding discipline — code-review r9);
+    documents with < 2 tokens (including NULL/blank text) have no
+    bigrams and drop here — the scorer restores them via left join."""
+    from flink_exercise_spark.operators.tokenizer import bigram_pairs
+
+    return bigram_pairs(docs, key=key).withColumnsRenamed(
+        {"a": "w1", "b": "w2"}
     )
-    return toked.select(
-        key,
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(_t) - 1), "
-                "i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
-            )
-        ).alias("_p"),
-    ).select(key, "_p.w1", "_p.w2")
 
 
 def bigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -226,7 +226,7 @@ def corpus_queries(
     docs: DataFrame,
     step: int = QUERY_STEP,
     n_terms: int = QUERY_TERMS,
-    cap: int = QUERY_CAP,
+    cap: int | None = QUERY_CAP,
 ) -> DataFrame:
     """Deterministic query set mined from the corpus itself: every
     ``step``-th document among the first ``cap * step`` contributes
@@ -237,13 +237,10 @@ def corpus_queries(
     operator (BENCH_SF100.md documents the discovery). The filter
     runs before tokenization, so the tokenizer touches at most
     ``cap`` documents."""
-    return query_terms(
-        docs.filter(
-            (F.col("doc_id") % step == 0)
-            & (F.col("doc_id") < step * cap)
-        ),
-        n_terms,
-    )
+    cond = F.col("doc_id") % step == 0
+    if cap is not None:
+        cond = cond & (F.col("doc_id") < step * cap)
+    return query_terms(docs.filter(cond), n_terms)
 
 
 def _bm25_scored_cte(

@@ -415,25 +415,33 @@ BIGRAM_TOP_K = 30
 BIGRAM_MIN_COUNT = 5
 
 
-def bigram_pairs(docs: DataFrame) -> DataFrame:
-    """(a, b) — one row per ADJACENT token pair occurrence. The token
-    array is bound by a SELECT before the pair fold references it
-    (the Catalyst lambda-CSE discipline, SCALE.md); the lambda is
-    SQL-parsed. Interior whitespace tokens cannot be blank (split on
-    ``\\s+`` of trimmed text), so no blank filter is needed here —
-    single-token and blank documents drop at the size guard."""
-    src = spread(docs.filter(F.col("text").isNotNull()).select("text"))
-    toked = src.select(tokens_expr().alias("_t")).filter(
+def bigram_pairs(docs: DataFrame, key: str | None = None) -> DataFrame:
+    """(a, b) — one row per ADJACENT token pair occurrence; with
+    ``key`` set, ``(key, a, b)`` (the per-document form the n-gram LM
+    scorer consumes — ONE implementation of the load-bearing pair
+    fold, code-review r9). The token array is bound by a SELECT before
+    the pair fold references it (the Catalyst lambda-CSE discipline,
+    SCALE.md); the lambda is SQL-parsed. Interior whitespace tokens
+    cannot be blank (split on ``\\s+`` of trimmed text), so no blank
+    filter is needed here — single-token and blank documents drop at
+    the size guard."""
+    keep = [key] if key is not None else []
+    src = spread(
+        docs.filter(F.col("text").isNotNull()).select(*keep, "text"),
+        *keep,
+    )
+    toked = src.select(*keep, tokens_expr().alias("_t")).filter(
         F.size("_t") >= 2
     )
     return toked.select(
+        *keep,
         F.explode(
             F.expr(
                 "transform(sequence(1, size(_t) - 1), "
                 "i -> struct(_t[i-1] AS a, _t[i] AS b))"
             )
-        ).alias("_p")
-    ).select("_p.a", "_p.b")
+        ).alias("_p"),
+    ).select(*keep, "_p.a", "_p.b")
 
 
 def bigram_lift(

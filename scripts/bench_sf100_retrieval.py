@@ -66,7 +66,11 @@ def main() -> None:
     t0 = time.perf_counter()
     docs = load_table(spark, SF100, "documents")
     n = materialize(
-        bm25_topk(docs, corpus_queries(docs, step=1000), exclude_self=True)
+        bm25_topk(
+            docs,
+            corpus_queries(docs, step=1000, cap=5000),
+            exclude_self=True,
+        )
     )
     out["bm25_fixed_5k_queries"] = {
         "sf100": round(time.perf_counter() - t0, 3),

@@ -70,6 +70,17 @@ def test_quantization_error_bounded_and_schema(spark, emb):
         assert r["norm"] == pytest.approx(float(np.sqrt((v * v).sum())))
 
 
+def test_quantize_int8_custom_id_col(spark, emb):
+    """The id_col parameter (r8 ADVICE) actually works end to end —
+    a renamed id column flows through to the store schema."""
+    renamed = emb.withColumnRenamed("vec_id", "item_id")
+    store = quantize_int8(
+        renamed, int8_scales(renamed), id_col="item_id"
+    )
+    assert store.columns == ["item_id", "qvec", "norm"]
+    assert store.count() == emb.count()
+
+
 def test_dequantize_roundtrip_cosine_close(spark, emb):
     """Reconstructed vectors approximate the originals well enough
     that per-vector cosine(original, dequantized) > 0.999 — the

@@ -284,7 +284,7 @@ def test_merge_fingerprint_index_prunes_and_matches_rebuild(
     inc_hashes = {
         _md5(t) for d, t in CRAFTED.items() if d >= 100 and t is not None
     }
-    touched_prefixes = {h[:2] for h in inc_hashes}
+    touched_prefixes = {"h" + h[:2] for h in inc_hashes}
     untouched = [
         d
         for d in os.listdir(path)
