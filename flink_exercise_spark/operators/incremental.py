@@ -338,6 +338,95 @@ def merge_fingerprint_index(
                         partition_col="bucket")
 
 
+def write_band_index(
+    docs: DataFrame,
+    path: str,
+    k: int = N_MINHASH,
+    r: int = BAND_ROWS,
+) -> None:
+    """Materialize the MinHash band index partitioned by letter-
+    prefixed band_hash prefix (the ``write_fingerprint_index`` layout
+    rationale) with a single ``bucket_key`` merge key — band_id and
+    band_hash concatenated, since ``merge_upsert`` merges on ONE key
+    column and (band_id, band_hash) is the bucket's identity."""
+    band_index(docs, k, r).select(
+        F.concat_ws("|", F.col("band_id").cast("string"), "band_hash")
+        .alias("bucket_key"),
+        "band_id",
+        "band_hash",
+        "min_doc_id",
+        "n_members",
+        F.concat(F.lit("h"), F.substring("band_hash", 1, 2)).alias(
+            "bucket"
+        ),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def merge_band_index(
+    spark,
+    path: str,
+    increment: DataFrame,
+    k: int = N_MINHASH,
+    r: int = BAND_ROWS,
+) -> dict[str, int]:
+    """Persist an increment's band-bucket aggregates into the on-disk
+    band index via the partition-scoped MERGE — the near-dup half of
+    the index-maintenance story (``merge_fingerprint_index`` is the
+    exact half): post-state rows for TOUCHED buckets only (increment
+    bucket aggregate merged with the current stored minima/counts, a
+    partition-pruned read), then only the touched hash-prefix
+    directories rewrite. Minima combine by min and counts add, so
+    merged state equals ``band_index(history ∪ increment)`` row for
+    row — batch-boundary associativity, same as the in-memory
+    ``updated_band_index``."""
+    from flink_exercise_spark.operators.layout import merge_upsert
+
+    inc_bands = band_index(increment, k, r).select(
+        F.concat_ws("|", F.col("band_id").cast("string"), "band_hash")
+        .alias("bucket_key"),
+        "band_id",
+        "band_hash",
+        F.col("min_doc_id").alias("_m2"),
+        F.col("n_members").alias("_n2"),
+        F.concat(F.lit("h"), F.substring("band_hash", 1, 2)).alias(
+            "bucket"
+        ),
+    )
+    buckets = [
+        r_[0] for r_ in inc_bands.select("bucket").distinct().collect()
+    ]
+    base = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
+        .select(
+            "bucket_key",
+            F.col("min_doc_id").alias("_m1"),
+            F.col("n_members").alias("_n1"),
+        )
+    )
+    upserts = inc_bands.join(base, "bucket_key", "left").select(
+        "bucket_key",
+        "band_id",
+        "band_hash",
+        F.least("_m1", "_m2").cast("long").alias("min_doc_id"),
+        (F.coalesce("_n1", F.lit(0)) + F.col("_n2")).cast("long").alias(
+            "n_members"
+        ),
+        "bucket",
+    )
+    return merge_upsert(
+        spark, path, upserts, "bucket_key", partition_col="bucket"
+    )
+
+
+def read_band_index(spark, path: str) -> DataFrame:
+    """The stored band index in the ``incremental_dedup`` input shape
+    (band_id, band_hash, min_doc_id, n_members)."""
+    return spark.read.parquet(path).select(
+        "band_id", "band_hash", "min_doc_id", "n_members"
+    )
+
+
 def _incremental_oracle(
     split: int = SNAPSHOT_SPLIT,
     k: int = N_MINHASH,

@@ -239,3 +239,83 @@ FROM documents d LEFT JOIN scored sc USING (doc_id)
 )
 def q_ngram_logprob(spark, sf_dir):
     return doc_logprob(load_table(prep(spark), sf_dir, "documents"))
+
+
+# Train/score split for the cross-corpus registered entry: the LM fits
+# on the first half (the "clean reference corpus" role), scores the
+# second (the "crawl") — novel bigrams and novel prefixes in the
+# scored half put BOTH OOV fallback arms under the driver's value-hash
+# gate (the self-scored entry can never exercise them).
+LM_SPLIT = 250
+
+_CROSS_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+  FROM toked WHERE len(t) >= 2
+),
+c12 AS (
+  SELECT w1, w2, count(*) AS n12 FROM big
+  WHERE doc_id < {LM_SPLIT} GROUP BY w1, w2
+),
+c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS nv FROM c12),
+lm AS (
+  SELECT w1, w2,
+         CAST(round(ln((n12 + 1)::DOUBLE / (n1 + nv)::DOUBLE)
+                    * {MICRO}, 0) AS BIGINT) AS lp
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+),
+pf AS (
+  SELECT w1,
+         CAST(round(ln(1.0 / (n1 + nv)::DOUBLE) * {MICRO}, 0) AS BIGINT)
+           AS lp
+  FROM c1 CROSS JOIN v
+),
+ov AS (
+  SELECT CAST(round(ln(1.0 / nv::DOUBLE) * {MICRO}, 0) AS BIGINT) AS lp
+  FROM v
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(coalesce(lm.lp, pf.lp, ov.lp)) AS BIGINT) AS s
+  FROM big b
+  LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+  LEFT JOIN pf ON b.w1 = pf.w1
+  CROSS JOIN ov
+  WHERE b.doc_id >= {LM_SPLIT}
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.s, 0) AS BIGINT) AS sum_logp_micronats,
+       round(sc.s / (sc.n_bigrams * {MICRO}.0), 6) AS mean_logp
+FROM documents d LEFT JOIN scored sc USING (doc_id)
+WHERE d.doc_id >= {LM_SPLIT}
+"""
+
+
+@register(
+    "text_lm_cross_score",
+    oracle=_CROSS_ORACLE,
+    doc="Cross-corpus LM scoring (the deployed perplexity-filter "
+        "shape): bigram LM trained on the reference half (doc_id < "
+        "250), the crawl half scored with the seen-prefix OOV "
+        "fallback live under the value-hash gate (fires at driver "
+        "scale; the unseen-prefix arm is crafted-corpus-pinned in "
+        "test_ngram_lm.py — the fixture halves share their "
+        "vocabulary)",
+    tags=("text", "documents", "quality", "lm"),
+)
+def q_lm_cross_score(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    lm, prefixes, oov = bigram_lm(docs.filter(F.col("doc_id") < LM_SPLIT))
+    return score_with_lm(
+        docs.filter(F.col("doc_id") >= LM_SPLIT), lm, prefixes, oov
+    )

@@ -39,8 +39,13 @@ def run_batch_prep(
     audit_path: str | None = None,
     decontaminate_path: str | None = None,
     dsir_target_path: str | None = None,
+    html: bool = False,
 ) -> dict:
-    """Batch prep over a corpus directory; returns the summary dict."""
+    """Batch prep over a corpus directory; returns the summary dict.
+    ``html=True`` treats the text column as markup and extracts the
+    visible text FIRST (text.strip_html_expr), so dedup and every gate
+    key on content, not markup — the same front-door placement as the
+    streaming path (streaming/ingest.ingest_data_prep(html=True))."""
     from pyspark.sql import functions as F
 
     from flink_exercise_spark.operators.pipeline import (
@@ -59,6 +64,10 @@ def run_batch_prep(
 
     read = read_jsonl_documents if fmt == "jsonl" else read_csv_documents
     valid, corrupt = read(spark, input_path)
+    if html:
+        from flink_exercise_spark.operators.text import strip_html_expr
+
+        valid = valid.withColumn("text", strip_html_expr("text"))
     # Both relations are consumed by several actions below (counts,
     # writes, the dedup build, the text re-attach join); without a
     # persist each action re-runs the full text-scan + parse — the
@@ -158,6 +167,7 @@ def run_streaming_prep(
     output_path: str,
     decontaminate_path: str | None = None,
     audit_path: str | None = None,
+    html: bool = False,
 ) -> dict:
     """Streaming-front-door prep (JSONL drop directory).
 
@@ -200,7 +210,9 @@ def run_streaming_prep(
             aq.stop()
         n_corrupt = spark.read.parquet(audit_path).count()
 
-    store = ingest_data_prep(valid, grams, store_path=output_path)
+    store = ingest_data_prep(
+        valid, grams, store_path=output_path, html=html
+    )
     got = spark.read.parquet(store)
     return {
         "mode": "streaming",
@@ -233,6 +245,10 @@ def main(argv: list[str] | None = None) -> int:
                          "gain DSIR importance-weight columns (batch only)")
     ap.add_argument("--streaming", action="store_true",
                     help="run through the streaming ingest front door")
+    ap.add_argument("--html", action="store_true",
+                    help="input text is HTML markup: extract visible "
+                         "text first, so dedup and the gates key on "
+                         "content")
     ap.add_argument("--cores", type=int, default=4)
     args = ap.parse_args(argv)
 
@@ -257,13 +273,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.streaming:
             summary = run_streaming_prep(
                 spark, args.input, args.output, args.decontaminate,
-                audit_path=args.audit,
+                audit_path=args.audit, html=args.html,
             )
         else:
             summary = run_batch_prep(
                 spark, args.input, args.output, args.format,
                 args.audit, args.decontaminate,
-                dsir_target_path=args.dsir_target,
+                dsir_target_path=args.dsir_target, html=args.html,
             )
         print(json.dumps(summary))
         return 0

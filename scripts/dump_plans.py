@@ -124,6 +124,20 @@ SHOWCASE = [
      "normalization chain is regexp_replace/replace Column "
      "expressions — zero Exchange, no Python, scan-bound at any "
      "corpus size"),
+    ("dedup_incremental_snapshot",
+     "incremental dedup with NO pair join anywhere",
+     "only hash equi-joins: increment vs the fingerprint index on "
+     "text_hash, increment bands vs the band index and vs their own "
+     "per-bucket minima — the within-batch near-dup source is a "
+     "groupBy(bucket).min joined back, never a band self-join, so "
+     "no bucket cap is needed and no N^2 candidate blowup exists; "
+     "history text appears in no scan"),
+    ("text_ngram_logprob",
+     "model-sized ln, corpus-sized integer sums",
+     "the only log() expressions sit in the vocabulary-sized LM/"
+     "prefix/OOV model subtrees; the corpus-side scoring join "
+     "aggregates long micro-nats with partial_sum below the "
+     "Exchange (map-side combine), one rounded division at the top"),
 ]
 
 

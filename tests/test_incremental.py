@@ -341,3 +341,81 @@ def test_plan_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_merge_band_index_prunes_and_matches_rebuild(spark, tmp_path):
+    """The near-dup half of the persisted index: merging an increment
+    into the hash-prefix-partitioned band store touches only the
+    increment's prefix directories and the stored index afterwards
+    equals a full rebuild — and incremental_dedup over the STORED
+    post-merge index reproduces the in-memory verdicts."""
+    from flink_exercise_spark.operators.incremental import (
+        band_index,
+        fingerprint_index,
+        incremental_dedup,
+        merge_band_index,
+        read_band_index,
+        updated_fingerprint_index,
+        write_band_index,
+    )
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in CRAFTED.items() if t is not None],
+        "doc_id long, text string",
+    )
+    history = df.filter(F.col("doc_id") < 100)
+    inc = df.filter(F.col("doc_id") >= 100)
+    path = str(tmp_path / "bandindex")
+    write_band_index(history, path)
+
+    inc_prefixes = {
+        "h" + r["band_hash"][:2]
+        for r in band_index(inc).select("band_hash").collect()
+    }
+    untouched = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("bucket=")
+        and d.split("=", 1)[1] not in inc_prefixes
+    ]
+
+    def files_of(part):
+        p = os.path.join(path, part)
+        return {
+            f: os.stat(os.path.join(p, f)).st_mtime_ns
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        }
+
+    before = {p: files_of(p) for p in untouched}
+    res = merge_band_index(spark, path, inc)
+    assert res["partitions_rewritten"] == len(inc_prefixes)
+    assert {p: files_of(p) for p in untouched} == before
+
+    stored = (
+        read_band_index(spark, path)
+        .toPandas()
+        .set_index(["band_id", "band_hash"])
+        .sort_index()
+    )
+    want = (
+        band_index(df)
+        .toPandas()
+        .set_index(["band_id", "band_hash"])
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(stored, want)
+
+    # verdicts from the STORED index == in-memory construction
+    replay = inc.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    from_store = (
+        incremental_dedup(
+            replay,
+            updated_fingerprint_index(fingerprint_index(history), inc),
+            read_band_index(spark, path),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (from_store["verdict"] == "exact_dup").all()

@@ -208,3 +208,71 @@ def test_cli_rejects_streaming_with_dsir():
             "--input", "/nope", "--output", "/nope2", "--streaming",
             "--dsir-target", "/nope3",
         ])
+
+
+def _write_html_corpus(d):
+    """The same corpus as _write_corpus, each text wrapped in markup
+    whose extraction yields the original — so every count assertion
+    from the plain run carries over verbatim."""
+    def wrap(t):
+        return (
+            "<html><head><script>if (1 < 2) { x(); }</script></head>"
+            f"<body><!-- c --><p>{t}</p></body></html>"
+        )
+
+    docs = [
+        {"doc_id": 1, "text": wrap(GOOD), "lang": "en", "source": "web",
+         "n_chars": 0},
+        {"doc_id": 2, "text": wrap(GOOD), "lang": "en", "source": "web",
+         "n_chars": 0},
+        {"doc_id": 3, "text": wrap("tiny"), "lang": "en", "source": "web",
+         "n_chars": 0},
+        {"doc_id": 4, "text": wrap(
+            GOOD + " but the fox had the last laugh when all was said "
+                   "and done that day"
+        ), "lang": "en", "source": "web", "n_chars": 0},
+    ]
+    (d / "part-000.jsonl").write_text(
+        "\n".join(json.dumps(x) for x in docs) + "\n"
+    )
+
+
+def test_batch_prep_html_front_door(spark, tmp_path):
+    """--html: extraction runs before dedup and the gates, so the
+    markup-wrapped corpus produces the exact counts of the plain one
+    (duplicate pages differing only in content dedup on CONTENT) and
+    the stored text is the extracted text."""
+    from flink_exercise_spark.prep import run_batch_prep
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_html_corpus(src)
+    out = str(tmp_path / "clean")
+    summary = run_batch_prep(
+        spark, str(src), out, fmt="jsonl", html=True
+    )
+    assert summary["n_input_valid"] == 4
+    assert summary["n_duplicates"] == 1
+    assert summary["n_quality_fail"] == 1
+    assert summary["n_kept"] == 2
+
+    kept = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(out).select("doc_id", "text").collect()}
+    assert set(kept) == {1, 4}
+    assert kept[1] == GOOD  # markup stripped, content verbatim
+
+
+def test_streaming_prep_html_matches_batch(spark, tmp_path):
+    from flink_exercise_spark.prep import run_batch_prep, run_streaming_prep
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    _write_html_corpus(src)
+    b = run_batch_prep(
+        spark, str(src), str(tmp_path / "clean_b"), fmt="jsonl", html=True
+    )
+    s = run_streaming_prep(
+        spark, str(src), str(tmp_path / "clean_s"), html=True
+    )
+    assert s["n_deduped"] == b["n_input_valid"] - b["n_duplicates"]
+    assert s["n_kept"] == b["n_kept"]
