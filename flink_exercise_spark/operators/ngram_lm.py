@@ -104,11 +104,19 @@ def bigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             .alias("logp_micronats"),
         )
     )
+    # try_divide: an EMPTY training corpus has V = 0, and ANSI mode
+    # turns the uniform fallback's 1/V into a hard DIVIDE_BY_ZERO at
+    # scoring time — the degenerate model instead scores everything
+    # with NULL fallbacks (NULL-safe zero sums downstream), pinned in
+    # test_empty_and_null_inputs.py
     prefixes = c1.crossJoin(F.broadcast(v)).select(
         "w1",
         F.round(
             F.log(
-                F.lit(1.0) / (F.col("n1") + F.col("nv")).cast("double")
+                F.try_divide(
+                    F.lit(1.0),
+                    (F.col("n1") + F.col("nv")).cast("double"),
+                )
             )
             * MICRO,
             0,
@@ -117,7 +125,11 @@ def bigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         .alias("oov_w2_micronats"),
     )
     oov = v.select(
-        F.round(F.log(F.lit(1.0) / F.col("nv").cast("double")) * MICRO, 0)
+        F.round(
+            F.log(F.try_divide(F.lit(1.0), F.col("nv").cast("double")))
+            * MICRO,
+            0,
+        )
         .cast("long")
         .alias("oov_w1_micronats"),
         "nv",

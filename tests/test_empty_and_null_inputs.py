@@ -197,3 +197,81 @@ def test_decontaminate_on_empty_and_null(spark):
         [(1, None, "en", "web"), (2, None, "en", "web")], DOC_SCHEMA
     )
     assert decontaminate(nulls).count() == 0
+
+
+def test_r9_incremental_dedup_on_empty_inputs(spark):
+    """Empty increment / empty index / both: no crash, correct shape;
+    an empty index classifies a non-trivial increment as all-new (up
+    to within-increment duplicates)."""
+    from flink_exercise_spark.operators.incremental import (
+        band_index,
+        fingerprint_index,
+        incremental_dedup,
+        updated_band_index,
+        updated_fingerprint_index,
+    )
+
+    empty = _empty(spark, DOC_SCHEMA)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta", "en", "w"),
+            (2, "alpha beta gamma delta epsilon zeta eta", "en", "w"),
+            (3, None, "en", "w"),
+        ],
+        DOC_SCHEMA,
+    )
+    fp_e, bi_e = fingerprint_index(empty), band_index(empty)
+    # empty increment against a real index
+    assert incremental_dedup(
+        empty, fingerprint_index(docs), band_index(docs)
+    ).count() == 0
+    # real increment against an empty index: doc 1 new, 2 exact of 1,
+    # NULL-text 3 new
+    out = {
+        r["doc_id"]: (r["verdict"], r["canonical_doc_id"])
+        for r in incremental_dedup(docs, fp_e, bi_e).collect()
+    }
+    assert out == {
+        1: ("new", 1),
+        2: ("exact_dup", 1),
+        3: ("new", 3),
+    }
+    # index updates from empty sides are total
+    assert updated_fingerprint_index(fp_e, empty).count() == 0
+    assert updated_band_index(bi_e, empty).count() == 0
+    assert (
+        updated_fingerprint_index(fp_e, docs).count()
+        == fingerprint_index(docs).count()
+    )
+
+
+def test_r9_ngram_lm_on_empty_and_degenerate(spark):
+    """Empty corpus: model relations are empty, scoring an empty
+    corpus yields zero rows; scoring real docs with an EMPTY model
+    resolves every bigram to the (NULL) fallback chain — sums are
+    NULL-safe zero, not a crash."""
+    from flink_exercise_spark.operators.ngram_lm import (
+        bigram_lm,
+        doc_logprob,
+        score_with_lm,
+    )
+
+    empty = _empty(spark, DOC_SCHEMA)
+    lm, pf, ov = bigram_lm(empty)
+    assert lm.count() == 0 and pf.count() == 0
+    assert doc_logprob(empty).count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "w"), (2, None, "en", "w")], DOC_SCHEMA
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logp_micronats"])
+        for r in score_with_lm(docs, lm, pf, ov).collect()
+    }
+    # empty model: V=0 so even the uniform fallback is undefined —
+    # the documented degenerate case; the contract is one row per doc
+    # with the bigram COUNT intact and a NULL-safe zero sum, never a
+    # crash or a dropped document
+    assert set(out) == {1, 2}
+    assert out[2] == (0, 0)
+    assert out[1][0] == 2
