@@ -39,10 +39,11 @@ reference and against batch-split equivalence.
 Scale shape: the increment joins the index on (text_hash) and
 (band_id, band_hash) — plain equi-joins of an increment-sized relation
 against index-sized relations (AQE picks the broadcast side; a daily
-increment is typically the small side). The increment-internal
-self-join is the standard capped band join (BUCKET_CAP defuses the
-within-batch bomb; the index probe needs no cap — O(1) rows per
-bucket by construction). History text is never read.
+increment is typically the small side). There is NO pair join
+anywhere, within the increment included: the within-batch near-dup
+source is a per-bucket minimum joined back (see incremental_dedup's
+docstring), so neither side needs a hot-bucket cap. History text is
+never read.
 
 Index maintenance: ``updated_fingerprint_index`` /
 ``updated_band_index`` produce the post-increment index relations from
@@ -270,7 +271,8 @@ def updated_band_index(
     )
 
 
-# Hash-prefix partition column for the persisted fingerprint store:
+# Hash-prefix partition column for the persisted index stores
+# (fingerprints partition on text_hash, band buckets on band_hash):
 # 256 directories, so a CDC merge rewrites only the prefixes the
 # increment's hashes land in. The value is LETTER-PREFIXED ("h3f",
 # not "3f"): an all-digit hex prefix like "00" would be read back as
@@ -278,18 +280,55 @@ def updated_band_index(
 # touched-bucket filter and forking bucket=00 into a new bucket=0
 # directory on the dynamic overwrite (code-review r9, reproduced
 # reasoning) — a non-numeric first character makes inference
-# unconditionally string.
-def _fp_bucket() -> F.Column:
+# unconditionally string. ONE implementation so the two stores'
+# layouts can never diverge on the prefix scheme.
+def _prefix_bucket(hash_col: str) -> F.Column:
     return F.concat(
-        F.lit("h"), F.substring("text_hash", 1, 2)
+        F.lit("h"), F.substring(hash_col, 1, 2)
     ).alias("bucket")
+
+
+def _merge_index(
+    spark,
+    path: str,
+    upsert_side: DataFrame,
+    key: str,
+    base_cols: tuple[str, str],
+    merged_exprs,
+) -> dict[str, int]:
+    """The shared partition-scoped index-merge skeleton (both index
+    halves): collect touched prefixes from the increment aggregate,
+    partition-pruned read of the stored values for those prefixes,
+    left-join + combine, ``layout.merge_upsert`` rewrite of only the
+    touched directories. ``upsert_side`` must carry (key, _v2-cols,
+    bucket); ``base_cols`` names the stored value columns (aliased to
+    _m1/_n1); ``merged_exprs`` builds the post-state columns."""
+    from flink_exercise_spark.operators.layout import merge_upsert
+
+    buckets = [
+        r_[0] for r_ in upsert_side.select("bucket").distinct().collect()
+    ]
+    base = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
+        .select(
+            key,
+            F.col(base_cols[0]).alias("_m1"),
+            F.col(base_cols[1]).alias("_n1"),
+        )
+    )
+    upserts = upsert_side.join(base, key, "left").select(*merged_exprs)
+    # merge_upsert re-derives touched partitions from the upsert rows;
+    # localCheckpoint inside it materializes before the overwrite.
+    return merge_upsert(spark, path, upserts, key, partition_col="bucket")
 
 
 def write_fingerprint_index(docs: DataFrame, path: str) -> None:
     """Materialize the fingerprint index partitioned by 2-hex-char
     hash prefix — the layout ``merge_fingerprint_index`` prunes on."""
     fingerprint_index(docs).select(
-        "text_hash", "canonical_doc_id", "n_copies", _fp_bucket()
+        "text_hash", "canonical_doc_id", "n_copies",
+        _prefix_bucket("text_hash"),
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
@@ -302,40 +341,31 @@ def merge_fingerprint_index(
     a partition-pruned read), then ``layout.merge_upsert`` rewrites
     only the touched hash-prefix directories. The historical corpus
     and the untouched index partitions are never read or written."""
-    from flink_exercise_spark.operators.layout import merge_upsert
-
-    inc_agg = (
+    inc_agg = persist_tracked(
         increment.select(F.md5("text").alias("text_hash"), "doc_id")
         .filter(F.col("text_hash").isNotNull())
         .groupBy("text_hash")
         .agg(
-            F.min("doc_id").alias("_c2"),
+            F.min("doc_id").alias("_m2"),
             F.count(F.lit(1)).alias("_n2"),
         )
-        .select("text_hash", "_c2", "_n2", _fp_bucket())
+        .select("text_hash", "_m2", "_n2", _prefix_bucket("text_hash"))
     )
-    buckets = [r[0] for r in inc_agg.select("bucket").distinct().collect()]
-    base = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
-        .select(
-            "text_hash",
-            F.col("canonical_doc_id").alias("_c1"),
-            F.col("n_copies").alias("_n1"),
-        )
-    )
-    upserts = inc_agg.join(base, "text_hash", "left").select(
+    return _merge_index(
+        spark,
+        path,
+        inc_agg,
         "text_hash",
-        F.least("_c1", "_c2").cast("long").alias("canonical_doc_id"),
-        (F.coalesce("_n1", F.lit(0)) + F.col("_n2")).cast("long").alias(
-            "n_copies"
+        ("canonical_doc_id", "n_copies"),
+        (
+            "text_hash",
+            F.least("_m1", "_m2").cast("long").alias("canonical_doc_id"),
+            (F.coalesce("_n1", F.lit(0)) + F.col("_n2"))
+            .cast("long")
+            .alias("n_copies"),
+            "bucket",
         ),
-        "bucket",
     )
-    # merge_upsert re-derives touched partitions from the upsert rows;
-    # localCheckpoint inside it materializes before the overwrite.
-    return merge_upsert(spark, path, upserts, "text_hash",
-                        partition_col="bucket")
 
 
 def write_band_index(
@@ -356,9 +386,7 @@ def write_band_index(
         "band_hash",
         "min_doc_id",
         "n_members",
-        F.concat(F.lit("h"), F.substring("band_hash", 1, 2)).alias(
-            "bucket"
-        ),
+        _prefix_bucket("band_hash"),
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
@@ -379,43 +407,38 @@ def merge_band_index(
     merged state equals ``band_index(history ∪ increment)`` row for
     row — batch-boundary associativity, same as the in-memory
     ``updated_band_index``."""
-    from flink_exercise_spark.operators.layout import merge_upsert
-
-    inc_bands = band_index(increment, k, r).select(
-        F.concat_ws("|", F.col("band_id").cast("string"), "band_hash")
-        .alias("bucket_key"),
-        "band_id",
-        "band_hash",
-        F.col("min_doc_id").alias("_m2"),
-        F.col("n_members").alias("_n2"),
-        F.concat(F.lit("h"), F.substring("band_hash", 1, 2)).alias(
-            "bucket"
-        ),
-    )
-    buckets = [
-        r_[0] for r_ in inc_bands.select("bucket").distinct().collect()
-    ]
-    base = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
-        .select(
-            "bucket_key",
-            F.col("min_doc_id").alias("_m1"),
-            F.col("n_members").alias("_n1"),
+    # persist: the banded aggregate (the module's most expensive
+    # subtree) otherwise re-executes for the touched-prefix collect,
+    # merge_upsert's key-uniqueness/count/partition probes, and the
+    # checkpoint materialization — ~5 evaluations (code-review r9)
+    inc_bands = persist_tracked(
+        band_index(increment, k, r).select(
+            F.concat_ws(
+                "|", F.col("band_id").cast("string"), "band_hash"
+            ).alias("bucket_key"),
+            "band_id",
+            "band_hash",
+            F.col("min_doc_id").alias("_m2"),
+            F.col("n_members").alias("_n2"),
+            _prefix_bucket("band_hash"),
         )
     )
-    upserts = inc_bands.join(base, "bucket_key", "left").select(
+    return _merge_index(
+        spark,
+        path,
+        inc_bands,
         "bucket_key",
-        "band_id",
-        "band_hash",
-        F.least("_m1", "_m2").cast("long").alias("min_doc_id"),
-        (F.coalesce("_n1", F.lit(0)) + F.col("_n2")).cast("long").alias(
-            "n_members"
+        ("min_doc_id", "n_members"),
+        (
+            "bucket_key",
+            "band_id",
+            "band_hash",
+            F.least("_m1", "_m2").cast("long").alias("min_doc_id"),
+            (F.coalesce("_n1", F.lit(0)) + F.col("_n2"))
+            .cast("long")
+            .alias("n_members"),
+            "bucket",
         ),
-        "bucket",
-    )
-    return merge_upsert(
-        spark, path, upserts, "bucket_key", partition_col="bucket"
     )
 
 

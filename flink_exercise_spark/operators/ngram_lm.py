@@ -204,63 +204,15 @@ def doc_logprob(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     return score_with_lm(docs, lm, prefixes, oov, key)
 
 
-_NGRAM_ORACLE = f"""
-WITH toked AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-  FROM documents
-),
-big AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
-         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
-  FROM toked WHERE len(t) >= 2
-),
-c12 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2),
-c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
-v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS nv FROM c12),
-lm AS (
-  SELECT w1, w2,
-         CAST(round(ln((n12 + 1)::DOUBLE / (n1 + nv)::DOUBLE)
-                    * {MICRO}, 0) AS BIGINT) AS lp
-  FROM c12 JOIN c1 USING (w1) CROSS JOIN v
-),
-scored AS (
-  SELECT b.doc_id,
-         CAST(count(*) AS BIGINT) AS n_bigrams,
-         CAST(sum(lm.lp) AS BIGINT) AS s
-  FROM big b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
-  GROUP BY b.doc_id
-)
-SELECT d.doc_id,
-       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       CAST(coalesce(sc.s, 0) AS BIGINT) AS sum_logp_micronats,
-       round(sc.s / (sc.n_bigrams * {MICRO}.0), 6) AS mean_logp
-FROM documents d LEFT JOIN scored sc USING (doc_id)
-"""
-
-
-@register(
-    "text_ngram_logprob",
-    oracle=_NGRAM_ORACLE,
-    doc="n-gram LM quality gate (KenLM-shaped perplexity filter): "
-        "add-one-smoothed bigram LM fitted on the corpus, every "
-        "document scored by exact-integer micro-nat log-prob sum and "
-        "once-rounded mean — perplexity = exp(-mean_logp), monotone "
-        "in the emitted score",
-    tags=("text", "documents", "quality", "lm"),
-)
-def q_ngram_logprob(spark, sf_dir):
-    return doc_logprob(load_table(prep(spark), sf_dir, "documents"))
-
-
-# Train/score split for the cross-corpus registered entry: the LM fits
-# on the first half (the "clean reference corpus" role), scores the
-# second (the "crawl") — novel bigrams and novel prefixes in the
-# scored half put BOTH OOV fallback arms under the driver's value-hash
-# gate (the self-scored entry can never exercise them).
-LM_SPLIT = 250
-
-_CROSS_ORACLE = f"""
+def _lm_oracle(train_where: str, score_where: str) -> str:
+    """ONE SQL template for both registered LM oracles (code-review
+    r9: the tokenization + smoothing arithmetic the value-hash gate
+    depends on must never fork between the self-scored and
+    cross-corpus entries) — parameterized only by which documents
+    train the model and which are scored. The fallback CTEs are inert
+    under self-scoring (every scored bigram is observed) and live
+    under a genuine train/score split."""
+    return f"""
 WITH toked AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
   FROM documents
@@ -273,7 +225,7 @@ big AS (
 ),
 c12 AS (
   SELECT w1, w2, count(*) AS n12 FROM big
-  WHERE doc_id < {LM_SPLIT} GROUP BY w1, w2
+  WHERE {train_where} GROUP BY w1, w2
 ),
 c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
 v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS nv FROM c12),
@@ -301,7 +253,7 @@ scored AS (
   LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
   LEFT JOIN pf ON b.w1 = pf.w1
   CROSS JOIN ov
-  WHERE b.doc_id >= {LM_SPLIT}
+  WHERE {score_where.replace("doc_id", "b.doc_id")}
   GROUP BY b.doc_id
 )
 SELECT d.doc_id,
@@ -309,13 +261,37 @@ SELECT d.doc_id,
        CAST(coalesce(sc.s, 0) AS BIGINT) AS sum_logp_micronats,
        round(sc.s / (sc.n_bigrams * {MICRO}.0), 6) AS mean_logp
 FROM documents d LEFT JOIN scored sc USING (doc_id)
-WHERE d.doc_id >= {LM_SPLIT}
+WHERE {score_where.replace("doc_id", "d.doc_id")}
 """
 
 
 @register(
+    "text_ngram_logprob",
+    oracle=_lm_oracle(train_where="TRUE", score_where="TRUE"),
+    doc="n-gram LM quality gate (KenLM-shaped perplexity filter): "
+        "add-one-smoothed bigram LM fitted on the corpus, every "
+        "document scored by exact-integer micro-nat log-prob sum and "
+        "once-rounded mean — perplexity = exp(-mean_logp), monotone "
+        "in the emitted score",
+    tags=("text", "documents", "quality", "lm"),
+)
+def q_ngram_logprob(spark, sf_dir):
+    return doc_logprob(load_table(prep(spark), sf_dir, "documents"))
+
+
+# Train/score split for the cross-corpus registered entry: the LM fits
+# on the first half (the "clean reference corpus" role), scores the
+# second (the "crawl") — novel bigrams and novel prefixes in the
+# scored half put BOTH OOV fallback arms under the driver's value-hash
+# gate (the self-scored entry can never exercise them).
+LM_SPLIT = 250
+
+@register(
     "text_lm_cross_score",
-    oracle=_CROSS_ORACLE,
+    oracle=_lm_oracle(
+        train_where=f"doc_id < {LM_SPLIT}",
+        score_where=f"doc_id >= {LM_SPLIT}",
+    ),
     doc="Cross-corpus LM scoring (the deployed perplexity-filter "
         "shape): bigram LM trained on the reference half (doc_id < "
         "250), the crawl half scored with the seen-prefix OOV "

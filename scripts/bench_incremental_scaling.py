@@ -3,8 +3,11 @@ the persisted index is that a daily increment costs O(increment +
 index), not O(corpus) — measure exactly that against the full-batch
 recompute at sf10 / sf100.
 
-Protocol per sf (documents corpus; a 2% tail of doc_ids plays the
-"daily increment", the rest is "history"):
+Protocol per sf (documents corpus; the top 1/50 of the doc_id VALUE
+RANGE plays the "daily increment", the rest is "history" — note the
+fixture id space is sparse, so the resulting DOCUMENT fraction varies
+by sf: 10% at sf1, 2% at sf10/sf100; the reported n_history /
+n_increment counts are the ground truth, not the 1/50 knob):
 
 1. BUILD + PERSIST the index from history (one-time; amortized over
    every future increment — reported separately, the merge_upsert /
@@ -47,7 +50,7 @@ SFS = [
     s.strip()
     for s in os.environ.get("SPARK_GRAFT_INC_SFS", "10,100").split(",")
 ]
-INC_FRAC = 50  # increment = the top 1/50 (2%) of doc_ids
+INC_FRAC = 50  # increment = top 1/50 of the doc_id VALUE RANGE (see docstring)
 
 
 def main() -> None:
