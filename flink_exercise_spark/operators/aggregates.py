@@ -263,13 +263,6 @@ def q_ref_q1(spark, sf_dir):
         "arg-max (windowed max count + broadcast semi-join back), no "
         "BIGINT packing, no SortAggregate",
     tags=("reference", "events", "string-key"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_ref_q1_str(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")
@@ -348,13 +341,6 @@ def cumulative_distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFr
     doc="Reference Q2 exact semantics: cumulative distinct clients at "
         "each window end (running-count window-max composition)",
     tags=("reference", "events"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_ref_q2_cumulative(spark, sf_dir):
     return cumulative_distinct_hosts(load_table(prep(spark), sf_dir, "events"))
@@ -388,13 +374,6 @@ def q_ref_q3(spark, sf_dir):
     oracle="SELECT user_id, count(*) AS n_requests FROM events GROUP BY 1",
     doc="A1: keyed count",
     tags=("aggregate", "events"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_a1(spark, sf_dir):
     return requests_per_host(load_table(prep(spark), sf_dir, "events"))
@@ -413,13 +392,6 @@ def q_a1(spark, sf_dir):
     doc="A2+A4: global element count and exact distinct-key count "
         "(StreamingJob.scala:153-155, 167-169)",
     tags=("aggregate", "events"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_a2(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")
@@ -438,13 +410,6 @@ def q_a2(spark, sf_dir):
     """,
     doc="A3: stateful distinct -> deterministic first record per key",
     tags=("aggregate", "events"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_a3(spark, sf_dir):
     return first_event_per_host(load_table(prep(spark), sf_dir, "events"))
@@ -480,13 +445,6 @@ def q_a4_approx(spark, sf_dir):
     """,
     doc="A6 generalized: top-k clients per window",
     tags=("aggregate", "events", "topk"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_a6_top3(spark, sf_dir):
     return top_k_hosts_per_window(load_table(prep(spark), sf_dir, "events"), k=3)
@@ -494,6 +452,13 @@ def q_a6_top3(spark, sf_dir):
 
 @register(
     "events_type_stats",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""
@@ -528,6 +493,13 @@ def q_type_stats(spark, sf_dir):
 
 @register(
     "a1_running_counts_analytic",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     # Batch rendering of Flink's per-record update stream (A1): the
@@ -562,6 +534,13 @@ def q_running_counts(spark, sf_dir):
 
 @register(
     "events_json_props",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""

@@ -251,6 +251,13 @@ def range_join_counts(
 
 @register(
     "range_join_concurrent_events",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: hand-computed + quadratic-reference fuzz in tests/test_asof_range.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     # The oracle spells the band as BETWEEN (two inequalities), which
@@ -299,13 +306,6 @@ def q_range_join(spark, sf_dir):
     doc="As-of join: each purchase attributed to the user's most recent "
         "prior view (windowed union composition vs native ASOF oracle)",
     tags=("asof", "join", "events"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_asof_attribution(spark, sf_dir):
     ev = load_table(prep(spark), sf_dir, "events")

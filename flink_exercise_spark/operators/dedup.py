@@ -454,13 +454,6 @@ _ORACLE_SHINGLE_CTE = """
     doc="Exact-dedup canonical-id mapping (hash-groupBy; only "
         "(md5, id) pairs shuffle, text never crosses the wire)",
     tags=("dedup", "documents"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_dedup_map(spark, sf_dir):
     return exact_dedup_map(load_table(prep(spark), sf_dir, "documents"))
@@ -484,13 +477,6 @@ def _minhash_oracle(k: int = N_MINHASH) -> str:
     doc="8-permutation MinHash signatures over 3-gram shingles "
         "(md5 hash family)",
     tags=("dedup", "documents", "minhash"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_minhash_sigs(spark, sf_dir):
     return minhash_signatures(load_table(prep(spark), sf_dir, "documents"))
@@ -532,13 +518,6 @@ def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
     doc="MinHash-LSH candidate pairs over 3-gram shingles "
         "(4 bands x 2 rows)",
     tags=("dedup", "documents", "minhash"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_minhash_pairs(spark, sf_dir):
     return minhash_band_pairs(load_table(prep(spark), sf_dir, "documents"))
@@ -567,13 +546,6 @@ def q_minhash_pairs(spark, sf_dir):
     doc="Token-set Jaccard near-dup pairs (inverted-index join, "
         "lang-blocked)",
     tags=("dedup", "documents", "jaccard"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Python-set pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_jaccard(spark, sf_dir):
     return jaccard_pairs(load_table(prep(spark), sf_dir, "documents"))
@@ -863,6 +835,13 @@ def cluster_keep_best(
 
 @register(
     "dedup_cluster_keep_best",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Reuses the transitive-closure CTE; canonical member = max
     # n_chars then min doc_id, stated as max-filter + min rather than
     # a window so the oracle stays deterministic under ties.
@@ -1092,13 +1071,6 @@ def line_dedup(
         "order — line-level dedup complementing the document-level "
         "families",
     tags=("dedup", "documents", "text"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pure-python fixture pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_line_boilerplate(spark, sf_dir):
     return line_dedup(load_table(prep(spark), sf_dir, "documents"))
@@ -1361,13 +1333,6 @@ def _substring_oracle(k: int = SUBSTR_K) -> str:
         "and the text rebuilt — passage-level dedup via the "
         "distributed k-gram inverted index",
     tags=("dedup", "documents", "text"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pure-python fixture pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_exact_substring(spark, sf_dir):
     return substring_dedup(load_table(prep(spark), sf_dir, "documents"))

@@ -166,13 +166,6 @@ def funnel_summary(
         "aggregates + same-key joins — ordered-sequence analytics "
         "with no per-user sort or event-list buffer",
     tags=("events", "funnel", "sequence"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: pandas fixture reference, tests/test_funnel.py.
-    priority=1,
 )
 def q_funnel_steps(spark, sf_dir):
     return funnel_summary(load_table(prep(spark), sf_dir, "events"))

@@ -807,13 +807,6 @@ def resize_images(with_payload: DataFrame, target: int = 64) -> DataFrame:
     """,
     doc="Binary-column metadata (byte length + content hash), JVM-side",
     tags=("multimodal", "documents", "binary"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_binary_meta(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
@@ -844,13 +837,6 @@ def q_binary_meta(spark, sf_dir):
         "(stubbed codec, real Arrow plumbing) — value-hash-checked "
         "against an exact SQL twin of the fake codec's arithmetic",
     tags=("multimodal", "documents", "pandas-udf"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_decode_features(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
@@ -879,13 +865,6 @@ def q_decode_features(spark, sf_dir):
     doc="Video frame sampling: 1 row -> N sampled frames via "
         "mapInPandas (fan-out batch shape, stub prober)",
     tags=("multimodal", "documents", "pandas-udf", "video"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_frame_sample(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
@@ -924,13 +903,6 @@ def q_frame_sample(spark, sf_dir):
         "via mapInPandas (fan-out batch shape, stub decoder) — the "
         "audio modality twin of mm_frame_sample",
     tags=("multimodal", "documents", "pandas-udf", "audio"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_audio_energy(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
@@ -975,13 +947,6 @@ def q_audio_energy(spark, sf_dir):
         "a hex rendering of the fake re-encode plus an exact SQL twin "
         "of the resize arithmetic",
     tags=("multimodal", "documents", "pandas-udf", "binary"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_resize(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")

@@ -267,6 +267,13 @@ WHERE {score_where.replace("doc_id", "d.doc_id")}
 
 @register(
     "text_ngram_logprob",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: pure-python fixture reference in tests/test_ngram_lm.py.
+    priority=1,
     oracle=_lm_oracle(train_where="TRUE", score_where="TRUE"),
     doc="n-gram LM quality gate (KenLM-shaped perplexity filter): "
         "add-one-smoothed bigram LM fitted on the corpus, every "
@@ -288,6 +295,13 @@ LM_SPLIT = 250
 
 @register(
     "text_lm_cross_score",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: pure-python fixture reference in tests/test_ngram_lm.py.
+    priority=1,
     oracle=_lm_oracle(
         train_where=f"doc_id < {LM_SPLIT}",
         score_where=f"doc_id >= {LM_SPLIT}",

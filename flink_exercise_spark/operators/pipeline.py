@@ -416,13 +416,6 @@ def _mix_threshold_sql() -> str:
         "salted per-language stratified data-mixing accounting in the "
         "same hash-agg pass",
     tags=("pipeline", "documents", "sampling"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_hash_split(spark, sf_dir):
     return split_profile(load_table(prep(spark), sf_dir, "documents"))
@@ -430,6 +423,13 @@ def q_hash_split(spark, sf_dir):
 
 @register(
     "pipeline_temperature_mix",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: python profile reference + fuzz in tests/test_pipeline.py.
+    priority=1,
     # Rates are corpus-derived, so the oracle restates the whole
     # derivation: isqrt weights (exact — see
     # temperature_mix_thresholds), the 1-row (W, N) totals, the
@@ -682,13 +682,6 @@ def _decontam_oracle(n: int = DECONTAM_N) -> str:
         "overlap), broadcast join on the n-gram — the held-out side "
         "is a fixed-size benchmark, so the corpus side never shuffles",
     tags=("pipeline", "documents", "dedup", "text"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: hand-computed cases + hashlib bucket reference, tests/test_pipeline.py.
-    priority=1,
 )
 def q_decontaminate(spark, sf_dir):
     return decontaminate(load_table(prep(spark), sf_dir, "documents"))

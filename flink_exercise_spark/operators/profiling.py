@@ -140,6 +140,13 @@ def source_quantile_profile(docs: DataFrame) -> DataFrame:
 
 @register(
     "doc_quantiles_by_source",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: rank-reference fixture test in tests/test_profiling.py.
+    priority=1,
     oracle=f"""
     WITH vals AS (
       SELECT source, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS v

@@ -44,6 +44,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "tpch_q1_pricing_summary",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""
@@ -86,6 +93,13 @@ def q_tpch_q1(spark, sf_dir):
 
 @register(
     "tpch_q3_shipping_priority",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""
@@ -139,6 +153,13 @@ def q_tpch_q3(spark, sf_dir):
 
 @register(
     "tpch_q5_local_supplier_volume",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""
@@ -189,6 +210,13 @@ def q_tpch_q5(spark, sf_dir):
 
 @register(
     "tpch_q6_forecast_revenue",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""
@@ -225,6 +253,13 @@ def q_tpch_q6(spark, sf_dir):
 
 @register(
     "tpch_q14_promo_revenue",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""
@@ -269,6 +304,13 @@ def q_tpch_q14(spark, sf_dir):
 
 @register(
     "join_semi_anti_customers",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""
@@ -304,13 +346,6 @@ def q_semi_anti(spark, sf_dir):
     """,
     doc="Left-outer join preserving customers with zero orders",
     tags=("relational", "join"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_outer(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
@@ -340,13 +375,6 @@ def q_outer(spark, sf_dir):
     """,
     doc="CUBE over order status x priority",
     tags=("relational", "groupingsets"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_cube(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
@@ -372,13 +400,6 @@ def q_cube(spark, sf_dir):
     doc="GROUPING SETS superset of ROLLUP(l_returnflag, l_linestatus): "
         "full, per-flag, per-status, and grand totals",
     tags=("relational", "groupingsets"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_grouping_sets(spark, sf_dir):
     prep(spark)
@@ -408,13 +429,6 @@ def q_grouping_sets(spark, sf_dir):
     """,
     doc="Global top-k (TakeOrderedAndProject — no full sort at scale)",
     tags=("relational", "sort"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_sort_limit(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
@@ -440,13 +454,6 @@ def q_sort_limit(spark, sf_dir):
     """,
     doc="UNION ALL across heterogeneous sources aligned to one schema",
     tags=("relational", "setop"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_union(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
@@ -466,6 +473,13 @@ def q_union(spark, sf_dir):
 
 @register(
     "intersect_except_custkeys",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""
@@ -518,13 +532,6 @@ def q_setops(spark, sf_dir):
     """,
     doc="String/date/math scalar function coverage (P-series analog)",
     tags=("relational", "scalar"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_scalars(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")

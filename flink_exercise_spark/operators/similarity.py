@@ -962,13 +962,6 @@ _VEC_CTE = f"""
     """,
     doc="Exact cosine top-5 neighbors for query vectors (vec_id<10)",
     tags=("similarity", "embeddings", "knn"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Numpy pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_knn_brute(spark, sf_dir):
     return knn_brute_force(load_table(prep(spark), sf_dir, "embeddings"))
@@ -1016,13 +1009,6 @@ def _bucket_sql(alias: str) -> str:
     """,
     doc="ANN top-3 via deterministic sign-bucket LSH (single probe)",
     tags=("similarity", "embeddings", "lsh"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Numpy pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_knn_lsh(spark, sf_dir):
     return knn_lsh_bucketed(load_table(prep(spark), sf_dir, "embeddings"))
@@ -1096,6 +1082,13 @@ def q_knn_ivf(spark, sf_dir):
 
 @register(
     "sim_embedding_near_dup_pairs",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Threshold 0.35 sits inside the fixture corpus's in-bucket cosine
     # tail (max ~0.43), so the query returns a small non-empty pair set
     # (random embeddings carry no true semantic dups).
@@ -1136,6 +1129,13 @@ def q_near_dup(spark, sf_dir):
 
 @register(
     "dedup_semantic_prune",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH u AS (
       SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1194,6 +1194,13 @@ def q_semantic_prune(spark, sf_dir):
 
 @register(
     "sim_label_centroid_norms",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""

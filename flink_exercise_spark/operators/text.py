@@ -412,6 +412,13 @@ def classifier_scores_joined(docs: DataFrame, weights: DataFrame) -> DataFrame:
 
 @register(
     "text_stats",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py (new this round).
+    priority=1,
     # Token statistics AND C4/Gopher-style quality features in one
     # per-document pass — the columns every pre-training corpus filter
     # thresholds over. Round 6 adds the Gopher repetition features
@@ -553,6 +560,13 @@ def _lang_id_oracle() -> str:
 
 @register(
     "text_language_id",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py (new this round).
+    priority=1,
     # Absorbed the former text_lang_profile entry in r6 (registry
     # capacity: consolidating near-duplicate showcases keeps every
     # oracled entry inside the rotation's 2-round freshness bound —
@@ -663,6 +677,13 @@ def chunk_documents(
 
 @register(
     "text_chunk_overlap",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: python fixture reference in tests/test_chunking.py.
+    priority=1,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -718,13 +739,6 @@ def q_chunk_overlap(spark, sf_dir):
         "PII-scrub accounting (URL/email/IPv4 counts + scrubbed-text "
         "fingerprint)",
     tags=("text", "documents", "dedup", "pii"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_fingerprints(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")
@@ -928,13 +942,6 @@ _HTML_ORACLE = """
         "corpus — the web-corpus front door ahead of the quality "
         "gates; pure codegen projection, zero shuffles",
     tags=("text", "documents", "html"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: python-re differential fuzz + fixture round-trip, tests/test_html.py.
-    priority=1,
 )
 def q_html_extract(spark, sf_dir):
     docs = load_table(prep(spark), sf_dir, "documents")

@@ -162,6 +162,13 @@ def bpe_train(
 
 @register(
     "text_vocab_topk",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, tok FROM (
@@ -295,6 +302,13 @@ def token_rarity(docs: DataFrame) -> DataFrame:
 
 @register(
     "text_token_rarity",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle="""
     WITH toks AS (
       SELECT doc_id, tok FROM (

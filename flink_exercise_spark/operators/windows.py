@@ -57,6 +57,13 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 @register(
     "t4_sliding_window_counts",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     # A sliding (7d, 1d) window holds ts iff start = floor(ts/1d)*1d - k*1d
@@ -112,13 +119,6 @@ SESSION_WINDOWS_ORACLE = """
     oracle=SESSION_WINDOWS_ORACLE,
     doc="Per-user session windows, 30-minute gap",
     tags=("window", "events"),
-    # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-    # slot so the 30 r8-demoted entries (freshest pass r7) return to
-    # the driver window (+2 seats for the new incremental-dedup and
-    # perplexity entries). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
 )
 def q_sessions(spark, sf_dir):
     return session_windows(load_table(prep(spark), sf_dir, "events"))
@@ -162,6 +162,13 @@ def hypertable_rollup(events: DataFrame, value: str = "value") -> DataFrame:
 
 @register(
     "hypertable_rollup_events",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""

@@ -185,6 +185,13 @@ def _register_roundtrip() -> None:
 
     @register(
         "clf_parse_roundtrip",
+    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
+    # slot so the 33 r9-demoted entries (freshest pass r8) return to
+    # the driver window (+1 seat for the new trigram backoff-LM
+    # entry). Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: hand-computed golden log + property roundtrip (tests/test_clf.py, tests/test_clf_property.py).
+    priority=1,
         # Oracle computes straight on events: host = 'user'||user_id,
         # bytes = floor(value); windows truncate ts to whole seconds
         # (CLF carries second precision), which cannot move an event
@@ -234,13 +241,6 @@ def _register_roundtrip() -> None:
             "text source -> single-pass parse -> string-key windowed "
             "arg-max / distinct count / floor-avg",
         tags=("clf", "source", "reference", "golden"),
-        # priority=1 (r9 rotation): driver-green in r8; takes a rotation
-        # slot so the 30 r8-demoted entries (freshest pass r7) return to
-        # the driver window (+2 seats for the new incremental-dedup and
-        # perplexity entries). Hash-verified locally every round by
-        # test_parity_demoted. Pin: the oracle IS hand-computed VALUES
-        # constants from the immutable checked-in log (r7-accepted class).
-        priority=1,
     )
     def q_clf_golden(spark, sf_dir):
         from flink_exercise_spark.functions.scalars import floor_avg, win_start

@@ -1430,3 +1430,113 @@ def test_dedup_exact_substring_pin(spark):
         assert row["n_tokens"] == n_tok, d
         assert row["n_tokens_kept"] == n_kept, d
         assert row["n_tokens_dropped"] == n_drop, d
+
+
+# --- r10 rotation pins ---------------------------------------------------
+
+
+def _round4(x: float) -> float:
+    """Spark round(double, 4): BigDecimal.valueOf (shortest decimal
+    repr) + HALF_UP — Decimal(repr(x)), NOT Decimal(x) (the exact
+    binary expansion flips boundary cases)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _java_tokens(text: str) -> list[str]:
+    """split(trim(text), '\\s+') — Java \\s is ASCII whitespace."""
+    import re
+
+    return re.split(r"\s+", text.strip(), flags=re.ASCII)
+
+
+def test_text_stats_pin(spark):
+    """Every column of the registered text_stats projection recomputed
+    in pure python over the raw parquet (Java regex semantics mirrored
+    with re.ASCII; clf fold left-assoc in array order, as Spark's
+    F.aggregate folds)."""
+    import hashlib
+    import re
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = _run(spark, "text_stats").set_index("doc_id")
+    assert len(out) == len(docs)
+    K = 64  # CLF_BUCKETS
+    stop = {"the", "and", "of", "to", "a", "in", "is"}
+    for _, d in docs.iterrows():
+        text, row = d["text"], out.loc[d["doc_id"]]
+        toks = _java_tokens(text)
+        n_tok = len(toks)
+        assert row["n_chars_calc"] == len(text)
+        assert row["n_tokens"] == n_tok
+        assert row["n_distinct_tokens"] == len(set(toks))
+        tok_chars = len(re.sub(r"\s", "", text.strip(), flags=re.ASCII))
+        assert row["avg_token_len"] == _round4(tok_chars / n_tok)
+        n_stop = sum(1 for t in toks if t in stop)
+        assert row["stopword_ratio"] == _round4(n_stop / n_tok)
+        n_punct = len(text) - len(
+            re.sub(r"[^\w\s]", "", text, flags=re.ASCII)
+        )
+        assert row["punct_ratio"] == _round4(n_punct / len(text))
+        assert row["lexical_diversity"] == _round4(len(set(toks)) / n_tok)
+        lines = [ln.strip() for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln != ""]
+        want_dup = (
+            _round4(1 - len(set(lines)) / len(lines)) if lines else 0.0
+        )
+        assert row["dup_line_ratio"] == want_dup
+        bg = [" ".join(toks[i : i + 2]) for i in range(n_tok - 1)]
+        want_bg = (
+            _round4(max(bg.count(g) for g in set(bg)) / len(bg))
+            if bg
+            else 0.0
+        )
+        assert row["top_bigram_ratio"] == want_bg
+        acc = 0.0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % K
+            acc = acc + ((b * 37) % 21 - 10) / 10.0
+        raw = acc / n_tok
+        assert row["clf_score"] == _round4(0.5 + 0.5 * raw / (1.0 + abs(raw)))
+
+
+def test_text_language_id_pin(spark):
+    """Marker-score language ID + broadcast language-profile enrich,
+    recomputed in pandas/python over the raw parquet."""
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = _run(spark, "text_language_id").set_index("doc_id")
+    assert len(out) == len(docs)
+    markers = {
+        "en": ("the", "and", "of", "to", "a", "in", "is"),
+        "es": ("el", "la", "de", "que", "y", "los"),
+        "de": ("der", "die", "und", "das", "ist", "ein"),
+        "fr": ("le", "la", "et", "les", "des", "une"),
+    }
+    prof = docs.groupby("lang").agg(
+        lang_n_docs=("doc_id", "size"),
+        lang_avg_chars=("n_chars", "mean"),
+        lang_n_sources=("source", "nunique"),
+    )
+    for _, d in docs.iterrows():
+        row = out.loc[d["doc_id"]]
+        toks = _java_tokens(d["text"])
+        scores = {
+            lang: sum(1 for t in toks if t in ms)
+            for lang, ms in markers.items()
+        }
+        best = max(scores.values())
+        for lang in markers:
+            assert row[f"score_{lang}"] == scores[lang]
+        want = (
+            "unknown"
+            if best == 0
+            else next(l for l in markers if scores[l] == best)
+        )
+        assert row["predicted_lang"] == want
+        assert row["labeled_lang"] == d["lang"]
+        p = prof.loc[d["lang"]]
+        assert row["lang_n_docs"] == p["lang_n_docs"]
+        # int n_chars sum is exact in float64; one division, one round.
+        assert row["lang_avg_chars"] == _round4(float(p["lang_avg_chars"]))
+        assert row["lang_n_sources"] == p["lang_n_sources"]
