@@ -241,6 +241,21 @@ def knn_ivf_int8(
 #   final top-k re-scores survivors against the float store.
 
 
+def _probe_dims(df: DataFrame, vec_col: str) -> int | None:
+    """ONE LIMIT-1 dims probe, NULL-safe: an arbitrary first row may
+    carry a NULL vector (size() -> NULL -> a None that later trips
+    ``None % m`` instead of the intended fail-fast — r9 ADVICE), so
+    probe the first row with a non-NULL vector. None = empty or
+    all-NULL input."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col))
+        .limit(1)
+        .first()
+    )
+    return None if row is None else row[0]
+
+
 def _pq_guard(
     df: DataFrame,
     m: int,
@@ -262,10 +277,9 @@ def _pq_guard(
             "as signed tinyint (use a smallint store for 2^8+)"
         )
     if dims is None:
-        row = df.select(F.size(vec_col)).limit(1).first()
-        if row is None:
-            return  # empty input: nothing to mis-slice
-        dims = row[0]
+        dims = _probe_dims(df, vec_col)
+        if dims is None:
+            return  # empty (or all-NULL) input: nothing to mis-slice
     if dims % m != 0:
         raise ValueError(
             f"m {m} must divide the vector length {dims}: truncated "
@@ -661,8 +675,7 @@ def knn_ivf_pq(
     # ONE dims probe validates all three PQ helpers below — without
     # it each helper runs its own LIMIT-1 Spark action at composition
     # time, three driver round-trips for the same check (r8 ADVICE).
-    dims_row = emb.select(F.size("embedding")).limit(1).first()
-    dims = dims_row[0] if dims_row is not None else None
+    dims = _probe_dims(emb, "embedding")
     _pq_guard(emb, m, "embedding", n_codes, dims=dims)
     if pq_books is None:
         pq_books = pq_codebooks(corpus_f, m=m, n_codes=n_codes, dims=dims)
@@ -770,8 +783,7 @@ def knn_ivf_pq_residual(
     # unpersisted, the corpus-vs-centroid packed-argmax aggregation
     # would run twice (code-review r9). Narrow relation: 2 longs/vec.
     assigned_ids = persist_tracked(assigned_ids)
-    dims_row = emb.select(F.size("embedding")).limit(1).first()
-    dims = dims_row[0] if dims_row is not None else None
+    dims = _probe_dims(emb, "embedding")
     _pq_guard(emb, m, "embedding", n_codes, dims=dims)
 
     resid = residual_vectors(corpus, assigned_ids, cents)

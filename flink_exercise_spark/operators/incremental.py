@@ -303,13 +303,28 @@ def _merge_index(
     touched directories. ``upsert_side`` must carry (key, _v2-cols,
     bucket); ``base_cols`` names the stored value columns (aliased to
     _m1/_n1); ``merged_exprs`` builds the post-state columns."""
+    from pyspark.errors import AnalysisException
+
     from flink_exercise_spark.operators.layout import merge_upsert
 
-    buckets = [
-        r_[0] for r_ in upsert_side.select("bucket").distinct().collect()
-    ]
+    # ONE action folds the touched-prefix collect with the increment's
+    # minimum id — the cheap half of the id-ordering guard below.
+    probe = upsert_side.agg(
+        F.collect_set("bucket").alias("_buckets"),
+        F.min("_m2").alias("_min_inc"),
+    ).first()
+    buckets, min_inc = probe["_buckets"], probe["_min_inc"]
+    try:
+        stored = spark.read.parquet(path)
+    except AnalysisException as e:
+        raise ValueError(
+            f"no index store at {path!r} — the merge maintains an "
+            "EXISTING index; bootstrap one first with "
+            "write_fingerprint_index / write_band_index over the "
+            "initial corpus"
+        ) from e
     base = (
-        spark.read.parquet(path)
+        stored
         .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
         .select(
             key,
@@ -317,6 +332,24 @@ def _merge_index(
             F.col(base_cols[1]).alias("_n1"),
         )
     )
+    # Index contract guard (r9 ADVICE): incremental_dedup's verdicts
+    # equal full-batch semantics ONLY when every stored id precedes
+    # every increment id — an out-of-order increment would silently
+    # flip canonicals away from history without re-classifying it.
+    # Checked on the partitions this merge already reads: any stored
+    # min/canonical >= the increment's minimum id is a violation.
+    stored_max = base.agg(F.max("_m1")).first()[0]
+    if (
+        min_inc is not None
+        and stored_max is not None
+        and min_inc <= stored_max
+    ):
+        raise ValueError(
+            f"id-ordering contract violated: increment min doc_id "
+            f"{min_inc} <= stored max canonical/min id {stored_max} "
+            "on the touched partitions — index ids must precede "
+            "increment ids (assign monotone ids across snapshots)"
+        )
     upserts = upsert_side.join(base, key, "left").select(*merged_exprs)
     # merge_upsert re-derives touched partitions from the upsert rows;
     # localCheckpoint inside it materializes before the overwrite.
@@ -501,7 +534,9 @@ def _incremental_oracle(
         "(doc_id >= 250) against a persisted fingerprint + MinHash "
         "band index built from the historical snapshot (doc_id < "
         "250) — exact/near/new verdicts with first-arrival canonical "
-        "ids; history text never rescanned, only index joins",
+        "ids; history text never rescanned, only index joins. "
+        "CONTRACT: all index ids precede increment ids (guarded in "
+        "the persisted-merge path, _merge_index)",
     tags=("dedup", "documents", "minhash", "incremental"),
 )
 def q_incremental_snapshot(spark, sf_dir):

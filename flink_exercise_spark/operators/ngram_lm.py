@@ -211,7 +211,16 @@ def _lm_oracle(train_where: str, score_where: str) -> str:
     cross-corpus entries) — parameterized only by which documents
     train the model and which are scored. The fallback CTEs are inert
     under self-scoring (every scored bigram is observed) and live
-    under a genuine train/score split."""
+    under a genuine train/score split.
+
+    ``score_where`` is applied at two differently-aliased scopes, so
+    it is a str.format template with an explicit ``{t}`` table-alias
+    placeholder (e.g. ``"{t}.doc_id >= 250"``) — NOT rewritten by
+    substring replacement, which would silently corrupt any future
+    predicate embedding 'doc_id' inside another identifier (r9
+    ADVICE)."""
+    sw_b = score_where.format(t="b")
+    sw_d = score_where.format(t="d")
     return f"""
 WITH toked AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -253,7 +262,7 @@ scored AS (
   LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
   LEFT JOIN pf ON b.w1 = pf.w1
   CROSS JOIN ov
-  WHERE {score_where.replace("doc_id", "b.doc_id")}
+  WHERE {sw_b}
   GROUP BY b.doc_id
 )
 SELECT d.doc_id,
@@ -261,7 +270,7 @@ SELECT d.doc_id,
        CAST(coalesce(sc.s, 0) AS BIGINT) AS sum_logp_micronats,
        round(sc.s / (sc.n_bigrams * {MICRO}.0), 6) AS mean_logp
 FROM documents d LEFT JOIN scored sc USING (doc_id)
-WHERE {score_where.replace("doc_id", "d.doc_id")}
+WHERE {sw_d}
 """
 
 
@@ -304,7 +313,7 @@ LM_SPLIT = 250
     priority=1,
     oracle=_lm_oracle(
         train_where=f"doc_id < {LM_SPLIT}",
-        score_where=f"doc_id >= {LM_SPLIT}",
+        score_where=f"{{t}}.doc_id >= {LM_SPLIT}",
     ),
     doc="Cross-corpus LM scoring (the deployed perplexity-filter "
         "shape): bigram LM trained on the reference half (doc_id < "

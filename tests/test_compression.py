@@ -585,3 +585,27 @@ def test_knn_ivf_pq_residual_plan_no_python_no_cartesian(spark, emb):
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_dims_probe_skips_null_vectors(spark):
+    """A NULL embedding in the probed first row must not poison the
+    shared dims probe into a None that trips ``None % m`` inside
+    _pq_guard (r9 ADVICE): the probe null-filters, and an all-NULL
+    column degrades to the empty-input early return."""
+    from flink_exercise_spark.operators.compression import (
+        _pq_guard,
+        _probe_dims,
+    )
+
+    mixed = spark.createDataFrame(
+        [(0, None), (1, [float(i) for i in range(8)])],
+        "vec_id long, embedding array<double>",
+    )
+    assert _probe_dims(mixed, "embedding") == 8
+    _pq_guard(mixed, 4, "embedding")  # divides: no raise
+    with pytest.raises(ValueError, match="must divide"):
+        _pq_guard(mixed, 3, "embedding")
+
+    all_null = mixed.filter(F.col("embedding").isNull())
+    assert _probe_dims(all_null, "embedding") is None
+    _pq_guard(all_null, 3, "embedding")  # degrades to empty-input: no raise

@@ -419,3 +419,58 @@ def test_merge_band_index_prunes_and_matches_rebuild(spark, tmp_path):
         .sort_index()
     )
     assert (from_store["verdict"] == "exact_dup").all()
+
+
+def test_merge_without_bootstrap_raises_clear_error(spark, tmp_path):
+    """First merge against a not-yet-written store must fail with a
+    message pointing at the write_* bootstrap step, not an opaque
+    PATH_NOT_FOUND AnalysisException (r9 ADVICE)."""
+    from flink_exercise_spark.operators.incremental import (
+        merge_band_index,
+        merge_fingerprint_index,
+    )
+
+    inc = spark.createDataFrame(
+        [(100, "fresh words never seen before")], "doc_id long, text string"
+    )
+    for fn, sub in (
+        (merge_fingerprint_index, "fp"),
+        (merge_band_index, "bands"),
+    ):
+        with pytest.raises(ValueError, match="bootstrap"):
+            fn(spark, str(tmp_path / sub / "missing"), inc)
+
+
+def test_merge_guards_id_ordering_contract(spark, tmp_path):
+    """An increment carrying a doc_id at or below a stored canonical
+    would silently flip incremental_dedup's verdicts away from
+    full-batch semantics — the merge (which already runs driver
+    actions) must reject it (r9 ADVICE)."""
+    from flink_exercise_spark.operators.incremental import (
+        merge_band_index,
+        merge_fingerprint_index,
+        write_band_index,
+        write_fingerprint_index,
+    )
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in CRAFTED.items() if t is not None],
+        "doc_id long, text string",
+    )
+    history = df.filter(F.col("doc_id") < 100)
+    # the OFFENDING increment: reuses history's exact text (same hash
+    # bucket -> the violation is on a touched partition) with a LOWER id
+    low_text = CRAFTED[min(d for d, t in CRAFTED.items() if t is not None)]
+    inc = spark.createDataFrame(
+        [(0, low_text)], "doc_id long, text string"
+    )
+
+    fp_path = str(tmp_path / "fp")
+    write_fingerprint_index(history, fp_path)
+    with pytest.raises(ValueError, match="id-ordering contract"):
+        merge_fingerprint_index(spark, fp_path, inc)
+
+    band_path = str(tmp_path / "bands")
+    write_band_index(history, band_path)
+    with pytest.raises(ValueError, match="id-ordering contract"):
+        merge_band_index(spark, band_path, inc)
