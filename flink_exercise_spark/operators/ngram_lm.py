@@ -330,3 +330,327 @@ def q_lm_cross_score(spark, sf_dir):
     return score_with_lm(
         docs.filter(F.col("doc_id") >= LM_SPLIT), lm, prefixes, oov
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram stupid backoff (VERDICT r9 ask #6)
+# ---------------------------------------------------------------------------
+
+# Stupid backoff (Brants et al. 2007, "Large Language Models in
+# Machine Translation"): S(w3|w1,w2) = c123/c12 if the trigram was
+# observed, else ALPHA * S(w3|w2), recursing to ALPHA^2 * c3/N and an
+# ALPHA^2 * (1/N) floor for out-of-vocabulary tokens. Deliberately NOT
+# normalized (no discounting, no Katz mass redistribution) — scores
+# are pure count ratios times a constant, which is exactly what makes
+# the model SQL-restatable under the value-hash gate.
+BACKOFF_ALPHA = 0.4
+# The runtime product, NOT the 0.16 decimal literal: 0.4 * 0.4 is one
+# ulp off 0.16 in IEEE, and both engines must feed ln() the SAME
+# double (the SQL twin embeds repr(ALPHA2), Spark lits it).
+BACKOFF_ALPHA2 = BACKOFF_ALPHA * BACKOFF_ALPHA
+
+
+def trigram_instances(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """``(key, w1, w2, w3)`` — one row per adjacent token TRIPLE
+    occurrence (the bigram_pairs fold extended one slot; same
+    bind-the-array-before-the-lambda discipline). Documents with < 3
+    tokens have no trigrams and drop here — the scorer restores them
+    via left join."""
+    from flink_exercise_spark.operators.text import tokens_expr
+    from flink_exercise_spark.sources.tables import spread
+
+    src = spread(
+        docs.filter(F.col("text").isNotNull()).select(key, "text"), key
+    )
+    toked = src.select(key, tokens_expr().alias("_t")).filter(
+        F.size("_t") >= 3
+    )
+    return toked.select(
+        key,
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(_t) - 1), "
+                "i -> struct(_t[i-2] AS w1, _t[i-1] AS w2, _t[i] AS w3))"
+            )
+        ).alias("_g"),
+    ).select(key, "_g.w1", "_g.w2", "_g.w3")
+
+
+def backoff_trigram_lm(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Fit the stupid-backoff trigram model. Returns four MODEL
+    relations, every ``ln`` in the operator fixed here to integer
+    micro-nats (the bigram_lm discipline):
+
+    - ``t3``: (w1, w2, w3, lp3) = round(ln(c123/c12) * 1e6) per
+      observed trigram — c12 is the trigram-CONTEXT count (sum of
+      c123 over w3), so the conditional derives from one histogram;
+    - ``b2``: (w2, w3, lp2) = round(ln(ALPHA * c23/c2) * 1e6) per
+      observed bigram (c2 likewise the bigram-context sum);
+    - ``u1``: (w3, lp1) = round(ln(ALPHA^2 * c3/N) * 1e6) per
+      observed token, N = total token count;
+    - ``oov``: 1-row lp0 = round(ln(ALPHA^2 * (1/N)) * 1e6) — the
+      out-of-vocabulary floor.
+
+    Scale shape: one corpus pass per order builds each histogram
+    (distinct n-grams shuffle, not occurrences — two-phase hash agg);
+    context sums and the scoring joins are model-sized."""
+    from flink_exercise_spark.operators.text import tokens_expr
+    from flink_exercise_spark.operators.tokenizer import bigram_pairs
+    from flink_exercise_spark.sources.tables import spread
+
+    c123 = persist_tracked(
+        trigram_instances(docs)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n123"))
+    )
+    c12 = c123.groupBy("w1", "w2").agg(
+        F.sum("n123").cast("long").alias("n12")
+    )
+    t3 = c123.join(c12, ["w1", "w2"]).select(
+        "w1",
+        "w2",
+        "w3",
+        F.round(
+            F.log(F.col("n123").cast("double") / F.col("n12").cast("double"))
+            * MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("lp3"),
+    )
+    c23 = persist_tracked(
+        bigram_pairs(docs)
+        .withColumnsRenamed({"a": "w2", "b": "w3"})
+        .groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n23"))
+    )
+    c2 = c23.groupBy("w2").agg(F.sum("n23").cast("long").alias("n2"))
+    b2 = c23.join(c2, "w2").select(
+        "w2",
+        "w3",
+        F.round(
+            F.log(
+                F.lit(BACKOFF_ALPHA)
+                * F.col("n23").cast("double")
+                / F.col("n2").cast("double")
+            )
+            * MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("lp2"),
+    )
+    # Unigram histogram: all tokens of non-blank documents (a blank
+    # document tokenizes to [''], which must not count as vocabulary).
+    uni = (
+        spread(
+            docs.filter(
+                F.col("text").isNotNull() & (F.trim("text") != "")
+            ).select("text")
+        )
+        .select(F.explode(tokens_expr()).alias("w3"))
+    )
+    c3 = persist_tracked(
+        uni.groupBy("w3").agg(F.count(F.lit(1)).alias("n3"))
+    )
+    n_total = c3.select(F.sum("n3").cast("long").alias("n"))
+    # try_divide: the empty-corpus degenerate model scores everything
+    # with NULL fallbacks instead of an ANSI DIVIDE_BY_ZERO (the
+    # bigram_lm convention).
+    u1 = c3.crossJoin(F.broadcast(n_total)).select(
+        "w3",
+        F.round(
+            F.log(
+                F.lit(BACKOFF_ALPHA2)
+                * F.try_divide(
+                    F.col("n3").cast("double"), F.col("n").cast("double")
+                )
+            )
+            * MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("lp1"),
+    )
+    oov = n_total.select(
+        F.round(
+            F.log(
+                F.lit(BACKOFF_ALPHA2)
+                * F.try_divide(F.lit(1.0), F.col("n").cast("double"))
+            )
+            * MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("lp0"),
+    )
+    return t3, b2, u1, oov
+
+
+def score_with_backoff(
+    docs: DataFrame,
+    t3: DataFrame,
+    b2: DataFrame,
+    u1: DataFrame,
+    oov: DataFrame,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document stupid-backoff score: ``(key, n_trigrams,
+    sum_logp_micronats, mean_logp)`` — one output row per input
+    document (n_trigrams = 0 and NULL mean for documents with < 3
+    tokens). The backoff CASCADE is a coalesce over three left joins
+    of successively lower-order model relations plus the broadcast
+    1-row floor — no per-row ``ln``, exact long sums, one rounded
+    float division at the end (the score_with_lm contract)."""
+    inst = trigram_instances(docs, key)
+    scored = (
+        inst.join(t3, ["w1", "w2", "w3"], "left")
+        .join(b2, ["w2", "w3"], "left")
+        .join(u1, "w3", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            key,
+            F.coalesce("lp3", "lp2", "lp1", "lp0").alias("_lp"),
+        )
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("_lp").cast("long").alias("sum_logp_micronats"),
+        )
+    )
+    return (
+        docs.select(key)
+        .join(scored, key, "left")
+        .select(
+            key,
+            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias(
+                "n_trigrams"
+            ),
+            F.coalesce("sum_logp_micronats", F.lit(0)).cast("long").alias(
+                "sum_logp_micronats"
+            ),
+            F.when(
+                F.col("n_trigrams") > 0,
+                F.round(
+                    F.col("sum_logp_micronats")
+                    / (F.col("n_trigrams") * F.lit(float(MICRO))),
+                    6,
+                ),
+            ).alias("mean_logp"),
+        )
+    )
+
+
+def _backoff_oracle(train_where: str, score_where: str) -> str:
+    """SQL twin of backoff_trigram_lm + score_with_backoff, the
+    _lm_oracle conventions: {t}-templated score predicate, every
+    ln-bearing relation model-sized, BIGINT casts against DuckDB's
+    HUGEINT widening, repr-embedded ALPHA constants so both engines
+    feed ln() bit-identical doubles."""
+    sw_tr = score_where.format(t="tr")
+    sw_d = score_where.format(t="d")
+    return f"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t) - 1), i -> t[i+1])) AS w2,
+         unnest(list_transform(range(1, len(t) - 1), i -> t[i+2])) AS w3
+  FROM toked WHERE len(t) >= 3
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w2,
+         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w3
+  FROM toked WHERE len(t) >= 2
+),
+uni AS (SELECT doc_id, unnest(t) AS w3 FROM toked),
+c123 AS (
+  SELECT w1, w2, w3, count(*) AS n123 FROM tri
+  WHERE {train_where} GROUP BY w1, w2, w3
+),
+c12 AS (
+  SELECT w1, w2, CAST(sum(n123) AS BIGINT) AS n12 FROM c123 GROUP BY w1, w2
+),
+t3 AS (
+  SELECT w1, w2, w3,
+         CAST(round(ln(n123::DOUBLE / n12::DOUBLE) * {MICRO}, 0) AS BIGINT)
+           AS lp3
+  FROM c123 JOIN c12 USING (w1, w2)
+),
+c23 AS (
+  SELECT w2, w3, count(*) AS n23 FROM big
+  WHERE {train_where} GROUP BY w2, w3
+),
+c2 AS (SELECT w2, CAST(sum(n23) AS BIGINT) AS n2 FROM c23 GROUP BY w2),
+b2 AS (
+  SELECT w2, w3,
+         CAST(round(ln({BACKOFF_ALPHA!r} * n23::DOUBLE / n2::DOUBLE)
+                    * {MICRO}, 0) AS BIGINT) AS lp2
+  FROM c23 JOIN c2 USING (w2)
+),
+c3 AS (
+  SELECT w3, count(*) AS n3 FROM uni WHERE {train_where} GROUP BY w3
+),
+nt AS (SELECT CAST(sum(n3) AS BIGINT) AS n FROM c3),
+u1 AS (
+  SELECT w3,
+         CAST(round(ln({BACKOFF_ALPHA2!r} * (n3::DOUBLE / n::DOUBLE))
+                    * {MICRO}, 0) AS BIGINT) AS lp1
+  FROM c3 CROSS JOIN nt
+),
+ov AS (
+  SELECT CAST(round(ln({BACKOFF_ALPHA2!r} * (1.0 / n::DOUBLE))
+                    * {MICRO}, 0) AS BIGINT) AS lp0
+  FROM nt
+),
+scored AS (
+  SELECT tr.doc_id,
+         CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(sum(coalesce(t3.lp3, b2.lp2, u1.lp1, ov.lp0)) AS BIGINT) AS s
+  FROM tri tr
+  LEFT JOIN t3 ON tr.w1 = t3.w1 AND tr.w2 = t3.w2 AND tr.w3 = t3.w3
+  LEFT JOIN b2 ON tr.w2 = b2.w2 AND tr.w3 = b2.w3
+  LEFT JOIN u1 ON tr.w3 = u1.w3
+  CROSS JOIN ov
+  WHERE {sw_tr}
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(sc.s, 0) AS BIGINT) AS sum_logp_micronats,
+       round(sc.s / (sc.n_trigrams * {MICRO}.0), 6) AS mean_logp
+FROM documents d LEFT JOIN scored sc USING (doc_id)
+WHERE {sw_d}
+"""
+
+
+@register(
+    "text_lm_backoff_trigram",
+    # priority=0: takes the window seat reserved by the r10 rotation
+    # for this entry's FIRST driver pass.
+    oracle=_backoff_oracle(
+        train_where=f"doc_id < {LM_SPLIT}",
+        score_where=f"{{t}}.doc_id >= {LM_SPLIT}",
+    ),
+    doc="Trigram stupid-backoff LM (Brants et al. 2007): unnormalized "
+        "backoff-factor scoring — trigram conditional, else 0.4x the "
+        "bigram conditional, else 0.16x the unigram frequency, else "
+        "the 0.16/N OOV floor — trained on the reference half "
+        "(doc_id < 250), the crawl half scored; novel trigrams put "
+        "the backoff arms under the value-hash gate at driver scale",
+    tags=("text", "documents", "quality", "lm"),
+)
+def q_lm_backoff_trigram(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    t3, b2, u1, oov = backoff_trigram_lm(
+        docs.filter(F.col("doc_id") < LM_SPLIT)
+    )
+    return score_with_backoff(
+        docs.filter(F.col("doc_id") >= LM_SPLIT), t3, b2, u1, oov
+    )

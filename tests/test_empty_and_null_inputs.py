@@ -275,3 +275,31 @@ def test_r9_ngram_lm_on_empty_and_degenerate(spark):
     assert set(out) == {1, 2}
     assert out[2] == (0, 0)
     assert out[1][0] == 2
+
+
+def test_r10_backoff_lm_on_empty_and_degenerate(spark):
+    """Trigram stupid backoff, same degenerate contract as the bigram
+    LM: empty corpus -> empty model relations and zero scored rows;
+    scoring real docs with an EMPTY model (N=0: even the OOV floor is
+    try_divide-NULL) keeps one row per doc with the trigram count
+    intact and a NULL-safe zero sum."""
+    from flink_exercise_spark.operators.ngram_lm import (
+        backoff_trigram_lm,
+        score_with_backoff,
+    )
+
+    empty = _empty(spark, DOC_SCHEMA)
+    t3, b2, u1, ov = backoff_trigram_lm(empty)
+    assert t3.count() == 0 and b2.count() == 0 and u1.count() == 0
+    assert score_with_backoff(empty, t3, b2, u1, ov).count() == 0
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en", "w"), (2, None, "en", "w"), (3, "", "en", "w")],
+        DOC_SCHEMA,
+    )
+    out = {
+        r["doc_id"]: (r["n_trigrams"], r["sum_logp_micronats"])
+        for r in score_with_backoff(docs, t3, b2, u1, ov).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == 2 and out[2] == (0, 0) and out[3] == (0, 0)
