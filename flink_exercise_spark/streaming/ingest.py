@@ -553,3 +553,171 @@ def neardup_flags_batch(docs: DataFrame) -> DataFrame:
         )
         .withColumn("is_near_dup", F.col("n_dup_bands") > F.lit(0))
     )
+
+
+# --- warm-started ingest: continue the persisted index's verdicts ---------
+
+
+def warm_hash_mins(stream_docs: DataFrame, fp_idx: DataFrame) -> DataFrame:
+    """Streaming per-fingerprint first-id aggregation WARM-STARTED from
+    the persisted fingerprint index (VERDICT r9 ask #2): the stored
+    canonical rides a stream-static left join onto every arriving row,
+    and the built-in update-mode MIN aggregation folds it into the
+    state store on the key's first touch — state = one long per
+    fingerprint, exactly the index row shape, now CONTINUING the
+    archive's verdicts instead of starting empty.
+
+    Spark-first state choice: Structured Streaming has no direct
+    "initial state" hook for built-in aggregations (and the
+    transformWithStateInPandas seam that has one is a guarded
+    dependency, streaming/jobs.py) — but none is needed: a
+    stream-static join is the supported idiom for folding an immutable
+    side relation into streaming state, costs one broadcast-able probe
+    per micro-batch, and keeps the aggregation in the JVM state store
+    (the measured 100x over custom python state, see
+    streaming_neardup_emissions)."""
+    hashed = stream_docs.select(
+        content_fingerprint().alias("text_hash"), "doc_id"
+    ).filter(F.col("text_hash").isNotNull())
+    idx = fp_idx.select(
+        "text_hash", F.col("canonical_doc_id").alias("_arch")
+    )
+    return (
+        hashed.join(idx, "text_hash", "left")
+        .groupBy("text_hash")
+        .agg(
+            F.min(
+                F.least(F.col("doc_id"), F.coalesce("_arch", "doc_id"))
+            ).alias("first_id")
+        )
+    )
+
+
+def warm_bucket_mins(stream_docs: DataFrame, band_idx: DataFrame) -> DataFrame:
+    """Streaming per-band-bucket minimum WARM-STARTED from the
+    persisted band index — the near-dup half of warm_hash_mins: the
+    stored bucket minimum joins onto each arriving (doc, band) row and
+    folds into the built-in MIN state, so a bucket the archive already
+    holds yields verdicts as if the archive's documents had streamed
+    first. State stays (one long)/bucket; the hot-bucket N^2 cannot
+    exist here any more than in the cold-start form."""
+    banded = band_buckets_projected(stream_docs)
+    idx = band_idx.select(
+        "band_id", "band_hash", F.col("min_doc_id").alias("_arch")
+    )
+    return (
+        banded.join(idx, ["band_id", "band_hash"], "left")
+        .groupBy("band_id", "band_hash")
+        .agg(
+            F.min(
+                F.least(F.col("doc_id"), F.coalesce("_arch", "doc_id"))
+            ).alias("bucket_min")
+        )
+    )
+
+
+def resolve_incremental_stream_verdicts(
+    docs: DataFrame, hash_emissions: DataFrame, bucket_emissions: DataFrame
+) -> DataFrame:
+    """(doc_id, verdict, canonical_doc_id) — incremental_dedup's exact
+    output contract resolved from the two warm-started emission logs
+    (update-mode sinks re-emit changed keys; minima are monotone, so
+    min over each log = converged state):
+
+    - exact_dup  iff the fingerprint's converged first_id beats the
+      doc's own id (archive canonical or an earlier stream arrival);
+    - near_dup   elif some band bucket's converged minimum beats it;
+    - new        otherwise (including NULL-text documents, which have
+      no fingerprint and no shingles);
+    - canonical_doc_id = that winning minimum (the minimum matching
+      source across archive and stream), itself for 'new'.
+
+    Equality with incremental_dedup over history ∪ stream — and hence
+    with full-batch semantics — is pinned in
+    tests/test_streaming_ingest.py."""
+    h_mins = (
+        hash_emissions.groupBy("text_hash")
+        .agg(F.min("first_id").alias("_fid"))
+        .select(F.col("text_hash").alias("_th"), "_fid")
+    )
+    b_mins = (
+        bucket_emissions.groupBy("band_id", "band_hash")
+        .agg(F.min("bucket_min").alias("_m"))
+        .select(
+            F.col("band_id").alias("_bid"),
+            F.col("band_hash").alias("_bh"),
+            "_m",
+        )
+    )
+    hashed = docs.select("doc_id", content_fingerprint().alias("text_hash"))
+    ex = hashed.join(
+        h_mins, F.col("text_hash") == F.col("_th"), "left"
+    ).select("doc_id", "_fid")
+    near = (
+        band_buckets_projected(docs)
+        .join(
+            b_mins,
+            (F.col("band_id") == F.col("_bid"))
+            & (F.col("band_hash") == F.col("_bh")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(F.col("_m") < F.col("doc_id"), F.col("_m"))
+            ).alias("_nm")
+        )
+    )
+    return (
+        ex.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_fid") < F.col("doc_id"), F.lit("exact_dup"))
+            .when(F.col("_nm").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.when(F.col("_fid") < F.col("doc_id"), F.col("_fid"))
+            .when(F.col("_nm").isNotNull(), F.col("_nm"))
+            .otherwise(F.col("doc_id"))
+            .cast("long")
+            .alias("canonical_doc_id"),
+        )
+    )
+
+
+def warm_start_ingest_dedup(
+    stream_docs: DataFrame,
+    static_docs: DataFrame,
+    fp_idx: DataFrame,
+    band_idx: DataFrame,
+    name_prefix: str = "warm_ingest",
+) -> DataFrame:
+    """Run the warm-started ingest job end to end: both state
+    aggregations (exact fingerprints + band buckets, each initialized
+    from its persisted index half via the stream-static join) drain
+    into memory sinks, then the converged state resolves to
+    incremental_dedup-shaped verdicts for the streamed increment.
+
+    ``static_docs`` is the batch twin of the streamed input (the
+    resolver needs the increment's own band projection); a deployment
+    resolves against the landed parquet instead. Restart story: after
+    a run, merge the increment into the stores
+    (incremental.merge_fingerprint_index / merge_band_index) — a
+    RESTARTED job then warm-starts from the updated index and
+    continues exactly where the dead job's state left off (the
+    two-job replay test)."""
+    from flink_exercise_spark.streaming.jobs import run_to_memory
+
+    spark = static_docs.sparkSession
+    run_to_memory(
+        warm_hash_mins(stream_docs, fp_idx), f"{name_prefix}_hash", "update"
+    )
+    run_to_memory(
+        warm_bucket_mins(stream_docs, band_idx),
+        f"{name_prefix}_bands",
+        "update",
+    )
+    return resolve_incremental_stream_verdicts(
+        static_docs,
+        spark.table(f"{name_prefix}_hash"),
+        spark.table(f"{name_prefix}_bands"),
+    )
