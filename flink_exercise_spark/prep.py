@@ -40,12 +40,26 @@ def run_batch_prep(
     decontaminate_path: str | None = None,
     dsir_target_path: str | None = None,
     html: bool = False,
+    index_path: str | None = None,
 ) -> dict:
     """Batch prep over a corpus directory; returns the summary dict.
     ``html=True`` treats the text column as markup and extracts the
     visible text FIRST (text.strip_html_expr), so dedup and every gate
     key on content, not markup — the same front-door placement as the
-    streaming path (streaming/ingest.ingest_data_prep(html=True))."""
+    streaming path (streaming/ingest.ingest_data_prep(html=True)).
+
+    ``index_path`` makes the CLI the daily-batch entry point for the
+    incremental-dedup machinery (VERDICT r9 ask #8): day 1 (no stores
+    under the directory yet) bootstraps the fingerprint + band index
+    from the input; later runs classify the input AGAINST the
+    persisted index (operators/incremental.incremental_dedup — exact
+    dups of the archive or of earlier rows in this run drop, near
+    dups keep their verdict/canonical columns in the output) and then
+    merge the increment into the stores, so the next run continues
+    the archive's verdicts. Existence is probed with os.path (this
+    CLI runs against local paths; the operators themselves are
+    path-scheme agnostic). The id-ordering contract (index ids precede
+    increment ids) is guarded inside the merges."""
     from pyspark.sql import functions as F
 
     from flink_exercise_spark.operators.pipeline import (
@@ -92,11 +106,53 @@ def run_batch_prep(
     )
     feat = persist_tracked(feat)
 
-    # Canonical exact dedup: min doc_id per content fingerprint — the
-    # batch convention (operators/dedup.exact_dedup_map), computed on
-    # the narrow feature relation (no text column rides the shuffle).
-    canon = feat.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-    deduped = feat.join(canon, ["text_hash", "doc_id"])
+    index_bootstrapped = None
+    n_exact_dup = n_near_dup = None
+    if index_path:
+        import os
+
+        fp_path = os.path.join(index_path, "fingerprints")
+        band_path = os.path.join(index_path, "bands")
+        index_bootstrapped = not (
+            os.path.exists(fp_path) and os.path.exists(band_path)
+        )
+    if index_path and not index_bootstrapped:
+        # Day-2+ shape: classification against the persisted archive.
+        # incremental_dedup also resolves WITHIN-run duplicates (its
+        # canonical is the minimum source across index and increment),
+        # so it replaces, not augments, the within-run group-by.
+        from flink_exercise_spark.operators.incremental import (
+            incremental_dedup,
+            read_band_index,
+        )
+
+        verdicts = incremental_dedup(
+            valid.select("doc_id", "text"),
+            spark.read.parquet(fp_path).select(
+                "text_hash", "canonical_doc_id", "n_copies"
+            ),
+            read_band_index(spark, band_path),
+        ).select(
+            "doc_id",
+            "verdict",
+            F.col("canonical_doc_id").alias("canonical_src_id"),
+        )
+        classified = persist_tracked(feat.join(verdicts, "doc_id"))
+        counts_v = classified.agg(
+            F.sum((F.col("verdict") == "exact_dup").cast("long")).alias("e"),
+            F.sum((F.col("verdict") == "near_dup").cast("long")).alias("n"),
+        ).collect()[0]
+        n_exact_dup, n_near_dup = int(counts_v["e"]), int(counts_v["n"])
+        deduped = classified.filter(F.col("verdict") != "exact_dup")
+    else:
+        # Canonical exact dedup: min doc_id per content fingerprint —
+        # the batch convention (operators/dedup.exact_dedup_map),
+        # computed on the narrow feature relation (no text column
+        # rides the shuffle).
+        canon = feat.groupBy("text_hash").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        deduped = feat.join(canon, ["text_hash", "doc_id"])
 
     if decontaminate_path:
         bench_valid, _ = read_jsonl_documents(spark, decontaminate_path)
@@ -140,11 +196,45 @@ def run_batch_prep(
         )
     kept.write.mode("overwrite").parquet(output_path)
 
+    if index_path:
+        # Index maintenance AFTER the output lands: the increment
+        # (every valid doc, duplicates included — n_copies accounting)
+        # becomes part of the archive the NEXT run classifies against.
+        inc_docs = valid.select("doc_id", "text")
+        if index_bootstrapped:
+            import os
+
+            from flink_exercise_spark.operators.incremental import (
+                write_band_index,
+                write_fingerprint_index,
+            )
+
+            os.makedirs(index_path, exist_ok=True)
+            write_fingerprint_index(inc_docs, fp_path)
+            write_band_index(inc_docs, band_path)
+        else:
+            from flink_exercise_spark.operators.incremental import (
+                merge_band_index,
+                merge_fingerprint_index,
+            )
+
+            merge_fingerprint_index(spark, fp_path, inc_docs)
+            merge_band_index(spark, band_path, inc_docs)
+
     counts = out.agg(
         F.count(F.lit(1)).alias("n_deduped"),
-        F.sum((~F.col("quality_ok")).cast("long")).alias("n_quality_fail"),
-        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        # coalesce: a fully-deduplicated increment (a legitimate daily
+        # outcome once --index-path holds a mature archive) leaves zero
+        # rows, and sum over zero rows is NULL, not 0
+        F.coalesce(
+            F.sum((~F.col("quality_ok")).cast("long")), F.lit(0)
+        ).alias("n_quality_fail"),
+        F.coalesce(
+            F.sum(F.col("contaminated").cast("long")), F.lit(0)
+        ).alias("n_contaminated"),
+        F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias(
+            "n_kept"
+        ),
     ).collect()[0]
     n_valid = valid.count()
     return {
@@ -158,6 +248,22 @@ def run_batch_prep(
         "output": output_path,
         **({"audit": audit_path} if audit_path else {}),
         **({"dsir_target": dsir_target_path} if dsir_target_path else {}),
+        **(
+            {
+                "index": index_path,
+                "index_bootstrapped": index_bootstrapped,
+                **(
+                    {
+                        "n_exact_dup_vs_index": n_exact_dup,
+                        "n_near_dup_vs_index": n_near_dup,
+                    }
+                    if not index_bootstrapped
+                    else {}
+                ),
+            }
+            if index_path
+            else {}
+        ),
     }
 
 
@@ -243,6 +349,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dsir-target",
                     help="JSONL dir of a curated target corpus; kept docs "
                          "gain DSIR importance-weight columns (batch only)")
+    ap.add_argument("--index-path",
+                    help="persisted dedup-index directory (fingerprint + "
+                         "band stores): first run bootstraps it from the "
+                         "input, later runs classify the input against "
+                         "the archive (exact dups drop, near dups are "
+                         "flagged) and merge the increment in — the "
+                         "daily-batch incremental-dedup entry point")
     ap.add_argument("--streaming", action="store_true",
                     help="run through the streaming ingest front door")
     ap.add_argument("--html", action="store_true",
@@ -269,6 +382,13 @@ def main(argv: list[str] | None = None) -> int:
         # the whole corpus; a per-micro-batch refit would score early
         # and late arrivals against different models.
         ap.error("--dsir-target is batch-only")
+    if args.streaming and args.index_path:
+        # Loud-failure contract again: the streaming twin of the
+        # index-warm path is streaming/ingest.warm_start_ingest_dedup
+        # (state warm-started from the same stores); the CLI's
+        # --index-path is the daily-BATCH entry point.
+        ap.error("--index-path is batch-only (streaming deployments "
+                 "use ingest.warm_start_ingest_dedup)")
     try:
         if args.streaming:
             summary = run_streaming_prep(
@@ -280,6 +400,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.input, args.output, args.format,
                 args.audit, args.decontaminate,
                 dsir_target_path=args.dsir_target, html=args.html,
+                index_path=args.index_path,
             )
         print(json.dumps(summary))
         return 0

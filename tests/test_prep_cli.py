@@ -276,3 +276,135 @@ def test_streaming_prep_html_matches_batch(spark, tmp_path):
     )
     assert s["n_deduped"] == b["n_input_valid"] - b["n_duplicates"]
     assert s["n_kept"] == b["n_kept"]
+
+
+def test_index_path_day1_bootstrap_day2_increment(spark, tmp_path):
+    """The daily-batch incremental entry point (VERDICT r9 ask #8):
+    day 1 bootstraps the fingerprint + band stores from the input;
+    day 2's increment is classified IDENTICALLY to incremental_dedup
+    over (day-1 corpus, day-2 increment) — exact dups of the archive
+    drop, near dups carry their verdict/canonical columns — and the
+    stores absorb the increment for day 3."""
+    from pyspark.sql import functions as F
+
+    from flink_exercise_spark.operators.incremental import (
+        incremental_dedup,
+        read_band_index,
+    )
+    from flink_exercise_spark.prep import run_batch_prep
+
+    day1 = [
+        {"doc_id": 1, "text": GOOD, "lang": "en", "source": "web",
+         "n_chars": len(GOOD)},
+        {"doc_id": 2, "text": GOOD + " but the fox had the last laugh "
+                              "when all was said and done that day",
+         "lang": "en", "source": "web", "n_chars": 0},
+    ]
+    near = GOOD.replace("amused", "impressed")
+    day2 = [
+        # exact dup of archived doc 1 -> drops
+        {"doc_id": 10, "text": GOOD, "lang": "en", "source": "web",
+         "n_chars": len(GOOD)},
+        # near dup of archived doc 1 (one token changed) -> kept, flagged
+        {"doc_id": 11, "text": near, "lang": "en", "source": "web",
+         "n_chars": len(near)},
+        # genuinely new
+        {"doc_id": 12, "text": "completely fresh content about nothing "
+                               "in particular that is long enough to "
+                               "pass the quality gate with some stop "
+                               "words in it for the ratio and the rest",
+         "lang": "en", "source": "web", "n_chars": 120},
+        # within-increment exact dup of 12 -> drops with canonical 12
+        {"doc_id": 13, "text": "completely fresh content about nothing "
+                               "in particular that is long enough to "
+                               "pass the quality gate with some stop "
+                               "words in it for the ratio and the rest",
+         "lang": "en", "source": "web", "n_chars": 120},
+    ]
+
+    def write_drop(name, docs):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "part-000.jsonl").write_text(
+            "\n".join(json.dumps(x) for x in docs) + "\n"
+        )
+        return str(d)
+
+    idx = str(tmp_path / "index")
+    s1 = run_batch_prep(
+        spark, write_drop("day1", day1), str(tmp_path / "clean_d1"),
+        index_path=idx,
+    )
+    assert s1["index_bootstrapped"] is True
+    assert os.path.exists(os.path.join(idx, "fingerprints"))
+    assert os.path.exists(os.path.join(idx, "bands"))
+
+    s2 = run_batch_prep(
+        spark, write_drop("day2", day2), str(tmp_path / "clean_d2"),
+        index_path=idx,
+    )
+    assert s2["index_bootstrapped"] is False
+
+    # The CLI's classification must equal incremental_dedup's verbatim.
+    def df_of(docs):
+        return spark.createDataFrame(
+            [(x["doc_id"], x["text"]) for x in docs],
+            "doc_id long, text string",
+        )
+
+    from flink_exercise_spark.operators.incremental import (
+        band_index,
+        fingerprint_index,
+    )
+
+    # Reconstruct the DAY-1 index relations from day-1 docs (the CLI
+    # already merged day 2 into the on-disk stores) and classify day 2
+    # against them — the reference the CLI output must equal.
+    want = {
+        r["doc_id"]: (r["verdict"], r["canonical_doc_id"])
+        for r in incremental_dedup(
+            df_of(day2),
+            fingerprint_index(df_of(day1)),
+            band_index(df_of(day1)),
+        ).collect()
+    }
+    assert want[10] == ("exact_dup", 1)
+    assert want[11][0] == "near_dup" and want[11][1] == 1
+    assert want[12] == ("new", 12)
+    assert want[13] == ("exact_dup", 12)
+
+    assert s2["n_exact_dup_vs_index"] == 2
+    assert s2["n_near_dup_vs_index"] == 1
+    assert s2["n_duplicates"] == 2
+    kept = spark.read.parquet(str(tmp_path / "clean_d2")).toPandas()
+    got = {
+        int(r["doc_id"]): (r["verdict"], int(r["canonical_src_id"]))
+        for _, r in kept.iterrows()
+    }
+    # exact dups (10, 13) dropped; survivors carry the classification
+    assert set(got) == {11, 12}
+    assert got[11] == want[11]
+    assert got[12] == want[12]
+
+    # day 3: the stores absorbed day 2 — an exact dup of day-2 content
+    # now drops against the archive
+    day3 = [
+        {"doc_id": 20, "text": near, "lang": "en", "source": "web",
+         "n_chars": len(near)},
+    ]
+    s3 = run_batch_prep(
+        spark, write_drop("day3", day3), str(tmp_path / "clean_d3"),
+        index_path=idx,
+    )
+    assert s3["n_exact_dup_vs_index"] == 1 and s3["n_kept"] == 0
+
+
+def test_index_path_streaming_is_loud_error(tmp_path, capsys):
+    from flink_exercise_spark.prep import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--input", str(tmp_path), "--output", str(tmp_path / "o"),
+            "--streaming", "--index-path", str(tmp_path / "i"),
+        ])
+    assert "batch-only" in capsys.readouterr().err
