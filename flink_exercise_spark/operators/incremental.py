@@ -295,16 +295,25 @@ def _merge_index(
     key: str,
     base_cols: tuple[str, str],
     merged_exprs,
+    versioned: bool = False,
 ) -> dict[str, int]:
     """The shared partition-scoped index-merge skeleton (both index
     halves): collect touched prefixes from the increment aggregate,
     partition-pruned read of the stored values for those prefixes,
-    left-join + combine, ``layout.merge_upsert`` rewrite of only the
-    touched directories. ``upsert_side`` must carry (key, _v2-cols,
-    bucket); ``base_cols`` names the stored value columns (aliased to
-    _m1/_n1); ``merged_exprs`` builds the post-state columns."""
+    left-join + combine, rewrite of only the touched directories.
+    ``upsert_side`` must carry (key, _v2-cols, bucket); ``base_cols``
+    names the stored value columns (aliased to _m1/_n1);
+    ``merged_exprs`` builds the post-state columns.
+
+    ``versioned=True`` runs the same merge against a manifest store
+    (operators/manifest.py): the base read pins the live snapshot and
+    the rewrite publishes a new one atomically, so concurrent readers
+    never see a half-merged prefix directory (closing
+    layout.merge_upsert's documented transactional seam for the index
+    stores, VERDICT r9 ask #4)."""
     from pyspark.errors import AnalysisException
 
+    from flink_exercise_spark.operators import manifest as mf
     from flink_exercise_spark.operators.layout import merge_upsert
 
     # ONE action folds the touched-prefix collect with the increment's
@@ -314,15 +323,21 @@ def _merge_index(
         F.min("_m2").alias("_min_inc"),
     ).first()
     buckets, min_inc = probe["_buckets"], probe["_min_inc"]
-    try:
-        stored = spark.read.parquet(path)
-    except AnalysisException as e:
-        raise ValueError(
-            f"no index store at {path!r} — the merge maintains an "
-            "EXISTING index; bootstrap one first with "
-            "write_fingerprint_index / write_band_index over the "
-            "initial corpus"
-        ) from e
+    bootstrap_msg = (
+        f"no index store at {path!r} — the merge maintains an "
+        "EXISTING index; bootstrap one first with "
+        "write_fingerprint_index / write_band_index (or their "
+        "_versioned twins) over the initial corpus"
+    )
+    if versioned:
+        if mf.current_version(path) is None:
+            raise ValueError(bootstrap_msg)
+        stored = mf.versioned_read(spark, path)
+    else:
+        try:
+            stored = spark.read.parquet(path)
+        except AnalysisException as e:
+            raise ValueError(bootstrap_msg) from e
     base = (
         stored
         .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
@@ -351,29 +366,50 @@ def _merge_index(
             "increment ids (assign monotone ids across snapshots)"
         )
     upserts = upsert_side.join(base, key, "left").select(*merged_exprs)
-    # merge_upsert re-derives touched partitions from the upsert rows;
-    # localCheckpoint inside it materializes before the overwrite.
+    # The writer re-derives touched partitions from the upsert rows;
+    # localCheckpoint inside it materializes before the rewrite.
+    if versioned:
+        return mf.versioned_merge_upsert(
+            spark, path, upserts, key, partition_col="bucket"
+        )
     return merge_upsert(spark, path, upserts, key, partition_col="bucket")
+
+
+def _fingerprint_store_rows(docs: DataFrame) -> DataFrame:
+    """The fingerprint index in its on-disk projection (bucket = the
+    letter-prefixed 2-hex-char hash prefix both writers prune on)."""
+    return fingerprint_index(docs).select(
+        "text_hash", "canonical_doc_id", "n_copies",
+        _prefix_bucket("text_hash"),
+    )
 
 
 def write_fingerprint_index(docs: DataFrame, path: str) -> None:
     """Materialize the fingerprint index partitioned by 2-hex-char
     hash prefix — the layout ``merge_fingerprint_index`` prunes on."""
-    fingerprint_index(docs).select(
-        "text_hash", "canonical_doc_id", "n_copies",
-        _prefix_bucket("text_hash"),
-    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    _fingerprint_store_rows(docs).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def write_fingerprint_index_versioned(docs: DataFrame, path: str) -> int:
+    """Bootstrap the fingerprint index as a MANIFEST store (snapshot
+    isolation for readers during later merges; operators/manifest.py)."""
+    from flink_exercise_spark.operators import manifest as mf
+
+    return mf.versioned_write(_fingerprint_store_rows(docs), path)
 
 
 def merge_fingerprint_index(
-    spark, path: str, increment: DataFrame
+    spark, path: str, increment: DataFrame, versioned: bool = False
 ) -> dict[str, int]:
     """Persist an increment into the on-disk fingerprint index via the
     partition-scoped MERGE: compute post-state rows for TOUCHED hashes
     only (increment aggregate + current index values for those hashes,
-    a partition-pruned read), then ``layout.merge_upsert`` rewrites
-    only the touched hash-prefix directories. The historical corpus
-    and the untouched index partitions are never read or written."""
+    a partition-pruned read), then rewrite only the touched hash-prefix
+    directories. The historical corpus and the untouched index
+    partitions are never read or written. ``versioned=True`` targets a
+    manifest store (atomic snapshot publish; see _merge_index)."""
     inc_agg = persist_tracked(
         increment.select(F.md5("text").alias("text_hash"), "doc_id")
         .filter(F.col("text_hash").isNotNull())
@@ -398,6 +434,7 @@ def merge_fingerprint_index(
             .alias("n_copies"),
             "bucket",
         ),
+        versioned=versioned,
     )
 
 
@@ -412,7 +449,17 @@ def write_band_index(
     rationale) with a single ``bucket_key`` merge key — band_id and
     band_hash concatenated, since ``merge_upsert`` merges on ONE key
     column and (band_id, band_hash) is the bucket's identity."""
-    band_index(docs, k, r).select(
+    _band_store_rows(docs, k, r).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def _band_store_rows(
+    docs: DataFrame, k: int = N_MINHASH, r: int = BAND_ROWS
+) -> DataFrame:
+    """The band index in its on-disk projection (see
+    write_band_index's layout rationale)."""
+    return band_index(docs, k, r).select(
         F.concat_ws("|", F.col("band_id").cast("string"), "band_hash")
         .alias("bucket_key"),
         "band_id",
@@ -420,7 +467,20 @@ def write_band_index(
         "min_doc_id",
         "n_members",
         _prefix_bucket("band_hash"),
-    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+
+
+def write_band_index_versioned(
+    docs: DataFrame,
+    path: str,
+    k: int = N_MINHASH,
+    r: int = BAND_ROWS,
+) -> int:
+    """Bootstrap the band index as a MANIFEST store (snapshot
+    isolation for readers during later merges; operators/manifest.py)."""
+    from flink_exercise_spark.operators import manifest as mf
+
+    return mf.versioned_write(_band_store_rows(docs, k, r), path)
 
 
 def merge_band_index(
@@ -429,6 +489,7 @@ def merge_band_index(
     increment: DataFrame,
     k: int = N_MINHASH,
     r: int = BAND_ROWS,
+    versioned: bool = False,
 ) -> dict[str, int]:
     """Persist an increment's band-bucket aggregates into the on-disk
     band index via the partition-scoped MERGE — the near-dup half of
@@ -472,6 +533,7 @@ def merge_band_index(
             .alias("n_members"),
             "bucket",
         ),
+        versioned=versioned,
     )
 
 
@@ -480,6 +542,26 @@ def read_band_index(spark, path: str) -> DataFrame:
     (band_id, band_hash, min_doc_id, n_members)."""
     return spark.read.parquet(path).select(
         "band_id", "band_hash", "min_doc_id", "n_members"
+    )
+
+
+def read_band_index_versioned(spark, path: str) -> DataFrame:
+    """Snapshot-pinned band-index read (manifest store twin of
+    read_band_index)."""
+    from flink_exercise_spark.operators import manifest as mf
+
+    return mf.versioned_read(spark, path).select(
+        "band_id", "band_hash", "min_doc_id", "n_members"
+    )
+
+
+def read_fingerprint_index_versioned(spark, path: str) -> DataFrame:
+    """Snapshot-pinned fingerprint-index read in incremental_dedup's
+    input shape."""
+    from flink_exercise_spark.operators import manifest as mf
+
+    return mf.versioned_read(spark, path).select(
+        "text_hash", "canonical_doc_id", "n_copies"
     )
 
 

@@ -305,6 +305,35 @@ def write_partitioned(
         spark.conf.set(key, old)
 
 
+def _assert_key_unique(updates: DataFrame, key: str) -> int:
+    """Upsert-batch guard shared by merge_upsert and the versioned
+    store (operators/manifest.py): a duplicate-keyed CDC batch has no
+    defined winner without an ordering column. Returns the batch
+    size (one count action serves both the guard and the caller's
+    stats)."""
+    n_updates = updates.count()
+    if updates.select(key).distinct().count() != n_updates:
+        raise ValueError(
+            f"updates are not key-unique on {key!r}: collapse the CDC "
+            "batch (e.g. max_by version) before merging"
+        )
+    return n_updates
+
+
+def _touched_partition_filter(touched: list, partition_col: str) -> Column:
+    """NULL-safe touched-partition predicate, shared with the
+    versioned store: with None in the IN-list, ``isin(touched)``
+    evaluates to NULL (never true) for the base's null-partition rows,
+    so they would silently miss the merge and dynamic overwrite would
+    replace __HIVE_DEFAULT_PARTITION__ with only the update rows —
+    base rows lost without an error (r8 ADVICE, reproduced)."""
+    touched_nonnull = [t for t in touched if t is not None]
+    part_filter = F.col(partition_col).isin(touched_nonnull)
+    if len(touched_nonnull) < len(touched):  # updates touch NULL part
+        part_filter = part_filter | F.col(partition_col).isNull()
+    return part_filter
+
+
 def merge_upsert(
     spark,
     path: str,
@@ -349,12 +378,7 @@ def merge_upsert(
     ``partition_col=None`` branch materializes the FULL table,
     consistent with its small-table-only framing."""
     base = spark.read.parquet(path)
-    n_updates = updates.count()
-    if updates.select(key).distinct().count() != n_updates:
-        raise ValueError(
-            f"updates are not key-unique on {key!r}: collapse the CDC "
-            "batch (e.g. max_by version) before merging"
-        )
+    n_updates = _assert_key_unique(updates, key)
     if partition_col is None:
         survivors = base.join(
             F.broadcast(updates.select(key).distinct()), key, "left_anti"
@@ -369,16 +393,7 @@ def merge_upsert(
     touched = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]  # CDC-batch-partition-count-sized collect (bounded by contract)
-    # NULL partition values need the null-safe form: with None in the
-    # IN-list, `isin(touched)` evaluates to NULL (never true) for the
-    # base's null-partition rows, so they would silently miss the
-    # merge and dynamic overwrite would replace
-    # __HIVE_DEFAULT_PARTITION__ with only the update rows — base
-    # rows lost without an error (r8 ADVICE, reproduced).
-    touched_nonnull = [t for t in touched if t is not None]
-    part_filter = F.col(partition_col).isin(touched_nonnull)
-    if len(touched_nonnull) < len(touched):  # updates touch NULL part
-        part_filter = part_filter | F.col(partition_col).isNull()
+    part_filter = _touched_partition_filter(touched, partition_col)
     survivors = base.filter(
         part_filter  # -> PartitionFilters
     ).join(F.broadcast(updates.select(key).distinct()), key, "left_anti")
