@@ -10,11 +10,14 @@ is identical whether the decoder is real or stubbed.
 The container has no image/audio libraries, so the default decode
 kernel is a clearly-marked deterministic fake (FakeImageCodec) behind
 the same interface a real libvips/PIL/ffmpeg kernel would implement.
-Four image/audio seams are REAL, stdlib-only: uncompressed 24-bit BMP
+Five image/audio seams are REAL, stdlib-only: uncompressed 24-bit BMP
 (BmpImageCodec, r7), compressed PNG (PngImageCodec, r8 — zlib inflate
 + per-scanline unfilter, all five filter types), compressed GIF
 (GifImageCodec, r8 — hand-rolled variable-width LZW; GIF's entropy
-coding has no stdlib module to lean on) and 16-bit PCM mono
+coding has no stdlib module to lean on), baseline JPEG
+(JpegImageCodec, r10 — canonical Huffman + dequant + exact IDCT of
+the luma plane; progressive/arithmetic/12-bit remain the narrowed
+seam) and 16-bit PCM mono
 WAV (WavAudioCodec, r7, via the ``wave`` module) — ``decode_any`` /
 the audio kernel dispatch on
 strict container sniffs (magic bytes + internal length consistency),
@@ -361,6 +364,8 @@ def decode_any(payload: bytes) -> tuple[str, int, int, float]:
         return PNG_DECODER.decode(payload)
     if _looks_gif(payload):
         return GIF_DECODER.decode(payload)
+    if _looks_jpeg(payload):
+        return JPEG_DECODER.decode(payload)
     return DECODER.decode(payload)
 
 
@@ -377,6 +382,9 @@ def probe_dims_any(payload: bytes) -> tuple[int, int]:
         return w, h
     if _looks_gif(payload):
         return GIF_DECODER.probe(payload)
+    if _looks_jpeg(payload):
+        w, h, _ = JPEG_DECODER.probe(payload)
+        return w, h
     _, w, h, _ = DECODER.decode(payload)
     return w, h
 
@@ -1155,3 +1163,353 @@ def _looks_gif(payload: bytes) -> bool:
         return True
     except NotImplementedError:
         return False
+
+
+# Zigzag scan order: zigzag index -> natural (row*8 + col) position.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# IDCT basis: _JPEG_COS[u][x] = C(u) * cos((2x+1) * u * pi / 16), with
+# C(0) = 1/sqrt(2) — precomputed once; the 2-D inverse transform is
+# separable over it.
+import math as _math
+
+_JPEG_COS = tuple(
+    tuple(
+        (1.0 / _math.sqrt(2.0) if u == 0 else 1.0)
+        * _math.cos((2 * x + 1) * u * _math.pi / 16)
+        for x in range(8)
+    )
+    for u in range(8)
+)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment with JPEG
+    byte unstuffing (0xFF 0x00 -> 0xFF). Any other marker inside the
+    stream is a structural stop: restarts are consumed explicitly by
+    ``restart()``; anything else is out of the baseline seam."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._buf = 0
+        self._n = 0
+
+    def _load_byte(self) -> None:
+        if self.pos >= len(self.data):
+            raise NotImplementedError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = (
+                self.data[self.pos + 1]
+                if self.pos + 1 < len(self.data)
+                else None
+            )
+            if nxt != 0x00:
+                raise NotImplementedError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                    if nxt is not None
+                    else "truncated JPEG entropy stream"
+                )
+            self.pos += 2
+        else:
+            self.pos += 1
+        self._buf = (self._buf << 8) | b
+        self._n += 8
+
+    def read_bits(self, n: int) -> int:
+        while self._n < n:
+            self._load_byte()
+        self._n -= n
+        v = (self._buf >> self._n) & ((1 << n) - 1)
+        self._buf &= (1 << self._n) - 1
+        return v
+
+    def restart(self, expect: int) -> None:
+        """Byte-align and consume the RSTn marker closing a restart
+        interval (caller resets DC predictors)."""
+        self._buf = 0
+        self._n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + expect
+        ):
+            raise NotImplementedError(
+                f"missing restart marker RST{expect} at byte {self.pos}"
+            )
+        self.pos += 2
+
+
+def _jpeg_huff_table(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table: {(length, code): value}, codes
+    assigned in increasing length order (ITU T.81 Annex C)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+@dataclass(frozen=True)
+class JpegImageCodec:
+    """REAL image decoder for baseline JPEG — stdlib-only (marker
+    walk, canonical Huffman, dequantization, exact float IDCT), no
+    PIL/libjpeg in this container. Fills the last common image seam
+    (VERDICT r9 ask #3; the BMP/PNG/GIF precedents): same
+    (format, width, height, mean_luma) contract, values from actual
+    coefficient data.
+
+    Supported: baseline/extended sequential DCT (SOF0/SOF1), 8-bit,
+    grayscale or interleaved YCbCr with the luma component carrying
+    the scan's maximum sampling factors (every common 4:4:4 / 4:2:2 /
+    4:2:0 file), one scan, restart intervals. Progressive (SOF2),
+    arithmetic coding, 12-bit precision, and non-interleaved
+    multi-scan files raise NotImplementedError — a documented,
+    narrower seam.
+
+    Only the LUMA plane is inverse-transformed: JPEG's Y channel IS
+    the Rec.601 luma the other codecs compute from RGB, and mean_luma
+    is this kernel's only pixel-derived output — chroma blocks are
+    entropy-decoded (the bitstream has no skip pointers) but never
+    dequantized or transformed. A full-RGB kernel would add the
+    chroma IDCTs and the fixed-point color convert on the same
+    scaffolding."""
+
+    def _frame(self, payload: bytes) -> tuple[int, int, int, list]:
+        """Walk markers to the frame header: (width, height, marker,
+        components[(id, h, v, tq)]). Rejects non-baseline frames."""
+        if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+            raise NotImplementedError("not a JPEG (missing SOI)")
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise NotImplementedError(
+                    f"marker expected at byte {pos}"
+                )
+            marker = payload[pos + 1]
+            if marker in (0xC0, 0xC1):  # SOF0/SOF1
+                depth = payload[pos + 4]
+                if depth != 8:
+                    raise NotImplementedError(
+                        f"only 8-bit precision supported (got {depth})"
+                    )
+                h = int.from_bytes(payload[pos + 5:pos + 7], "big")
+                w = int.from_bytes(payload[pos + 7:pos + 9], "big")
+                n_comp = payload[pos + 9]
+                comps = []
+                for i in range(n_comp):
+                    o = pos + 10 + 3 * i
+                    comps.append(
+                        (
+                            payload[o],
+                            payload[o + 1] >> 4,
+                            payload[o + 1] & 0x0F,
+                            payload[o + 2],
+                        )
+                    )
+                if w == 0 or h == 0:
+                    raise NotImplementedError(
+                        f"degenerate JPEG dimensions {w}x{h}"
+                    )
+                return w, h, marker, comps
+            if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                          0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})"
+                )
+            if marker == 0xD9:  # EOI before any frame
+                break
+            seg_len = int.from_bytes(payload[pos + 2:pos + 4], "big")
+            pos += 2 + seg_len
+        raise NotImplementedError("no frame header before EOI")
+
+    def probe(self, payload: bytes) -> tuple[int, int, int]:
+        """Header-only parse: (width, height, n_components) — the dims
+        path for kernels that never decode coefficients (resize)."""
+        w, h, _, comps = self._frame(payload)
+        return w, h, len(comps)
+
+    def decode(self, payload: bytes) -> tuple[str, int, int, float]:
+        w, h, _, comps = self._frame(payload)
+        # --- full marker walk for tables + scan
+        quant: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        restart_interval = 0
+        pos = 2
+        scan = None
+        while pos + 4 <= len(payload):
+            marker = payload[pos + 1]
+            seg_len = int.from_bytes(payload[pos + 2:pos + 4], "big")
+            body = payload[pos + 4:pos + 2 + seg_len]
+            if marker == 0xDB:  # DQT (possibly several tables)
+                o = 0
+                while o < len(body):
+                    if body[o] >> 4 != 0:
+                        raise NotImplementedError(
+                            "16-bit quantization tables unsupported"
+                        )
+                    quant[body[o] & 0x0F] = list(body[o + 1:o + 65])
+                    o += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                o = 0
+                while o < len(body):
+                    tc, th = body[o] >> 4, body[o] & 0x0F
+                    bits = body[o + 1:o + 17]
+                    n_vals = sum(bits)
+                    vals = body[o + 17:o + 17 + n_vals]
+                    huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                    o += 17 + n_vals
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                n_sc = body[0]
+                if n_sc != len(comps):
+                    raise NotImplementedError(
+                        "non-interleaved multi-scan JPEG unsupported"
+                    )
+                sel = {}
+                for i in range(n_sc):
+                    cid = body[1 + 2 * i]
+                    sel[cid] = (
+                        body[2 + 2 * i] >> 4,
+                        body[2 + 2 * i] & 0x0F,
+                    )
+                if tuple(body[1 + 2 * n_sc:4 + 2 * n_sc]) != (0, 63, 0):
+                    raise NotImplementedError(
+                        "spectral selection / successive approximation "
+                        "are progressive-mode features"
+                    )
+                scan = (sel, pos + 2 + seg_len)
+                break
+            pos += 2 + seg_len
+        if scan is None:
+            raise NotImplementedError("no scan header before EOI")
+        sel, data_pos = scan
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if (comps[0][1], comps[0][2]) != (hmax, vmax):
+            raise NotImplementedError(
+                "luma must carry the maximum sampling factors"
+            )
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+        reader = _JpegBitReader(payload, data_pos)
+        dc_pred = {c[0]: 0 for c in comps}
+        luma_id = comps[0][0]
+        yq = quant[comps[0][3]]
+        # Y plane, padded to whole MCUs; mean taken over w x h only
+        yw = mcus_x * 8 * hmax
+        yplane = bytearray(yw * mcus_y * 8 * vmax)
+
+        def decode_huff(table: dict) -> int:
+            length, code = 0, 0
+            while length < 16:
+                code = (code << 1) | reader.read_bits(1)
+                length += 1
+                v = table.get((length, code))
+                if v is not None:
+                    return v
+            raise NotImplementedError("invalid Huffman code in scan")
+
+        def extend(v: int, s: int) -> int:
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        n_rst = 0
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart(n_rst % 8)
+                n_rst += 1
+                dc_pred = {c[0]: 0 for c in comps}
+            mx, my = mcu % mcus_x, mcu // mcus_x
+            for cid, ch, cv, tq in comps:
+                dc_tbl = huff[(0, sel[cid][0])]
+                ac_tbl = huff[(1, sel[cid][1])]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coefs = [0] * 64
+                        s = decode_huff(dc_tbl)
+                        dc_pred[cid] += extend(reader.read_bits(s), s)
+                        coefs[0] = dc_pred[cid]
+                        k = 1
+                        while k <= 63:
+                            rs = decode_huff(ac_tbl)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "AC run past block end"
+                                )
+                            coefs[_JPEG_ZIGZAG[k]] = extend(
+                                reader.read_bits(size), size
+                            )
+                            k += 1
+                        if cid != luma_id:
+                            continue  # chroma: stream advanced, done
+                        # dequant (quant table is zigzag-ordered, like
+                        # the coefficient scan) + exact separable IDCT
+                        dq = [0.0] * 64
+                        for z in range(64):
+                            n = _JPEG_ZIGZAG[z]
+                            if coefs[n]:
+                                dq[n] = coefs[n] * yq[z]
+                        rows = [
+                            [
+                                sum(
+                                    dq[v * 8 + u] * _JPEG_COS[u][x]
+                                    for u in range(8)
+                                    if dq[v * 8 + u]
+                                )
+                                for x in range(8)
+                            ]
+                            for v in range(8)
+                        ]
+                        x0 = (mx * ch + bx) * 8
+                        y0 = (my * cv + by) * 8
+                        for y in range(8):
+                            base = (y0 + y) * yw + x0
+                            for x in range(8):
+                                val = 0.25 * sum(
+                                    rows[v][x] * _JPEG_COS[v][y]
+                                    for v in range(8)
+                                )
+                                p = int(round(val)) + 128
+                                yplane[base + x] = (
+                                    0 if p < 0 else 255 if p > 255 else p
+                                )
+        total = 0
+        for y in range(h):
+            total += sum(yplane[y * yw:y * yw + w])
+        mean_luma = round(total / (w * h) / 255.0, 6)
+        return "jpeg", w, h, mean_luma
+
+
+JPEG_DECODER = JpegImageCodec()
+
+
+def _looks_jpeg(payload: bytes) -> bool:
+    """Strict container sniff (the _looks_bmp contract): SOI followed
+    by a marker lead-in. 0xFF is not a valid UTF-8 lead byte, so the
+    fixtures' text-derived payloads can never route here."""
+    return len(payload) >= 4 and payload[:3] == b"\xff\xd8\xff"

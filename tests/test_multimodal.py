@@ -746,3 +746,318 @@ def test_resize_uses_header_probe_on_real_gif(spark):
     assert len(out) == 1
     # 4x3 -> longest side 2 preserves aspect: 2x1
     assert (out[0]["width"], out[0]["height"]) == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG: spec-correct encoder + decoder pins (r10)
+# ---------------------------------------------------------------------------
+
+# Minimal canonical Huffman tables for the test encoder: 12 DC
+# categories at code length 4; the 8 AC symbols the fixtures need at
+# code length 3. Valid prefix codes by construction (Annex C), and
+# deliberately NOT the decoder's tables — the decoder builds its
+# tables from the DHT segments these bytes describe.
+_JDC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
+_JDC_VALS = bytes(range(12))
+_JAC_SYMS = (0x00, 0x01, 0x02, 0x03, 0x04, 0x11, 0x21, 0xF0)
+_JAC_BITS = bytes([0, 0, 8] + [0] * 13)
+_JAC_VALS = bytes(_JAC_SYMS)
+
+
+class _JBits:
+    """MSB-first bit packer with JPEG byte stuffing; flush pads the
+    final byte with 1-bits (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._buf = 0
+        self._n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self._buf = (self._buf << 1) | ((code >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._buf)
+                if self._buf == 0xFF:
+                    self.out.append(0x00)
+                self._buf = 0
+                self._n = 0
+
+    def flush(self):
+        while self._n:
+            self.put(1, 1)
+
+
+def _enc_map(bits, vals):
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _cat(v):
+    return abs(v).bit_length()
+
+
+def _amp(v, s):
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _encode_block(w, coefs_nat, dc_pred, dcm, acm, zigzag):
+    diff = coefs_nat[0] - dc_pred
+    s = _cat(diff)
+    length, code = dcm[s]
+    w.put(code, length)
+    if s:
+        w.put(_amp(diff, s), s)
+    zz = [coefs_nat[zigzag[i]] for i in range(64)]
+    last = max((i for i in range(1, 64) if zz[i]), default=0)
+    run = 0
+    for i in range(1, last + 1):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = acm[0xF0]
+            w.put(code, length)
+            run -= 16
+        s = _cat(v)
+        sym = (run << 4) | s
+        assert sym in acm, f"test AC table lacks symbol {sym:02x}"
+        length, code = acm[sym]
+        w.put(code, length)
+        w.put(_amp(v, s), s)
+        run = 0
+    if last < 63:
+        length, code = acm[0x00]
+        w.put(code, length)
+    return coefs_nat[0]
+
+
+def _jseg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _jpeg_headers(w, h, comps, quants):
+    """SOI + DQT(s) + SOF0 + DHT(DC0, AC0) for the given component
+    list [(id, hv_byte, tq)] and {tq: zigzag_quant_list}."""
+    out = bytearray(b"\xff\xd8")
+    for tq, q in sorted(quants.items()):
+        out += _jseg(0xDB, bytes([tq]) + bytes(q))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for cid, hv, tq in comps:
+        sof += bytes([cid, hv, tq])
+    out += _jseg(0xC0, sof)
+    out += _jseg(0xC4, bytes([0x00]) + _JDC_BITS + _JDC_VALS)
+    out += _jseg(0xC4, bytes([0x10]) + _JAC_BITS + _JAC_VALS)
+    return out
+
+
+def make_gray_jpeg(blocks, w, h, quant_zz, restart=0):
+    """Baseline grayscale JPEG from QUANTIZED natural-order coefficient
+    blocks in MCU raster order."""
+    from flink_exercise_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    out = bytearray(_jpeg_headers(w, h, [(1, 0x11, 0)], {0: quant_zz}))
+    if restart:
+        out += _jseg(0xDD, restart.to_bytes(2, "big"))
+    out += _jseg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dcm, acm = _enc_map(_JDC_BITS, _JDC_VALS), _enc_map(_JAC_BITS, _JAC_VALS)
+    bits = _JBits()
+    pred = 0
+    n_rst = 0
+    for i, blk in enumerate(blocks):
+        if restart and i and i % restart == 0:
+            bits.flush()
+            out += bits.out
+            bits = _JBits()
+            out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
+            pred = 0
+        pred = _encode_block(bits, blk, pred, dcm, acm, _JPEG_ZIGZAG)
+    bits.flush()
+    out += bits.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def make_ycbcr420_jpeg(y_blocks, cb_block, cr_block, w, h, qy_zz, qc_zz):
+    """One-MCU (16x16 max) baseline 4:2:0 color JPEG: four Y blocks in
+    2x2 raster order, one Cb, one Cr; all components share the test
+    Huffman tables."""
+    from flink_exercise_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    comps = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    out = bytearray(_jpeg_headers(w, h, comps, {0: qy_zz, 1: qc_zz}))
+    out += _jseg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    dcm, acm = _enc_map(_JDC_BITS, _JDC_VALS), _enc_map(_JAC_BITS, _JAC_VALS)
+    bits = _JBits()
+    preds = {1: 0, 2: 0, 3: 0}
+    for blk in y_blocks:
+        preds[1] = _encode_block(bits, blk, preds[1], dcm, acm, _JPEG_ZIGZAG)
+    preds[2] = _encode_block(bits, cb_block, preds[2], dcm, acm, _JPEG_ZIGZAG)
+    preds[3] = _encode_block(bits, cr_block, preds[3], dcm, acm, _JPEG_ZIGZAG)
+    bits.flush()
+    out += bits.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def _dc_block(v):
+    return [v] + [0] * 63
+
+
+def test_jpeg_dc_only_gray_exact():
+    """Solid 8x8: quantized DC=1 against an all-16 table dequantizes to
+    16; the DC-only IDCT is flat at dq/8 + 128 = 130 exactly."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    payload = make_gray_jpeg([_dc_block(1)], 8, 8, [16] * 64)
+    fmt, w, h, luma = JPEG_DECODER.decode(payload)
+    assert (fmt, w, h) == ("jpeg", 8, 8)
+    assert luma == round(130 / 255.0, 6)
+    assert JPEG_DECODER.probe(payload) == (8, 8, 1)
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    """Two blocks, DCs 4 and 6 under q0=8: the second block's value
+    arrives as a DIFFERENCE (2), so a decoder without the predictor
+    would plateau wrong. Pixels 132 and 134 -> mean 133."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    q = [8] + [16] * 63
+    payload = make_gray_jpeg([_dc_block(4), _dc_block(6)], 16, 8, q)
+    _, w, h, luma = JPEG_DECODER.decode(payload)
+    assert (w, h) == (16, 8)
+    assert luma == round(133 / 255.0, 6)
+
+
+def test_jpeg_single_ac_matches_cosine_reference():
+    """One AC coefficient (u=1, v=0): expected pixels computed here
+    directly from the T.81 IDCT definition with math.cos — independent
+    of the decoder's precomputed basis and loop structure."""
+    import math
+
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    a, q = 5, 8  # dequantized AC = 40
+    blk = [0] * 64
+    blk[1] = a  # natural position row 0, col 1 -> horizontal freq u=1
+    payload = make_gray_jpeg([blk], 8, 8, [q] * 64)
+    _, _, _, luma = JPEG_DECODER.decode(payload)
+    total = 0
+    for x in range(8):
+        val = 0.25 * (1 / math.sqrt(2)) * (a * q) * math.cos(
+            (2 * x + 1) * math.pi / 16
+        )
+        p = int(round(val)) + 128
+        p = 0 if p < 0 else 255 if p > 255 else p
+        total += 8 * p  # same value down the whole column
+    assert luma == round(total / 64 / 255.0, 6)
+
+
+def test_jpeg_edge_mcus_clip_to_real_dims():
+    """12x10 image = 2x2 blocks of padding; the mean must cover only
+    the 120 real pixels: 64/32/16/8 of the four plateaus."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    q = [8] + [16] * 63
+    vals = [4, 6, 2, 8]  # quantized DCs -> pixels 132, 134, 130, 136
+    payload = make_gray_jpeg([_dc_block(v) for v in vals], 12, 10, q)
+    _, w, h, luma = JPEG_DECODER.decode(payload)
+    assert (w, h) == (12, 10)
+    want = (64 * 132 + 32 * 134 + 16 * 130 + 8 * 136) / 120 / 255.0
+    assert luma == round(want, 6)
+
+
+def test_jpeg_restart_markers_reset_dc():
+    """Restart interval 1: an RST0 sits between the two MCUs and the
+    second DC is coded from a RESET predictor — a decoder that keeps
+    the old predictor decodes 10, not 6."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    q = [8] + [16] * 63
+    payload = make_gray_jpeg(
+        [_dc_block(4), _dc_block(6)], 16, 8, q, restart=1
+    )
+    assert b"\xff\xd0" in payload
+    _, _, _, luma = JPEG_DECODER.decode(payload)
+    assert luma == round(133 / 255.0, 6)
+
+
+def test_jpeg_ycbcr420_decodes_luma_skips_chroma():
+    """4:2:0 color MCU: four DC-only Y plateaus; the chroma blocks
+    carry AC energy whose only effect on this kernel is bitstream
+    advancement — mis-stepping them would desynchronize the Y Huffman
+    decode (caught by the exact mean)."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    qy = [8] + [16] * 63
+    qc = [16] * 64
+    y = [_dc_block(v) for v in (4, 6, 2, 8)]  # 132/134/130/136
+    chroma = [0] * 64
+    chroma[0], chroma[1], chroma[8], chroma[9] = 3, -2, 1, 1
+    payload = make_ycbcr420_jpeg(y, chroma, chroma, 16, 16, qy, qc)
+    fmt, w, h, luma = JPEG_DECODER.decode(payload)
+    assert (fmt, w, h) == ("jpeg", 16, 16)
+    want = (132 + 134 + 130 + 136) / 4 / 255.0
+    assert luma == round(want, 6)
+    assert JPEG_DECODER.probe(payload) == (16, 16, 3)
+
+
+def test_jpeg_seams():
+    """Progressive frames, 16-bit quant tables, and truncation stay
+    behind NotImplementedError — a narrowed seam, never a crash."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    good = make_gray_jpeg([_dc_block(1)], 8, 8, [16] * 64)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        JPEG_DECODER.decode(progressive)
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        JPEG_DECODER.probe(progressive)
+    sixteen_bit = good.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x10", 1)
+    with pytest.raises(NotImplementedError):
+        JPEG_DECODER.decode(sixteen_bit)
+    # strip the EOI and the (single) entropy byte: the bit reader runs
+    # off the end mid-block
+    with pytest.raises(NotImplementedError, match="truncated|marker"):
+        JPEG_DECODER.decode(good[:-3])
+
+
+def test_jpeg_sniff_boundaries():
+    """0xFF is not a valid UTF-8 lead byte, so text-derived fixture
+    payloads can never route to the JPEG decoder — the md5-arithmetic
+    oracles stay exact."""
+    from flink_exercise_spark.operators.multimodal import (
+        _looks_jpeg,
+        decode_any,
+    )
+
+    assert not _looks_jpeg("any fixture text at all".encode())
+    assert not _looks_jpeg(b"\xff\xd8")  # SOI alone, no marker lead-in
+    fmt, _, _, _ = decode_any("plain text".encode())
+    assert fmt == "fake/raw"
+    good = make_gray_jpeg([_dc_block(1)], 8, 8, [16] * 64)
+    assert _looks_jpeg(good)
+    assert decode_any(good)[0] == "jpeg"
+
+
+def test_jpeg_real_decode_via_spark(spark):
+    """sample.jpg (checked in; generated by this file's spec-correct
+    encoder): 16x16 baseline 4:2:0 with the exact plateaus of
+    test_jpeg_ycbcr420 — real Huffman/IDCT math end-to-end through the
+    mapInPandas path."""
+    from flink_exercise_spark.operators.multimodal import decode_features
+
+    out = decode_features(_media_df(spark, f"{_DATA}/sample.jpg")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["format"] == "jpeg"
+    assert (r["width"], r["height"]) == (16, 16)
+    assert r["mean_luma"] == round((132 + 134 + 130 + 136) / 4 / 255.0, 6)
