@@ -143,6 +143,7 @@ def knn_ivf_int8(
     k: int = TOP_K,
     shortlist: int | None = None,
     codebook: DataFrame | None = None,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """IVF-flat ANN over the int8-compressed store with exact
     re-scoring: identical probing to ``similarity.knn_ivf`` (the
@@ -183,7 +184,7 @@ def knn_ivf_int8(
     # touch CANDIDATE scoring, where the corpus bytes are): ONE shared
     # implementation (similarity._ivf_assign_probe), so the two
     # operators probe identical cells structurally — including the
-    # <=256-cell codebook guard (equality also pinned in
+    # packed-argmax cell-id-width guard (equality also pinned in
     # tests/test_compression.py).
     corpus, queries, assigned_ids, probes = _ivf_assign_probe(
         emb,
@@ -191,6 +192,7 @@ def knn_ivf_int8(
         N_CELLS if n_cells is None else n_cells,
         n_probe,
         codebook,
+        assign_kernel=assign_kernel,
     )
 
     # APPROXIMATE pass over the COMPRESSED store: the corpus-sized
@@ -645,6 +647,7 @@ def knn_ivf_pq(
     shortlist: int | None = None,
     codebook: DataFrame | None = None,
     pq_books: DataFrame | None = None,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """The composed FAISS-IVFPQ shape: the IVF cell filter bounds WHICH
     candidates are scored (n_probe/n_cells of the corpus, the
@@ -688,6 +691,7 @@ def knn_ivf_pq(
         N_CELLS if n_cells is None else n_cells,
         n_probe,
         codebook,
+        assign_kernel=assign_kernel,
     )
     luts = pq_adc_lut(
         queries.select("query_id", "q_emb"), pq_books, m=m, dims=dims
@@ -743,6 +747,7 @@ def knn_ivf_pq_residual(
     shortlist: int | None = None,
     codebook: DataFrame | None = None,
     pq_books: DataFrame | None = None,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """The canonical FAISS IVFPQ: PQ codes built on per-cell RESIDUALS
     (x − centroid) instead of raw vectors (Jegou et al. 2011 §IV.C;
@@ -776,7 +781,8 @@ def knn_ivf_pq_residual(
     nc = N_CELLS if n_cells is None else n_cells
     cents = _ivf_centroids(emb, n_queries, nc, codebook)
     corpus, queries, assigned_ids, probes = _ivf_assign_probe(
-        emb, n_queries, nc, n_probe, codebook, cents=cents
+        emb, n_queries, nc, n_probe, codebook, cents=cents,
+        assign_kernel=assign_kernel,
     )
     # assigned_ids feeds TWO subtrees (the residual build and the
     # candidate scan join — pq_encode cannot carry cell_id through);

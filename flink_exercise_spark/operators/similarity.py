@@ -384,12 +384,18 @@ def _ivf_centroids(
     and the per-probe <q, cent> term) build them ONCE and share the
     relation with the assign/probe front half."""
     if codebook is not None:
-        if codebook.count() > 256:
+        if codebook.count() > _CELL_PACK:
             raise ValueError(
-                "codebook cell_id must fit in 8 bits (<=256 cells)"
+                "codebook cell_id must fit in the packed-argmax field "
+                f"(<= {_CELL_PACK} cells)"
             )
         return with_norm(codebook, vec_col="cent", out="cent_norm").select(
             F.col("cell_id").cast("int"), "cent", "cent_norm"
+        )
+    if n_cells > _CELL_PACK:
+        raise ValueError(
+            f"n_cells {n_cells} exceeds the packed-argmax cell-id field "
+            f"({_CELL_PACK})"
         )
     return with_norm(
         emb.filter(
@@ -403,6 +409,86 @@ def _ivf_centroids(
     )
 
 
+def _assign_cells_kernel(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "neighbor_id",
+    emb_col: str = "c_emb",
+    norm_col: str = "c_norm",
+    with_cos: bool = False,
+) -> DataFrame:
+    """``assigned_ids`` (the corpus → cell argmax of ``_ivf_assign_probe``)
+    as an Arrow kernel — BIT-IDENTICAL results (equality-pinned in
+    test_similarity.py, including cells > 255), for the corpus x codebook
+    pass that dominates IVF build cost at real cell counts.
+
+    Why: the HOF path materializes corpus x n_cells rows through an
+    interpreted ``aggregate(zip_with(...))`` fold (~1M pairs/s measured);
+    a 200k-vector corpus against a sqrt(N)-sized codebook (~16k cells)
+    is 3.3e9 pairs — hours interpreted, seconds as batched numpy. The
+    exactness discipline is knn_brute_force_kernel's: dot products
+    accumulate ACROSS ROWS with numpy but ACROSS DIMS sequentially
+    (``acc += M[:, i:i+1] * C[:, i]``, one outer-product FMA per dim in
+    dim order) — the exact IEEE operation order of the Column fold — and
+    the argmax runs on round(cos, 6) with ``np.argmax``'s first-max rule
+    over cell-id-sorted centroids, which IS the packed-BIGINT tie-break
+    (lowest cell id wins equal rounded cosines).
+
+    The centroid block is collected to the driver — model-sized by the
+    same contract that licenses the HOF form's broadcast. Row chunks of
+    512 bound the per-task (chunk x n_cells) affinity block to ~70 MB
+    at 16k cells.
+
+    ``with_cos=True`` also emits the achieved round(cos, 6) as
+    ``cent_cos`` (the ``_assign_cells`` contract SemDeDup consumes) —
+    the np.round value IS the packed-micro decode, /1e6 being one
+    correctly-rounded IEEE division on either path."""
+    import numpy as np
+
+    c_rows = cents.select("cell_id", "cent", "cent_norm").collect()
+    cell_ids = np.array([r["cell_id"] for r in c_rows], dtype=np.int64)
+    order = np.argsort(cell_ids, kind="stable")
+    cell_ids = cell_ids[order]
+    C = np.stack(
+        [np.asarray(c_rows[i]["cent"], dtype=np.float64) for i in order]
+    )
+    cn = np.array([c_rows[i]["cent_norm"] for i in order], dtype=np.float64)
+    dims = C.shape[1]
+    chunk = 512
+    out_schema = f"{id_col} long, cell_id int" + (
+        ", cent_cos double" if with_cos else ""
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[emb_col]]
+            )
+            vn = pdf[norm_col].to_numpy(np.float64)
+            out = np.empty(len(ids), dtype=np.int64)
+            best = np.empty(len(ids), dtype=np.float64)
+            for s in range(0, len(ids), chunk):
+                e = min(s + chunk, len(ids))
+                acc = np.zeros((e - s, len(cell_ids)))
+                for i in range(dims):  # sequential dim order == the fold
+                    acc += M[s:e, i : i + 1] * C[:, i]
+                cos = np.round(acc / (vn[s:e, None] * cn[None, :]), 6)
+                arg = np.argmax(cos, axis=1)
+                out[s:e] = cell_ids[arg]
+                best[s:e] = cos[np.arange(e - s), arg]
+            cols = {id_col: ids, "cell_id": out.astype(np.int32)}
+            if with_cos:
+                cols["cent_cos"] = best
+            yield pd.DataFrame(cols)
+
+    return corpus.mapInPandas(assign, out_schema)
+
+
 def _ivf_assign_probe(
     emb: DataFrame,
     n_queries: int,
@@ -410,6 +496,7 @@ def _ivf_assign_probe(
     n_probe: int,
     codebook: DataFrame | None,
     cents: DataFrame | None = None,
+    assign_kernel: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """IVF front half shared by ``knn_ivf`` and the compressed-store
     variant (compression.knn_ivf_int8) — ONE implementation so the two
@@ -428,9 +515,13 @@ def _ivf_assign_probe(
       ONE exact BIGINT because max(struct(...)) silently degrades to
       SortAggregate (the trap aggregates.top_host_per_window
       documents); scaled by 1e6 the 6-dp-rounded cosine is
-      integer-exact, and the low 8 bits break ties toward the lowest
-      cell id. (A row_number window would sort n_cells x corpus rows
-      with their arrays — wrong shape at scale.)
+      integer-exact, and the low _CELL_PACK-width bits break ties
+      toward the lowest cell id. The field is 20 bits (1M cells) —
+      an 8-bit field here silently wrapped assignments mod 256 for
+      any n_cells > 256, poisoning residual encoding at exactly the
+      cell counts a 100 TB corpus needs (caught by the r10 clustered
+      scaling fixture). (A row_number window would sort n_cells x
+      corpus rows with their arrays — wrong shape at scale.)
     - probes: each query's n_probe nearest cells (tiny relation,
       queries x cells), ranked with the same sort_array+slice top-k
       shape as _rank_top_k so the whole kNN family stays window-free —
@@ -453,24 +544,30 @@ def _ivf_assign_probe(
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    aff = corpus.crossJoin(F.broadcast(cents)).select(
-        "neighbor_id",
-        "cell_id",
-        F.round(
-            cosine_from_norms("c_emb", "cent", "c_norm", "cent_norm"), 6
-        ).alias("cos"),
-    )
-    packed = (
-        F.round(F.col("cos") * 1_000_000, 0).cast("long") + 1_000_000
-    ) * 256 + (255 - F.col("cell_id"))
-    assigned_ids = (
-        aff.groupBy("neighbor_id")
-        .agg(F.max(packed).alias("p"))
-        .select(
+    if assign_kernel:
+        assigned_ids = _assign_cells_kernel(corpus, cents)
+    else:
+        aff = corpus.crossJoin(F.broadcast(cents)).select(
             "neighbor_id",
-            (255 - F.col("p") % 256).cast("int").alias("cell_id"),
+            "cell_id",
+            F.round(
+                cosine_from_norms("c_emb", "cent", "c_norm", "cent_norm"),
+                6,
+            ).alias("cos"),
         )
-    )
+        packed = (
+            F.round(F.col("cos") * 1_000_000, 0).cast("long") + 1_000_000
+        ) * _CELL_PACK + (_CELL_PACK - 1 - F.col("cell_id"))
+        assigned_ids = (
+            aff.groupBy("neighbor_id")
+            .agg(F.max(packed).alias("p"))
+            .select(
+                "neighbor_id",
+                (_CELL_PACK - 1 - F.col("p") % _CELL_PACK)
+                .cast("int")
+                .alias("cell_id"),
+            )
+        )
     probe_item = F.struct(
         (
             -F.round(
@@ -506,10 +603,14 @@ def knn_ivf(
     n_probe: int = N_PROBE,
     k: int = 3,
     codebook: DataFrame | None = None,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into ``n_cells`` cells
     (nearest centroid by cosine), search only each query's ``n_probe``
-    nearest cells.
+    nearest cells. ``assign_kernel=True`` swaps the corpus → cell
+    argmax for the bit-identical Arrow kernel (_assign_cells_kernel) —
+    the build-cost path for real (sqrt-N-sized) codebooks; the default
+    stays HOF so the registered oracle query keeps its all-JVM plan.
 
     The default codebook is deterministic — the first ``n_cells``
     corpus vectors serve as centroids — so the DuckDB oracle can
@@ -518,8 +619,8 @@ def knn_ivf(
     clustering.kmeans_centroids) to swap in a TRAINED codebook: the
     plan shape is byte-for-byte identical (broadcast codebook,
     packed-BIGINT hash-agg assignment) — asserted in
-    tests/test_similarity.py. ``cell_id`` must fit in 8 bits (the
-    packed tie-break); guarded below.
+    tests/test_similarity.py. ``cell_id`` must fit in the 20-bit
+    packed tie-break field (<= 2^20 cells); guarded below.
 
     Scale shape: assignment is corpus x codebook with the codebook
     broadcast (the only full-corpus pass); at 100 TB the cell id
@@ -528,7 +629,8 @@ def knn_ivf(
     round(cosine, 6) — float-associativity-safe against the oracle.
     """
     corpus, queries, assigned_ids, probes = _ivf_assign_probe(
-        emb, n_queries, n_cells, n_probe, codebook
+        emb, n_queries, n_cells, n_probe, codebook,
+        assign_kernel=assign_kernel,
     )
     assigned = corpus.join(assigned_ids, "neighbor_id")
     scored = assigned.join(F.broadcast(probes), "cell_id").select(
@@ -661,7 +763,10 @@ def embedding_near_dup_pairs(
 
 
 def _assign_cells(
-    corpus: DataFrame, cents: DataFrame, id_col: str = "vec_id"
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    kernel: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment with the knn_ivf packed-BIGINT
     hash-agg idiom (see the long rationale there: max(struct) degrades
@@ -672,11 +777,25 @@ def _assign_cells(
     division, identical to round(cos, 6) on either engine), so no
     second corpus-sized join is needed to recover it.
 
-    Unlike knn_ivf's 8-bit tie-break field, the cell id gets 20 bits
-    here (up to ~1M cells): SemDeDup's whole scale story is many small
-    clusters (the paper runs 50k), while an IVF codebook stays small.
-    micro-cosine needs 21 bits, so the pack tops out at ~2^41 — well
-    inside a BIGINT."""
+    The cell id gets the same 20-bit field as knn_ivf's assignment
+    (since r10 — the IVF path's former 8-bit field silently wrapped
+    cell ids mod 256): SemDeDup's whole scale story is many small
+    clusters (the paper runs 50k). micro-cosine needs 21 bits, so the
+    pack tops out at ~2^41 — well inside a BIGINT.
+
+    ``kernel=True`` swaps in the bit-identical Arrow kernel
+    (_assign_cells_kernel, equality-pinned in test_similarity.py) —
+    at paper-scale cluster counts the interpreted corpus x n_cells
+    fold is the build bottleneck, exactly as in the IVF family."""
+    if kernel:
+        return _assign_cells_kernel(
+            corpus,
+            cents,
+            id_col=id_col,
+            emb_col="embedding",
+            norm_col="norm",
+            with_cos=True,
+        )
     aff = corpus.crossJoin(F.broadcast(cents)).select(
         id_col,
         "cell_id",
@@ -729,6 +848,7 @@ def semantic_prune(
     threshold: float = SEMDEDUP_TAU,
     codebook: DataFrame | None = None,
     block: int = SEMDEDUP_BLOCK,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping, within each
@@ -770,7 +890,9 @@ def semantic_prune(
     import numpy as np
     import pandas as pd
 
-    assigned_emb = _prune_assigned(emb, n_cells, codebook)
+    assigned_emb = _prune_assigned(
+        emb, n_cells, codebook, assign_kernel=assign_kernel
+    )
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(np.int64)
@@ -829,7 +951,10 @@ def semantic_prune(
 
 
 def _prune_assigned(
-    emb: DataFrame, n_cells: int | None, codebook: DataFrame | None
+    emb: DataFrame,
+    n_cells: int | None,
+    codebook: DataFrame | None,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """Shared front half of both semantic_prune forms: normed corpus
     joined with its cell assignment. Default codebook = the ``n_cells``
@@ -853,7 +978,7 @@ def _prune_assigned(
     corpus = persist_tracked(
         with_norm(spread(emb, "vec_id")).select("vec_id", "embedding", "norm")
     )
-    assigned = _assign_cells(corpus, cents)
+    assigned = _assign_cells(corpus, cents, kernel=assign_kernel)
     return corpus.select("vec_id", "embedding").join(assigned, "vec_id")
 
 
@@ -862,12 +987,15 @@ def semantic_prune_join(
     n_cells: int | None = None,
     threshold: float = SEMDEDUP_TAU,
     codebook: DataFrame | None = None,
+    assign_kernel: bool = False,
 ) -> DataFrame:
     """Pair-join form of ``semantic_prune`` — identical output (pinned
     in tests), plan shape = within-cluster self-join + left-anti on the
     dominated set. The skew-safe fallback: sort-merge streams a hot
     cluster instead of materializing its Gram matrix."""
-    assigned_emb = with_norm(_prune_assigned(emb, n_cells, codebook))
+    assigned_emb = with_norm(
+        _prune_assigned(emb, n_cells, codebook, assign_kernel=assign_kernel)
+    )
     l = assigned_emb.alias("l")
     r = assigned_emb.alias("r")
     dominated = (

@@ -349,12 +349,12 @@ def test_guards_fail_fast(spark, emb):
         pq_encode,
     )
 
-    big_cb = spark.range(300).select(
+    huge_cb = spark.range(2**20 + 1).select(
         F.col("id").cast("int").alias("cell_id"),
-        F.array(*[F.lit(1.0)] * 64).alias("cent"),
+        F.array(F.lit(1.0)).alias("cent"),
     )
-    with pytest.raises(ValueError, match="8 bits"):
-        knn_ivf_int8(emb, k=3, codebook=big_cb)
+    with pytest.raises(ValueError, match="packed-argmax"):
+        knn_ivf_int8(emb, k=3, codebook=huge_cb)
 
     with pytest.raises(ValueError, match="tinyint"):
         pq_codebooks(emb, m=8, n_codes=200)
@@ -609,3 +609,20 @@ def test_dims_probe_skips_null_vectors(spark):
     all_null = mixed.filter(F.col("embedding").isNull())
     assert _probe_dims(all_null, "embedding") is None
     _pq_guard(all_null, 3, "embedding")  # degrades to empty-input: no raise
+
+
+def test_ivf_family_assign_kernel_equals_hof(spark, emb):
+    """assign_kernel=True must be output-invariant across the whole
+    compressed-IVF family (the assignment is bit-identical, so every
+    downstream relation is too)."""
+    from flink_exercise_spark.operators.compression import (
+        knn_ivf_pq,
+        knn_ivf_pq_residual,
+    )
+
+    for fn in (knn_ivf_int8, knn_ivf_pq, knn_ivf_pq_residual):
+        a = sorted(tuple(r) for r in fn(emb, k=3).collect())
+        b = sorted(
+            tuple(r) for r in fn(emb, k=3, assign_kernel=True).collect()
+        )
+        assert a == b and len(a) > 0, fn.__name__

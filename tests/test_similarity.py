@@ -413,3 +413,140 @@ def test_kernel_knn_fuzz_bit_equal(spark):
             for r in knn_brute_force_kernel(emb, n_queries=5, k=k).collect()
         )
         assert a == b, f"case {case}"
+
+
+def test_ivf_assignment_correct_beyond_256_cells(spark):
+    """Regression (r10): the packed-argmax tie-break field was 8 bits,
+    so any n_cells > 256 silently wrapped assignments mod 256 (a member
+    of cell 256 came back as cell 0) — poisoning residual IVF-PQ at
+    exactly the cell counts a large corpus needs. The field is now the
+    _CELL_PACK 20-bit width; pin a member of a >255 cell landing in its
+    true cell under the deterministic codebook."""
+    from flink_exercise_spark.operators.similarity import (
+        _ivf_assign_probe,
+    )
+
+    n_cells, dims = 300, 300
+    rows = []
+    for q in range(10):  # queries: one-hot of cells 0..9
+        v = [0.0] * dims
+        v[q] = 1.0
+        rows.append((q, v))
+    for cell in range(n_cells):  # seed vectors = the codebook
+        v = [0.0] * dims
+        v[cell] = 1.0
+        rows.append((10 + cell, v))
+    for cell in (0, 255, 256, 299):  # members with a small off-axis tilt
+        v = [0.0] * dims
+        v[cell] = 1.0
+        v[(cell + 1) % dims] = 0.05
+        rows.append((1000 + cell, v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    _, _, assigned_ids, _ = _ivf_assign_probe(
+        emb, n_queries=10, n_cells=n_cells, n_probe=1, codebook=None
+    )
+    got = {
+        r["neighbor_id"]: r["cell_id"]
+        for r in assigned_ids.filter(
+            F.col("neighbor_id") >= 1000
+        ).collect()
+    }
+    assert got == {1000: 0, 1255: 255, 1256: 256, 1299: 299}
+
+
+def test_assign_cells_kernel_bit_equal_to_hof(spark):
+    """The Arrow assignment kernel must reproduce the packed-BIGINT
+    HOF assignment bit for bit — on the fixture embeddings (8-cell
+    default) AND on the >255-cell crafted corpus (the regression
+    geometry), including the lowest-cell-id tie-break."""
+    from flink_exercise_spark.operators.similarity import (
+        _ivf_assign_probe,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for n_cells in (8,):
+        _, _, hof, _ = _ivf_assign_probe(
+            emb, n_queries=10, n_cells=n_cells, n_probe=1, codebook=None
+        )
+        _, _, ker, _ = _ivf_assign_probe(
+            emb,
+            n_queries=10,
+            n_cells=n_cells,
+            n_probe=1,
+            codebook=None,
+            assign_kernel=True,
+        )
+        a = sorted(tuple(r) for r in hof.collect())
+        b = sorted(tuple(r) for r in ker.collect())
+        assert a == b and len(a) > 0
+
+    # duplicated centroid -> exact cosine tie; both must pick the
+    # lower cell id
+    cb = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (1, [1.0, 0.0]), (0, [0.0, 1.0])],
+        "cell_id int, cent array<double>",
+    )
+    tie = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (10, [0.9, 0.1]), (11, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    _, _, hof, _ = _ivf_assign_probe(
+        tie, n_queries=1, n_cells=3, n_probe=1, codebook=cb
+    )
+    _, _, ker, _ = _ivf_assign_probe(
+        tie, n_queries=1, n_cells=3, n_probe=1, codebook=cb,
+        assign_kernel=True,
+    )
+    a = {r["neighbor_id"]: r["cell_id"] for r in hof.collect()}
+    b = {r["neighbor_id"]: r["cell_id"] for r in ker.collect()}
+    assert a == b == {10: 1, 11: 0}
+
+
+def test_knn_ivf_assign_kernel_equals_hof_end_to_end(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    from flink_exercise_spark.operators.similarity import knn_ivf
+
+    a = sorted(tuple(r) for r in knn_ivf(emb, k=3).collect())
+    b = sorted(
+        tuple(r) for r in knn_ivf(emb, k=3, assign_kernel=True).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_assign_cells_kernel_with_cos_equals_hof(spark):
+    """The SemDeDup assignment (``_assign_cells``) with ``kernel=True``
+    must match the packed-BIGINT HOF form bit for bit, INCLUDING the
+    decoded cent_cos (np.round value == packed-micro / 1e6), and the
+    whole semantic_prune output must be invariant to the switch."""
+    from flink_exercise_spark.functions.vectors import with_norm
+    from flink_exercise_spark.operators.similarity import (
+        _assign_cells,
+        semantic_prune,
+    )
+    from flink_exercise_spark.sources.tables import spread
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = with_norm(spread(emb, "vec_id")).select(
+        "vec_id", "embedding", "norm"
+    )
+    cents = with_norm(
+        emb.filter(F.col("vec_id") < 8), vec_col="embedding"
+    ).select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.col("embedding").alias("cent"),
+        F.col("norm").alias("cent_norm"),
+    )
+    a = sorted(tuple(r) for r in _assign_cells(corpus, cents).collect())
+    b = sorted(
+        tuple(r)
+        for r in _assign_cells(corpus, cents, kernel=True).collect()
+    )
+    assert a == b and len(a) > 0
+
+    p_hof = sorted(tuple(r) for r in semantic_prune(emb).collect())
+    p_ker = sorted(
+        tuple(r) for r in semantic_prune(emb, assign_kernel=True).collect()
+    )
+    assert p_hof == p_ker and len(p_hof) > 0
