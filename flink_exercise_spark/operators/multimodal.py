@@ -12,7 +12,9 @@ kernel is a clearly-marked deterministic fake (FakeImageCodec) behind
 the same interface a real libvips/PIL/ffmpeg kernel would implement.
 Five image/audio seams are REAL, stdlib-only: uncompressed 24-bit BMP
 (BmpImageCodec, r7), compressed PNG (PngImageCodec, r8 — zlib inflate
-+ per-scanline unfilter, all five filter types), compressed GIF
++ per-scanline unfilter, all five filter types; r10 adds Adam7
+interlace: seven independently-unfiltered passes de-interlaced into
+the raster), compressed GIF
 (GifImageCodec, r8 — hand-rolled variable-width LZW; GIF's entropy
 coding has no stdlib module to lean on), baseline JPEG
 (JpegImageCodec, r10 — canonical Huffman + dequant + exact IDCT of
@@ -156,10 +158,13 @@ class PngImageCodec:
     Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
     (palette: PLTE lookup after the shared inflate+unfilter path —
     r9, the most common real class after RGB), 4 (gray+alpha), 6
-    (RGBA), interlace 0, all five filter types
-    (None/Sub/Up/Average/Paeth). Sub-byte palette depths, 16-bit
-    channels, and Adam7 interlacing raise NotImplementedError — still
-    a documented seam, narrower again."""
+    (RGBA), interlace 0 AND Adam7 interlace 1 (r10: seven passes
+    unfiltered independently — per-pass filter bytes and previous-row
+    state — then de-interlaced into the raster via the standard
+    origin/step tables; empty passes carry no bytes, per spec), all
+    five filter types (None/Sub/Up/Average/Paeth). Sub-byte palette
+    depths and 16-bit channels raise NotImplementedError — still a
+    documented seam, narrower again."""
 
     # samples per pixel in the filtered stream; palette (3) is ONE
     # index byte per pixel — the unfilter path is shared, only the
@@ -179,7 +184,7 @@ class PngImageCodec:
                 f"real decoder covers 8-bit gray/RGB/palette/GA/RGBA "
                 f"only (got depth={depth}, color_type={color})"
             )
-        if comp != 0 or filt != 0 or interlace != 0:
+        if comp != 0 or filt != 0 or interlace not in (0, 1):
             raise NotImplementedError(
                 f"unsupported PNG encoding (compression={comp}, "
                 f"filter_method={filt}, interlace={interlace})"
@@ -228,15 +233,36 @@ class PngImageCodec:
             data = zlib.decompress(bytes(idat))
         except zlib.error as exc:
             raise NotImplementedError(f"corrupt PNG IDAT stream: {exc}")
+        if payload[28] == 1:  # Adam7
+            raw = self._deinterlace_adam7(data, width, height, channels)
+            return width, height, channels, raw
         stride = width * channels
         if len(data) != (stride + 1) * height:
             raise NotImplementedError(
                 f"PNG scanline data is {len(data)} bytes, expected "
                 f"{(stride + 1) * height}"
             )
+        out, pos = self._unfilter_pass(data, 0, width, height, channels)
+        if pos != len(data):
+            raise NotImplementedError("trailing bytes after PNG scanlines")
+        return width, height, channels, bytes(out)
+
+    def _unfilter_pass(
+        self, data: bytes, pos: int, width: int, height: int, channels: int
+    ) -> tuple[bytearray, int]:
+        """Unfilter one (sub-)image of ``height`` scanlines starting at
+        ``pos``: each line is 1 filter byte + width*channels samples,
+        filters reference the previous line OF THIS IMAGE only (fresh
+        zero prev — exactly why Adam7 passes unfilter independently).
+        Returns (samples, next pos)."""
+        stride = width * channels
+        if pos + (stride + 1) * height > len(data):
+            raise NotImplementedError(
+                f"PNG scanline data is {len(data)} bytes, expected at "
+                f"least {pos + (stride + 1) * height}"
+            )
         out = bytearray()
         prev = bytes(stride)
-        pos = 0
         for _ in range(height):
             ft = data[pos]
             cur = bytearray(data[pos + 1 : pos + 1 + stride])
@@ -260,7 +286,46 @@ class PngImageCodec:
                 raise NotImplementedError(f"unknown PNG filter type {ft}")
             out += cur
             prev = bytes(cur)
-        return width, height, channels, bytes(out)
+        return out, pos
+
+    # Adam7 pass geometry: (x origin, y origin, x step, y step)
+    _ADAM7 = (
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    )
+
+    def _deinterlace_adam7(
+        self, data: bytes, width: int, height: int, channels: int
+    ) -> bytes:
+        """Seven independent sub-images, concatenated in pass order in
+        the inflated stream; a pass with zero rows or columns carries
+        NO bytes (not even filter bytes, per the spec). Each decoded
+        pass pixel (i, j) lands at raster (x0 + i*dx, y0 + j*dy)."""
+        out = bytearray(width * height * channels)
+        pos = 0
+        for x0, y0, dx, dy in self._ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, pos = self._unfilter_pass(data, pos, pw, ph, channels)
+            for j in range(ph):
+                src = j * pw * channels
+                y = y0 + j * dy
+                for i in range(pw):
+                    dst = (y * width + x0 + i * dx) * channels
+                    s = src + i * channels
+                    out[dst : dst + channels] = sub[s : s + channels]
+        if pos != len(data):
+            raise NotImplementedError(
+                "trailing bytes after Adam7 PNG passes"
+            )
+        return bytes(out)
 
     def _plte(self, payload: bytes) -> bytes:
         """The PLTE chunk's RGB triples (mandatory for color type 3;

@@ -513,8 +513,9 @@ def test_png_palette_seams():
 
 def test_png_sniff_and_seam_boundaries():
     """Strict sniff: no text payload routes to the PNG codec; sub-byte
-    palette / 16-bit / interlaced / truncated containers hit the
-    documented seam instead of crashing."""
+    palette / 16-bit / invalid-interlace / truncated containers hit
+    the documented seam instead of crashing (Adam7 itself decodes
+    since r10)."""
     from flink_exercise_spark.operators.multimodal import (
         PNG_DECODER,
         _looks_bmp,
@@ -538,7 +539,10 @@ def test_png_sniff_and_seam_boundaries():
     with pytest.raises(NotImplementedError, match="depth"):
         PNG_DECODER.probe(bytes(base))
     base = bytearray(png)
-    base[28] = 1  # Adam7 interlace
+    base[28] = 1  # Adam7 interlace: SUPPORTED since r10 — probes fine
+    PNG_DECODER.probe(bytes(base))
+    base = bytearray(png)
+    base[28] = 2  # invalid interlace method stays the seam
     with pytest.raises(NotImplementedError, match="interlace"):
         PNG_DECODER.probe(bytes(base))
     with pytest.raises(NotImplementedError):
@@ -1061,3 +1065,197 @@ def test_jpeg_real_decode_via_spark(spark):
     assert r["format"] == "jpeg"
     assert (r["width"], r["height"]) == (16, 16)
     assert r["mean_luma"] == round((132 + 134 + 130 + 136) / 4 / 255.0, 6)
+
+
+# --- Adam7 interlaced PNG (r10 seam fill) -------------------------------------
+
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _encode_png_adam7(rows, channels=3, color_type=None, plte=None,
+                      filters_by_pass=None):
+    """Interlaced twin of _encode_png: split the raster into the seven
+    Adam7 passes, filter each pass independently (fresh zero prev —
+    the property the decoder must honor), concatenate pass streams in
+    order, set the IHDR interlace byte to 1."""
+    import binascii
+    import zlib
+
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[channels] if color_type is None else color_type
+    h = len(rows)
+    w = len(rows[0]) // channels
+
+    def filt(ft, cur, prev):
+        out = bytearray([ft])
+        for i, x in enumerate(cur):
+            left = cur[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            if ft == 0:
+                f = 0
+            elif ft == 1:
+                f = left
+            elif ft == 2:
+                f = up
+            elif ft == 3:
+                f = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                f = (
+                    left
+                    if pa <= pb and pa <= pc
+                    else (up if pb <= pc else ul)
+                )
+            out.append((x - f) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    for pidx, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        ft = (filters_by_pass or [0] * 7)[pidx]
+        prev = bytes(pw * channels)
+        for j in range(ph):
+            y = y0 + j * dy
+            cur = bytearray()
+            for i in range(pw):
+                o = (x0 + i * dx) * channels
+                cur += rows[y][o : o + channels]
+            raw += filt(ft, bytes(cur), prev)
+            prev = bytes(cur)
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + binascii.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+        [8, ct, 0, 0, 1]
+    )
+    plte_chunk = chunk(b"PLTE", plte) if plte is not None else b""
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + plte_chunk
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _raster(w, h, channels):
+    """Deterministic raster with distinct values everywhere so any
+    misplacement is a byte diff, not a coincidence."""
+    return [
+        bytes(
+            (7 * y + 13 * x + 29 * c + 3) % 256
+            for x in range(w)
+            for c in range(channels)
+        )
+        for y in range(h)
+    ]
+
+
+def test_png_adam7_bit_exact_vs_progressive():
+    """Adam7-interlaced decode must reproduce EXACTLY the samples the
+    progressive (interlace 0) encoding of the same raster yields —
+    across sizes that exercise empty passes (1x1 leaves six passes
+    empty), odd dims, and per-pass nonzero filters."""
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    for (w, h) in ((1, 1), (2, 2), (3, 3), (5, 7), (8, 8), (9, 10)):
+        rows = _raster(w, h, 3)
+        plain = _encode_png(rows, channels=3)
+        inter = _encode_png_adam7(rows, channels=3)
+        assert PNG_DECODER.decode_pixels(plain) == PNG_DECODER.decode_pixels(
+            inter
+        ), (w, h)
+        assert PNG_DECODER.decode(plain) == PNG_DECODER.decode(inter)
+
+    # nonzero filters chosen per pass: unfilter state must reset at
+    # every pass boundary or Sub/Up/Paeth bleed across passes
+    rows = _raster(9, 10, 3)
+    inter = _encode_png_adam7(
+        rows, channels=3, filters_by_pass=[1, 2, 3, 4, 1, 2, 4]
+    )
+    assert PNG_DECODER.decode_pixels(inter) == PNG_DECODER.decode_pixels(
+        _encode_png(rows, channels=3)
+    )
+
+
+def test_png_adam7_channel_variants_and_palette():
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    for channels in (1, 2, 4):
+        rows = _raster(5, 6, channels)
+        assert PNG_DECODER.decode(
+            _encode_png_adam7(rows, channels=channels)
+        ) == PNG_DECODER.decode(_encode_png(rows, channels=channels))
+
+    plte = bytes(range(12))  # 4 entries
+    rows = [bytes((x + y) % 4 for x in range(5)) for y in range(6)]
+    a = PNG_DECODER.decode(
+        _encode_png(rows, channels=1, color_type=3, plte=plte)
+    )
+    b = PNG_DECODER.decode(
+        _encode_png_adam7(rows, channels=1, color_type=3, plte=plte)
+    )
+    assert a == b
+
+
+def test_png_adam7_truncation_is_a_seam():
+    import pytest as _pytest
+
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    rows = _raster(9, 10, 3)
+    inter = bytearray(_encode_png_adam7(rows, channels=3))
+    # re-deflate a truncated pass stream so zlib still inflates
+    import binascii
+    import zlib
+
+    raw = b""
+    pos = 8
+    while pos + 8 <= len(inter):
+        ln = int.from_bytes(inter[pos : pos + 4], "big")
+        if inter[pos + 4 : pos + 8] == b"IDAT":
+            raw = zlib.decompress(bytes(inter[pos + 8 : pos + 8 + ln]))
+            break
+        pos += 12 + ln
+
+    def rebuild(new_raw):
+        def chunk(ctype, data):
+            return (
+                len(data).to_bytes(4, "big")
+                + ctype
+                + data
+                + binascii.crc32(ctype + data).to_bytes(4, "big")
+            )
+
+        ihdr = (9).to_bytes(4, "big") + (10).to_bytes(4, "big") + bytes(
+            [8, 2, 0, 0, 1]
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(new_raw))
+            + chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(NotImplementedError, match="scanline data"):
+        PNG_DECODER.decode_pixels(rebuild(raw[:-5]))
+    with _pytest.raises(NotImplementedError, match="trailing bytes"):
+        PNG_DECODER.decode_pixels(rebuild(raw + b"\x00"))
