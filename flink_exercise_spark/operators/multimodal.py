@@ -12,11 +12,13 @@ kernel is a clearly-marked deterministic fake (FakeImageCodec) behind
 the same interface a real libvips/PIL/ffmpeg kernel would implement.
 Five image/audio seams are REAL, stdlib-only: uncompressed 24-bit BMP
 (BmpImageCodec, r7), compressed PNG (PngImageCodec, r8 — zlib inflate
-+ per-scanline unfilter, all five filter types; r10 adds Adam7
-interlace: seven independently-unfiltered passes de-interlaced into
-the raster), compressed GIF
++ per-scanline unfilter, all five filter types; r10 completes the
+format: Adam7 interlace, sub-byte depths 1/2/4, 16-bit channels —
+every legal depth x color-type x interlace combination decodes),
+compressed GIF
 (GifImageCodec, r8 — hand-rolled variable-width LZW; GIF's entropy
-coding has no stdlib module to lean on), baseline JPEG
+coding has no stdlib module to lean on; r10 adds interlaced frames:
+the 4-pass row permutation), baseline JPEG
 (JpegImageCodec, r10 — canonical Huffman + dequant + exact IDCT of
 the luma plane; progressive/arithmetic/12-bit remain the narrowed
 seam) and 16-bit PCM mono
@@ -155,21 +157,33 @@ class PngImageCodec:
     same (format, width, height, mean_luma) contract as
     FakeImageCodec/BmpImageCodec, values from actual pixel data.
 
-    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3
-    (palette: PLTE lookup after the shared inflate+unfilter path —
-    r9, the most common real class after RGB), 4 (gray+alpha), 6
-    (RGBA), interlace 0 AND Adam7 interlace 1 (r10: seven passes
-    unfiltered independently — per-pass filter bytes and previous-row
-    state — then de-interlaced into the raster via the standard
-    origin/step tables; empty passes carry no bytes, per spec), all
-    five filter types (None/Sub/Up/Average/Paeth). Sub-byte palette
-    depths and 16-bit channels raise NotImplementedError — still a
-    documented seam, narrower again."""
+    Supported since r10: EVERY legal (depth, color type) combination —
+    depths 1/2/4 (gray and palette, per spec the only sub-byte
+    classes), 8 (all five color types), 16 (gray/RGB/GA/RGBA; the
+    spec forbids 16-bit palette) — under interlace 0 AND Adam7
+    interlace 1 (seven passes unfiltered independently — per-pass
+    filter bytes and previous-row state — then de-interlaced into the
+    raster via the standard origin/step tables; empty passes carry no
+    bytes, per spec), all five filter types
+    (None/Sub/Up/Average/Paeth). Filters operate on BYTES with the
+    spec's bpp = max(1, channels * depth / 8) left-offset, so the one
+    unfilter path serves every depth; sub-byte rows unpack MSB-first
+    after unfiltering, 16-bit samples join big-endian. Luma divides
+    by the depth's max value (2^depth - 1), so a 16-bit gradient and
+    its 8-bit quantization agree to ~1/255."""
 
     # samples per pixel in the filtered stream; palette (3) is ONE
-    # index byte per pixel — the unfilter path is shared, only the
+    # index per pixel — the unfilter path is shared, only the
     # luma step differs (indexed PLTE lookup)
     _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    # legal depths per color type (PNG spec table 11.1)
+    _DEPTHS = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }
 
     def probe(self, payload: bytes) -> tuple[int, int, int]:
         """IHDR-only parse: (width, height, channels). O(1) — the dims
@@ -179,10 +193,10 @@ class PngImageCodec:
         width = int.from_bytes(payload[16:20], "big")
         height = int.from_bytes(payload[20:24], "big")
         depth, color, comp, filt, interlace = payload[24:29]
-        if depth != 8 or color not in self._CHANNELS:
+        if color not in self._CHANNELS or depth not in self._DEPTHS[color]:
             raise NotImplementedError(
-                f"real decoder covers 8-bit gray/RGB/palette/GA/RGBA "
-                f"only (got depth={depth}, color_type={color})"
+                f"illegal PNG depth/color combination "
+                f"(depth={depth}, color_type={color})"
             )
         if comp != 0 or filt != 0 or interlace not in (0, 1):
             raise NotImplementedError(
@@ -206,13 +220,33 @@ class PngImageCodec:
         return c
 
     def decode_pixels(self, payload: bytes) -> tuple[int, int, int, bytes]:
-        """Full decode: (width, height, channels, raw) with ``raw`` the
-        unfiltered row-major samples (height x width x channels bytes).
-        Split from ``decode`` so tests can pin the unfilter arithmetic
-        byte-for-byte against known pixel data per filter type."""
+        """8-bit decode: (width, height, channels, raw) with ``raw``
+        the unfiltered row-major samples (height x width x channels
+        bytes). Split from ``decode`` so tests can pin the unfilter
+        arithmetic byte-for-byte against known pixel data per filter
+        type; non-8-bit depths flow through ``_decode_samples``
+        (integer samples + depth) instead of this byte view."""
+        width, height, channels, samples, depth = self._decode_samples(
+            payload
+        )
+        if depth != 8:
+            raise NotImplementedError(
+                "decode_pixels is the 8-bit byte view; use "
+                "_decode_samples for other depths"
+            )
+        return width, height, channels, bytes(samples)
+
+    def _decode_samples(
+        self, payload: bytes
+    ) -> tuple[int, int, int, list[int], int]:
+        """Full decode to integer samples: (width, height, channels,
+        samples, depth) with ``samples`` the row-major
+        width x height x channels channel values (raw index values for
+        palette images) in [0, 2^depth - 1]."""
         import zlib
 
         width, height, channels = self.probe(payload)
+        depth = payload[24]
         # Walk chunks: 4-byte BE length, 4-byte type, data, 4-byte CRC.
         idat = bytearray()
         pos = 8
@@ -234,57 +268,78 @@ class PngImageCodec:
         except zlib.error as exc:
             raise NotImplementedError(f"corrupt PNG IDAT stream: {exc}")
         if payload[28] == 1:  # Adam7
-            raw = self._deinterlace_adam7(data, width, height, channels)
-            return width, height, channels, raw
-        stride = width * channels
-        if len(data) != (stride + 1) * height:
-            raise NotImplementedError(
-                f"PNG scanline data is {len(data)} bytes, expected "
-                f"{(stride + 1) * height}"
+            samples = self._deinterlace_adam7(
+                data, width, height, channels, depth
             )
-        out, pos = self._unfilter_pass(data, 0, width, height, channels)
+            return width, height, channels, samples, depth
+        sub, pos = self._pass_samples(data, 0, width, height, channels, depth)
         if pos != len(data):
-            raise NotImplementedError("trailing bytes after PNG scanlines")
-        return width, height, channels, bytes(out)
+            raise NotImplementedError(
+                f"PNG scanline data is {len(data)} bytes, expected {pos}"
+            )
+        return width, height, channels, sub, depth
 
-    def _unfilter_pass(
-        self, data: bytes, pos: int, width: int, height: int, channels: int
-    ) -> tuple[bytearray, int]:
-        """Unfilter one (sub-)image of ``height`` scanlines starting at
-        ``pos``: each line is 1 filter byte + width*channels samples,
-        filters reference the previous line OF THIS IMAGE only (fresh
-        zero prev — exactly why Adam7 passes unfilter independently).
-        Returns (samples, next pos)."""
-        stride = width * channels
+    def _pass_samples(
+        self,
+        data: bytes,
+        pos: int,
+        width: int,
+        height: int,
+        channels: int,
+        depth: int,
+    ) -> tuple[list[int], int]:
+        """Unfilter + unpack one (sub-)image of ``height`` scanlines
+        starting at ``pos``; returns (samples, next pos). Filters
+        operate on the packed BYTES with the spec's bpp left-offset
+        (max(1, channels*depth/8)) and reference the previous line OF
+        THIS IMAGE only (fresh zero prev — exactly why Adam7 passes
+        unfilter independently); sub-byte rows then unpack MSB-first
+        (pad bits in the last byte discarded), 16-bit samples join
+        big-endian."""
+        stride = (width * channels * depth + 7) // 8
+        bpp = max(1, channels * depth // 8)
         if pos + (stride + 1) * height > len(data):
             raise NotImplementedError(
                 f"PNG scanline data is {len(data)} bytes, expected at "
                 f"least {pos + (stride + 1) * height}"
             )
-        out = bytearray()
+        out: list[int] = []
         prev = bytes(stride)
+        n_samples = width * channels
         for _ in range(height):
             ft = data[pos]
             cur = bytearray(data[pos + 1 : pos + 1 + stride])
             pos += 1 + stride
             if ft == 1:  # Sub
-                for i in range(channels, stride):
-                    cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+                for i in range(bpp, stride):
+                    cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
             elif ft == 2:  # Up
                 for i in range(stride):
                     cur[i] = (cur[i] + prev[i]) & 0xFF
             elif ft == 3:  # Average
                 for i in range(stride):
-                    left = cur[i - channels] if i >= channels else 0
+                    left = cur[i - bpp] if i >= bpp else 0
                     cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
             elif ft == 4:  # Paeth
                 for i in range(stride):
-                    left = cur[i - channels] if i >= channels else 0
-                    ul = prev[i - channels] if i >= channels else 0
+                    left = cur[i - bpp] if i >= bpp else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
                     cur[i] = (cur[i] + self._paeth(left, prev[i], ul)) & 0xFF
             elif ft != 0:
                 raise NotImplementedError(f"unknown PNG filter type {ft}")
-            out += cur
+            if depth == 8:
+                out += cur
+            elif depth == 16:
+                for i in range(0, stride, 2):
+                    out.append((cur[i] << 8) | cur[i + 1])
+            else:  # 1/2/4-bit: MSB-first within each byte
+                per_byte = 8 // depth
+                mask = (1 << depth) - 1
+                row: list[int] = []
+                for b in cur:
+                    for k in range(per_byte):
+                        row.append((b >> (8 - depth * (k + 1))) & mask)
+                out += row[:n_samples]
             prev = bytes(cur)
         return out, pos
 
@@ -300,20 +355,22 @@ class PngImageCodec:
     )
 
     def _deinterlace_adam7(
-        self, data: bytes, width: int, height: int, channels: int
-    ) -> bytes:
+        self, data: bytes, width: int, height: int, channels: int, depth: int
+    ) -> list[int]:
         """Seven independent sub-images, concatenated in pass order in
         the inflated stream; a pass with zero rows or columns carries
         NO bytes (not even filter bytes, per the spec). Each decoded
         pass pixel (i, j) lands at raster (x0 + i*dx, y0 + j*dy)."""
-        out = bytearray(width * height * channels)
+        out = [0] * (width * height * channels)
         pos = 0
         for x0, y0, dx, dy in self._ADAM7:
             pw = (width - x0 + dx - 1) // dx if width > x0 else 0
             ph = (height - y0 + dy - 1) // dy if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            sub, pos = self._unfilter_pass(data, pos, pw, ph, channels)
+            sub, pos = self._pass_samples(
+                data, pos, pw, ph, channels, depth
+            )
             for j in range(ph):
                 src = j * pw * channels
                 y = y0 + j * dy
@@ -325,7 +382,7 @@ class PngImageCodec:
             raise NotImplementedError(
                 "trailing bytes after Adam7 PNG passes"
             )
-        return bytes(out)
+        return out
 
     def _plte(self, payload: bytes) -> bytes:
         """The PLTE chunk's RGB triples (mandatory for color type 3;
@@ -349,10 +406,10 @@ class PngImageCodec:
         raise NotImplementedError("palette PNG carries no PLTE chunk")
 
     def decode(self, payload: bytes) -> tuple[str, int, int, float]:
-        width, height, channels, raw = self.decode_pixels(payload)
+        width, height, channels, raw, depth = self._decode_samples(payload)
         color = payload[25]
         total = 0.0
-        if color == 3:  # palette: indexed PLTE lookup
+        if color == 3:  # palette: indexed PLTE lookup (entries 8-bit)
             plte = self._plte(payload)
             n_entries = len(plte) // 3
             # count per index, weight by the entry's luma —
@@ -373,16 +430,19 @@ class PngImageCodec:
                     + 0.587 * plte[o + 1]
                     + 0.114 * plte[o + 2]
                 )
+            maxval = 255  # PLTE entries are 8-bit whatever the index depth
         elif channels <= 2:  # gray / gray+alpha: luma IS the gray sample
+            maxval = (1 << depth) - 1
             for p in range(width * height):
                 total += raw[p * channels]
         else:  # RGB / RGBA (alpha ignored, the BMP luma convention)
+            maxval = (1 << depth) - 1
             for p in range(width * height):
                 o = p * channels
                 total += (
                     0.299 * raw[o] + 0.587 * raw[o + 1] + 0.114 * raw[o + 2]
                 )
-        mean_luma = round(total / (width * height) / 255.0, 6)
+        mean_luma = round(total / (width * height) / maxval, 6)
         return "png", width, height, mean_luma
 
 
@@ -1042,12 +1102,14 @@ class GifImageCodec:
     same (format, width, height, mean_luma) contract, values from
     actual palette-mapped pixel data of the FIRST frame.
 
-    Supported: global or local color table, non-interlaced first
-    image, any extension blocks (skipped by the standard sub-block
-    walk). Interlaced frames, frames without any color table, and
-    corrupt/truncated LZW streams raise NotImplementedError — the
-    documented seam, narrower again. Transparency (GCE) is ignored
-    for luma, matching the PNG codec's alpha convention.
+    Supported: global or local color table, non-interlaced AND
+    interlaced first image (r10: the 4-pass row permutation after
+    LZW — unlike PNG's Adam7 there is no per-pass filter state), any
+    extension blocks (skipped by the standard sub-block walk). Frames
+    without any color table and corrupt/truncated LZW streams raise
+    NotImplementedError — the documented seam, narrower again.
+    Transparency (GCE) is ignored for luma, matching the PNG codec's
+    alpha convention.
     """
 
     def _screen(self, payload: bytes) -> tuple[int, bytes, int]:
@@ -1168,14 +1230,29 @@ class GifImageCodec:
             )
         return bytes(out[:expected])
 
+    # GIF interlace passes: (first row, row step)
+    _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+    @classmethod
+    def _deinterlace(cls, idx: bytes, w: int, h: int) -> bytes:
+        """GIF interlacing stores whole rows in four passes (rows
+        0,8,16…; 4,12…; 2,6…; 1,3,5…) — de-interlacing is a pure row
+        permutation of the LZW output, no per-pass filter state (the
+        contrast with PNG's Adam7)."""
+        out = bytearray(w * h)
+        src = 0
+        for first, step in cls._INTERLACE:
+            for y in range(first, h, step):
+                out[y * w : (y + 1) * w] = idx[src : src + w]
+                src += w
+        return bytes(out)
+
     def decode_indices(self, payload: bytes) -> tuple[int, int, bytes, bytes]:
         """(width, height, palette, index bytes) of the first frame —
-        split from decode so tests pin the LZW arithmetic byte-exact."""
+        split from decode so tests pin the LZW arithmetic byte-exact.
+        Interlaced frames (r10) de-interlace after LZW via the 4-pass
+        row permutation."""
         pos, w, h, ct, n_ct, interlaced = self._first_image(payload)
-        if interlaced:
-            raise NotImplementedError(
-                "interlaced GIF frames are outside the seam"
-            )
         if pos >= len(payload):
             raise NotImplementedError("GIF image data truncated")
         mcs = payload[pos]
@@ -1193,6 +1270,8 @@ class GifImageCodec:
         idx = self._lzw(bytes(data), mcs, w * h)
         if max(idx) >= n_ct:
             raise NotImplementedError("GIF pixel index outside color table")
+        if interlaced:
+            idx = self._deinterlace(idx, w, h)
         return w, h, ct, idx
 
     def decode(self, payload: bytes) -> tuple[str, int, int, float]:

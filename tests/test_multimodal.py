@@ -512,10 +512,11 @@ def test_png_palette_seams():
 
 
 def test_png_sniff_and_seam_boundaries():
-    """Strict sniff: no text payload routes to the PNG codec; sub-byte
-    palette / 16-bit / invalid-interlace / truncated containers hit
-    the documented seam instead of crashing (Adam7 itself decodes
-    since r10)."""
+    """Strict sniff: no text payload routes to the PNG codec;
+    spec-illegal depth/color combinations, invalid interlace methods,
+    and truncated containers hit the documented seam instead of
+    crashing (Adam7, sub-byte depths, and 16-bit all decode since
+    r10)."""
     from flink_exercise_spark.operators.multimodal import (
         PNG_DECODER,
         _looks_bmp,
@@ -531,11 +532,18 @@ def test_png_sniff_and_seam_boundaries():
 
     base = bytearray(png)
     base[24] = 4
-    base[25] = 3  # 4-bit palette: sub-byte depths stay the seam
+    base[25] = 3  # 4-bit palette: SUPPORTED since r10 — probes fine
+    PNG_DECODER.probe(bytes(base))
+    base = bytearray(png)
+    base[24] = 16  # 16-bit RGB: SUPPORTED since r10 — probes fine
+    PNG_DECODER.probe(bytes(base))
+    base = bytearray(png)
+    base[24] = 16
+    base[25] = 3  # 16-bit PALETTE is illegal per spec — stays the seam
     with pytest.raises(NotImplementedError, match="depth"):
         PNG_DECODER.probe(bytes(base))
     base = bytearray(png)
-    base[24] = 16  # 16-bit depth
+    base[24] = 3  # depth 3 exists for no color type
     with pytest.raises(NotImplementedError, match="depth"):
         PNG_DECODER.probe(bytes(base))
     base = bytearray(png)
@@ -568,13 +576,19 @@ def test_resize_uses_header_probe_on_real_png(spark):
 # --- real GIF codec (r8 seam fill #2) ----------------------------------------
 
 
-def _encode_gif(width, height, palette, indices, mcs=None):
+def _encode_gif(width, height, palette, indices, mcs=None, interlace=False):
     """Minimal spec-correct GIF89a encoder for test fixtures, using
     the 'uncompressed GIF' LZW strategy: literal codes only, a CLEAR
     before the decoder's table could force a width change — every
     byte the decoder sees exercises the real spec (sub-block framing,
     clear handling, palette mapping) without this test sharing a
     compressor's dictionary logic with the code under test."""
+    if interlace:  # store whole rows in the 4-pass order
+        rows = [indices[y * width : (y + 1) * width] for y in range(height)]
+        indices = []
+        for first, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for y in range(first, height, step):
+                indices += list(rows[y])
     n = len(palette)
     ct_bits = max(1, (n - 1).bit_length())
     gct_field = ct_bits - 1
@@ -616,7 +630,7 @@ def _encode_gif(width, height, palette, indices, mcs=None):
         + b"\x00\x00\x00\x00"
         + width.to_bytes(2, "little")
         + height.to_bytes(2, "little")
-        + b"\x00"
+        + (b"\x40" if interlace else b"\x00")
     )
     data = bytes([mcs])
     for i in range(0, len(out), 255):
@@ -728,11 +742,14 @@ def test_gif_sniff_and_seam_boundaries():
     assert not _looks_gif(png)
 
     base = bytearray(gif)
-    # find the image descriptor and set the interlace flag
+    # setting the interlace flag re-reads the SAME code stream as the
+    # 4-pass row order (supported since r10): the decode must be the
+    # row permutation of the plain decode, not an error
     pos = base.index(0x2C, 13)
     base[pos + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        GIF_DECODER.decode_indices(bytes(base))
+    w, h, _, plain_idx = GIF_DECODER.decode_indices(gif)
+    _, _, _, inter_idx = GIF_DECODER.decode_indices(bytes(base))
+    assert inter_idx == GIF_DECODER._deinterlace(plain_idx, w, h)
     with pytest.raises(NotImplementedError):
         GIF_DECODER.decode_indices(gif[:20])  # truncated
     # code stream shorter than width x height -> pixels run short
@@ -1259,3 +1276,229 @@ def test_png_adam7_truncation_is_a_seam():
         PNG_DECODER.decode_pixels(rebuild(raw[:-5]))
     with _pytest.raises(NotImplementedError, match="trailing bytes"):
         PNG_DECODER.decode_pixels(rebuild(raw + b"\x00"))
+
+
+def test_gif_interlaced_roundtrip():
+    """An interlaced encoding of a raster with a distinct value per
+    row must decode to the row-major original — pinning the 4-pass
+    row permutation exactly — and carry the same luma as the
+    non-interlaced encoding of the same raster."""
+    from flink_exercise_spark.operators.multimodal import GIF_DECODER
+
+    palette = [(i * 16, i * 8, i * 4) for i in range(16)]
+    for w, h in ((3, 1), (3, 4), (5, 9), (4, 16)):
+        idx = [(y % 16) for y in range(h) for _ in range(w)]
+        plain = _encode_gif(w, h, palette, idx)
+        inter = _encode_gif(w, h, palette, idx, interlace=True)
+        assert GIF_DECODER.decode_indices(inter) == GIF_DECODER.decode_indices(
+            plain
+        ), (w, h)
+        assert GIF_DECODER.decode(inter) == GIF_DECODER.decode(plain)
+
+
+# --- PNG sub-byte and 16-bit depths (r10 seam fill) ----------------------------
+
+
+def _pack_row(samples, depth):
+    """Pack one row of channel samples at the given depth: MSB-first
+    bit packing below 8, big-endian pairs at 16."""
+    if depth == 8:
+        return bytes(samples)
+    if depth == 16:
+        return b"".join(int(s).to_bytes(2, "big") for s in samples)
+    per = 8 // depth
+    out = bytearray()
+    for i in range(0, len(samples), per):
+        b = 0
+        for k, s in enumerate(samples[i : i + per]):
+            b |= s << (8 - depth * (k + 1))
+        out.append(b)
+    return bytes(out)
+
+
+def _encode_png_depth(rows, channels, depth, color_type=None, plte=None,
+                      filters=None, interlace=False):
+    """Arbitrary-depth PNG encoder for fixtures: ``rows`` are lists of
+    integer channel samples. Filtering operates on the PACKED bytes
+    with the spec's bpp offset — exactly what the decoder must undo."""
+    import binascii
+    import zlib
+
+    ct = (
+        {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        if color_type is None
+        else color_type
+    )
+    h = len(rows)
+    w = len(rows[0]) // channels
+    bpp = max(1, channels * depth // 8)
+
+    def filt(ft, cur, prev):
+        out = bytearray([ft])
+        for i, x in enumerate(cur):
+            left = cur[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = 0
+            elif ft == 1:
+                f = left
+            elif ft == 2:
+                f = up
+            elif ft == 3:
+                f = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                f = (
+                    left
+                    if pa <= pb and pa <= pc
+                    else (up if pb <= pc else ul)
+                )
+            out.append((x - f) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            prev = bytes(len(_pack_row([0] * pw * channels, depth)))
+            for j in range(ph):
+                y = y0 + j * dy
+                sub = []
+                for i in range(pw):
+                    o = (x0 + i * dx) * channels
+                    sub += rows[y][o : o + channels]
+                cur = _pack_row(sub, depth)
+                raw += filt(0, cur, prev)
+                prev = cur
+    else:
+        filters = filters or [0] * h
+        prev = bytes(len(_pack_row(rows[0], depth)))
+        for row, ft in zip(rows, filters):
+            cur = _pack_row(row, depth)
+            raw += filt(ft, cur, prev)
+            prev = cur
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + binascii.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(
+        [depth, ct, 0, 0, 1 if interlace else 0]
+    )
+    plte_chunk = chunk(b"PLTE", plte) if plte is not None else b""
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + plte_chunk
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_subbyte_gray_exact_samples_and_luma():
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    # 1-bit 5x2 checkerboard: width 5 exercises the pad bits in the
+    # last byte of each packed row
+    rows = [[(x + y) % 2 for x in range(5)] for y in range(2)]
+    payload = _encode_png_depth(rows, channels=1, depth=1)
+    w, h, c, samples, depth = PNG_DECODER._decode_samples(payload)
+    assert (w, h, c, depth) == (5, 2, 1, 1)
+    assert samples == [s for r in rows for s in r]
+    fmt, _, _, luma = PNG_DECODER.decode(payload)
+    # mean of bits over maxval 1
+    assert luma == round(sum(samples) / 10 / 1, 6)
+
+    # 2-bit and 4-bit gradients: luma = mean / (2^d - 1) exactly
+    for d in (2, 4):
+        maxv = (1 << d) - 1
+        rows = [[(x + y) % (maxv + 1) for x in range(7)] for y in range(3)]
+        payload = _encode_png_depth(rows, channels=1, depth=d)
+        _, _, _, samples, _ = PNG_DECODER._decode_samples(payload)
+        flat = [s for r in rows for s in r]
+        assert samples == flat, d
+        _, _, _, luma = PNG_DECODER.decode(payload)
+        assert luma == round(sum(flat) / len(flat) / maxv, 6)
+
+
+def test_png_subbyte_palette_equals_8bit_twin():
+    """The same indexed image at depth 2/4 and depth 8 must decode to
+    the same luma (indices identical, PLTE identical)."""
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    plte = bytes(range(12))  # 4 entries
+    rows = [[(x + y) % 4 for x in range(5)] for y in range(6)]
+    want = PNG_DECODER.decode(
+        _encode_png_depth(rows, 1, 8, color_type=3, plte=plte)
+    )
+    for d in (2, 4):
+        got = PNG_DECODER.decode(
+            _encode_png_depth(rows, 1, d, color_type=3, plte=plte)
+        )
+        assert got == want, d
+
+
+def test_png_16bit_equals_8bit_twin_and_filters():
+    """v16 = v8 * 257 scales exactly (65535 = 255 * 257), so the
+    16-bit encoding of an 8-bit image must decode to the SAME luma —
+    for gray and RGB, under every filter type (filters act on packed
+    bytes with bpp = 2*channels)."""
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    for channels in (1, 3):
+        rows8 = [
+            [(7 * y + 13 * x + 3) % 256 for x in range(6 * channels)]
+            for y in range(7)
+        ]
+        rows16 = [[v * 257 for v in r] for r in rows8]
+        want = PNG_DECODER.decode(
+            _encode_png_depth(rows8, channels, 8)
+        )
+        for ft in (0, 1, 2, 3, 4):
+            got = PNG_DECODER.decode(
+                _encode_png_depth(
+                    rows16, channels, 16, filters=[ft] * 7
+                )
+            )
+            assert got == want, (channels, ft)
+    # 16-bit samples decode to the exact integers, not a byte view
+    rows = [[65535, 0, 257, 32896]]
+    _, _, _, samples, depth = PNG_DECODER._decode_samples(
+        _encode_png_depth(rows, 1, 16)
+    )
+    assert (samples, depth) == ([65535, 0, 257, 32896], 16)
+
+
+def test_png_subbyte_and_16bit_interlaced():
+    """Adam7 composes with every depth: interlaced == progressive."""
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    rows1 = [[(x * y + x) % 2 for x in range(9)] for y in range(10)]
+    assert PNG_DECODER._decode_samples(
+        _encode_png_depth(rows1, 1, 1, interlace=True)
+    ) == PNG_DECODER._decode_samples(_encode_png_depth(rows1, 1, 1))
+
+    rows16 = [
+        [(257 * ((x + 2 * y) % 256)) for x in range(9)] for y in range(10)
+    ]
+    assert PNG_DECODER._decode_samples(
+        _encode_png_depth(rows16, 1, 16, interlace=True)
+    ) == PNG_DECODER._decode_samples(_encode_png_depth(rows16, 1, 16))
+
+
+def test_png_decode_pixels_stays_the_8bit_view():
+    from flink_exercise_spark.operators.multimodal import PNG_DECODER
+
+    with pytest.raises(NotImplementedError, match="8-bit byte view"):
+        PNG_DECODER.decode_pixels(
+            _encode_png_depth([[1, 0, 1]], 1, 1)
+        )
