@@ -135,7 +135,16 @@ def audio_spectral_fingerprint(
                 }
             )
 
-    return spread(with_payload, "doc_id").mapInPandas(run, schema=FP_SCHEMA)
+    # spread()'s partition-count probe converts the plan to an RDD,
+    # which streaming relations reject — and a micro-batch's partition
+    # count is the source's concern anyway. Stateless kernel: it runs
+    # unchanged on a stream (pinned stream == batch in tests).
+    src = (
+        with_payload
+        if with_payload.isStreaming
+        else spread(with_payload, "doc_id")
+    )
+    return src.mapInPandas(run, schema=FP_SCHEMA)
 
 
 def audio_neardup_pairs(

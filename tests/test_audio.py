@@ -188,3 +188,27 @@ def test_plan_no_cartesian(spark, corpus):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fingerprints_stream_equals_batch(spark, corpus, tmp_path):
+    """The fingerprint kernel is a stateless mapInPandas projection,
+    so it runs unchanged on a streaming relation (the HTML-extraction
+    front-door convention): fingerprints from a file stream must equal
+    the batch operator's row for row."""
+    from flink_exercise_spark.streaming.jobs import run_to_memory
+
+    path = str(tmp_path / "audio_parquet")
+    corpus.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        "doc_id long, payload binary"
+    ).parquet(path)
+    run_to_memory(
+        audio_spectral_fingerprint(stream), "audio_fps_stream", "append"
+    )
+    got = sorted(
+        tuple(r) for r in spark.table("audio_fps_stream").collect()
+    )
+    want = sorted(
+        tuple(r) for r in audio_spectral_fingerprint(corpus).collect()
+    )
+    assert got == want and len(got) > 0
