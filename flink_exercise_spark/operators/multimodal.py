@@ -18,10 +18,12 @@ every legal depth x color-type x interlace combination decodes),
 compressed GIF
 (GifImageCodec, r8 — hand-rolled variable-width LZW; GIF's entropy
 coding has no stdlib module to lean on; r10 adds interlaced frames:
-the 4-pass row permutation), baseline JPEG
+the 4-pass row permutation), JPEG
 (JpegImageCodec, r10 — canonical Huffman + dequant + exact IDCT of
-the luma plane; progressive/arithmetic/12-bit remain the narrowed
-seam) and 16-bit PCM mono
+the luma plane, baseline sequential AND progressive SOF2 with
+spectral selection, successive approximation, EOB runs, and
+marker-level skipping of chroma AC scans; arithmetic coding and
+12-bit remain the narrowed seam) and 16-bit PCM mono
 WAV (WavAudioCodec, r7, via the ``wave`` module) — ``decode_any`` /
 the audio kernel dispatch on
 strict container sniffs (magic bytes + internal length consistency),
@@ -1418,13 +1420,13 @@ class JpegImageCodec:
     (format, width, height, mean_luma) contract, values from actual
     coefficient data.
 
-    Supported: baseline/extended sequential DCT (SOF0/SOF1), 8-bit,
+    Supported: baseline/extended sequential DCT (SOF0/SOF1) AND
+    progressive DCT (SOF2, r10 — see _decode_progressive), 8-bit,
     grayscale or interleaved YCbCr with the luma component carrying
     the scan's maximum sampling factors (every common 4:4:4 / 4:2:2 /
-    4:2:0 file), one scan, restart intervals. Progressive (SOF2),
-    arithmetic coding, 12-bit precision, and non-interleaved
-    multi-scan files raise NotImplementedError — a documented,
-    narrower seam.
+    4:2:0 file), restart intervals in every scan type. Arithmetic
+    coding, 12-bit precision, and lossless/hierarchical frames raise
+    NotImplementedError — a documented, narrower seam.
 
     Only the LUMA plane is inverse-transformed: JPEG's Y channel IS
     the Rec.601 luma the other codecs compute from RGB, and mean_luma
@@ -1446,7 +1448,7 @@ class JpegImageCodec:
                     f"marker expected at byte {pos}"
                 )
             marker = payload[pos + 1]
-            if marker in (0xC0, 0xC1):  # SOF0/SOF1
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
                 depth = payload[pos + 4]
                 if depth != 8:
                     raise NotImplementedError(
@@ -1471,10 +1473,10 @@ class JpegImageCodec:
                         f"degenerate JPEG dimensions {w}x{h}"
                     )
                 return w, h, marker, comps
-            if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                           0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    f"non-baseline JPEG frame (SOF marker 0xFF{marker:02X})"
+                    f"unsupported JPEG frame (SOF marker 0xFF{marker:02X})"
                 )
             if marker == 0xD9:  # EOI before any frame
                 break
@@ -1489,7 +1491,9 @@ class JpegImageCodec:
         return w, h, len(comps)
 
     def decode(self, payload: bytes) -> tuple[str, int, int, float]:
-        w, h, _, comps = self._frame(payload)
+        w, h, sof, comps = self._frame(payload)
+        if sof == 0xC2:
+            return self._decode_progressive(payload, w, h, comps)
         # --- full marker walk for tables + scan
         quant: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
@@ -1563,17 +1567,9 @@ class JpegImageCodec:
         yplane = bytearray(yw * mcus_y * 8 * vmax)
 
         def decode_huff(table: dict) -> int:
-            length, code = 0, 0
-            while length < 16:
-                code = (code << 1) | reader.read_bits(1)
-                length += 1
-                v = table.get((length, code))
-                if v is not None:
-                    return v
-            raise NotImplementedError("invalid Huffman code in scan")
+            return self._decode_huff(reader, table)
 
-        def extend(v: int, s: int) -> int:
-            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+        extend = self._extend
 
         n_rst = 0
         for mcu in range(mcus_x * mcus_y):
@@ -1611,42 +1607,388 @@ class JpegImageCodec:
                             k += 1
                         if cid != luma_id:
                             continue  # chroma: stream advanced, done
-                        # dequant (quant table is zigzag-ordered, like
-                        # the coefficient scan) + exact separable IDCT
-                        dq = [0.0] * 64
-                        for z in range(64):
-                            n = _JPEG_ZIGZAG[z]
-                            if coefs[n]:
-                                dq[n] = coefs[n] * yq[z]
-                        rows = [
-                            [
-                                sum(
-                                    dq[v * 8 + u] * _JPEG_COS[u][x]
-                                    for u in range(8)
-                                    if dq[v * 8 + u]
-                                )
-                                for x in range(8)
-                            ]
-                            for v in range(8)
-                        ]
-                        x0 = (mx * ch + bx) * 8
-                        y0 = (my * cv + by) * 8
-                        for y in range(8):
-                            base = (y0 + y) * yw + x0
-                            for x in range(8):
-                                val = 0.25 * sum(
-                                    rows[v][x] * _JPEG_COS[v][y]
-                                    for v in range(8)
-                                )
-                                p = int(round(val)) + 128
-                                yplane[base + x] = (
-                                    0 if p < 0 else 255 if p > 255 else p
-                                )
+                        self._luma_idct_into(
+                            yplane,
+                            yw,
+                            (mx * ch + bx) * 8,
+                            (my * cv + by) * 8,
+                            coefs,
+                            yq,
+                        )
         total = 0
         for y in range(h):
             total += sum(yplane[y * yw:y * yw + w])
         mean_luma = round(total / (w * h) / 255.0, 6)
         return "jpeg", w, h, mean_luma
+
+    # --- shared entropy/transform helpers -----------------------------------
+
+    @staticmethod
+    def _extend(v: int, s: int) -> int:
+        return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+    @staticmethod
+    def _decode_huff(reader: "_JpegBitReader", table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | reader.read_bits(1)
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise NotImplementedError("invalid Huffman code in scan")
+
+    @staticmethod
+    def _luma_idct_into(
+        yplane: bytearray,
+        yw: int,
+        x0: int,
+        y0: int,
+        coefs: list,
+        q_zz: list,
+    ) -> None:
+        """Dequantize (the quant table is zigzag-ordered, like the
+        coefficient scan) + exact separable IDCT of one natural-order
+        luma block into the padded Y plane."""
+        dq = [0.0] * 64
+        for z in range(64):
+            n = _JPEG_ZIGZAG[z]
+            if coefs[n]:
+                dq[n] = coefs[n] * q_zz[z]
+        rows = [
+            [
+                sum(
+                    dq[v * 8 + u] * _JPEG_COS[u][x]
+                    for u in range(8)
+                    if dq[v * 8 + u]
+                )
+                for x in range(8)
+            ]
+            for v in range(8)
+        ]
+        for y in range(8):
+            base = (y0 + y) * yw + x0
+            for x in range(8):
+                val = 0.25 * sum(
+                    rows[v][x] * _JPEG_COS[v][y] for v in range(8)
+                )
+                pv = int(round(val)) + 128
+                yplane[base + x] = 0 if pv < 0 else 255 if pv > 255 else pv
+
+    # --- progressive mode (SOF2) ---------------------------------------------
+
+    @staticmethod
+    def _skip_entropy(payload: bytes, pos: int) -> int:
+        """Advance past an entropy-coded segment WITHOUT decoding it:
+        scan for the next true marker, stepping over byte stuffing
+        (FF 00), fill bytes (FF FF...), and restart markers (FF D0-D7).
+        This is what makes progressive chroma scans free: each scan is
+        marker-delimited, so a luma-only decoder never entropy-decodes
+        a chroma AC scan at all."""
+        n = len(payload)
+        while pos + 1 < n:
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+            elif nxt == 0xFF:
+                pos += 1
+            elif 0xD0 <= nxt <= 0xD7:
+                pos += 2
+            else:
+                return pos
+        raise NotImplementedError("truncated JPEG entropy stream")
+
+    def _decode_progressive(
+        self, payload: bytes, w: int, h: int, comps: list
+    ) -> tuple[str, int, int, float]:
+        """Progressive JPEG (SOF2, T.81 Annex G): every scan delivers a
+        slice of the coefficient data — DC first/refinement scans
+        (interleaved or single-component), then per-component AC scans
+        with spectral selection (Ss..Se) and successive approximation
+        (Ah/Al). Coefficients accumulate in a per-block store across
+        scans; dequant + IDCT run ONCE at EOI. Only the luma component
+        keeps coefficients, and chroma AC scans are skipped at the
+        marker level without entropy decoding (progressive AC scans
+        are single-component per the spec — the structural win over
+        baseline, where chroma must be entropy-decoded to stay in the
+        bitstream). Arithmetic coding and 12-bit stay out of scope via
+        the shared _frame guard."""
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if (comps[0][1], comps[0][2]) != (hmax, vmax):
+            raise NotImplementedError(
+                "luma must carry the maximum sampling factors"
+            )
+        luma_id, lch, lcv, ltq = comps[0]
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        pw, ph = mcus_x * lch, mcus_y * lcv  # padded luma block grid
+        # non-interleaved luma grid (single-component scan geometry:
+        # ceil(component dims / 8), NOT padded to whole MCUs)
+        nbx = (-(-w * lch // hmax) + 7) // 8
+        nby = (-(-h * lcv // vmax) + 7) // 8
+        coefs = [[0] * 64 for _ in range(pw * ph)]
+        quant: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        restart_interval = 0
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise NotImplementedError(f"marker expected at byte {pos}")
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xDB:
+                o = 0
+                while o < len(body):
+                    if body[o] >> 4 != 0:
+                        raise NotImplementedError(
+                            "16-bit quantization tables unsupported"
+                        )
+                    quant[body[o] & 0x0F] = list(body[o + 1 : o + 65])
+                    o += 65
+            elif marker == 0xC4:
+                o = 0
+                while o < len(body):
+                    tc, th = body[o] >> 4, body[o] & 0x0F
+                    bits = body[o + 1 : o + 17]
+                    n_vals = sum(bits)
+                    vals = body[o + 17 : o + 17 + n_vals]
+                    huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                    o += 17 + n_vals
+            elif marker == 0xDD:
+                restart_interval = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:
+                n_sc = body[0]
+                sel = {}
+                order = []
+                for i in range(n_sc):
+                    cid = body[1 + 2 * i]
+                    sel[cid] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+                    order.append(cid)
+                o = 1 + 2 * n_sc
+                ss, se, a = body[o], body[o + 1], body[o + 2]
+                ah, al = a >> 4, a & 0x0F
+                data_pos = pos + 2 + seg_len
+                if n_sc == 1 and order[0] != luma_id:
+                    # single-component chroma scan (DC or AC): the
+                    # scan is marker-delimited, so a luma-only decoder
+                    # steps over it without entropy work
+                    pos = self._skip_entropy(payload, data_pos)
+                    continue
+                if ss == 0:
+                    if se != 0:
+                        raise NotImplementedError(
+                            "progressive DC scan with Se != 0"
+                        )
+                    pos = self._prog_dc_scan(
+                        payload, data_pos, comps, order, sel, huff,
+                        restart_interval, ah, al, coefs, luma_id,
+                        mcus_x, mcus_y, pw, nbx, nby,
+                    )
+                else:
+                    if n_sc != 1:
+                        raise NotImplementedError(
+                            "interleaved AC scan in progressive JPEG"
+                        )
+                    pos = self._prog_ac_scan(
+                        payload, data_pos, sel[luma_id][1], huff,
+                        restart_interval, ss, se, ah, al, coefs,
+                        pw, nbx, nby,
+                    )
+                continue
+            pos += 2 + seg_len
+        if ltq not in quant:
+            raise NotImplementedError("no quantization table for luma")
+        yq = quant[ltq]
+        yw = pw * 8
+        yplane = bytearray(yw * ph * 8)
+        for by in range(ph):
+            for bx in range(pw):
+                self._luma_idct_into(
+                    yplane, yw, bx * 8, by * 8, coefs[by * pw + bx], yq
+                )
+        total = 0
+        for y in range(h):
+            total += sum(yplane[y * yw : y * yw + w])
+        mean_luma = round(total / (w * h) / 255.0, 6)
+        return "jpeg", w, h, mean_luma
+
+    def _prog_dc_scan(
+        self, payload, data_pos, comps, order, sel, huff,
+        restart_interval, ah, al, coefs, luma_id, mcus_x, mcus_y,
+        pw, nbx, nby,
+    ) -> int:
+        """One progressive DC scan: first pass (Ah=0 — Huffman-coded
+        point-transformed differences, coef[0] = pred << Al) or
+        refinement (Ah>0 — ONE raw bit per block, OR-ed in at Al).
+        Interleaved scans walk MCUs with every member component's
+        blocks (chroma bits must be consumed to stay in the stream);
+        single-component scans walk the component's own block raster.
+        Returns the byte position of the next marker."""
+        reader = _JpegBitReader(payload, data_pos)
+        in_scan = [c for c in comps if c[0] in sel]
+        if order != [c[0] for c in in_scan]:
+            raise NotImplementedError(
+                "scan component order must follow the frame header"
+            )
+        dc_pred = {cid: 0 for cid in order}
+        interleaved = len(in_scan) > 1
+
+        def one_block(cid, tbl, idx):
+            if ah == 0:
+                s = self._decode_huff(reader, tbl)
+                dc_pred[cid] += self._extend(reader.read_bits(s), s)
+                if idx is not None:
+                    coefs[idx][0] = dc_pred[cid] << al
+            else:
+                bit = reader.read_bits(1)
+                if idx is not None and bit:
+                    coefs[idx][0] |= 1 << al
+
+        n_rst = 0
+        if interleaved:
+            for mcu in range(mcus_x * mcus_y):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.restart(n_rst % 8)
+                    n_rst += 1
+                    dc_pred = {cid: 0 for cid in order}
+                mx, my = mcu % mcus_x, mcu // mcus_x
+                for cid, ch, cv, _tq in in_scan:
+                    tbl = huff.get((0, sel[cid][0])) if ah == 0 else None
+                    if ah == 0 and tbl is None:
+                        raise NotImplementedError(
+                            f"missing DC Huffman table {sel[cid][0]}"
+                        )
+                    for by in range(cv):
+                        for bx in range(ch):
+                            idx = (
+                                (my * cv + by) * pw + mx * ch + bx
+                                if cid == luma_id
+                                else None
+                            )
+                            one_block(cid, tbl, idx)
+        else:
+            cid = order[0]
+            tbl = huff.get((0, sel[cid][0])) if ah == 0 else None
+            if ah == 0 and tbl is None:
+                raise NotImplementedError(
+                    f"missing DC Huffman table {sel[cid][0]}"
+                )
+            # the dispatcher routes non-luma single-component scans
+            # through _skip_entropy, so this raster is always luma's
+            for i in range(nbx * nby):
+                if restart_interval and i and i % restart_interval == 0:
+                    reader.restart(n_rst % 8)
+                    n_rst += 1
+                    dc_pred = {cid: 0 for cid in order}
+                by, bx = divmod(i, nbx)
+                one_block(cid, tbl, by * pw + bx)
+        return self._skip_entropy(payload, reader.pos)
+
+    def _prog_ac_scan(
+        self, payload, data_pos, ac_tbl_id, huff, restart_interval,
+        ss, se, ah, al, coefs, pw, nbx, nby,
+    ) -> int:
+        """One luma AC scan (progressive AC scans are single-component
+        per the spec). Ah=0: first pass for the Ss..Se band at
+        precision Al, with EOB-run coding (T.81 G.1.2.2). Ah>0:
+        refinement pass (G.1.2.3) — newly significant coefficients
+        arrive as run-coded ±1 at Al, and every already-nonzero
+        coefficient traversed consumes one correction bit that
+        extends its magnitude at Al. Returns the next marker position."""
+        tbl = huff.get((1, ac_tbl_id))
+        if tbl is None:
+            raise NotImplementedError(
+                f"missing AC Huffman table {ac_tbl_id}"
+            )
+        reader = _JpegBitReader(payload, data_pos)
+        zz = _JPEG_ZIGZAG
+        p1, m1 = 1 << al, -(1 << al)
+        eobrun = 0
+        n_rst = 0
+        for i in range(nbx * nby):
+            if restart_interval and i and i % restart_interval == 0:
+                reader.restart(n_rst % 8)
+                n_rst += 1
+                eobrun = 0
+            by, bx = divmod(i, nbx)
+            coef = coefs[by * pw + bx]
+            k = ss
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                while k <= se:
+                    rs = self._decode_huff(reader, tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise NotImplementedError("AC run past band end")
+                    coef[zz[k]] = (
+                        self._extend(reader.read_bits(s), s) << al
+                    )
+                    k += 1
+                continue
+            # refinement pass
+            if eobrun == 0:
+                while k <= se:
+                    rs = self._decode_huff(reader, tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        newval = 0  # ZRL: 16 zero-history positions
+                    elif s == 1:
+                        newval = p1 if reader.read_bits(1) else m1
+                    else:
+                        raise NotImplementedError(
+                            "AC refinement sends only magnitude-1 values"
+                        )
+                    # advance over r zero-HISTORY positions, applying
+                    # a correction bit at every nonzero one passed
+                    while k <= se:
+                        z = zz[k]
+                        if coef[z] != 0:
+                            if reader.read_bits(1) and not (
+                                coef[z] & p1
+                            ):
+                                coef[z] += p1 if coef[z] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if k <= se and newval:
+                        coef[zz[k]] = newval
+                    k += 1
+            if eobrun > 0:
+                # correction bits for the remainder of the band, then
+                # this block consumes one unit of the EOB run
+                while k <= se:
+                    z = zz[k]
+                    if coef[z] != 0:
+                        if reader.read_bits(1) and not (coef[z] & p1):
+                            coef[z] += p1 if coef[z] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+        return self._skip_entropy(payload, reader.pos)
 
 
 JPEG_DECODER = JpegImageCodec()

@@ -865,8 +865,9 @@ def _jseg(marker, body):
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def _jpeg_headers(w, h, comps, quants):
-    """SOI + DQT(s) + SOF0 + DHT(DC0, AC0) for the given component
+def _jpeg_headers(w, h, comps, quants, sof_marker=0xC0,
+                  ac_tables=None):
+    """SOI + DQT(s) + SOF + DHT(DC0, AC0) for the given component
     list [(id, hv_byte, tq)] and {tq: zigzag_quant_list}."""
     out = bytearray(b"\xff\xd8")
     for tq, q in sorted(quants.items()):
@@ -875,22 +876,27 @@ def _jpeg_headers(w, h, comps, quants):
     sof += bytes([len(comps)])
     for cid, hv, tq in comps:
         sof += bytes([cid, hv, tq])
-    out += _jseg(0xC0, sof)
+    out += _jseg(sof_marker, sof)
     out += _jseg(0xC4, bytes([0x00]) + _JDC_BITS + _JDC_VALS)
-    out += _jseg(0xC4, bytes([0x10]) + _JAC_BITS + _JAC_VALS)
+    ac_bits, ac_vals = ac_tables or (_JAC_BITS, _JAC_VALS)
+    out += _jseg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
     return out
 
 
-def make_gray_jpeg(blocks, w, h, quant_zz, restart=0):
+def make_gray_jpeg(blocks, w, h, quant_zz, restart=0, ac_tables=None):
     """Baseline grayscale JPEG from QUANTIZED natural-order coefficient
     blocks in MCU raster order."""
     from flink_exercise_spark.operators.multimodal import _JPEG_ZIGZAG
 
-    out = bytearray(_jpeg_headers(w, h, [(1, 0x11, 0)], {0: quant_zz}))
+    out = bytearray(
+        _jpeg_headers(w, h, [(1, 0x11, 0)], {0: quant_zz},
+                      ac_tables=ac_tables)
+    )
     if restart:
         out += _jseg(0xDD, restart.to_bytes(2, "big"))
     out += _jseg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    dcm, acm = _enc_map(_JDC_BITS, _JDC_VALS), _enc_map(_JAC_BITS, _JAC_VALS)
+    ac_bits, ac_vals = ac_tables or (_JAC_BITS, _JAC_VALS)
+    dcm, acm = _enc_map(_JDC_BITS, _JDC_VALS), _enc_map(ac_bits, ac_vals)
     bits = _JBits()
     pred = 0
     n_rst = 0
@@ -908,16 +914,21 @@ def make_gray_jpeg(blocks, w, h, quant_zz, restart=0):
     return bytes(out)
 
 
-def make_ycbcr420_jpeg(y_blocks, cb_block, cr_block, w, h, qy_zz, qc_zz):
+def make_ycbcr420_jpeg(y_blocks, cb_block, cr_block, w, h, qy_zz, qc_zz,
+                       ac_tables=None):
     """One-MCU (16x16 max) baseline 4:2:0 color JPEG: four Y blocks in
     2x2 raster order, one Cb, one Cr; all components share the test
     Huffman tables."""
     from flink_exercise_spark.operators.multimodal import _JPEG_ZIGZAG
 
     comps = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
-    out = bytearray(_jpeg_headers(w, h, comps, {0: qy_zz, 1: qc_zz}))
+    out = bytearray(
+        _jpeg_headers(w, h, comps, {0: qy_zz, 1: qc_zz},
+                      ac_tables=ac_tables)
+    )
     out += _jseg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
-    dcm, acm = _enc_map(_JDC_BITS, _JDC_VALS), _enc_map(_JAC_BITS, _JAC_VALS)
+    ac_bits, ac_vals = ac_tables or (_JAC_BITS, _JAC_VALS)
+    dcm, acm = _enc_map(_JDC_BITS, _JDC_VALS), _enc_map(ac_bits, ac_vals)
     bits = _JBits()
     preds = {1: 0, 2: 0, 3: 0}
     for blk in y_blocks:
@@ -1032,16 +1043,25 @@ def test_jpeg_ycbcr420_decodes_luma_skips_chroma():
 
 
 def test_jpeg_seams():
-    """Progressive frames, 16-bit quant tables, and truncation stay
-    behind NotImplementedError — a narrowed seam, never a crash."""
+    """Malformed progressive scans, lossless frames, 16-bit quant
+    tables, and truncation stay behind NotImplementedError — a
+    narrowed seam, never a crash (progressive itself decodes since
+    r10)."""
     from flink_exercise_spark.operators.multimodal import JPEG_DECODER
 
     good = make_gray_jpeg([_dc_block(1)], 8, 8, [16] * 64)
+    # flipping a BASELINE stream's SOF marker to SOF2 yields a
+    # malformed progressive file (its one scan claims the 0..63 band
+    # with Ss=0 — illegal for a progressive DC scan): since r10 the
+    # progressive decoder accepts the header and rejects the scan
     progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(NotImplementedError, match="Se != 0"):
         JPEG_DECODER.decode(progressive)
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        JPEG_DECODER.probe(progressive)
+    assert JPEG_DECODER.probe(progressive) == (8, 8, 1)
+    # lossless sequential (SOF3) stays out entirely
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(NotImplementedError, match="SOF"):
+        JPEG_DECODER.probe(lossless)
     sixteen_bit = good.replace(b"\xff\xdb\x00\x43\x00", b"\xff\xdb\x00\x43\x10", 1)
     with pytest.raises(NotImplementedError):
         JPEG_DECODER.decode(sixteen_bit)
@@ -1502,3 +1522,403 @@ def test_png_decode_pixels_stays_the_8bit_view():
         PNG_DECODER.decode_pixels(
             _encode_png_depth([[1, 0, 1]], 1, 1)
         )
+
+
+# --- progressive JPEG (r10 seam fill) -----------------------------------------
+
+
+# every (run 0..15, size 0..6) symbol at code length 7 (112 codes fit
+# in the 128-slot length): rich enough for random fixtures, EOB runs,
+# ZRL (0xF0 = r15/s0), and refinement (size-1) symbols at any run
+_PAC_SYMS = tuple((r << 4) | s for r in range(16) for s in range(7))
+_PAC_BITS = bytes([0] * 6 + [112] + [0] * 9)
+_PAC_VALS = bytes(_PAC_SYMS)
+_PAC_TABLES = (_PAC_BITS, _PAC_VALS)
+
+
+def _prog_dc_first(bits, dcs, dcm, al):
+    pred = 0
+    for dc in dcs:
+        v = dc >> al  # DC point transform: arithmetic shift
+        diff = v - pred
+        pred = v
+        s = _cat(diff)
+        length, code = dcm[s]
+        bits.put(code, length)
+        if s:
+            bits.put(_amp(diff, s), s)
+
+
+def _prog_dc_refine(bits, dcs, al):
+    for dc in dcs:
+        bits.put((dc >> al) & 1, 1)
+
+
+class _ProgAc:
+    """AC scan encoder for progressive fixtures, mirroring T.81 G.1.2
+    (libjpeg's emit structure): EOB-run coalescing with deferred
+    correction bits in refinement passes."""
+
+    def __init__(self, bits, acm, ss, se, al, zigzag):
+        self.bits, self.acm = bits, acm
+        self.ss, self.se, self.al = ss, se, al
+        self.zz = zigzag
+        self.eobrun = 0
+        self.pending = []
+
+    def _sym(self, sym):
+        length, code = self.acm[sym]
+        self.bits.put(code, length)
+
+    def flush_eob(self):
+        if not self.eobrun:
+            return
+        r = self.eobrun.bit_length() - 1
+        assert r <= 14
+        self._sym(r << 4)
+        if r:
+            self.bits.put(self.eobrun - (1 << r), r)
+        for b in self.pending:
+            self.bits.put(b, 1)
+        self.eobrun = 0
+        self.pending = []
+
+    def first_block(self, blk):
+        t = [0] * 64
+        for k in range(self.ss, self.se + 1):
+            c = blk[self.zz[k]]
+            t[k] = (abs(c) >> self.al) * (1 if c >= 0 else -1)
+        if not any(t[k] for k in range(self.ss, self.se + 1)):
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+            return
+        self.flush_eob()
+        last = max(k for k in range(self.ss, self.se + 1) if t[k])
+        run = 0
+        for k in range(self.ss, last + 1):
+            v = t[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                self._sym(0xF0)
+                run -= 16
+            s = _cat(v)
+            self._sym((run << 4) | s)
+            self.bits.put(_amp(v, s), s)
+            run = 0
+        if last < self.se:
+            self.eobrun += 1
+
+    def refine_block(self, blk):
+        a = [0] * 64
+        sgn = [1] * 64
+        for k in range(self.ss, self.se + 1):
+            c = blk[self.zz[k]]
+            a[k] = abs(c) >> self.al
+            sgn[k] = 1 if c > 0 else 0
+        new = [k for k in range(self.ss, self.se + 1) if a[k] == 1]
+        if not new:
+            self.eobrun += 1
+            self.pending += [
+                a[k] & 1
+                for k in range(self.ss, self.se + 1)
+                if a[k] > 1
+            ]
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+            return
+        self.flush_eob()
+        r = 0
+        inline = []
+        emitted_through = self.ss - 1
+        for k in range(self.ss, self.se + 1):
+            if a[k] == 0:
+                r += 1
+                if r == 16:
+                    self._sym(0xF0)
+                    for b in inline:
+                        self.bits.put(b, 1)
+                    inline = []
+                    r = 0
+                    emitted_through = k
+            elif a[k] > 1:
+                inline.append(a[k] & 1)
+            else:  # newly significant +-1
+                self._sym((r << 4) | 1)
+                self.bits.put(sgn[k], 1)
+                for b in inline:
+                    self.bits.put(b, 1)
+                inline = []
+                r = 0
+                emitted_through = k
+        if emitted_through < self.se and (r > 0 or inline):
+            self.eobrun += 1
+            self.pending = inline
+        elif inline:
+            # history positions after the last new value with no
+            # trailing zeros still need an EOB carrier
+            self.eobrun += 1
+            self.pending = inline
+
+
+def make_gray_progressive_jpeg(blocks, w, h, quant_zz, scans, restart=0):
+    """Progressive grayscale JPEG (SOF2) from QUANTIZED natural-order
+    blocks: ``scans`` is a list of (Ss, Se, Ah, Al) in a legal
+    successive order. ``restart`` inserts RSTn every that many blocks
+    in every scan (DC predictor and EOB run reset per interval)."""
+    from flink_exercise_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    out = bytearray(
+        _jpeg_headers(w, h, [(1, 0x11, 0)], {0: quant_zz},
+                      sof_marker=0xC2, ac_tables=_PAC_TABLES)
+    )
+    if restart:
+        out += _jseg(0xDD, restart.to_bytes(2, "big"))
+    dcm = _enc_map(_JDC_BITS, _JDC_VALS)
+    acm = _enc_map(*_PAC_TABLES)
+    step = restart or len(blocks)
+    for ss, se, ah, al in scans:
+        out += _jseg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        n_rst = 0
+        for ci in range(0, len(blocks), step):
+            if ci:
+                out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+            chunk = blocks[ci : ci + step]
+            bits = _JBits()
+            if ss == 0:
+                if ah == 0:
+                    _prog_dc_first(bits, [b[0] for b in chunk], dcm, al)
+                else:
+                    _prog_dc_refine(bits, [b[0] for b in chunk], al)
+            else:
+                enc = _ProgAc(bits, acm, ss, se, al, _JPEG_ZIGZAG)
+                for blk in chunk:
+                    if ah == 0:
+                        enc.first_block(blk)
+                    else:
+                        enc.refine_block(blk)
+                enc.flush_eob()
+            bits.flush()
+            out += bits.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _rand_blocks(n, seed=11, lo=-60, hi=60, density=0.25):
+    """Deterministic pseudo-random coefficient blocks: a mix of zero,
+    +-1..small, and larger magnitudes so refinement scans carry both
+    newly-significant values and correction bits."""
+    state = seed
+    blocks = []
+    for _ in range(n):
+        blk = [0] * 64
+        for i in range(64):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            if (state % 100) / 100.0 < density:
+                state = (1103515245 * state + 12345) % (1 << 31)
+                blk[i] = lo + state % (hi - lo + 1)
+        blk[0] = (blk[0] % 32) - 16
+        blocks.append(blk)
+    return blocks
+
+
+def test_jpeg_progressive_equals_baseline_gray():
+    """Every legal scan script must reconstruct the SAME coefficients
+    as the baseline encoding of the same blocks — so the decoded luma
+    is identical. Scripts cover: trivial two-scan, spectral bands,
+    full successive approximation (the libjpeg default shape), and a
+    band split under approximation."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    q = [16] * 64
+    blocks = _rand_blocks(6)
+    w, h = 48, 8
+    want = JPEG_DECODER.decode(
+        make_gray_jpeg(blocks, w, h, q, ac_tables=_PAC_TABLES)
+    )
+    scripts = [
+        [(0, 0, 0, 0), (1, 63, 0, 0)],
+        [(0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0)],
+        [
+            (0, 0, 0, 1),
+            (1, 63, 0, 2),
+            (0, 0, 1, 0),
+            (1, 63, 2, 1),
+            (1, 63, 1, 0),
+        ],
+        [
+            (0, 0, 0, 2),
+            (1, 10, 0, 1),
+            (11, 63, 0, 1),
+            (0, 0, 2, 1),
+            (0, 0, 1, 0),
+            (1, 10, 1, 0),
+            (11, 63, 1, 0),
+        ],
+    ]
+    for scans in scripts:
+        payload = make_gray_progressive_jpeg(blocks, w, h, q, scans)
+        got = JPEG_DECODER.decode(payload)
+        assert got == want, scans
+        assert JPEG_DECODER.probe(payload) == (w, h, 1)
+
+
+def test_jpeg_progressive_eobrun_and_zrl_paths():
+    """Blocks engineered so the encoder emits multi-block EOB runs
+    (all-zero bands) and ZRL-in-refinement spans — the G.1.2.3
+    branches a generic fixture might miss."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    q = [16] * 64
+    blocks = [
+        _dc_block(3),            # empty AC band -> EOB run member
+        _dc_block(-2),           # another
+        [0] * 64,                # another
+        [4] + [0] * 40 + [3] + [0] * 22,   # late coefficient: long runs
+        [1] + [0] * 62 + [-1],   # coefficient at k=63 exactly
+        [0] * 32 + [25] + [0] * 31,
+    ]
+    w, h = 48, 8
+    want = JPEG_DECODER.decode(
+        make_gray_jpeg(blocks, w, h, q, ac_tables=_PAC_TABLES)
+    )
+    for scans in (
+        [(0, 0, 0, 0), (1, 63, 0, 0)],
+        [(0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 1), (1, 63, 1, 0)],
+    ):
+        got = JPEG_DECODER.decode(
+            make_gray_progressive_jpeg(blocks, w, h, q, scans)
+        )
+        assert got == want, scans
+
+
+def make_ycbcr420_progressive_jpeg(y_blocks, cb_block, cr_block, w, h,
+                                   qy_zz, qc_zz):
+    """One-MCU 4:2:0 progressive JPEG: interleaved DC-first scan (all
+    three components, MCU order), then per-component AC scans — luma
+    first, then the chroma scans a luma-only decoder must SKIP."""
+    from flink_exercise_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    comps = [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    out = bytearray(
+        _jpeg_headers(w, h, comps, {0: qy_zz, 1: qc_zz},
+                      sof_marker=0xC2, ac_tables=_PAC_TABLES)
+    )
+    dcm = _enc_map(_JDC_BITS, _JDC_VALS)
+    acm = _enc_map(*_PAC_TABLES)
+    # interleaved DC first scan (Al=0)
+    out += _jseg(
+        0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+    )
+    bits = _JBits()
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def put_dc(cid, dc):
+        diff = dc - preds[cid]
+        preds[cid] = dc
+        s = _cat(diff)
+        length, code = dcm[s]
+        bits.put(code, length)
+        if s:
+            bits.put(_amp(diff, s), s)
+
+    for blk in y_blocks:
+        put_dc(1, blk[0])
+    put_dc(2, cb_block[0])
+    put_dc(3, cr_block[0])
+    bits.flush()
+    out += bits.out
+    # per-component AC scans: luma, then chroma (skipped downstream)
+    for cid, blocks in ((1, y_blocks), (2, [cb_block]), (3, [cr_block])):
+        out += _jseg(0xDA, bytes([1, cid, 0x00, 1, 63, 0]))
+        bits = _JBits()
+        enc = _ProgAc(bits, acm, 1, 63, 0, _JPEG_ZIGZAG)
+        for blk in blocks:
+            enc.first_block(blk)
+        enc.flush_eob()
+        bits.flush()
+        out += bits.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_ycbcr_skips_chroma_scans():
+    """The 4:2:0 progressive luma must equal the baseline 4:2:0 twin —
+    and the chroma AC scans are never entropy-decoded (garbage chroma
+    coefficients cannot perturb the luma; pinned by giving chroma
+    blocks large coefficients)."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    qy, qc = [16] * 64, [32] * 64
+    y_blocks = _rand_blocks(4, seed=23)
+    cb = [60] + [31] * 63
+    cr = [-50] + [-29] * 63
+    w, h = 16, 16
+    want = JPEG_DECODER.decode(
+        make_ycbcr420_jpeg(y_blocks, cb, cr, w, h, qy, qc,
+                           ac_tables=_PAC_TABLES)
+    )
+    got = JPEG_DECODER.decode(
+        make_ycbcr420_progressive_jpeg(y_blocks, cb, cr, w, h, qy, qc)
+    )
+    assert got == want
+    assert JPEG_DECODER.probe(
+        make_ycbcr420_progressive_jpeg(y_blocks, cb, cr, w, h, qy, qc)
+    ) == (16, 16, 3)
+
+
+def test_jpeg_progressive_seams():
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    q = [16] * 64
+    blocks = [_dc_block(2)]
+    # an interleaved AC scan is illegal in progressive mode
+    payload = bytearray(
+        _jpeg_headers(8, 8, [(1, 0x11, 0)], {0: q}, sof_marker=0xC2)
+    )
+    payload += _jseg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    bits = _JBits()
+    _prog_dc_first(bits, [2], _enc_map(_JDC_BITS, _JDC_VALS), 0)
+    bits.flush()
+    payload += bits.out
+    # hand-build a 2-component AC SOS header (structurally invalid)
+    bad = bytes(payload) + _jseg(
+        0xDA, bytes([2, 1, 0x00, 2, 0x00, 1, 63, 0])
+    )
+    with pytest.raises(NotImplementedError, match="interleaved AC"):
+        JPEG_DECODER.decode(bad + b"\xff\xd9")
+    # without any scan delivering quant... quant IS delivered; but a
+    # progressive DC scan with Se != 0 is malformed
+    bad2 = bytes(payload) + _jseg(
+        0xDA, bytes([1, 1, 0x00, 0, 5, 0])
+    )
+    with pytest.raises(NotImplementedError, match="Se != 0"):
+        JPEG_DECODER.decode(bad2 + b"\xff\xd9")
+    # arithmetic-coded progressive (SOF10 = 0xCA) stays the seam
+    arith = bytearray(
+        _jpeg_headers(8, 8, [(1, 0x11, 0)], {0: q}, sof_marker=0xCA)
+    )
+    with pytest.raises(NotImplementedError, match="SOF"):
+        JPEG_DECODER.decode(bytes(arith) + b"\xff\xd9")
+
+
+def test_jpeg_progressive_restart_intervals():
+    """RSTn markers inside progressive scans reset the DC predictor
+    and the EOB run per interval — the decode must still equal the
+    (restart-free) baseline twin."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    q = [16] * 64
+    blocks = _rand_blocks(8, seed=5)
+    w, h = 64, 8
+    want = JPEG_DECODER.decode(
+        make_gray_jpeg(blocks, w, h, q, ac_tables=_PAC_TABLES)
+    )
+    scans = [(0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 1), (1, 63, 1, 0)]
+    got = JPEG_DECODER.decode(
+        make_gray_progressive_jpeg(blocks, w, h, q, scans, restart=3)
+    )
+    assert got == want
