@@ -1,0 +1,247 @@
+"""Persisted ANN index store — the "build once, probe daily" shape
+for the IVF-PQ family, mirroring what the dedup fingerprint/band
+index (operators/incremental.py) does for deduplication.
+
+Why: every `knn_ivf_pq_residual` call rebuilds the whole index —
+assignment, residuals, codes — which is the right shape for a test
+harness and the wrong one for production, where the corpus is
+quasi-static and queries arrive continuously. This module persists
+the four index relations once and answers queries against the store:
+
+- ``centroids``  (cell_id, cent, cent_norm)           — model-sized
+- ``books``      (subspace, code, codeword)           — model-sized
+- ``codes``      (vec_id, codes tinyint[m], norm), PARTITIONED BY
+                 cell_id — the compressed probe relation: a query
+                 touches n_probe/n_cells of it via PARTITION PRUNING
+- ``floats``     (vec_id, embedding, norm), PARTITIONED BY cell_id —
+                 touched only by the (queries x shortlist) re-score,
+                 same pruning
+
+Each relation is a snapshot-versioned store (operators/manifest.py):
+readers pin an immutable file set, a rebuild publishes atomically,
+and a reader mid-rebuild sees the old index or the new one, never a
+mix. ``meta.json`` (written LAST, via write-temp + os.replace) pins
+the model hyper-parameters and doubles as the bootstrap-complete
+marker — a crash mid-bootstrap leaves no ``meta.json`` and
+``query_ann_index`` fails loud.
+
+Codes are RESIDUAL codes (x − centroid, the canonical FAISS layout,
+compression.knn_ivf_pq_residual): scoring decomposes as the exact
+per-(query, probed-cell) <q, cent> term plus the residual ADC fold,
+and the output EQUALS the in-memory operator row for row (pinned in
+tests/test_ann_store.py).
+
+Single-writer, whole-index rebuild model: the corpus side of an ANN
+index is rebuilt periodically (recluster + re-encode), not row-merged
+— per-row upsert would silently degrade the coarse quantizer. The
+versioned stores make the rebuild safe to run under live readers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.functions.vectors import cosine_from_norms, with_norm
+from flink_exercise_spark.operators import manifest as mft
+from flink_exercise_spark.operators.compression import (
+    _adc_fold,
+    _exact_rescore_topk,
+    pq_adc_lut,
+    pq_codebooks,
+    pq_encode,
+    residual_vectors,
+)
+from flink_exercise_spark.operators.similarity import (
+    N_QUERIES,
+    _ivf_assign_probe,
+    _ivf_centroids,
+    _rank_top_k,
+)
+
+_META = "meta.json"
+
+
+def write_ann_index(
+    emb: DataFrame,
+    path: str,
+    n_queries: int = N_QUERIES,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    codebook: DataFrame | None = None,
+    pq_books: DataFrame | None = None,
+    assign_kernel: bool = False,
+) -> dict:
+    """Build and persist the index from ``emb`` (the fixture's
+    vec_id < n_queries rows are queries and stay OUT of the store,
+    matching the in-memory operators' corpus split). Model choices
+    (deterministic vs trained coarse/PQ codebooks) mirror
+    ``knn_ivf_pq_residual`` exactly so the stored answers can be
+    equality-pinned against it."""
+    spark = emb.sparkSession
+    cents = _ivf_centroids(emb, n_queries, n_cells, codebook)
+    corpus, _queries, assigned_ids, _probes = _ivf_assign_probe(
+        emb, n_queries, n_cells, 1, codebook, cents=cents,
+        assign_kernel=assign_kernel,
+    )
+    resid = residual_vectors(corpus, assigned_ids, cents)
+    if pq_books is None:
+        # deterministic books skip the zero-residual centroid seeds —
+        # the knn_ivf_pq_residual convention, kept identical
+        book_base = (
+            resid.filter(F.col("vec_id") >= n_queries + n_cells)
+            if codebook is None
+            else resid
+        )
+        pq_books = pq_codebooks(book_base, m=m, n_codes=n_codes,
+                                vec_col="resid")
+    os.makedirs(path, exist_ok=True)
+    mft.versioned_write(
+        cents.withColumn("bucket", F.lit("all")),
+        os.path.join(path, "centroids"),
+    )
+    mft.versioned_write(
+        pq_books.withColumn("bucket", F.lit("all")),
+        os.path.join(path, "books"),
+    )
+    codes = pq_encode(
+        resid, pq_books, m=m, vec_col="resid", norm_col="orig_norm"
+    ).join(resid.select("vec_id", "cell_id"), "vec_id")
+    mft.versioned_write(
+        codes, os.path.join(path, "codes"), partition_col="cell_id"
+    )
+    floats = corpus.select(
+        F.col("neighbor_id").alias("vec_id"), "c_emb", "c_norm"
+    ).join(assigned_ids.withColumnRenamed("neighbor_id", "vec_id"),
+           "vec_id")
+    mft.versioned_write(
+        floats, os.path.join(path, "floats"), partition_col="cell_id"
+    )
+    meta = {
+        "n_cells": n_cells,
+        "m": m,
+        "n_codes": n_codes,
+        "n_corpus": codes.count(),
+    }
+    tmp = os.path.join(path, f"_{_META}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:  # written LAST: the bootstrap marker
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META))
+    return meta
+
+
+def read_ann_meta(path: str) -> dict:
+    p = os.path.join(path, _META)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no complete ANN index at {path!r} (meta.json missing — "
+            "bootstrap with write_ann_index)"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def query_ann_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Top-k neighbors for ``queries`` (query_id, embedding) against
+    the persisted index: probe selection against the broadcast
+    centroid relation, then a PARTITION-PRUNED scan of the compressed
+    codes store (only the probed cell directories are read — the
+    probed cell-id list is queries x n_probe rows, collected to the
+    driver as model-sized state so the pruning filter is STATIC and
+    visible in the plan), residual-ADC pre-ranking with the exact
+    <q, cent> term, and the exact shortlist re-score against the
+    float store under the same pruning. Output contract and values
+    equal ``knn_ivf_pq_residual`` on the same corpus/models."""
+    meta = read_ann_meta(path)
+    if shortlist is None:
+        shortlist = max(4 * k, 32)
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    m = meta["m"]
+    cents = mft.versioned_read(spark, os.path.join(path, "centroids"))
+    books = mft.versioned_read(spark, os.path.join(path, "books")).select(
+        "subspace", "code", "codeword"
+    )
+    q = with_norm(queries, vec_col="embedding").select(
+        "query_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    probe_item = F.struct(
+        (
+            -F.round(
+                cosine_from_norms("q_emb", "cent", "q_norm", "cent_norm"), 6
+            )
+        ).alias("_nc"),
+        F.col("cell_id").alias("_cid"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents.select("cell_id", "cent",
+                                             "cent_norm")))
+        .groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(probe_item)), 1, n_probe
+            ).alias("_top"),
+            F.first("q_emb").alias("q_emb"),
+        )
+        .select("query_id", "q_emb", F.explode("_top._cid").alias("cell_id"))
+    )
+    # model-sized driver state: queries x n_probe cell ids — makes the
+    # partition filter static, so both store scans prune at file level
+    probed_cells = sorted(
+        {r["cell_id"] for r in probes.select("cell_id").collect()}
+    )
+    codes = mft.versioned_read(spark, os.path.join(path, "codes")).filter(
+        F.col("cell_id").isin(probed_cells)
+    )
+    luts = pq_adc_lut(probes.select("query_id", "q_emb").distinct(),
+                      books, m=m)
+    qcent = probes.join(
+        F.broadcast(cents.select("cell_id", "cent")), "cell_id"
+    ).select(
+        "query_id",
+        "cell_id",
+        F.aggregate(
+            F.zip_with("q_emb", "cent", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_qcent"),
+    )
+    cand = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qcent), "cell_id")
+        .join(F.broadcast(luts), "query_id")
+    )
+    approx = cand.select(
+        "query_id",
+        "neighbor_id",
+        ((F.col("_qcent") + _adc_fold()) / F.col("norm")).alias("adot"),
+    )
+    short = _rank_top_k(approx, shortlist, score_col="adot").select(
+        "query_id", "neighbor_id"
+    )
+    floats = (
+        mft.versioned_read(spark, os.path.join(path, "floats"))
+        .filter(F.col("cell_id").isin(probed_cells))
+        .select(F.col("vec_id").alias("neighbor_id"), "c_emb", "c_norm")
+    )
+    return _exact_rescore_topk(
+        short, floats, with_norm(queries, vec_col="embedding").select(
+            F.col("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        ), k,
+    )

@@ -1,0 +1,105 @@
+"""Persisted ANN index: exact equality with the in-memory residual
+IVF-PQ operator, partition pruning on the probed cells (the plan-level
+claim the store exists for), snapshot isolation under rebuild, and the
+bootstrap-marker seam."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.ann_store import (
+    query_ann_index,
+    read_ann_meta,
+    write_ann_index,
+)
+from flink_exercise_spark.operators.compression import knn_ivf_pq_residual
+from flink_exercise_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def _queries_of(emb, n=10):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_store_equals_in_memory_operator(spark, emb, tmp_path):
+    """The persisted index must answer EXACTLY what the in-memory
+    knn_ivf_pq_residual answers on the same corpus with the same
+    (deterministic) models — at the default tight shortlist AND at a
+    covering one (where both equal knn_ivf)."""
+    path = str(tmp_path / "ann")
+    meta = write_ann_index(emb, path)
+    assert read_ann_meta(path) == meta and meta["n_corpus"] > 0
+    queries = _queries_of(emb)
+    for shortlist in (None, emb.count()):
+        want = sorted(
+            tuple(r)
+            for r in knn_ivf_pq_residual(
+                emb, k=3, shortlist=shortlist
+            ).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in query_ann_index(
+                spark, path, queries, k=3, shortlist=shortlist
+            ).collect()
+        )
+        assert got == want and len(got) > 0, shortlist
+
+
+def test_probe_scan_partition_prunes(spark, emb, tmp_path):
+    """The codes scan must carry the probed-cells filter as a
+    PARTITION filter (file-level pruning), not a post-scan predicate
+    over all cells — the n_probe/n_cells read-cost claim."""
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    plan = (
+        query_ann_index(spark, path, _queries_of(emb), k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [cell_id" in plan.replace(
+        "PartitionFilters: [isnotnull(cell_id", "PartitionFilters: [cell_id"
+    ) or "cell_id#" in plan.split("PartitionFilters")[1][:200]
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_isolation_under_rebuild(spark, emb, tmp_path):
+    """A reader that resolved the index before a rebuild keeps its
+    snapshot: versioned stores never mutate committed files. (Rebuild
+    = a fresh bootstrap at a new path or versioned merges per store;
+    here we pin the reader-side half — the resolved DataFrame is
+    stable across a vacuum-safe merge into the codes store.)"""
+    from flink_exercise_spark.operators import manifest as mft
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    queries = _queries_of(emb)
+    pinned = query_ann_index(spark, path, queries, k=3)
+    before = sorted(tuple(r) for r in pinned.collect())
+    # merge a poisoned row for an existing vec_id into the codes store
+    codes_path = f"{path}/codes"
+    one = mft.versioned_read(spark, codes_path).limit(1)
+    poisoned = one.withColumn(
+        "codes", F.expr("transform(codes, c -> CAST(0 AS TINYINT))")
+    ).withColumn("norm", F.lit(1e9))
+    mft.versioned_merge_upsert(
+        spark, codes_path, poisoned, key="vec_id", partition_col="cell_id"
+    )
+    # the pinned plan still reads the ORIGINAL snapshot's files
+    assert sorted(tuple(r) for r in pinned.collect()) == before
+
+
+def test_missing_meta_fails_loud(spark, emb, tmp_path):
+    with pytest.raises(FileNotFoundError, match="meta.json"):
+        query_ann_index(
+            spark, str(tmp_path / "nothing"), _queries_of(emb)
+        )
