@@ -245,3 +245,77 @@ def query_ann_index(
             F.col("norm").alias("q_norm"),
         ), k,
     )
+
+
+def append_ann_index(
+    spark: SparkSession,
+    path: str,
+    new_emb: DataFrame,
+    assign_kernel: bool = False,
+) -> dict:
+    """Daily-batch ANN ingest — the incremental-dedup deployment shape
+    applied to the vector store: assign the NEW vectors against the
+    index's PINNED centroids (the coarse model is never retrained by
+    an append; recluster = rebuild), encode residuals with the STORED
+    codebooks, and land both relations via partition-scoped
+    ``versioned_merge_upsert`` — only the cell directories the batch
+    actually touches are rewritten, every other partition carries
+    forward by manifest reference, and readers mid-append keep their
+    snapshot. A re-appearing ``vec_id`` is an UPDATE (merge-on-key
+    semantics), so replays are idempotent.
+
+    With explicit (codebook, pq_books) models, append(A) then
+    append(B) yields byte-identical query answers to a fresh
+    write_ann_index over A ∪ B — pinned in tests."""
+    from flink_exercise_spark.operators.similarity import _assign_cells
+
+    meta = read_ann_meta(path)
+    cents = mft.versioned_read(spark, os.path.join(path, "centroids")).select(
+        "cell_id", "cent", "cent_norm"
+    )
+    books = mft.versioned_read(spark, os.path.join(path, "books")).select(
+        "subspace", "code", "codeword"
+    )
+    corpus = with_norm(new_emb.select("vec_id", "embedding")).select(
+        "vec_id", "embedding", "norm"
+    )
+    assigned = _assign_cells(corpus, cents, kernel=assign_kernel).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    resid = residual_vectors(
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        ),
+        assigned,
+        cents,
+    )
+    codes = pq_encode(
+        resid, books, m=meta["m"], vec_col="resid", norm_col="orig_norm"
+    ).join(resid.select("vec_id", "cell_id"), "vec_id")
+    stats_c = mft.versioned_merge_upsert(
+        spark, os.path.join(path, "codes"), codes,
+        key="vec_id", partition_col="cell_id",
+    )
+    floats = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    ).join(assigned.withColumnRenamed("neighbor_id", "vec_id"), "vec_id")
+    stats_f = mft.versioned_merge_upsert(
+        spark, os.path.join(path, "floats"), floats,
+        key="vec_id", partition_col="cell_id",
+    )
+    meta["n_corpus"] = mft.versioned_read(
+        spark, os.path.join(path, "codes")
+    ).count()
+    tmp = os.path.join(path, f"_{_META}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META))
+    return {
+        "n_corpus": meta["n_corpus"],
+        "codes_partitions_rewritten": stats_c["partitions_rewritten"],
+        "floats_partitions_rewritten": stats_f["partitions_rewritten"],
+    }

@@ -103,3 +103,87 @@ def test_missing_meta_fails_loud(spark, emb, tmp_path):
         query_ann_index(
             spark, str(tmp_path / "nothing"), _queries_of(emb)
         )
+
+
+def test_append_equals_full_rebuild(spark, emb, tmp_path):
+    """With pinned explicit models, append(A) then append(B) must
+    answer queries byte-identically to a fresh index over A ∪ B — the
+    incremental-dedup equivalence, for vectors. Only B's touched cell
+    partitions are rewritten by the append."""
+    from flink_exercise_spark.operators.ann_store import append_ann_index
+    from flink_exercise_spark.operators.compression import (
+        pq_codebooks,
+        residual_vectors,
+    )
+    from flink_exercise_spark.operators.similarity import (
+        _ivf_assign_probe,
+        _ivf_centroids,
+    )
+
+    # pinned models from the FULL corpus so both paths share them
+    cents_model = _ivf_centroids(emb, 10, 8, None).select(
+        "cell_id", "cent"
+    )
+    corpus, _q, assigned, _p = _ivf_assign_probe(emb, 10, 8, 1, None)
+    cents_full = _ivf_centroids(emb, 10, 8, None)
+    books_model = pq_codebooks(
+        residual_vectors(corpus, assigned, cents_full).filter(
+            F.col("vec_id") >= 18
+        ),
+        m=8,
+        n_codes=16,
+        vec_col="resid",
+    )
+    ids = sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+    split = ids[len(ids) // 2]
+    part_a = emb.filter(F.col("vec_id") < split)
+    part_b = emb.filter(
+        (F.col("vec_id") >= split) & (F.col("vec_id") >= 10)
+    ).select("vec_id", "embedding")
+
+    full_path = str(tmp_path / "full")
+    write_ann_index(
+        emb, full_path, codebook=cents_model, pq_books=books_model
+    )
+    inc_path = str(tmp_path / "inc")
+    write_ann_index(
+        part_a, inc_path, codebook=cents_model, pq_books=books_model
+    )
+    stats = append_ann_index(spark, inc_path, part_b)
+    assert stats["n_corpus"] == read_ann_meta(full_path)["n_corpus"]
+    assert 0 < stats["codes_partitions_rewritten"] <= 8
+
+    queries = _queries_of(emb)
+    want = sorted(
+        tuple(r)
+        for r in query_ann_index(spark, full_path, queries, k=3).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in query_ann_index(spark, inc_path, queries, k=3).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_append_replay_idempotent(spark, emb, tmp_path):
+    """Re-appending the same batch (merge-on-key) changes nothing —
+    the replay contract every daily-batch path in this repo holds."""
+    from flink_exercise_spark.operators.ann_store import append_ann_index
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    batch = emb.filter(F.col("vec_id") >= 100).select(
+        "vec_id", "embedding"
+    ).limit(20)
+    s1 = append_ann_index(spark, path, batch)
+    before = sorted(
+        tuple(r)
+        for r in query_ann_index(spark, path, _queries_of(emb)).collect()
+    )
+    s2 = append_ann_index(spark, path, batch)
+    assert s2["n_corpus"] == s1["n_corpus"]
+    after = sorted(
+        tuple(r)
+        for r in query_ann_index(spark, path, _queries_of(emb)).collect()
+    )
+    assert after == before
