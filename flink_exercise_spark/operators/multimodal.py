@@ -24,7 +24,10 @@ the luma plane, baseline sequential AND progressive SOF2 with
 spectral selection, successive approximation, EOB runs, and
 marker-level skipping of chroma AC scans; arithmetic coding and
 12-bit remain the narrowed seam) and 16-bit PCM mono
-WAV (WavAudioCodec, r7, via the ``wave`` module) — ``decode_any`` /
+WAV (WavAudioCodec, r7, via the ``wave`` module), and MJPEG video
+(r10: AVI_PROBER.frames demuxes the movi stream and video_frame_luma
+decodes every sampled frame through the in-repo JPEG codec — real
+per-frame pixel math, baseline or progressive) — ``decode_any`` /
 the audio kernel dispatch on
 strict container sniffs (magic bytes + internal length consistency),
 so genuine media bytes get real pixel/sample math while everything
@@ -640,6 +643,48 @@ class AviVideoProber:
         raise NotImplementedError("no avih header found")
 
 
+    def frames(self, payload: bytes) -> list[bytes]:
+        """The video stream's frame chunks from ``LIST movi``, in
+        stream order: fourcc ``##dc``/``##db`` (compressed / DIB)
+        chunks, descending into ``LIST rec`` groups. Header-only AVIs
+        (no movi list) and truncated chunks raise — the seam, not a
+        crash. Completes the prober into a demuxer; DECODING a frame
+        still needs a codec, which for MJPEG is the in-repo JPEG
+        decoder (video_frame_luma)."""
+        if len(payload) < 24 or payload[8:12] != b"AVI ":
+            raise NotImplementedError("not an AVI RIFF body")
+
+        out: list[bytes] = []
+
+        def walk_chunks(start: int, end: int) -> None:
+            pos = start
+            while pos + 8 <= end:
+                fourcc = payload[pos : pos + 4]
+                size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+                if pos + 8 + size > end:
+                    raise NotImplementedError("truncated AVI movi chunk")
+                if fourcc == b"LIST" and payload[pos + 8 : pos + 12] == (
+                    b"rec "
+                ):
+                    walk_chunks(pos + 12, pos + 8 + size)
+                elif fourcc[2:4] in (b"dc", b"db"):
+                    out.append(payload[pos + 8 : pos + 8 + size])
+                pos += 8 + size + (size % 2)
+
+        pos = 12
+        while pos + 8 <= len(payload):
+            fourcc = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if fourcc == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+                walk_chunks(pos + 12, pos + 8 + size)
+            pos += 8 + size + (size % 2)
+        if not out:
+            raise NotImplementedError(
+                "AVI carries no movi frame chunks (header-only fixture?)"
+            )
+        return out
+
+
 AVI_PROBER = AviVideoProber()
 
 
@@ -707,6 +752,69 @@ def frame_sample(
             )
 
     return spread(with_payload, "doc_id").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+VIDEO_LUMA_SCHEMA = (
+    "doc_id long, frame_idx int, ts_ms long, width int, height int, "
+    "mean_luma double"
+)
+
+
+def video_frame_luma(
+    with_payload: DataFrame, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """REAL video frame decode end-to-end (r10): demux the AVI movi
+    stream (AVI_PROBER.frames) and decode every ``stride``-th frame
+    through the in-repo JPEG decoder — MJPEG is exactly "a JPEG per
+    frame", so the baseline+progressive codec upgrades the video seam
+    from hash stand-ins (frame_sample) to actual per-frame pixel math
+    with no new machinery. Timestamps come from the genuine avih
+    header (idx * usec // 1000, exact integer math).
+
+    Non-AVI payloads and non-JPEG frame codecs raise through the
+    documented seam; callers route on the container sniff upstream
+    (the audio-kernel convention). Same 1->N mapInPandas fan-out and
+    scale shape as frame_sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, ws, hs, lumas = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                if not _looks_avi(p):
+                    raise NotImplementedError(
+                        "video_frame_luma requires an AVI payload "
+                        "(filter on the container sniff upstream)"
+                    )
+                _n, usec, _w, _h = AVI_PROBER.probe(p)
+                frames = AVI_PROBER.frames(p)
+                for i in range(0, len(frames), stride):
+                    if not _looks_jpeg(frames[i]):
+                        raise NotImplementedError(
+                            "non-MJPEG AVI frame codec is outside the "
+                            "seam (JPEG frames decode for real)"
+                        )
+                    _fmt, fw, fh, luma = JPEG_DECODER.decode(frames[i])
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * usec // 1000)
+                    ws.append(fw)
+                    hs.append(fh)
+                    lumas.append(luma)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    return spread(with_payload, "doc_id").mapInPandas(
+        run, schema=VIDEO_LUMA_SCHEMA
+    )
 
 
 @dataclass(frozen=True)

@@ -1922,3 +1922,113 @@ def test_jpeg_progressive_restart_intervals():
         make_gray_progressive_jpeg(blocks, w, h, q, scans, restart=3)
     )
     assert got == want
+
+
+# --- MJPEG video decode (r10: demux + in-repo JPEG codec) ----------------------
+
+
+def _encode_avi(frames, usec=40000, w=8, h=8, in_rec_list=False):
+    """Minimal RIFF/AVI for fixtures: LIST hdrl(avih) + LIST movi with
+    one 00dc chunk per frame (optionally wrapped in a LIST rec group),
+    RIFF size field consistent with the payload (the sniff's demand)."""
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    avih = (
+        usec.to_bytes(4, "little")
+        + b"\x00" * 12
+        + len(frames).to_bytes(4, "little")
+        + b"\x00" * 12
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    inner = b"".join(chunk(b"00dc", f) for f in frames)
+    if in_rec_list:
+        inner = chunk(b"LIST", b"rec " + inner)
+    movi = chunk(b"LIST", b"movi" + inner)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_demux_and_mjpeg_luma_exact(spark):
+    """Five DC-only MJPEG frames with EXACTLY known lumas (the
+    make_gray_jpeg fixtures): stride-2 sampling must decode frames
+    0/2/4 with their known lumas, real dims, and avih timestamps."""
+    from flink_exercise_spark.operators.multimodal import (
+        AVI_PROBER,
+        video_frame_luma,
+    )
+
+    q = [16] * 64
+    # DC=v dequantizes to 16v; flat block at 16v/8 + 128
+    frames = [
+        make_gray_jpeg([_dc_block(v)], 8, 8, q) for v in (1, 2, 3, 4, 5)
+    ]
+    avi = _encode_avi(frames, usec=33366)
+    assert AVI_PROBER.frames(avi) == frames
+    df = spark.createDataFrame(
+        [(7, bytearray(avi))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        (r["frame_idx"], r["ts_ms"], r["width"], r["height"],
+         r["mean_luma"])
+        for r in video_frame_luma(df, stride=2).collect()
+    )
+    want = [
+        (i, i * 33366 // 1000, 8, 8, round((128 + 2 * (i + 1)) / 255.0, 6))
+        for i in (0, 2, 4)
+    ]
+    assert rows == want
+
+
+def test_avi_demux_rec_lists_and_seams(spark):
+    from flink_exercise_spark.operators.multimodal import (
+        AVI_PROBER,
+        video_frame_luma,
+    )
+
+    q = [16] * 64
+    frames = [make_gray_jpeg([_dc_block(v)], 8, 8, q) for v in (1, 2)]
+    # frames inside a LIST rec group demux identically
+    assert AVI_PROBER.frames(_encode_avi(frames, in_rec_list=True)) == frames
+    # header-only AVI (the checked-in sample): loud seam
+    sample = open(f"{_DATA}/sample.avi", "rb").read()
+    with pytest.raises(NotImplementedError, match="movi"):
+        AVI_PROBER.frames(sample)
+    # a non-JPEG frame codec stays the seam
+    raw_avi = _encode_avi([b"\x00" * 32])
+    df = spark.createDataFrame(
+        [(1, bytearray(raw_avi))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="non-MJPEG"):
+        video_frame_luma(df).collect()
+    # non-AVI payload routes to the seam, not the stub
+    txt = spark.createDataFrame(
+        [(1, bytearray(b"not a video"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="AVI payload"):
+        video_frame_luma(txt).collect()
+
+
+def test_mjpeg_progressive_frames_decode(spark):
+    """MJPEG frames are just JPEGs — a PROGRESSIVE frame decodes
+    through the same seam (the codec upgrade composes into video)."""
+    from flink_exercise_spark.operators.multimodal import video_frame_luma
+
+    q = [16] * 64
+    blocks = [_dc_block(3)]
+    prog = make_gray_progressive_jpeg(
+        blocks, 8, 8, q, [(0, 0, 0, 0), (1, 63, 0, 0)]
+    )
+    base = make_gray_jpeg(blocks, 8, 8, q)
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_avi([base, prog])))],
+        "doc_id long, payload binary",
+    )
+    rows = video_frame_luma(df, stride=1).collect()
+    assert len(rows) == 2
+    assert rows[0]["mean_luma"] == rows[1]["mean_luma"]
