@@ -83,13 +83,20 @@ def write_ann_index(
     (deterministic vs trained coarse/PQ codebooks) mirror
     ``knn_ivf_pq_residual`` exactly so the stored answers can be
     equality-pinned against it."""
+    from flink_exercise_spark.caching import persist_tracked
+
     spark = emb.sparkSession
     cents = _ivf_centroids(emb, n_queries, n_cells, codebook)
     corpus, _queries, assigned_ids, _probes = _ivf_assign_probe(
         emb, n_queries, n_cells, 1, codebook, cents=cents,
         assign_kernel=assign_kernel,
     )
-    resid = residual_vectors(corpus, assigned_ids, cents)
+    # the corpus x codebook argmax feeds FIVE actions below (books
+    # sample, both halves of the codes write, the floats write, the
+    # meta count); unpersisted it re-executes for each (code-review
+    # r10 — the knn_ivf_pq_residual persist rationale, at build time)
+    assigned_ids = persist_tracked(assigned_ids)
+    resid = persist_tracked(residual_vectors(corpus, assigned_ids, cents))
     if pq_books is None:
         # deterministic books skip the zero-residual centroid seeds —
         # the knn_ivf_pq_residual convention, kept identical
@@ -199,6 +206,13 @@ def query_ann_index(
         )
         .select("query_id", "q_emb", F.explode("_top._cid").alias("cell_id"))
     )
+    # probes feeds THREE consumers (the probed-cells collect, the ADC
+    # LUT input, the qcent join) — persist the queries x n_probe
+    # relation so the probe-selection aggregation runs once
+    # (code-review r10)
+    from flink_exercise_spark.caching import persist_tracked
+
+    probes = persist_tracked(probes)
     # model-sized driver state: queries x n_probe cell ids — makes the
     # partition filter static, so both store scans prune at file level
     probed_cells = sorted(

@@ -155,12 +155,19 @@ def audio_neardup_pairs(
     than ``fp_cap`` docs are dropped first (uninformative + the N^2
     bomb), and the per-fp doc lists stay distinct so duplicate
     landmarks inside one clip can't inflate the count."""
-    per_fp = fps.groupBy("fp").agg(
-        F.collect_set("doc_id").alias("_docs")
+    # count-then-anti-join cap (the dedup.py BUCKET_CAP idiom): a
+    # collect_set here would materialize the hot fingerprint's full
+    # doc list in ONE aggregation buffer — the memory bomb the cap
+    # exists to avoid (code-review r10). The hot-fp relation is tiny
+    # by definition, so it broadcasts.
+    fps_d = fps.select("fp", "doc_id").distinct()
+    hot = (
+        fps_d.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > fp_cap)
+        .select("fp")
     )
-    capped = per_fp.filter(F.size("_docs") <= fp_cap).select(
-        "fp", F.explode("_docs").alias("doc_id")
-    )
+    capped = fps_d.join(F.broadcast(hot), "fp", "left_anti")
     a = capped.alias("a")
     b = capped.alias("b")
     return (

@@ -172,9 +172,14 @@ def versioned_read(
         os.path.join(path, f) for fl in m["files"].values() for f in fl
     ]
     if not files:
-        schema = StructType.fromJson(json.loads(m["schema"])).add(
-            m["partition_col"], "string"
-        )
+        # the stored schema already CONTAINS the partition column (it
+        # is df.schema at write time, before partitionBy moves it into
+        # directory names) — only add it, as a last-resort string, if
+        # a caller stored a schema without it (code-review r10: the
+        # unconditional add produced a duplicate, ambiguous column)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if m["partition_col"] not in schema.fieldNames():
+            schema = schema.add(m["partition_col"], "string")
         return spark.createDataFrame([], schema)
     return (
         spark.read.option("basePath", os.path.join(path, _DATA))
@@ -221,17 +226,18 @@ def versioned_merge_upsert(
     merged = survivors.unionByName(updates).localCheckpoint()
     version = prev["version"] + 1
     new_files = _stage_in(merged, path, partition_col, version)
-    # Hive-encoded manifest keys: the staged directory names are what
-    # identify partitions, so the carry-forward diff must compare in
-    # the same encoding (None -> __HIVE_DEFAULT_PARTITION__).
-    touched_keys = {
-        "__HIVE_DEFAULT_PARTITION__" if t is None else str(t)
-        for t in touched
-    }
+    # Carry-forward diff keys on the STAGED directory names themselves
+    # (new_files' keys): every touched partition has >= 1 update row
+    # by construction (touched is derived FROM the updates), so it
+    # necessarily appears in new_files — and Spark's Hive escaping of
+    # special characters (space -> %20 etc.) can never desynchronize
+    # a str(value) re-encoding from the directory encoding
+    # (code-review r10: the previous str()-based diff silently
+    # carried stale files forward for any escaped partition value).
     files = {
         pval: fl
         for pval, fl in prev["files"].items()
-        if pval not in touched_keys
+        if pval not in new_files
     }
     files.update(new_files)
     _publish(

@@ -1598,6 +1598,35 @@ class JpegImageCodec:
         w, h, _, comps = self._frame(payload)
         return w, h, len(comps)
 
+    @staticmethod
+    def _parse_tables(marker: int, body: bytes, quant: dict, huff: dict):
+        """Shared DQT/DHT segment parsing for the sequential AND
+        progressive walks (code-review r10: the two loops were
+        verbatim copies — a fix to one would silently miss the
+        other). Mutates ``quant``/``huff`` in place; returns True if
+        the marker was a table segment."""
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                if body[o] >> 4 != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization tables unsupported"
+                    )
+                quant[body[o] & 0x0F] = list(body[o + 1 : o + 65])
+                o += 65
+            return True
+        if marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = body[o + 1 : o + 17]
+                n_vals = sum(bits)
+                vals = body[o + 17 : o + 17 + n_vals]
+                huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                o += 17 + n_vals
+            return True
+        return False
+
     def decode(self, payload: bytes) -> tuple[str, int, int, float]:
         w, h, sof, comps = self._frame(payload)
         if sof == 0xC2:
@@ -1612,24 +1641,8 @@ class JpegImageCodec:
             marker = payload[pos + 1]
             seg_len = int.from_bytes(payload[pos + 2:pos + 4], "big")
             body = payload[pos + 4:pos + 2 + seg_len]
-            if marker == 0xDB:  # DQT (possibly several tables)
-                o = 0
-                while o < len(body):
-                    if body[o] >> 4 != 0:
-                        raise NotImplementedError(
-                            "16-bit quantization tables unsupported"
-                        )
-                    quant[body[o] & 0x0F] = list(body[o + 1:o + 65])
-                    o += 65
-            elif marker == 0xC4:  # DHT (possibly several tables)
-                o = 0
-                while o < len(body):
-                    tc, th = body[o] >> 4, body[o] & 0x0F
-                    bits = body[o + 1:o + 17]
-                    n_vals = sum(bits)
-                    vals = body[o + 17:o + 17 + n_vals]
-                    huff[(tc, th)] = _jpeg_huff_table(bits, vals)
-                    o += 17 + n_vals
+            if self._parse_tables(marker, body, quant, huff):
+                pass
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(body[0:2], "big")
             elif marker == 0xDA:  # SOS
@@ -1669,7 +1682,18 @@ class JpegImageCodec:
         reader = _JpegBitReader(payload, data_pos)
         dc_pred = {c[0]: 0 for c in comps}
         luma_id = comps[0][0]
+        if comps[0][3] not in quant:
+            raise NotImplementedError(
+                f"no quantization table {comps[0][3]} before the scan"
+            )
         yq = quant[comps[0][3]]
+        for cid_, _ch, _cv, _tq in comps:
+            for tc in (0, 1):
+                if (tc, sel[cid_][tc]) not in huff:
+                    raise NotImplementedError(
+                        f"scan references missing Huffman table "
+                        f"(class {tc}, id {sel[cid_][tc]})"
+                    )
         # Y plane, padded to whole MCUs; mean taken over w x h only
         yw = mcus_x * 8 * hmax
         yplane = bytearray(yw * mcus_y * 8 * vmax)
@@ -1851,24 +1875,8 @@ class JpegImageCodec:
                 break
             seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
             body = payload[pos + 4 : pos + 2 + seg_len]
-            if marker == 0xDB:
-                o = 0
-                while o < len(body):
-                    if body[o] >> 4 != 0:
-                        raise NotImplementedError(
-                            "16-bit quantization tables unsupported"
-                        )
-                    quant[body[o] & 0x0F] = list(body[o + 1 : o + 65])
-                    o += 65
-            elif marker == 0xC4:
-                o = 0
-                while o < len(body):
-                    tc, th = body[o] >> 4, body[o] & 0x0F
-                    bits = body[o + 1 : o + 17]
-                    n_vals = sum(bits)
-                    vals = body[o + 17 : o + 17 + n_vals]
-                    huff[(tc, th)] = _jpeg_huff_table(bits, vals)
-                    o += 17 + n_vals
+            if self._parse_tables(marker, body, quant, huff):
+                pass
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[0:2], "big")
             elif marker == 0xDA:

@@ -384,11 +384,7 @@ def _ivf_centroids(
     and the per-probe <q, cent> term) build them ONCE and share the
     relation with the assign/probe front half."""
     if codebook is not None:
-        if codebook.count() > _CELL_PACK:
-            raise ValueError(
-                "codebook cell_id must fit in the packed-argmax field "
-                f"(<= {_CELL_PACK} cells)"
-            )
+        _guard_cell_range(codebook)
         return with_norm(codebook, vec_col="cent", out="cent_norm").select(
             F.col("cell_id").cast("int"), "cent", "cent_norm"
         )
@@ -407,6 +403,26 @@ def _ivf_centroids(
         F.col("embedding").alias("cent"),
         F.col("norm").alias("cent_norm"),
     )
+
+
+def _guard_cell_range(codebook: DataFrame) -> None:
+    """Loud range guard for explicit codebooks: the packed-argmax
+    tie-break field holds cell ids in [0, _CELL_PACK) — VALUES outside
+    that range (sparse hashed ids, negatives) would wrap silently even
+    when the row COUNT fits, the exact bug class the r10 8-bit-wrap
+    fix closed (code-review r10: the count-only guard re-opened it on
+    the value axis). One aggregate over the model-sized relation."""
+    row = codebook.agg(
+        F.min("cell_id").alias("lo"), F.max("cell_id").alias("hi")
+    ).first()
+    if row["lo"] is None:
+        return  # empty codebook: downstream paths fail on their own terms
+    if row["lo"] < 0 or row["hi"] >= _CELL_PACK:
+        raise ValueError(
+            f"codebook cell_id values must lie in [0, {_CELL_PACK}) "
+            f"(got [{row['lo']}, {row['hi']}]) — the packed-argmax "
+            "tie-break field wraps silently outside it"
+        )
 
 
 def _assign_cells_kernel(
@@ -961,10 +977,7 @@ def _prune_assigned(
     lowest-vec_id corpus vectors (cell_id = vec_id; deterministic, so
     the DuckDB oracle can restate it); they remain corpus members."""
     if codebook is not None:
-        if codebook.count() > _CELL_PACK:
-            raise ValueError(
-                "codebook cell_id must fit in 20 bits (<= 2^20 cells)"
-            )
+        _guard_cell_range(codebook)
         cents = with_norm(codebook, vec_col="cent", out="cent_norm").select(
             F.col("cell_id").cast("int"), "cent", "cent_norm"
         )

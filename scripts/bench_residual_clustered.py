@@ -107,10 +107,10 @@ def main() -> None:
         .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         .mapInPandas(gen, "vec_id long, embedding array<double>")
     )
-    emb.write.mode("overwrite").parquet(
-        "/root/repo/.localdata/resid_clustered"
-    )
-    emb = spark.read.parquet("/root/repo/.localdata/resid_clustered")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixture = os.path.join(repo, ".localdata", "resid_clustered")
+    emb.write.mode("overwrite").parquet(fixture)
+    emb = spark.read.parquet(fixture)
 
     rec: dict[str, object] = {
         "n_corpus": N_CORPUS,

@@ -227,3 +227,52 @@ def test_bootstrap_guards(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="no versioned store"):
         mf.read_manifest(str(tmp_path / "nowhere2"))
+
+
+def test_merge_carry_forward_survives_hive_escaped_partition(spark, tmp_path):
+    """Partition values Spark URL-escapes in directory names (space,
+    ':', '%') must still be recognized as touched by a merge — the
+    str(value)-keyed diff silently duplicated them (code-review r10).
+    After upserting a row in the 'a b' partition, the store holds
+    exactly one row for that key, not a stale+new pair."""
+    from flink_exercise_spark.operators.manifest import (
+        versioned_merge_upsert,
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "esc")
+    base = spark.createDataFrame(
+        [(1, "a b", 10), (2, "plain", 20)], "k long, bucket string, v long"
+    )
+    versioned_write(base, path)
+    upd = spark.createDataFrame(
+        [(1, "a b", 99)], "k long, bucket string, v long"
+    )
+    versioned_merge_upsert(spark, path, upd, key="k")
+    rows = sorted(
+        tuple(r) for r in versioned_read(spark, path).select(
+            "k", "v", "bucket"
+        ).collect()
+    )
+    assert rows == [(1, 99, "a b"), (2, 20, "plain")]
+
+
+def test_empty_store_read_has_single_typed_partition_column(spark, tmp_path):
+    """Bootstrapping from an EMPTY DataFrame must read back with ONE
+    partition column of the ORIGINAL type — the unconditional
+    .add(partition_col, 'string') produced a duplicate, ambiguous
+    column (code-review r10)."""
+    from flink_exercise_spark.operators.manifest import (
+        versioned_read,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "empty")
+    empty = spark.createDataFrame([], "k long, cell_id int, v double")
+    versioned_write(empty, path, partition_col="cell_id")
+    out = versioned_read(spark, path)
+    assert out.columns.count("cell_id") == 1
+    assert dict(out.dtypes)["cell_id"] == "int"
+    assert out.count() == 0
+    out.select("cell_id")  # no AMBIGUOUS_REFERENCE

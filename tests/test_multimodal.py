@@ -2032,3 +2032,24 @@ def test_mjpeg_progressive_frames_decode(spark):
     rows = video_frame_luma(df, stride=1).collect()
     assert len(rows) == 2
     assert rows[0]["mean_luma"] == rows[1]["mean_luma"]
+
+
+def test_jpeg_missing_tables_are_loud_seams():
+    """A scan referencing an undelivered Huffman or quantization table
+    must raise the documented seam, not a bare KeyError (code-review
+    r10 — the progressive path already guarded both)."""
+    from flink_exercise_spark.operators.multimodal import JPEG_DECODER
+
+    good = bytearray(make_gray_jpeg([_dc_block(1)], 8, 8, [16] * 64))
+    # retarget the scan's DC table id to 1 (never delivered)
+    sos_at = bytes(good).index(b"\xff\xda")
+    no_dht = bytearray(good)
+    no_dht[sos_at + 6] = 0x10  # component's Td=1, Ta=0
+    with pytest.raises(NotImplementedError, match="Huffman table"):
+        JPEG_DECODER.decode(bytes(no_dht))
+    # retarget the frame's quant table id to 1 (never delivered)
+    sof_at = bytes(good).index(b"\xff\xc0")
+    no_dqt = bytearray(good)
+    no_dqt[sof_at + 12] = 1  # component Tq=1
+    with pytest.raises(NotImplementedError, match="quantization table"):
+        JPEG_DECODER.decode(bytes(no_dqt))

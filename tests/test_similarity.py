@@ -550,3 +550,29 @@ def test_assign_cells_kernel_with_cos_equals_hof(spark):
         tuple(r) for r in semantic_prune(emb, assign_kernel=True).collect()
     )
     assert p_hof == p_ker and len(p_hof) > 0
+
+
+def test_codebook_cell_id_range_guard(spark):
+    """Explicit codebooks with out-of-range cell_id VALUES (sparse
+    hashed ids, negatives) must fail loud even when the row count
+    fits — the count-only guard re-opened the silent-wrap class on
+    the value axis (code-review r10)."""
+    from flink_exercise_spark.operators.similarity import (
+        _CELL_PACK,
+        knn_ivf,
+        semantic_prune,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    sparse = spark.createDataFrame(
+        [(0, [1.0] * 64), (_CELL_PACK + 7, [0.5] * 64)],
+        "cell_id int, cent array<double>",
+    )
+    with pytest.raises(ValueError, match="wraps silently"):
+        knn_ivf(emb, k=3, codebook=sparse)
+    negative = spark.createDataFrame(
+        [(-1, [1.0] * 64), (2, [0.5] * 64)],
+        "cell_id int, cent array<double>",
+    )
+    with pytest.raises(ValueError, match="wraps silently"):
+        semantic_prune(emb, codebook=negative)
