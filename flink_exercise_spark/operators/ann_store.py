@@ -333,3 +333,17 @@ def append_ann_index(
         "codes_partitions_rewritten": stats_c["partitions_rewritten"],
         "floats_partitions_rewritten": stats_f["partitions_rewritten"],
     }
+
+
+def vacuum_ann_index(path: str, keep_versions: int = 2) -> dict[str, int]:
+    """Retention GC across the index's four sub-stores: delete data
+    files unreferenced by each store's newest ``keep_versions``
+    snapshots (manifest.vacuum per store — readers of recent snapshots
+    are never pulled out from under). Returns aggregate counts."""
+    read_ann_meta(path)  # fail loud on an incomplete index
+    total = {"files_deleted": 0, "manifests_deleted": 0}
+    for sub in ("centroids", "books", "codes", "floats"):
+        stats = mft.vacuum(os.path.join(path, sub), keep_versions)
+        for k in total:
+            total[k] += stats[k]
+    return total

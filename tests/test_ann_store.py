@@ -187,3 +187,31 @@ def test_append_replay_idempotent(spark, emb, tmp_path):
         for r in query_ann_index(spark, path, _queries_of(emb)).collect()
     )
     assert after == before
+
+
+def test_vacuum_reclaims_superseded_append_files(spark, emb, tmp_path):
+    """After appends, vacuum(keep_versions=1) deletes the data files
+    only older snapshots reference — and the CURRENT snapshot's
+    answers are unchanged."""
+    from flink_exercise_spark.operators.ann_store import (
+        append_ann_index,
+        vacuum_ann_index,
+    )
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    batch = emb.filter(F.col("vec_id") >= 100).select(
+        "vec_id", "embedding"
+    ).limit(20)
+    append_ann_index(spark, path, batch)
+    before = sorted(
+        tuple(r)
+        for r in query_ann_index(spark, path, _queries_of(emb)).collect()
+    )
+    stats = vacuum_ann_index(path, keep_versions=1)
+    assert stats["files_deleted"] > 0  # v1 files in touched cells
+    after = sorted(
+        tuple(r)
+        for r in query_ann_index(spark, path, _queries_of(emb)).collect()
+    )
+    assert after == before
