@@ -18,12 +18,20 @@ the four index relations once and answers queries against the store:
                  same pruning
 
 Each relation is a snapshot-versioned store (operators/manifest.py):
-readers pin an immutable file set, a rebuild publishes atomically,
-and a reader mid-rebuild sees the old index or the new one, never a
-mix. ``meta.json`` (written LAST, via write-temp + os.replace) pins
-the model hyper-parameters and doubles as the bootstrap-complete
-marker — a crash mid-bootstrap leaves no ``meta.json`` and
-``query_ann_index`` fails loud.
+readers pin an immutable file set and a commit publishes atomically.
+Because the four sub-stores version independently, the INDEX-level
+commit point is ``meta.json`` (written LAST, via write-temp +
+os.replace): it records the exact snapshot version of every
+sub-store, and ``query_ann_index`` passes those pinned versions to
+``versioned_read`` — so a reader sees one consistent index state
+even while an append is mid-flight between the codes and floats
+commits (r10 ADVICE: resolving each store's _CURRENT independently
+could read new codes + old floats, silently dropping shortlist
+entries at the exact-rescore join). ``meta.json`` also doubles as
+the bootstrap-complete marker — a crash mid-bootstrap leaves no
+``meta.json``, ``query_ann_index`` fails loud, and a bootstrap RETRY
+clears the partial sub-stores and proceeds (r10 ADVICE: the partial
+state used to require manual cleanup).
 
 Codes are RESIDUAL codes (x − centroid, the canonical FAISS layout,
 compression.knn_ivf_pq_residual): scoring decomposes as the exact
@@ -41,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +73,15 @@ from flink_exercise_spark.operators.similarity import (
 )
 
 _META = "meta.json"
+_SUBS = ("centroids", "books", "codes", "floats")
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    """Publish ``meta`` atomically — THE index-level commit point."""
+    tmp = os.path.join(path, f"_{_META}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META))
 
 
 def write_ann_index(
@@ -82,9 +100,23 @@ def write_ann_index(
     matching the in-memory operators' corpus split). Model choices
     (deterministic vs trained coarse/PQ codebooks) mirror
     ``knn_ivf_pq_residual`` exactly so the stored answers can be
-    equality-pinned against it."""
+    equality-pinned against it.
+
+    Refuses to overwrite a COMPLETE index (meta.json present): the
+    rebuild story is a fresh path + pointer swap at the deployment
+    layer. Sub-store directories WITHOUT a meta.json are debris from
+    a crashed bootstrap (meta is written last) and are cleared, so a
+    bootstrap retry needs no manual cleanup."""
     from flink_exercise_spark.caching import persist_tracked
 
+    if os.path.exists(os.path.join(path, _META)):
+        raise ValueError(
+            f"complete ANN index already exists at {path!r} — rebuild "
+            "into a fresh path (append_ann_index handles incremental "
+            "batches; recluster = rebuild)"
+        )
+    for sub in _SUBS:  # crashed-bootstrap debris: no meta ⇒ no readers
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
     spark = emb.sparkSession
     cents = _ivf_centroids(emb, n_queries, n_cells, codebook)
     corpus, _queries, assigned_ids, _probes = _ivf_assign_probe(
@@ -108,25 +140,25 @@ def write_ann_index(
         pq_books = pq_codebooks(book_base, m=m, n_codes=n_codes,
                                 vec_col="resid")
     os.makedirs(path, exist_ok=True)
-    mft.versioned_write(
+    v_cents = mft.versioned_write(
         cents.withColumn("bucket", F.lit("all")),
         os.path.join(path, "centroids"),
     )
-    mft.versioned_write(
+    v_books = mft.versioned_write(
         pq_books.withColumn("bucket", F.lit("all")),
         os.path.join(path, "books"),
     )
     codes = pq_encode(
         resid, pq_books, m=m, vec_col="resid", norm_col="orig_norm"
     ).join(resid.select("vec_id", "cell_id"), "vec_id")
-    mft.versioned_write(
+    v_codes = mft.versioned_write(
         codes, os.path.join(path, "codes"), partition_col="cell_id"
     )
     floats = corpus.select(
         F.col("neighbor_id").alias("vec_id"), "c_emb", "c_norm"
     ).join(assigned_ids.withColumnRenamed("neighbor_id", "vec_id"),
            "vec_id")
-    mft.versioned_write(
+    v_floats = mft.versioned_write(
         floats, os.path.join(path, "floats"), partition_col="cell_id"
     )
     meta = {
@@ -134,11 +166,16 @@ def write_ann_index(
         "m": m,
         "n_codes": n_codes,
         "n_corpus": codes.count(),
+        # the index-level snapshot: every reader resolves the four
+        # sub-stores at EXACTLY these versions (single commit point)
+        "versions": {
+            "centroids": v_cents,
+            "books": v_books,
+            "codes": v_codes,
+            "floats": v_floats,
+        },
     }
-    tmp = os.path.join(path, f"_{_META}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:  # written LAST: the bootstrap marker
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _META))
+    _write_meta(path, meta)  # written LAST: the bootstrap marker
     return meta
 
 
@@ -170,17 +207,24 @@ def query_ann_index(
     visible in the plan), residual-ADC pre-ranking with the exact
     <q, cent> term, and the exact shortlist re-score against the
     float store under the same pruning. Output contract and values
-    equal ``knn_ivf_pq_residual`` on the same corpus/models."""
+    equal ``knn_ivf_pq_residual`` on the same corpus/models.
+
+    All four sub-stores are read at the snapshot versions meta.json
+    pins, so one query never mixes index states even while an append
+    is between its codes and floats commits."""
     meta = read_ann_meta(path)
     if shortlist is None:
         shortlist = max(4 * k, 32)
     if shortlist < k:
         raise ValueError(f"shortlist {shortlist} must be >= k {k}")
     m = meta["m"]
-    cents = mft.versioned_read(spark, os.path.join(path, "centroids"))
-    books = mft.versioned_read(spark, os.path.join(path, "books")).select(
-        "subspace", "code", "codeword"
+    vers = meta.get("versions") or {}  # pre-versioned metas: live state
+    cents = mft.versioned_read(
+        spark, os.path.join(path, "centroids"), vers.get("centroids")
     )
+    books = mft.versioned_read(
+        spark, os.path.join(path, "books"), vers.get("books")
+    ).select("subspace", "code", "codeword")
     q = with_norm(queries, vec_col="embedding").select(
         "query_id",
         F.col("embedding").alias("q_emb"),
@@ -218,9 +262,9 @@ def query_ann_index(
     probed_cells = sorted(
         {r["cell_id"] for r in probes.select("cell_id").collect()}
     )
-    codes = mft.versioned_read(spark, os.path.join(path, "codes")).filter(
-        F.col("cell_id").isin(probed_cells)
-    )
+    codes = mft.versioned_read(
+        spark, os.path.join(path, "codes"), vers.get("codes")
+    ).filter(F.col("cell_id").isin(probed_cells))
     luts = pq_adc_lut(probes.select("query_id", "q_emb").distinct(),
                       books, m=m)
     qcent = probes.join(
@@ -248,7 +292,9 @@ def query_ann_index(
         "query_id", "neighbor_id"
     )
     floats = (
-        mft.versioned_read(spark, os.path.join(path, "floats"))
+        mft.versioned_read(
+            spark, os.path.join(path, "floats"), vers.get("floats")
+        )
         .filter(F.col("cell_id").isin(probed_cells))
         .select(F.col("vec_id").alias("neighbor_id"), "c_emb", "c_norm")
     )
@@ -275,27 +321,75 @@ def append_ann_index(
     ``versioned_merge_upsert`` — only the cell directories the batch
     actually touches are rewritten, every other partition carries
     forward by manifest reference, and readers mid-append keep their
-    snapshot. A re-appearing ``vec_id`` is an UPDATE (merge-on-key
-    semantics), so replays are idempotent.
+    snapshot (meta.json, republished last, is the single index-level
+    commit point).
+
+    A re-appearing ``vec_id`` is an UPDATE (merge-on-key semantics)
+    ONLY while it stays in its cell — true replays, which re-derive
+    the same assignment from the pinned centroids, are idempotent by
+    construction. A vec_id whose embedding changed enough to assign
+    to a DIFFERENT cell is rejected loud: the merge is partition-
+    scoped, so the old row in the old cell directory would otherwise
+    carry forward by reference and queries could return the stale
+    duplicate (r10 ADVICE). Re-embedding enough vectors to move cells
+    is a recluster-scale event — rebuild.
 
     With explicit (codebook, pq_books) models, append(A) then
     append(B) yields byte-identical query answers to a fresh
     write_ann_index over A ∪ B — pinned in tests."""
+    from flink_exercise_spark.caching import persist_tracked
     from flink_exercise_spark.operators.similarity import _assign_cells
 
     meta = read_ann_meta(path)
-    cents = mft.versioned_read(spark, os.path.join(path, "centroids")).select(
-        "cell_id", "cent", "cent_norm"
-    )
-    books = mft.versioned_read(spark, os.path.join(path, "books")).select(
-        "subspace", "code", "codeword"
-    )
+    vers = meta.get("versions") or {}
+    cents = mft.versioned_read(
+        spark, os.path.join(path, "centroids"), vers.get("centroids")
+    ).select("cell_id", "cent", "cent_norm")
+    books = mft.versioned_read(
+        spark, os.path.join(path, "books"), vers.get("books")
+    ).select("subspace", "code", "codeword")
     corpus = with_norm(new_emb.select("vec_id", "embedding")).select(
         "vec_id", "embedding", "norm"
     )
-    assigned = _assign_cells(corpus, cents, kernel=assign_kernel).select(
-        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    # feeds the cell-move guard, residual encoding, and the floats
+    # join — persist so the corpus x codebook argmax runs once
+    assigned = persist_tracked(
+        _assign_cells(corpus, cents, kernel=assign_kernel).select(
+            F.col("vec_id").alias("neighbor_id"), "cell_id"
+        )
     )
+    # Cell-stability guard: one column-pruned (vec_id, cell_id) scan
+    # of the codes store (cell_id comes free from the directory names;
+    # the append already full-scans it for the n_corpus recount) +
+    # a broadcast hash join against the batch — no shuffle.
+    moved = (
+        mft.versioned_read(
+            spark, os.path.join(path, "codes"), vers.get("codes")
+        )
+        .select("vec_id", F.col("cell_id").alias("_old_cell"))
+        .join(
+            F.broadcast(
+                assigned.select(
+                    F.col("neighbor_id").alias("vec_id"),
+                    F.col("cell_id").alias("_new_cell"),
+                )
+            ),
+            "vec_id",
+        )
+        .filter(F.col("_old_cell") != F.col("_new_cell"))
+        .limit(5)
+        .collect()
+    )
+    if moved:
+        pairs = [
+            (r["vec_id"], r["_old_cell"], r["_new_cell"]) for r in moved
+        ]
+        raise ValueError(
+            "append_ann_index: re-appearing vec_ids changed cells "
+            f"(vec_id, old_cell, new_cell sample: {pairs}) — the "
+            "partition-scoped merge cannot retract the old-cell rows; "
+            "recluster = rebuild the index"
+        )
     resid = residual_vectors(
         corpus.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -321,13 +415,18 @@ def append_ann_index(
         spark, os.path.join(path, "floats"), floats,
         key="vec_id", partition_col="cell_id",
     )
+    meta["versions"] = {
+        "centroids": vers.get("centroids")
+        or mft.current_version(os.path.join(path, "centroids")),
+        "books": vers.get("books")
+        or mft.current_version(os.path.join(path, "books")),
+        "codes": stats_c["version"],
+        "floats": stats_f["version"],
+    }
     meta["n_corpus"] = mft.versioned_read(
-        spark, os.path.join(path, "codes")
+        spark, os.path.join(path, "codes"), stats_c["version"]
     ).count()
-    tmp = os.path.join(path, f"_{_META}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, _META))
+    _write_meta(path, meta)  # the ATOMIC index-level commit
     return {
         "n_corpus": meta["n_corpus"],
         "codes_partitions_rewritten": stats_c["partitions_rewritten"],
@@ -339,11 +438,21 @@ def vacuum_ann_index(path: str, keep_versions: int = 2) -> dict[str, int]:
     """Retention GC across the index's four sub-stores: delete data
     files unreferenced by each store's newest ``keep_versions``
     snapshots (manifest.vacuum per store — readers of recent snapshots
-    are never pulled out from under). Returns aggregate counts."""
-    read_ann_meta(path)  # fail loud on an incomplete index
+    are never pulled out from under). The retention floor is widened
+    per store so the version meta.json pins stays readable even if a
+    sub-store was advanced out-of-band — the index-level snapshot is
+    never GC'd from under its own commit point. Returns aggregate
+    counts."""
+    meta = read_ann_meta(path)  # fail loud on an incomplete index
+    vers = meta.get("versions") or {}
     total = {"files_deleted": 0, "manifests_deleted": 0}
-    for sub in ("centroids", "books", "codes", "floats"):
-        stats = mft.vacuum(os.path.join(path, sub), keep_versions)
+    for sub in _SUBS:
+        sub_path = os.path.join(path, sub)
+        keep = keep_versions
+        pinned, live = vers.get(sub), mft.current_version(sub_path)
+        if pinned is not None and live is not None:
+            keep = max(keep, live - pinned + 1)
+        stats = mft.vacuum(sub_path, keep)
         for k in total:
             total[k] += stats[k]
     return total

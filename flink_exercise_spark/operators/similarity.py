@@ -425,6 +425,37 @@ def _guard_cell_range(codebook: DataFrame) -> None:
         )
 
 
+def _np_round6_spark(a):
+    """``np.round(a, 6)`` corrected to Spark's ``F.round(col, 6)``
+    semantics on half-boundary doubles. Spark rounds doubles via
+    BigDecimal.valueOf (the SHORTEST decimal repr) + HALF_UP, while
+    np.round is half-even on a float-scaled value — they diverge
+    exactly on 6-dp half-boundary inputs (2.5e-06 → 3e-06 in Spark,
+    2e-06 under half-even; r10 ADVICE). Entries whose 1e6-scaled
+    value sits within 1e-6 of a half-integer are re-rounded through
+    the exact Decimal mirror (``Decimal(repr(x))``, the shortest-repr
+    convention test_ngram_lm documents); off the boundary the two
+    rules agree (the scaled float error is ~1e-10, far inside the
+    1e-6 guard band), so the path stays fully vectorized — suspects
+    are vanishingly rare on real-valued cosines."""
+    import numpy as np
+
+    out = np.round(a, 6)
+    scaled = a * 1e6
+    with np.errstate(invalid="ignore"):
+        frac = scaled - np.floor(scaled)
+        sus = np.nonzero(np.abs(frac - 0.5) < 1e-6)
+    if len(sus[0]):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        out[sus] = [
+            float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+            for x in np.asarray(a)[sus]
+        ]
+    return out
+
+
 def _assign_cells_kernel(
     corpus: DataFrame,
     cents: DataFrame,
@@ -457,8 +488,10 @@ def _assign_cells_kernel(
 
     ``with_cos=True`` also emits the achieved round(cos, 6) as
     ``cent_cos`` (the ``_assign_cells`` contract SemDeDup consumes) —
-    the np.round value IS the packed-micro decode, /1e6 being one
-    correctly-rounded IEEE division on either path."""
+    the rounded value IS the packed-micro decode, /1e6 being one
+    correctly-rounded IEEE division on either path. Rounding goes
+    through ``_np_round6_spark`` so 6-dp half-boundary cosines match
+    Spark's HALF_UP rule, not numpy's half-even (r10 ADVICE)."""
     import numpy as np
 
     c_rows = cents.select("cell_id", "cent", "cent_norm").collect()
@@ -493,7 +526,7 @@ def _assign_cells_kernel(
                 acc = np.zeros((e - s, len(cell_ids)))
                 for i in range(dims):  # sequential dim order == the fold
                     acc += M[s:e, i : i + 1] * C[:, i]
-                cos = np.round(acc / (vn[s:e, None] * cn[None, :]), 6)
+                cos = _np_round6_spark(acc / (vn[s:e, None] * cn[None, :]))
                 arg = np.argmax(cos, axis=1)
                 out[s:e] = cell_ids[arg]
                 best[s:e] = cos[np.arange(e - s), arg]
@@ -720,7 +753,7 @@ def embedding_near_dup_pairs_vectorized(
             ]
         )
         norms = np.sqrt(np.einsum("ij,ij->i", M, M))
-        G = np.round((M @ M.T) / np.outer(norms, norms), 6)
+        G = _np_round6_spark((M @ M.T) / np.outer(norms, norms))
         iu, ju = np.triu_indices(len(ids), k=1)   # ids sorted: a < b
         keep = G[iu, ju] >= threshold
         return pd.DataFrame(
@@ -943,9 +976,8 @@ def semantic_prune(
                 # norm-product, rounded to 6 dp (tiling changes tile
                 # shapes, not any pair's 64-element dot).
                 hit = (
-                    np.round(
-                        (rows @ M[j0:j1].T) / np.outer(rn, norms[j0:j1]),
-                        6,
+                    _np_round6_spark(
+                        (rows @ M[j0:j1].T) / np.outer(rn, norms[j0:j1])
                     )
                     >= threshold
                 )

@@ -215,3 +215,134 @@ def test_vacuum_reclaims_superseded_append_files(spark, emb, tmp_path):
         for r in query_ann_index(spark, path, _queries_of(emb)).collect()
     )
     assert after == before
+
+
+def test_meta_pins_substore_versions_single_commit_point(spark, emb, tmp_path):
+    """meta.json records every sub-store's snapshot version and
+    query_ann_index reads AT those versions — so a sub-store advanced
+    out-of-band (the mid-append window between the codes and floats
+    commits, r10 ADVICE) is invisible until meta republishes. A FRESH
+    query after poisoning the codes store must still answer from the
+    index-level snapshot."""
+    from flink_exercise_spark.operators import manifest as mft
+
+    path = str(tmp_path / "ann")
+    meta = write_ann_index(emb, path)
+    assert set(meta["versions"]) == {"centroids", "books", "codes", "floats"}
+    assert all(v == 1 for v in meta["versions"].values())
+    queries = _queries_of(emb)
+    before = sorted(
+        tuple(r) for r in query_ann_index(spark, path, queries, k=3).collect()
+    )
+    codes_path = f"{path}/codes"
+    one = mft.versioned_read(spark, codes_path).limit(1)
+    poisoned = one.withColumn(
+        "codes", F.expr("transform(codes, c -> CAST(0 AS TINYINT))")
+    ).withColumn("norm", F.lit(1e9))
+    mft.versioned_merge_upsert(
+        spark, codes_path, poisoned, key="vec_id", partition_col="cell_id"
+    )
+    assert mft.current_version(codes_path) == 2  # live store moved on...
+    fresh = sorted(
+        tuple(r) for r in query_ann_index(spark, path, queries, k=3).collect()
+    )
+    assert fresh == before  # ...but the index still reads its snapshot
+
+
+def test_append_updates_meta_versions(spark, emb, tmp_path):
+    from flink_exercise_spark.operators.ann_store import append_ann_index
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    batch = emb.filter(F.col("vec_id") >= 100).select(
+        "vec_id", "embedding"
+    ).limit(20)
+    append_ann_index(spark, path, batch)
+    vers = read_ann_meta(path)["versions"]
+    assert vers["codes"] == 2 and vers["floats"] == 2
+    assert vers["centroids"] == 1 and vers["books"] == 1
+
+
+def test_append_cell_move_rejected_loud(spark, emb, tmp_path):
+    """A re-appearing vec_id whose new embedding assigns to a
+    DIFFERENT cell must be rejected: the partition-scoped merge would
+    leave its old-cell row in place as a stale duplicate queries can
+    return (r10 ADVICE). Swap one stored vector's embedding for that
+    of a vector in another cell — deterministic assignment sends it
+    there — and expect the loud failure."""
+    from flink_exercise_spark.operators import manifest as mft
+    from flink_exercise_spark.operators.ann_store import append_ann_index
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in mft.versioned_read(spark, f"{path}/codes")
+        .select("vec_id", "cell_id")
+        .collect()
+    }
+    ids = sorted(cells)
+    a = ids[0]
+    b = next(i for i in ids if cells[i] != cells[a])
+    b_emb = (
+        mft.versioned_read(spark, f"{path}/floats")
+        .filter(F.col("vec_id") == b)
+        .select("c_emb")
+        .collect()[0]["c_emb"]
+    )
+    batch = spark.createDataFrame(
+        [(a, list(b_emb))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="changed cells"):
+        append_ann_index(spark, path, batch)
+    # the failed append committed nothing meta-visible: answers stand
+    assert read_ann_meta(path)["versions"]["codes"] == 1
+
+
+def test_bootstrap_retry_clears_partial_substores(spark, emb, tmp_path):
+    """A crash before meta.json leaves sub-store directories with no
+    commit marker; a bootstrap RETRY must clear them and succeed
+    without manual cleanup (r10 ADVICE) — while a COMPLETE index
+    refuses an overwrite."""
+    import os
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    with pytest.raises(ValueError, match="already exists"):
+        write_ann_index(emb, path)
+    # simulate the crash-before-marker state: all four sub-stores
+    # written, meta.json never published
+    os.remove(os.path.join(path, "meta.json"))
+    meta = write_ann_index(emb, path)  # retry succeeds
+    assert meta["versions"]["codes"] == 1  # fresh store, not v2
+    got = query_ann_index(spark, path, _queries_of(emb), k=3).collect()
+    assert len(got) > 0
+
+
+def test_vacuum_spares_meta_pinned_versions(spark, emb, tmp_path):
+    """vacuum_ann_index widens each sub-store's retention floor to the
+    version meta.json pins: even with keep_versions=1 and the codes
+    store advanced two versions out-of-band, the index-level snapshot
+    stays readable."""
+    from flink_exercise_spark.operators import manifest as mft
+    from flink_exercise_spark.operators.ann_store import vacuum_ann_index
+
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    queries = _queries_of(emb)
+    before = sorted(
+        tuple(r) for r in query_ann_index(spark, path, queries, k=3).collect()
+    )
+    codes_path = f"{path}/codes"
+    for _ in range(2):
+        one = mft.versioned_read(spark, codes_path).limit(1)
+        poisoned = one.withColumn("norm", F.lit(1e9))
+        mft.versioned_merge_upsert(
+            spark, codes_path, poisoned, key="vec_id",
+            partition_col="cell_id",
+        )
+    vacuum_ann_index(path, keep_versions=1)
+    after = sorted(
+        tuple(r) for r in query_ann_index(spark, path, queries, k=3).collect()
+    )
+    assert after == before

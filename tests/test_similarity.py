@@ -576,3 +576,33 @@ def test_codebook_cell_id_range_guard(spark):
     )
     with pytest.raises(ValueError, match="wraps silently"):
         semantic_prune(emb, codebook=negative)
+
+
+def test_round6_spark_matches_f_round_on_half_boundaries(spark):
+    """The kernel rounding helper must agree with Spark's
+    F.round(col, 6) — BigDecimal.valueOf shortest-repr + HALF_UP —
+    on exactly the 6-dp half-boundary doubles where np.round's
+    half-even rule diverges (r10 ADVICE: 2.5e-06 rounds to 3e-06 in
+    Spark but 2e-06 under half-even), and everywhere else."""
+    import numpy as np
+
+    from flink_exercise_spark.operators.similarity import _np_round6_spark
+
+    vals = [
+        2.5e-06, -2.5e-06, 1.5e-06, -1.5e-06, 3.5e-06, 0.1234565,
+        -0.9999995, 0.9999995, 1.0000005, 0.0, 1.0, -1.0,
+        0.123456789, -0.777777, 7.5e-07, 0.49999949999,
+    ]
+    got = _np_round6_spark(np.array(vals, dtype=np.float64))
+    want = [
+        r["r"]
+        for r in spark.createDataFrame(
+            [(v,) for v in vals], "x double"
+        ).select(F.round("x", 6).alias("r")).collect()
+    ]
+    assert list(got) == want
+    # half-even would get the ADVICE example wrong; pin the direction
+    assert got[0] == 3e-06 and got[1] == -3e-06
+    # 2-D input (the Gram/affinity shape) takes the same corrections
+    got2 = _np_round6_spark(np.array(vals, dtype=np.float64).reshape(4, 4))
+    assert got2.flatten().tolist() == want
