@@ -443,6 +443,13 @@ _ORACLE_SHINGLE_CTE = """
 
 @register(
     "dedup_exact_map",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Subsumes the former dedup_exact_stats entry: corpus-level
     # accounting (n_docs / n_distinct / n_dups) is a trivial aggregate
     # over this map, and exact_dedup_stats remains a library operator.
@@ -473,6 +480,13 @@ def _minhash_oracle(k: int = N_MINHASH) -> str:
 
 @register(
     "dedup_minhash_signatures",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=_minhash_oracle(),
     doc="8-permutation MinHash signatures over 3-gram shingles "
         "(md5 hash family)",
@@ -514,6 +528,13 @@ def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
 
 @register(
     "dedup_minhash_band_pairs",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=_band_pairs_oracle(),
     doc="MinHash-LSH candidate pairs over 3-gram shingles "
         "(4 bands x 2 rows)",
@@ -525,6 +546,13 @@ def q_minhash_pairs(spark, sf_dir):
 
 @register(
     "dedup_jaccard_pairs",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Python-set pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH toks AS (
       {_ORACLE_SHINGLE_CTE}
@@ -835,13 +863,8 @@ def cluster_keep_best(
 
 @register(
     "dedup_cluster_keep_best",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     # Reuses the transitive-closure CTE; canonical member = max
     # n_chars then min doc_id, stated as max-filter + min rather than
     # a window so the oracle stays deterministic under ties.
@@ -1025,6 +1048,13 @@ def line_dedup(
 
 @register(
     "dedup_line_boilerplate",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Pure-python pin: tests/test_rotation_pins.py.
+    priority=1,
     # Oracle mirror notes: (1) DuckDB's zipped unnest pairs each line
     # with its 1-based position (ordering key only — not emitted);
     # (2) coalesce('' ) matches Spark's concat_ws over an empty kept
@@ -1327,6 +1357,13 @@ def _substring_oracle(k: int = SUBSTR_K) -> str:
 
 @register(
     "dedup_exact_substring",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Pure-python pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=_substring_oracle(),
     doc="Exact-substring dedup (Lee et al. ExactSubstr): token spans "
         "of any k-gram occurring >= 2 times corpus-wide are removed "

@@ -277,13 +277,8 @@ def _dsir_oracle(n: int = DSIR_N, k: int = DSIR_BUCKETS) -> str:
 
 @register(
     "text_dsir_weights",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: pure-python fixture reference in tests/test_importance.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     oracle=_dsir_oracle(),
     doc="DSIR importance weights (Xie et al. 2023): hashed-bigram "
         "log-likelihood ratio of the val-split target model vs the "

@@ -604,13 +604,8 @@ def _incremental_oracle(
 
 @register(
     "dedup_incremental_snapshot",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: pure-python full-corpus reference in tests/test_incremental.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     oracle=_incremental_oracle(),
     doc="Incremental cross-snapshot dedup: classify an increment "
         "(doc_id >= 250) against a persisted fingerprint + MinHash "

@@ -139,13 +139,8 @@ def packing_profile(
 
 @register(
     "pipeline_pack_chunks",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: naive-python reference in tests/test_packing.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     # The oracle is the NAIVE single-window statement of the same
     # math — one global running sum — pinning that the distributed
     # two-pass prefix-sum decomposition is exact.

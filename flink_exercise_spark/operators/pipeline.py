@@ -388,6 +388,13 @@ def _mix_threshold_sql() -> str:
 
 @register(
     "pipeline_hash_split",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH b AS (
       SELECT *,
@@ -423,13 +430,8 @@ def q_hash_split(spark, sf_dir):
 
 @register(
     "pipeline_temperature_mix",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: python profile reference + fuzz in tests/test_pipeline.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     # Rates are corpus-derived, so the oracle restates the whole
     # derivation: isqrt weights (exact — see
     # temperature_mix_thresholds), the 1-row (W, N) totals, the
@@ -676,6 +678,14 @@ def _decontam_oracle(n: int = DECONTAM_N) -> str:
 
 @register(
     "pipeline_decontaminate",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Pin: tests/test_pipeline.py hand-computed leak/clean cases +
+    # hashlib bucket pin.
+    priority=1,
     oracle=_decontam_oracle(),
     doc="Benchmark decontamination: train-side documents sharing any "
         "word 13-gram with the held-out split (GPT-3/Gopher exact "

@@ -140,13 +140,8 @@ def source_quantile_profile(docs: DataFrame) -> DataFrame:
 
 @register(
     "doc_quantiles_by_source",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: rank-reference fixture test in tests/test_profiling.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     oracle=f"""
     WITH vals AS (
       SELECT source, 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS v

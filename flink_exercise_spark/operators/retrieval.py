@@ -472,13 +472,8 @@ _HYBRID_ORACLE = f"""
 
 @register(
     "retrieval_hybrid_rrf",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: pure-python fixture reference in tests/test_retrieval.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     oracle=_HYBRID_ORACLE,
     doc="Hybrid lexical+dense retrieval: BM25 top-20 and brute-force "
         "cosine top-20 over the same candidate universe, fused with "
@@ -497,13 +492,8 @@ def q_hybrid_rrf(spark, sf_dir):
 
 @register(
     "text_bm25_topk",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: pure-python fixture reference in tests/test_retrieval.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     oracle=_BM25_ORACLE,
     doc="Exact-integer BM25 top-k lexical retrieval: inverted-index "
         "postings + doc-frequency aggregates, query-side broadcast "

@@ -1121,6 +1121,13 @@ _VEC_CTE = f"""
 
 @register(
     "sim_knn_brute_force",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Numpy pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=_VEC_CTE + f""",
     scored AS (
       SELECT query_id, neighbor_id, round(dot / (qn * cn), 6) AS cosine
@@ -1150,6 +1157,13 @@ def _bucket_sql(alias: str) -> str:
 
 @register(
     "sim_knn_lsh_bucketed",
+    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
+    # slot so the 34 r10-demoted entries (freshest pass r9) return to
+    # the driver window (+2 seats for the new image perceptual-hash
+    # and audio fingerprint dedup entries). Hash-verified locally
+    # every round by test_parity_demoted.
+    # Numpy pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
@@ -1255,13 +1269,8 @@ def q_knn_ivf(spark, sf_dir):
 
 @register(
     "sim_embedding_near_dup_pairs",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     # Threshold 0.35 sits inside the fixture corpus's in-bucket cosine
     # tail (max ~0.43), so the query returns a small non-empty pair set
     # (random embeddings carry no true semantic dups).
@@ -1302,13 +1311,8 @@ def q_near_dup(spark, sf_dir):
 
 @register(
     "dedup_semantic_prune",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     oracle=f"""
     WITH u AS (
       SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1367,13 +1371,8 @@ def q_semantic_prune(spark, sf_dir):
 
 @register(
     "sim_label_centroid_norms",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""

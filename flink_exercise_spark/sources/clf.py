@@ -185,13 +185,8 @@ def _register_roundtrip() -> None:
 
     @register(
         "clf_parse_roundtrip",
-    # priority=1 (r10 rotation): driver-green in r9; takes a rotation
-    # slot so the 33 r9-demoted entries (freshest pass r8) return to
-    # the driver window (+1 seat for the new trigram backoff-LM
-    # entry). Hash-verified locally every round by
-    # test_parity_demoted.
-    # Pin: hand-computed golden log + property roundtrip (tests/test_clf.py, tests/test_clf_property.py).
-    priority=1,
+    # Promoted back for r11 (demoted in r10, driver-green r9): the
+    # rotation contract requires a driver pass within two rounds.
         # Oracle computes straight on events: host = 'user'||user_id,
         # bytes = floor(value); windows truncate ts to whole seconds
         # (CLF carries second precision), which cannot move an event
@@ -220,6 +215,14 @@ def _register_roundtrip() -> None:
 
     @register(
         "clf_golden_log",
+        # priority=1 (r11 rotation): driver-green in r10; takes a
+        # rotation slot so the 34 r10-demoted entries (freshest pass
+        # r9) return to the driver window (+2 seats for the new image
+        # perceptual-hash and audio fingerprint dedup entries).
+        # Hash-verified locally every round by test_parity_demoted.
+        # Pin: the hand-computed VALUES oracle below IS the
+        # independent reference (tests/test_clf.py golden log).
+        priority=1,
         # VALUES oracle: expected outputs hand-computed from the
         # immutable checked-in log (see GOLDEN_LOG_PATH comment) — this
         # pins P1-P5 parsing + Q1 (string-key arg-max) + Q2 (windowed
