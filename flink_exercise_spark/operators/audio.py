@@ -53,6 +53,7 @@ from flink_exercise_spark.operators.multimodal import (
     WAV_DECODER,
     _looks_wav,
 )
+from flink_exercise_spark.registry import register
 from flink_exercise_spark.sources.tables import spread
 
 FP_WINDOWS = 4  # consecutive peak bins hashed into one fingerprint
@@ -182,4 +183,99 @@ def audio_neardup_pairs(
         )
         .agg(F.countDistinct("a.fp").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# --- deterministic fixture corpus (the registered query's domain) ---
+#
+# Window-aligned pure-tone melodies make the whole derivation
+# HAND-COMPUTABLE: a sine at bin-centered frequency k * rate / window
+# puts all its energy in bin k, so each 1024-sample note's peak bin
+# IS its bin number (the test_audio.py pin), the landmark runs are
+# the literal 4-note subsequences, and the shared-fingerprint counts
+# fall out by inspecting the melodies — the clf_golden_log precedent
+# for driver-gating a result no SQL engine can restate.
+
+MELODIES: dict[int, tuple[tuple[int, ...], int]] = {
+    # doc_id: (peak-bin melody, amplitude)
+    0: ((10, 20, 30, 40, 50, 60), 12000),
+    1: ((10, 20, 30, 40, 50, 60), 3600),  # re-leveled copy of 0
+    2: ((15, 25, 35, 45, 55, 65), 12000),
+    3: ((15, 25, 35, 45, 55, 70), 9000),  # last note changed
+    4: ((12, 22, 32, 42, 52, 62), 12000),  # singleton
+    5: ((65, 55, 45, 35, 25, 15), 12000),  # doc 2 reversed: no runs shared
+    6: ((15, 25, 35, 45), 12000),  # 1 run only: below min_shared
+}
+# Expected pairs at min_shared=2 (runs of FP_WINDOWS=4 consecutive
+# bins; a 6-note melody has 3 runs):
+#   (0, 1): all 3 runs shared (bins identical, amplitude-invariant)
+#   (2, 3): runs (15,25,35,45) and (25,35,45,55) shared -> 2
+#   doc 6 shares exactly ONE run with docs 2 and 3 -> filtered out.
+
+
+def melody_wav_bytes(
+    bins: tuple[int, ...], amp: int, window: int | None = None,
+    rate: int = 8000,
+) -> bytes:
+    """16-bit PCM mono WAV: one ``window``-sample pure sine per note,
+    note n's frequency bin-centered at ``bins[n]`` (an integer number
+    of cycles per window, so the rectangular-window rfft is exact)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    win = window or WAV_DECODER.window_samples
+    frames = bytearray()
+    for k in bins:
+        for n in range(win):
+            v = int(round(amp * math.sin(2 * math.pi * k * n / win)))
+            frames += struct.pack("<h", v)
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    try:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(frames))
+    finally:
+        w.close()
+    return buf.getvalue()
+
+
+def melody_fixture_corpus(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (doc_id, melody_wav_bytes(bins, amp))
+            for doc_id, (bins, amp) in sorted(MELODIES.items())
+        ],
+        "doc_id long, payload binary",
+    )
+
+
+@register(
+    "audio_neardup_pairs",
+    # VALUES oracle: hand-derived from the MELODIES table above (the
+    # landmark runs are literal 4-note subsequences; see the expected-
+    # pairs comment) and independently re-derived by the pure-python
+    # reference in tests/test_audio.py — which also pins that every
+    # synthesized note's peak bin equals its melody bin exactly.
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT))
+    ) AS t(doc_a, doc_b, n_shared)
+    """,
+    doc="Audio near-dup dedup: spectral peak-bin landmarks over REAL "
+        "WAV decode, fingerprint equi-join with hot-fp cap — the "
+        "re-leveled copy and the one-note edit detected, the reversed "
+        "melody and the single-shared-run clip correctly excluded",
+    tags=("multimodal", "dedup", "audio"),
+)
+def q_audio_neardup_pairs(spark, sf_dir):
+    pairs = audio_neardup_pairs(
+        audio_spectral_fingerprint(melody_fixture_corpus(spark))
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared")
     )

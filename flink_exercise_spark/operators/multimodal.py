@@ -1663,6 +1663,28 @@ class JpegImageCodec:
         return False
 
     def decode(self, payload: bytes) -> tuple[str, int, int, float]:
+        w, h, yw, yplane = self._decode_plane(payload)
+        total = 0
+        for y in range(h):
+            total += sum(yplane[y * yw:y * yw + w])
+        return "jpeg", w, h, round(total / (w * h) / 255.0, 6)
+
+    def luma_plane(self, payload: bytes) -> tuple[int, int, bytes]:
+        """(width, height, rows): the decoded luma plane as cropped
+        row-major bytes (MCU padding removed) — the pixel-level front
+        door the image perceptual-hash dedup needs (r11); ``decode``'s
+        mean is exactly ``sum(rows)/(w*h)/255`` by construction."""
+        w, h, yw, yplane = self._decode_plane(payload)
+        rows = bytearray(w * h)
+        for y in range(h):
+            rows[y * w:(y + 1) * w] = yplane[y * yw:y * yw + w]
+        return w, h, bytes(rows)
+
+    def _decode_plane(
+        self, payload: bytes
+    ) -> tuple[int, int, int, bytearray]:
+        """Shared decode core: (width, height, padded_row_width,
+        yplane) with ``yplane`` the luma plane padded to whole MCUs."""
         w, h, sof, comps = self._frame(payload)
         if sof == 0xC2:
             return self._decode_progressive(payload, w, h, comps)
@@ -1782,11 +1804,7 @@ class JpegImageCodec:
                             coefs,
                             yq,
                         )
-        total = 0
-        for y in range(h):
-            total += sum(yplane[y * yw:y * yw + w])
-        mean_luma = round(total / (w * h) / 255.0, 6)
-        return "jpeg", w, h, mean_luma
+        return w, h, yw, yplane
 
     # --- shared entropy/transform helpers -----------------------------------
 
@@ -1870,7 +1888,7 @@ class JpegImageCodec:
 
     def _decode_progressive(
         self, payload: bytes, w: int, h: int, comps: list
-    ) -> tuple[str, int, int, float]:
+    ) -> tuple[int, int, int, bytearray]:
         """Progressive JPEG (SOF2, T.81 Annex G): every scan delivers a
         slice of the coefficient data — DC first/refinement scans
         (interleaved or single-component), then per-component AC scans
@@ -1964,11 +1982,7 @@ class JpegImageCodec:
                 self._luma_idct_into(
                     yplane, yw, bx * 8, by * 8, coefs[by * pw + bx], yq
                 )
-        total = 0
-        for y in range(h):
-            total += sum(yplane[y * yw : y * yw + w])
-        mean_luma = round(total / (w * h) / 255.0, 6)
-        return "jpeg", w, h, mean_luma
+        return w, h, yw, yplane
 
     def _prog_dc_scan(
         self, payload, data_pos, comps, order, sel, huff,

@@ -163,6 +163,8 @@ def _load_all_modules() -> None:
         retrieval,
         incremental,
         ngram_lm,
+        image_dedup,
+        audio,
     )
     from flink_exercise_spark.streaming import jobs  # noqa: F401
 

@@ -212,3 +212,59 @@ def test_fingerprints_stream_equals_batch(spark, corpus, tmp_path):
         tuple(r) for r in audio_spectral_fingerprint(corpus).collect()
     )
     assert got == want and len(got) > 0
+
+
+# --- registered query: hand-derived melody corpus (r11) ----------------------
+
+
+def test_melody_peak_bins_are_the_melody():
+    """Each synthesized clip's per-window peak bins ARE its melody —
+    the analytic fact (a bin-centered sine puts all energy in its
+    bin) that makes the registered VALUES oracle hand-computable.
+    Amplitude does not matter (docs 0 and 1 share a melody at 12000
+    vs 3600)."""
+    from flink_exercise_spark.operators.audio import (
+        MELODIES,
+        melody_wav_bytes,
+        peak_bins,
+    )
+
+    for doc_id, (bins, amp) in MELODIES.items():
+        assert peak_bins(melody_wav_bytes(bins, amp)) == list(bins), doc_id
+
+
+def test_registered_query_matches_hand_derivation(spark):
+    """The registered audio_neardup_pairs output equals (a) the frozen
+    VALUES constants and (b) a pure-python set derivation over the
+    melody table — fingerprint runs are literal 4-note subsequences,
+    so the expected pairs fall out of set intersections."""
+    from flink_exercise_spark import registry
+    from flink_exercise_spark.operators.audio import (
+        FP_WINDOWS,
+        MELODIES,
+    )
+
+    def runs(bins):
+        if len(bins) <= FP_WINDOWS:
+            return {tuple(bins)}
+        return {
+            tuple(bins[i : i + FP_WINDOWS])
+            for i in range(len(bins) - FP_WINDOWS + 1)
+        }
+
+    want = []
+    ids = sorted(MELODIES)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                shared = len(runs(MELODIES[i][0]) & runs(MELODIES[j][0]))
+                if shared >= 2:
+                    want.append((i, j, shared))
+    got = sorted(
+        tuple(r)
+        for r in registry.specs()["audio_neardup_pairs"]
+        .fn(spark, "unused")
+        .collect()
+    )
+    assert got == sorted(want)
+    assert got == [(0, 1, 3), (2, 3, 2)]
