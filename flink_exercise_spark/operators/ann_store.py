@@ -94,6 +94,7 @@ def write_ann_index(
     codebook: DataFrame | None = None,
     pq_books: DataFrame | None = None,
     assign_kernel: bool = False,
+    encode_kernel: bool = False,
 ) -> dict:
     """Build and persist the index from ``emb`` (the fixture's
     vec_id < n_queries rows are queries and stay OUT of the store,
@@ -149,7 +150,8 @@ def write_ann_index(
         os.path.join(path, "books"),
     )
     codes = pq_encode(
-        resid, pq_books, m=m, vec_col="resid", norm_col="orig_norm"
+        resid, pq_books, m=m, vec_col="resid", norm_col="orig_norm",
+        kernel=encode_kernel,
     ).join(resid.select("vec_id", "cell_id"), "vec_id")
     v_codes = mft.versioned_write(
         codes, os.path.join(path, "codes"), partition_col="cell_id"
@@ -197,6 +199,7 @@ def query_ann_index(
     k: int = 3,
     n_probe: int = 2,
     shortlist: int | None = None,
+    probe_kernel: bool = True,
 ) -> DataFrame:
     """Top-k neighbors for ``queries`` (query_id, embedding) against
     the persisted index: probe selection against the broadcast
@@ -230,26 +233,43 @@ def query_ann_index(
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    probe_item = F.struct(
-        (
-            -F.round(
-                cosine_from_norms("q_emb", "cent", "q_norm", "cent_norm"), 6
-            )
-        ).alias("_nc"),
-        F.col("cell_id").alias("_cid"),
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents.select("cell_id", "cent",
-                                             "cent_norm")))
-        .groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(probe_item)), 1, n_probe
-            ).alias("_top"),
-            F.first("q_emb").alias("q_emb"),
+    if probe_kernel:
+        # the recurring per-query-batch cost: the HOF probe fold was
+        # ~40 of the 47 s store query at 10 queries x 16.7k cells
+        # (r11 bench_ann_store); the Arrow kernel is bit-identical
+        # (pinned in test_similarity.py / test_ann_store.py)
+        from flink_exercise_spark.operators.similarity import (
+            _probe_cells_kernel,
         )
-        .select("query_id", "q_emb", F.explode("_top._cid").alias("cell_id"))
-    )
+
+        probes = _probe_cells_kernel(
+            q, cents.select("cell_id", "cent", "cent_norm"), n_probe
+        ).select("query_id", "q_emb", "cell_id")
+    else:
+        probe_item = F.struct(
+            (
+                -F.round(
+                    cosine_from_norms(
+                        "q_emb", "cent", "q_norm", "cent_norm"
+                    ), 6
+                )
+            ).alias("_nc"),
+            F.col("cell_id").alias("_cid"),
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cents.select("cell_id", "cent",
+                                                 "cent_norm")))
+            .groupBy("query_id")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(probe_item)), 1, n_probe
+                ).alias("_top"),
+                F.first("q_emb").alias("q_emb"),
+            )
+            .select(
+                "query_id", "q_emb", F.explode("_top._cid").alias("cell_id")
+            )
+        )
     # probes feeds THREE consumers (the probed-cells collect, the ADC
     # LUT input, the qcent join) — persist the queries x n_probe
     # relation so the probe-selection aggregation runs once
@@ -258,12 +278,16 @@ def query_ann_index(
 
     probes = persist_tracked(probes)
     # model-sized driver state: queries x n_probe cell ids — makes the
-    # partition filter static, so both store scans prune at file level
+    # partition filter static AND lets both store reads prune at the
+    # MANIFEST level (only the probed cells' files ever reach the
+    # reader; planning over the full per-cell file set was the actual
+    # query cost at 16.7k cells — r11 bench_ann_store)
     probed_cells = sorted(
         {r["cell_id"] for r in probes.select("cell_id").collect()}
     )
     codes = mft.versioned_read(
-        spark, os.path.join(path, "codes"), vers.get("codes")
+        spark, os.path.join(path, "codes"), vers.get("codes"),
+        partition_values=probed_cells,
     ).filter(F.col("cell_id").isin(probed_cells))
     luts = pq_adc_lut(probes.select("query_id", "q_emb").distinct(),
                       books, m=m)
@@ -293,7 +317,8 @@ def query_ann_index(
     )
     floats = (
         mft.versioned_read(
-            spark, os.path.join(path, "floats"), vers.get("floats")
+            spark, os.path.join(path, "floats"), vers.get("floats"),
+            partition_values=probed_cells,
         )
         .filter(F.col("cell_id").isin(probed_cells))
         .select(F.col("vec_id").alias("neighbor_id"), "c_emb", "c_norm")
@@ -312,6 +337,7 @@ def append_ann_index(
     path: str,
     new_emb: DataFrame,
     assign_kernel: bool = False,
+    encode_kernel: bool = False,
 ) -> dict:
     """Daily-batch ANN ingest — the incremental-dedup deployment shape
     applied to the vector store: assign the NEW vectors against the
@@ -400,7 +426,8 @@ def append_ann_index(
         cents,
     )
     codes = pq_encode(
-        resid, books, m=meta["m"], vec_col="resid", norm_col="orig_norm"
+        resid, books, m=meta["m"], vec_col="resid", norm_col="orig_norm",
+        kernel=encode_kernel,
     ).join(resid.select("vec_id", "cell_id"), "vec_id")
     stats_c = mft.versioned_merge_upsert(
         spark, os.path.join(path, "codes"), codes,

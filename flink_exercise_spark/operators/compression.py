@@ -362,6 +362,117 @@ def _sub_slice(vec_col: str, sub: Column, m: int) -> Column:
     return F.slice(vec_col, (sub * seg + 1).cast("int"), seg.cast("int"))
 
 
+def _round_half_up_int(y):
+    """Numpy mirror of Spark's ``F.round(col, 0)`` on doubles:
+    vectorized np.round (half-even) with the exact shortest-repr
+    HALF_UP correction on half-integer suspects — the
+    similarity._np_round6_spark construction at scale 0 (r11, for the
+    encode kernel's packed argmin). Suspects are values within 1e-9
+    of a half-integer: the kernel computes the same double bit for
+    bit as the Column fold, so only the rounding RULE can diverge."""
+    import numpy as np
+
+    out = np.round(y)
+    with np.errstate(invalid="ignore"):
+        frac = y - np.floor(y)
+        sus = np.nonzero(np.abs(frac - 0.5) < 1e-9)
+    if len(sus[0]):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal(1)
+        out[sus] = [
+            float(Decimal(repr(float(v))).quantize(one, ROUND_HALF_UP))
+            for v in np.asarray(y)[sus]
+        ]
+    return out
+
+
+def pq_encode_kernel(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    norm_col: str | None = None,
+) -> DataFrame:
+    """``pq_encode`` as an Arrow kernel — BIT-IDENTICAL codes and
+    norms (equality-pinned in test_compression.py, including exact
+    distance ties), for the corpus x (m x n_codes) argmin that
+    dominates every PQ build. The _assign_cells_kernel finding applied
+    to encoding: the Column-fold path evaluates
+    corpus x m x n_codes x seg interpreted lambda steps (~205M at the
+    200k/64-dim fixture — measured ~200 s, the whole knn_ivf_pq build
+    cost), where batched numpy pays seconds.
+
+    Exactness discipline (knn_brute_force_kernel's): squared distances
+    accumulate ACROSS ROWS with numpy but ACROSS DIMS sequentially
+    (``acc += diff_d * diff_d`` in dim order — the exact IEEE
+    operation order of the zip_with/aggregate fold); the micro-unit
+    rounding mirrors Spark's HALF_UP rule via _round_half_up_int; the
+    packed ``micro * 256 + code`` argmin with lowest-code ties and the
+    signed-tinyint cast (mod-256 wrap) are reproduced exactly. The
+    codebook block is collected to the driver — model-sized by the
+    same contract that licenses the HOF form's broadcast."""
+    import numpy as np
+
+    _pq_guard(emb, m, vec_col, dims=dims)
+    cb_rows = codebooks.select("subspace", "code", "codeword").collect()
+    if not cb_rows:
+        raise ValueError("pq_encode_kernel: empty codebook relation")
+    n_codes = max(r["code"] for r in cb_rows) + 1
+    seg = len(cb_rows[0]["codeword"])
+    CB = np.zeros((m, n_codes, seg))
+    for r in cb_rows:
+        CB[r["subspace"], r["code"]] = np.asarray(
+            r["codeword"], dtype=np.float64
+        )
+    code_ids = np.arange(n_codes, dtype=np.int64)
+    has_norm = norm_col is not None
+    cols = ["vec_id", vec_col] + ([norm_col] if has_norm else [])
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = len(ids)
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                sv = M[:, j * seg:(j + 1) * seg]
+                acc = np.zeros((n, n_codes))
+                for d in range(seg):  # sequential dim order == the fold
+                    diff = sv[:, d:d + 1] - CB[j, :, d][None, :]
+                    acc += diff * diff
+                micro = _round_half_up_int(acc * 1e6).astype(np.int64)
+                packed = micro * 256 + code_ids[None, :]
+                codes[:, j] = packed.min(axis=1) % 256
+            if has_norm:
+                norms = pdf[norm_col].to_numpy(np.float64)
+            else:
+                nacc = np.zeros(n)
+                for d in range(M.shape[1]):
+                    nacc += M[:, d] * M[:, d]
+                norms = np.sqrt(nacc)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "codes": [
+                        row.astype(np.int8).tolist() for row in codes
+                    ],
+                    "norm": norms,
+                }
+            )
+
+    return emb.select(*cols).mapInPandas(
+        encode, "vec_id long, codes array<tinyint>, norm double"
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: DataFrame,
@@ -369,6 +480,7 @@ def pq_encode(
     vec_col: str = "embedding",
     dims: int | None = None,
     norm_col: str | None = None,
+    kernel: bool = False,
 ) -> DataFrame:
     """The PQ store: ``(vec_id, codes array<tinyint>, norm double)``.
     codes[j] = argmin_c ||subvector_j - codeword_{j,c}||^2, ties to the
@@ -378,7 +490,14 @@ def pq_encode(
     Python. The exact float ``norm`` rides along (the int8 rationale:
     ADC approximates the numerator only). ``norm_col`` overrides which
     norm rides the store: residual encoding codes the RESIDUAL columns
-    but the cosine denominator needs the ORIGINAL vector's norm."""
+    but the cosine denominator needs the ORIGINAL vector's norm.
+    ``kernel=True`` routes through the bit-identical Arrow kernel
+    (pq_encode_kernel) — the build-cost path at real corpus sizes."""
+    if kernel:
+        return pq_encode_kernel(
+            emb, codebooks, m=m, vec_col=vec_col, dims=dims,
+            norm_col=norm_col,
+        )
     _pq_guard(emb, m, vec_col, dims=dims)
     with_cb = emb.crossJoin(F.broadcast(_codebooks_array(codebooks)))
 
@@ -648,6 +767,7 @@ def knn_ivf_pq(
     codebook: DataFrame | None = None,
     pq_books: DataFrame | None = None,
     assign_kernel: bool = False,
+    encode_kernel: bool = False,
 ) -> DataFrame:
     """The composed FAISS-IVFPQ shape: the IVF cell filter bounds WHICH
     candidates are scored (n_probe/n_cells of the corpus, the
@@ -682,9 +802,9 @@ def knn_ivf_pq(
     _pq_guard(emb, m, "embedding", n_codes, dims=dims)
     if pq_books is None:
         pq_books = pq_codebooks(corpus_f, m=m, n_codes=n_codes, dims=dims)
-    store = pq_encode(corpus_f, pq_books, m=m, dims=dims).withColumnRenamed(
-        "vec_id", "neighbor_id"
-    )
+    store = pq_encode(
+        corpus_f, pq_books, m=m, dims=dims, kernel=encode_kernel
+    ).withColumnRenamed("vec_id", "neighbor_id")
     corpus, queries, assigned_ids, probes = _ivf_assign_probe(
         emb,
         n_queries,
@@ -748,6 +868,7 @@ def knn_ivf_pq_residual(
     codebook: DataFrame | None = None,
     pq_books: DataFrame | None = None,
     assign_kernel: bool = False,
+    encode_kernel: bool = False,
 ) -> DataFrame:
     """The canonical FAISS IVFPQ: PQ codes built on per-cell RESIDUALS
     (x − centroid) instead of raw vectors (Jegou et al. 2011 §IV.C;
@@ -794,6 +915,14 @@ def knn_ivf_pq_residual(
 
     resid = residual_vectors(corpus, assigned_ids, cents)
     if pq_books is None:
+        # The deterministic codebook build (TakeOrdered over resid)
+        # and the encode both re-execute the residual lineage — a full
+        # corpus pass of interpreted zip_with subtraction each.
+        # Persist the narrow residual relation so it materializes once
+        # (r11, the write_ann_index build rationale; profiled: this +
+        # the encode kernel is what closes the residual-vs-raw build
+        # gap BENCH_RESIDUAL.json measured).
+        resid = persist_tracked(resid)
         # Deterministic books sample the first n_codes rows as
         # codewords — but under the deterministic COARSE codebook the
         # first n_cells corpus vectors ARE the centroids, so their
@@ -810,7 +939,7 @@ def knn_ivf_pq_residual(
         )
     store = pq_encode(
         resid, pq_books, m=m, vec_col="resid", dims=dims,
-        norm_col="orig_norm",
+        norm_col="orig_norm", kernel=encode_kernel,
     ).withColumnRenamed("vec_id", "neighbor_id")
 
     luts = pq_adc_lut(

@@ -104,9 +104,20 @@ def _stage_in(
     names (version prefix + Spark's own job-unique part names).
     Returns {partition_value: [relative file paths]} for the staged
     rows. Files are INVISIBLE to readers until a manifest referencing
-    them is published."""
+    them is published.
+
+    Rows are clustered by ``partition_col`` before the write so each
+    partition directory gets ONE file per commit, not one per writer
+    task: an unclustered commit of a T-task relation across P
+    partition values writes up to T x P tiny files, and a
+    partition-pruned reader then pays a file-open per task-fragment —
+    measured 10,000-task probe scans against the ANN codes store
+    before this clustering (r11 bench_ann_store). One shuffle at
+    commit time buys every future pruned read."""
     stage = os.path.join(path, f"_stage-{uuid.uuid4().hex}")
-    df.write.partitionBy(partition_col).parquet(stage)
+    df.repartition(F.col(partition_col)).write.partitionBy(
+        partition_col
+    ).parquet(stage)
     out: dict[str, list[str]] = {}
     try:
         for entry in sorted(os.listdir(stage)):
@@ -156,7 +167,10 @@ def versioned_write(
 
 
 def versioned_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_values: list | None = None,
 ) -> DataFrame:
     """The snapshot as a DataFrame. The file list is resolved ONCE,
     here — the returned DataFrame keeps reading this exact snapshot
@@ -164,12 +178,29 @@ def versioned_read(
     files are never mutated and vacuum spares recent versions).
     Partition pruning on ``partition_col`` still applies: the single
     ``basePath`` lets Spark derive the partition column from the
-    directory names."""
+    directory names.
+
+    ``partition_values`` prunes at the MANIFEST level: only the named
+    partitions' files are handed to the reader at all — the
+    table-format point. Handing every path to Spark and filtering
+    after still pays driver-side file-index planning over the WHOLE
+    store (measured ~40 s of a 47 s ANN query against 2 x 16.7k
+    per-cell files, r11 bench_ann_store); the manifest already holds
+    the files-per-partition map, so a reader that knows its
+    partitions skips that cost entirely. Values are matched against
+    the directory-encoded partition strings via str(value) — exact
+    for the integer and plain-string keys the index stores use
+    (Hive-escaped exotic values would need the caller to pre-encode,
+    the merge-diff convention)."""
     from pyspark.sql.types import StructType
 
     m = read_manifest(path, version)
+    file_map = m["files"]
+    if partition_values is not None:
+        wanted = {str(v) for v in partition_values}
+        file_map = {p: fl for p, fl in file_map.items() if p in wanted}
     files = [
-        os.path.join(path, f) for fl in m["files"].values() for f in fl
+        os.path.join(path, f) for fl in file_map.values() for f in fl
     ]
     if not files:
         # the stored schema already CONTAINS the partition column (it

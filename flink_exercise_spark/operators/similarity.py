@@ -538,6 +538,80 @@ def _assign_cells_kernel(
     return corpus.mapInPandas(assign, out_schema)
 
 
+def _probe_cells_kernel(
+    queries: DataFrame,
+    cents: DataFrame,
+    n_probe: int,
+) -> DataFrame:
+    """Each query's ``n_probe`` nearest cells as an Arrow kernel —
+    BIT-IDENTICAL to the sort_array+slice probe ranking
+    (equality-pinned in test_similarity.py), for the
+    queries x codebook pass that dominates ANN QUERY cost at real
+    cell counts: the HOF fold evaluates queries x n_cells interpreted
+    64-dim folds per batch (~40 s of the 47 s persisted-store query
+    at 10 queries x 16.7k cells, r11 bench_ann_store), where batched
+    numpy pays milliseconds.
+
+    Same exactness discipline as _assign_cells_kernel (sequential
+    dim-order FMA, _np_round6_spark rounding); the per-query ranking
+    is ascending (-cos, cell_id) — np.lexsort with cell_id as the
+    secondary key IS sort_array's struct order. Output: (query_id,
+    q_emb, q_norm, cell_id), n_probe rows per query (the
+    _ivf_assign_probe probes contract)."""
+    import numpy as np
+
+    c_rows = cents.select("cell_id", "cent", "cent_norm").collect()
+    cell_ids = np.array([r["cell_id"] for r in c_rows], dtype=np.int64)
+    order = np.argsort(cell_ids, kind="stable")
+    cell_ids = cell_ids[order]
+    C = np.stack(
+        [np.asarray(c_rows[i]["cent"], dtype=np.float64) for i in order]
+    )
+    cn = np.array([c_rows[i]["cent_norm"] for i in order], dtype=np.float64)
+    dims = C.shape[1]
+    chunk = 512
+    take = min(n_probe, len(cell_ids))
+
+    def probe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["query_id"].to_numpy(np.int64)
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["q_emb"]]
+            )
+            vn = pdf["q_norm"].to_numpy(np.float64)
+            out_ids, out_emb, out_norm, out_cell = [], [], [], []
+            for s in range(0, len(ids), chunk):
+                e = min(s + chunk, len(ids))
+                acc = np.zeros((e - s, len(cell_ids)))
+                for i in range(dims):  # sequential dim order == the fold
+                    acc += M[s:e, i : i + 1] * C[:, i]
+                nc = -_np_round6_spark(acc / (vn[s:e, None] * cn[None, :]))
+                for r in range(e - s):
+                    top = np.lexsort((cell_ids, nc[r]))[:take]
+                    for t in top:
+                        out_ids.append(ids[s + r])
+                        out_emb.append(pdf["q_emb"].iloc[s + r])
+                        out_norm.append(vn[s + r])
+                        out_cell.append(int(cell_ids[t]))
+            yield pd.DataFrame(
+                {
+                    "query_id": out_ids,
+                    "q_emb": out_emb,
+                    "q_norm": out_norm,
+                    "cell_id": pd.Series(out_cell, dtype="int32"),
+                }
+            )
+
+    return queries.select("query_id", "q_emb", "q_norm").mapInPandas(
+        probe,
+        "query_id long, q_emb array<double>, q_norm double, cell_id int",
+    )
+
+
 def _ivf_assign_probe(
     emb: DataFrame,
     n_queries: int,
@@ -617,31 +691,39 @@ def _ivf_assign_probe(
                 .alias("cell_id"),
             )
         )
-    probe_item = F.struct(
-        (
-            -F.round(
-                cosine_from_norms("q_emb", "cent", "q_norm", "cent_norm"), 6
+    if assign_kernel:
+        # kernel mode covers BOTH model-sized passes: the corpus
+        # assignment above and the query probe ranking (bit-identical,
+        # pinned) — at sqrt(N) codebooks each HOF pass is the cost
+        probes = _probe_cells_kernel(queries, cents, n_probe)
+    else:
+        probe_item = F.struct(
+            (
+                -F.round(
+                    cosine_from_norms(
+                        "q_emb", "cent", "q_norm", "cent_norm"
+                    ), 6
+                )
+            ).alias("_nc"),
+            F.col("cell_id").alias("_cid"),
+        )
+        probes = (
+            queries.crossJoin(F.broadcast(cents))
+            .groupBy("query_id")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(probe_item)), 1, n_probe
+                ).alias("_top"),
+                F.first("q_emb").alias("q_emb"),
+                F.first("q_norm").alias("q_norm"),
             )
-        ).alias("_nc"),
-        F.col("cell_id").alias("_cid"),
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(probe_item)), 1, n_probe
-            ).alias("_top"),
-            F.first("q_emb").alias("q_emb"),
-            F.first("q_norm").alias("q_norm"),
+            .select(
+                "query_id",
+                "q_emb",
+                "q_norm",
+                F.explode("_top._cid").alias("cell_id"),
+            )
         )
-        .select(
-            "query_id",
-            "q_emb",
-            "q_norm",
-            F.explode("_top._cid").alias("cell_id"),
-        )
-    )
     return corpus, queries, assigned_ids, probes
 
 

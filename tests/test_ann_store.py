@@ -346,3 +346,25 @@ def test_vacuum_spares_meta_pinned_versions(spark, emb, tmp_path):
         tuple(r) for r in query_ann_index(spark, path, queries, k=3).collect()
     )
     assert after == before
+
+
+def test_query_probe_kernel_equals_hof_path(spark, emb, tmp_path):
+    """query_ann_index answers identically with the Arrow probe
+    ranking (default) and the HOF fold — the bit-identity that lets
+    the store default to the fast path."""
+    path = str(tmp_path / "ann")
+    write_ann_index(emb, path)
+    queries = _queries_of(emb)
+    fast = sorted(
+        tuple(r)
+        for r in query_ann_index(
+            spark, path, queries, k=3, probe_kernel=True
+        ).collect()
+    )
+    hof = sorted(
+        tuple(r)
+        for r in query_ann_index(
+            spark, path, queries, k=3, probe_kernel=False
+        ).collect()
+    )
+    assert fast == hof and len(fast) > 0

@@ -15,6 +15,7 @@ from flink_exercise_spark.operators.compression import (
     dequantize_expr,
     int8_scales,
     knn_ivf_int8,
+    pq_codebooks,
     quantize_int8,
 )
 from flink_exercise_spark.operators.similarity import knn_ivf
@@ -626,3 +627,120 @@ def test_ivf_family_assign_kernel_equals_hof(spark, emb):
             tuple(r) for r in fn(emb, k=3, assign_kernel=True).collect()
         )
         assert a == b and len(a) > 0, fn.__name__
+
+
+# --- Arrow encode kernel (r11) -----------------------------------------------
+
+
+def test_pq_encode_kernel_bit_equal_raw(spark, emb):
+    """kernel=True must reproduce the Column-fold store bit for bit —
+    codes AND the computed norm (same sequential dim-order sums)."""
+    from flink_exercise_spark.operators.compression import pq_encode
+
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    books = pq_codebooks(corpus, m=8, n_codes=16)
+    hof = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["norm"])
+        for r in pq_encode(corpus, books, m=8).collect()
+    )
+    ker = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["norm"])
+        for r in pq_encode(corpus, books, m=8, kernel=True).collect()
+    )
+    assert ker == hof and len(ker) > 0
+
+
+def test_pq_encode_kernel_bit_equal_residual_norm_col(spark, emb):
+    """The residual configuration: codes over the resid column, the
+    ORIGINAL norm riding through norm_col — kernel equal to the fold."""
+    from flink_exercise_spark.operators.compression import (
+        pq_encode,
+        residual_vectors,
+    )
+    from flink_exercise_spark.operators.similarity import (
+        _ivf_assign_probe,
+        _ivf_centroids,
+    )
+
+    cents = _ivf_centroids(emb, 10, 8, None)
+    corpus, _q, assigned, _p = _ivf_assign_probe(emb, 10, 8, 1, None)
+    resid = residual_vectors(corpus, assigned, cents)
+    books = pq_codebooks(
+        resid.filter(F.col("vec_id") >= 18), m=8, n_codes=16,
+        vec_col="resid",
+    )
+    kw = dict(m=8, vec_col="resid", norm_col="orig_norm")
+    hof = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["norm"])
+        for r in pq_encode(resid, books, **kw).collect()
+    )
+    ker = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["norm"])
+        for r in pq_encode(resid, books, kernel=True, **kw).collect()
+    )
+    assert ker == hof and len(ker) > 0
+
+
+def test_pq_encode_kernel_tie_breaks_to_lowest_code(spark):
+    """Two identical codewords: both paths must pick the LOWER code
+    (the packed-argmin tie rule) — the bit-identity contract on exact
+    ties, not just generic data."""
+    from flink_exercise_spark.operators.compression import pq_encode
+
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [0.0, 0.0, 5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    books = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 2.0]), (0, 1, [1.0, 2.0]), (0, 2, [9.0, 9.0]),
+            (1, 0, [5.0, 5.0]), (1, 1, [3.0, 4.0]), (1, 2, [3.0, 4.0]),
+        ],
+        "subspace int, code int, codeword array<double>",
+    )
+    for kernel in (False, True):
+        got = {
+            r["vec_id"]: tuple(r["codes"])
+            for r in pq_encode(emb2, books, m=2, kernel=kernel).collect()
+        }
+        assert got[1] == (0, 1), kernel  # ties 0/1 -> 0; exact hit 1
+        assert got[2][1] == 0, kernel
+
+
+def test_knn_ivf_pq_residual_encode_kernel_end_to_end(spark, emb):
+    """The composed operators with encode_kernel=True answer row for
+    row what the fold path answers — tight AND covering shortlists."""
+    from flink_exercise_spark.operators.compression import (
+        knn_ivf_pq,
+        knn_ivf_pq_residual,
+    )
+
+    for op in (knn_ivf_pq, knn_ivf_pq_residual):
+        for shortlist in (8, emb.count()):
+            want = sorted(
+                tuple(r) for r in op(emb, k=3, shortlist=shortlist).collect()
+            )
+            got = sorted(
+                tuple(r)
+                for r in op(
+                    emb, k=3, shortlist=shortlist, encode_kernel=True
+                ).collect()
+            )
+            assert got == want and len(got) > 0, (op.__name__, shortlist)
+
+
+def test_round_half_up_int_matches_spark_round0(spark):
+    from flink_exercise_spark.operators.compression import (
+        _round_half_up_int,
+    )
+
+    vals = [0.5, 1.5, 2.5, -0.5, -1.5, 3.49999, 3.5000001, 1e8 + 0.5,
+            0.0, 7.0, 123456.5]
+    got = list(_round_half_up_int(np.array(vals)))
+    want = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 0).alias("r"))
+        .collect()
+    ]
+    assert got == want

@@ -276,3 +276,26 @@ def test_empty_store_read_has_single_typed_partition_column(spark, tmp_path):
     assert dict(out.dtypes)["cell_id"] == "int"
     assert out.count() == 0
     out.select("cell_id")  # no AMBIGUOUS_REFERENCE
+
+
+def test_versioned_read_partition_values_manifest_prune(spark, tmp_path):
+    """partition_values hands ONLY the named partitions' files to the
+    reader (manifest-level pruning): rows match a post-hoc filter, the
+    plan's input files stay inside the named directories, and an
+    empty selection returns the empty schema-preserving relation."""
+    from flink_exercise_spark.operators import manifest as mft
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"b{i % 4}") for i in range(40)], "id long, bucket string"
+    )
+    mft.versioned_write(df, path)
+    pruned = mft.versioned_read(spark, path, partition_values=["b1", "b3"])
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        i for i in range(40) if i % 4 in (1, 3)
+    )
+    for f in pruned.inputFiles():
+        assert "bucket=b1" in f or "bucket=b3" in f, f
+    empty = mft.versioned_read(spark, path, partition_values=["nope"])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "bucket"}

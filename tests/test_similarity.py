@@ -606,3 +606,29 @@ def test_round6_spark_matches_f_round_on_half_boundaries(spark):
     # 2-D input (the Gram/affinity shape) takes the same corrections
     got2 = _np_round6_spark(np.array(vals, dtype=np.float64).reshape(4, 4))
     assert got2.flatten().tolist() == want
+
+
+def test_probe_cells_kernel_bit_equal_to_hof(spark):
+    """The query-side probe ranking kernel must emit EXACTLY the HOF
+    sort_array+slice probes — ids, cells, and the carried q_emb/q_norm
+    — including the ascending (-cos, cell_id) tie order."""
+    from flink_exercise_spark.operators.similarity import (
+        _ivf_assign_probe,
+        _ivf_centroids,
+        _probe_cells_kernel,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = _ivf_centroids(emb, 10, 8, None)
+    _c, queries, _a, probes_hof = _ivf_assign_probe(
+        emb, 10, 8, 3, None, cents=cents, assign_kernel=False
+    )
+    want = sorted(
+        (r["query_id"], tuple(r["q_emb"]), r["q_norm"], r["cell_id"])
+        for r in probes_hof.collect()
+    )
+    got = sorted(
+        (r["query_id"], tuple(r["q_emb"]), r["q_norm"], r["cell_id"])
+        for r in _probe_cells_kernel(queries, cents, 3).collect()
+    )
+    assert got == want and len(got) == 30  # 10 queries x 3 probes
