@@ -288,3 +288,55 @@ def test_pairs_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_phash_stream_equals_batch(spark, tmp_path):
+    """image_phash is a stateless kernel (the
+    audio_spectral_fingerprint convention): hashes from a file stream
+    must equal the batch operator's row for row."""
+    from flink_exercise_spark.streaming.jobs import run_to_memory
+
+    corpus = phash_fixture_corpus(spark)
+    path = str(tmp_path / "img_parquet")
+    corpus.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        "doc_id long, payload binary"
+    ).parquet(path)
+    run_to_memory(image_phash(stream), "image_phash_stream", "append")
+    got = sorted(
+        tuple(r) for r in spark.table("image_phash_stream").collect()
+    )
+    want = sorted(tuple(r) for r in image_phash(corpus).collect())
+    assert got == want and len(got) == 10
+
+
+def test_luma_plane_png_16bit_gray():
+    """16-bit big-endian gray: the x257 twin of an 8-bit raster must
+    decode to (almost exactly) the same luma plane — the depth-rescale
+    path of luma_plane_any."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    rows = [[0, 128, 255], [7, 200, 33]]
+    raw = b"".join(
+        b"\x00" + b"".join(struct.pack(">H", v * 257) for v in r)
+        for r in rows
+    )
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    luma = luma_plane_any(payload)
+    for y in range(2):
+        for x in range(3):
+            assert abs(luma[y][x] - rows[y][x]) < 1e-9, (y, x)
