@@ -242,20 +242,36 @@ def image_phash(with_payload: DataFrame) -> DataFrame:
 def image_phash_pairs(
     hashes: DataFrame,
     max_distance: int = N_BANDS - 1,
-    band_cap: int = BAND_CAP,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within ``max_distance`` bits.
     Band equi-join only (never an image x image comparison): 8
     one-byte bands give EXACT recall for hamming < 8 by pigeonhole.
     Hot bands are cut by count-then-anti-join (the audio FP_CAP /
     dedup BUCKET_CAP idiom); the exact distance is one JVM-side
-    ``bit_count`` over the XOR of two longs."""
+    ``bit_count`` over the XOR of two longs.
+
+    ``band_cap`` defaults ADAPTIVE: an 8-bit band has only 256 values,
+    so at n docs the UNIFORM load is n/256 per (band, value) — a fixed
+    cap silently saturates once n exceeds 256 x cap and cuts every
+    band including genuine duplicates' (measured: planted-pair recall
+    0.50 at 20k docs under a fixed cap of 64, every pair hamming 0 —
+    r11 bench_image_dedup). The default cuts values carrying more than
+    ``8x`` the uniform load (degenerate/cluster bands — still the N^2
+    guard), floored at BAND_CAP for small corpora; candidate volume
+    stays <= ~8 x n^2/256, a 256x reduction over all-pairs, and each
+    candidate costs one bit_count. Pass an int to pin the cap; at
+    larger corpora pair within coarser blocks (source/shard) first."""
     if max_distance >= N_BANDS:
         raise ValueError(
             f"max_distance {max_distance} >= {N_BANDS} bands: the "
             "pigeonhole recall guarantee needs hamming < n_bands — "
             "raise N_BANDS (narrower bands) for looser thresholds"
         )
+    if band_cap is None:
+        # one count() on the hash relation (one row per image — tiny
+        # next to the decode that produced it)
+        band_cap = max(BAND_CAP, 8 * -(-hashes.count() // 256))
     bands = hashes.select(
         "doc_id",
         "phash",
