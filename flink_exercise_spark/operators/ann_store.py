@@ -384,11 +384,14 @@ def append_ann_index(
             F.col("vec_id").alias("neighbor_id"), "cell_id"
         )
     )
-    # Cell-stability guard: one column-pruned (vec_id, cell_id) scan
-    # of the codes store (cell_id comes free from the directory names;
-    # the append already full-scans it for the n_corpus recount) +
-    # a broadcast hash join against the batch — no shuffle.
-    moved = (
+    # Cell-stability guard + update accounting in ONE column-pruned
+    # (vec_id, cell_id) pass over the codes store (cell_id comes free
+    # from the directory names) + a broadcast hash join against the
+    # batch — no shuffle, and the counts make the post-commit
+    # n_corpus pure arithmetic instead of a second whole-store pass
+    # (planning over every per-cell file was the measured store-read
+    # cost class, r11 bench_ann_store).
+    hits = (
         mft.versioned_read(
             spark, os.path.join(path, "codes"), vers.get("codes")
         )
@@ -402,20 +405,33 @@ def append_ann_index(
             ),
             "vec_id",
         )
-        .filter(F.col("_old_cell") != F.col("_new_cell"))
-        .limit(5)
-        .collect()
+        .agg(
+            F.count(F.lit(1)).alias("_updates"),
+            F.sum(
+                (F.col("_old_cell") != F.col("_new_cell")).cast("long")
+            ).alias("_moved"),
+            F.slice(
+                F.collect_list(
+                    F.when(
+                        F.col("_old_cell") != F.col("_new_cell"),
+                        F.struct("vec_id", "_old_cell", "_new_cell"),
+                    )
+                ),
+                1,
+                5,
+            ).alias("_sample"),
+        )
+        .collect()[0]
     )
-    if moved:
-        pairs = [
-            (r["vec_id"], r["_old_cell"], r["_new_cell"]) for r in moved
-        ]
+    if hits["_moved"]:
+        pairs = [tuple(r) for r in hits["_sample"] if r is not None]
         raise ValueError(
             "append_ann_index: re-appearing vec_ids changed cells "
             f"(vec_id, old_cell, new_cell sample: {pairs}) — the "
             "partition-scoped merge cannot retract the old-cell rows; "
             "recluster = rebuild the index"
         )
+    n_batch = assigned.count()
     resid = residual_vectors(
         corpus.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -450,9 +466,10 @@ def append_ann_index(
         "codes": stats_c["version"],
         "floats": stats_f["version"],
     }
-    meta["n_corpus"] = mft.versioned_read(
-        spark, os.path.join(path, "codes"), stats_c["version"]
-    ).count()
+    # merge-on-key arithmetic: every batch row either replaced an
+    # existing vec_id (an update — counted by the guard pass) or
+    # inserted; no second whole-store scan
+    meta["n_corpus"] = meta["n_corpus"] + n_batch - hits["_updates"]
     _write_meta(path, meta)  # the ATOMIC index-level commit
     return {
         "n_corpus": meta["n_corpus"],

@@ -1540,3 +1540,153 @@ def test_text_language_id_pin(spark):
         # int n_chars sum is exact in float64; one division, one round.
         assert row["lang_avg_chars"] == _round4(float(p["lang_avg_chars"]))
         assert row["lang_n_sources"] == p["lang_n_sources"]
+
+
+# --- r11 rotation pins (pre-paid for the r12 demotion wave) ------------------
+
+
+def test_sim_knn_ivf_pin(spark):
+    """Numpy third implementation of the whole deterministic IVF
+    pipeline: centroids = corpus vectors 10..17 (cell_id = vec_id-10),
+    packed-argmax assignment on round-6 cosine (ties to the lowest
+    cell), 2-probe query ranking, exact scoring in probed cells,
+    top-3 by (cosine desc, id asc)."""
+    from flink_exercise_spark.operators.similarity import (
+        N_CELLS,
+        N_PROBE,
+        N_QUERIES,
+    )
+
+    emb = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    vecs = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for _, r in emb.iterrows()
+    }
+    norms = {v: float(np.sqrt((x * x).sum())) for v, x in vecs.items()}
+
+    def cos6(a, b):
+        return _round_half_up(
+            float((vecs[a] * vecs[b]).sum()) / (norms[a] * norms[b]), 6
+        )
+
+    cents = {c: N_QUERIES + c for c in range(N_CELLS)}
+    corpus = [v for v in vecs if v >= N_QUERIES]
+    assigned = {}
+    for v in corpus:
+        best = min(
+            ((-cos6(v, cents[c]), c) for c in range(N_CELLS))
+        )
+        assigned[v] = best[1]
+    want = []
+    for q in range(N_QUERIES):
+        probe = sorted(
+            range(N_CELLS), key=lambda c: (-cos6(q, cents[c]), c)
+        )[:N_PROBE]
+        scored = sorted(
+            (-cos6(q, v), v)
+            for v in corpus
+            if assigned[v] in probe
+        )[:3]
+        for i, (nc, v) in enumerate(scored):
+            want.append((q, v, -nc, i + 1))
+    got = (
+        _run(spark, "sim_knn_ivf")
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for i, (q, v, c, rk) in enumerate(
+        sorted(want, key=lambda t: (t[0], t[3]))
+    ):
+        row = got.iloc[i]
+        assert (row["query_id"], row["neighbor_id"], row["rank"]) == (
+            q, v, rk,
+        )
+        assert abs(row["cosine"] - c) < 2e-6
+
+
+def _ref_verified_pairs(docs: pd.DataFrame) -> dict[tuple, float]:
+    """Pure-python LSH-gated exact verification: distinct word
+    3-gram shingles, 8-perm md5 minhash, 4x2 banding, candidate pairs
+    from band-bucket collisions, exact Jaccard >= 0.2 at 4 dp."""
+    import hashlib
+    import re as _re
+    from itertools import combinations
+
+    sh = {}
+    for _, r in docs.iterrows():
+        t = r["text"]
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            continue
+        words = [w for w in _re.split(r"\s+", t.strip()) if w]
+        s = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+        if s:
+            sh[int(r["doc_id"])] = s
+    buckets = {}
+    for d, s in sh.items():
+        hs = [
+            min(
+                hashlib.md5(f"{i}|{x}".encode("utf-8")).hexdigest()
+                for x in s
+            )
+            for i in range(8)
+        ]
+        for b in range(4):
+            band = hashlib.md5(
+                f"{hs[2 * b]}|{hs[2 * b + 1]}".encode("utf-8")
+            ).hexdigest()
+            buckets.setdefault((b, band), []).append(d)
+    cands = set()
+    for members in buckets.values():
+        for a, b in combinations(sorted(members), 2):
+            cands.add((a, b))
+    verified = {}
+    for a, b in cands:
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        j = _round_half_up(
+            inter / (len(sh[a]) + len(sh[b]) - inter), 4
+        )
+        if j >= 0.2:
+            verified[(a, b)] = j
+    return verified
+
+
+def test_dedup_lsh_verified_pairs_pin(spark):
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    want = _ref_verified_pairs(docs)
+    out = _run(spark, "dedup_lsh_verified_pairs")
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): r["jaccard"]
+        for _, r in out.iterrows()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for k, j in want.items():
+        assert abs(got[k] - j) < 2e-4, k
+
+
+def test_dedup_near_dup_clusters_pin(spark):
+    """Union-find over the independently re-derived verified pairs:
+    cluster_id = min reachable doc_id; docs in no pair are absent."""
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    pairs = list(_ref_verified_pairs(docs))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    out = _run(spark, "dedup_near_dup_clusters")
+    got = {
+        int(r["doc_id"]): int(r["cluster_id"]) for _, r in out.iterrows()
+    }
+    assert got == want and len(want) > 0
