@@ -3,44 +3,46 @@ daily-batch tool (VERDICT r10 ask #7 — the deployed entry point the
 text-dedup archive got via ``prep.py --index-path``).
 
     python -m flink_exercise_spark.ann_prep \\
-        --input /data/new_embeddings --index /data/ann_index \\
+        --input /data/new_embeddings --index /data/ann_root \\
+        [--rebuild] \\
         [--queries /data/queries --output /data/results --k 5] \\
         [--vacuum-keep 2] [--n-cells 64] [--m 8] [--n-codes 16] \\
         [--cores 8]
 
-Day 1 (no ``meta.json`` under --index yet) BOOTSTRAPS the index from
-the input embeddings (operators/ann_store.write_ann_index): the coarse
-centroids and PQ codebooks are derived then and PINNED. Every later
-run APPENDS: the new vectors are assigned against the pinned
-centroids, encoded with the stored books, and landed via the
-partition-scoped versioned merge — only touched cell directories
-rewrite, replays are idempotent, and a vector that moved cells fails
-loud (recluster = rebuild into a fresh --index path). ``--queries``
-answers a (query_id, embedding) parquet against the post-commit index
-and writes (query_id, neighbor_id, cosine, rank) parquet.
-``--vacuum-keep`` runs the retention GC after the commit.
+``--index`` names an index ROOT: immutable index versions
+(v00000001/, ...) under an atomic ``_CURRENT`` pointer
+(operators/ann_store.py's deployment layer). Day 1 (no pointer yet)
+BOOTSTRAPS v1 from the input; later runs APPEND to the live version —
+new vectors assign against its PINNED centroids, land via the
+partition-scoped versioned merge (only touched cell directories
+rewrite, replays idempotent), and a vector that moved cells fails
+loud. ``--rebuild`` is that failure's remedy and the periodic
+recluster: a whole new index version (fresh centroids + books) built
+from --input and published in one pointer swap, old version kept for
+pinned readers until ``--vacuum-keep`` reclaims it (which also runs
+the per-sub-store retention GC on the live version).
 
-Inputs are parquet with (vec_id long, embedding array<double>);
-every vector in --input enters the store (no fixture query-split —
-queries live in their own relation here). Prints ONE JSON summary
-line. Everything is a thin arrangement of the already-pinned
-operators — the CLI adds invocation, not semantics; the bit-identical
-Arrow kernels (assignment + encode) are on, as a deployment would
-run them.
+``--queries`` answers a (query_id, embedding) parquet against the
+post-commit live version and writes (query_id, neighbor_id, cosine,
+rank) parquet. Inputs are parquet with (vec_id long, embedding
+array<double>); every vector in --input enters the store. Prints ONE
+JSON summary line. Everything is a thin arrangement of the
+already-pinned operators — the bit-identical Arrow kernels
+(assignment + encode) are on, as a deployment would run them.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 
 
 def run_ann_batch(
     spark,
     input_path: str,
-    index_path: str,
+    index_root: str,
+    rebuild: bool = False,
     queries_path: str | None = None,
     output_path: str | None = None,
     k: int = 5,
@@ -51,28 +53,27 @@ def run_ann_batch(
     n_codes: int = 16,
     vacuum_keep: int | None = None,
 ) -> dict:
-    """One daily batch: bootstrap-or-append, optional query run,
-    optional vacuum. Returns the summary dict the CLI prints."""
+    """One daily batch: bootstrap-or-append (or an explicit rebuild),
+    optional query run, optional vacuum. Returns the summary dict the
+    CLI prints."""
     from flink_exercise_spark.operators.ann_store import (
-        _META,
+        ann_root_current,
+        ann_root_path,
         append_ann_index,
         query_ann_index,
+        rebuild_ann_index,
         vacuum_ann_index,
-        write_ann_index,
+        vacuum_ann_root,
     )
 
     emb = spark.read.parquet(input_path).select("vec_id", "embedding")
-    summary: dict = {"index": index_path, "input": input_path}
-    if os.path.exists(os.path.join(index_path, _META)):
-        stats = append_ann_index(
-            spark, index_path, emb, assign_kernel=True, encode_kernel=True
-        )
-        summary["mode"] = "append"
-        summary.update(stats)
-    else:
-        meta = write_ann_index(
+    summary: dict = {"index_root": index_root, "input": input_path}
+    cur = ann_root_current(index_root)
+    if cur is None or rebuild:
+        res = rebuild_ann_index(
+            spark,
+            index_root,
             emb,
-            index_path,
             n_queries=0,  # deployment: every input vector is corpus
             n_cells=n_cells,
             m=m,
@@ -80,8 +81,18 @@ def run_ann_batch(
             assign_kernel=True,
             encode_kernel=True,
         )
-        summary["mode"] = "bootstrap"
-        summary["n_corpus"] = meta["n_corpus"]
+        summary["mode"] = "bootstrap" if cur is None else "rebuild"
+        summary["index_version"] = res["version"]
+        summary["n_corpus"] = res["n_corpus"]
+    else:
+        stats = append_ann_index(
+            spark, ann_root_path(index_root), emb,
+            assign_kernel=True, encode_kernel=True,
+        )
+        summary["mode"] = "append"
+        summary["index_version"] = cur
+        summary.update(stats)
+    live = ann_root_path(index_root)
     if queries_path:
         if not output_path:
             raise ValueError("--queries requires --output")
@@ -89,25 +100,31 @@ def run_ann_batch(
             "query_id", "embedding"
         )
         result = query_ann_index(
-            spark, index_path, queries, k=k, n_probe=n_probe,
+            spark, live, queries, k=k, n_probe=n_probe,
             shortlist=shortlist,
         )
         result.write.mode("overwrite").parquet(output_path)
         summary["n_result_rows"] = spark.read.parquet(output_path).count()
         summary["output"] = output_path
     if vacuum_keep is not None:
-        summary["vacuum"] = vacuum_ann_index(index_path, vacuum_keep)
+        summary["vacuum"] = vacuum_ann_index(live, vacuum_keep)
+        summary["vacuum_root"] = vacuum_ann_root(index_root, vacuum_keep)
     return summary
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m flink_exercise_spark.ann_prep",
-        description="persisted ANN index: bootstrap/append/query/vacuum",
+        description="persisted ANN index: bootstrap/append/rebuild/"
+                    "query/vacuum",
     )
     ap.add_argument("--input", required=True,
                     help="parquet dir of (vec_id, embedding) to ingest")
-    ap.add_argument("--index", required=True, help="index directory")
+    ap.add_argument("--index", required=True,
+                    help="index ROOT directory (versions + _CURRENT)")
+    ap.add_argument("--rebuild", action="store_true",
+                    help="recluster: build a fresh index version from "
+                         "--input and swap the pointer")
     ap.add_argument("--queries",
                     help="parquet dir of (query_id, embedding) to answer")
     ap.add_argument("--output", help="parquet dir for query results")
@@ -115,13 +132,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-probe", type=int, default=2)
     ap.add_argument("--shortlist", type=int, default=None)
     ap.add_argument("--n-cells", type=int, default=64,
-                    help="coarse cells (bootstrap only; pinned after)")
+                    help="coarse cells (bootstrap/rebuild only)")
     ap.add_argument("--m", type=int, default=8,
-                    help="PQ subspaces (bootstrap only)")
+                    help="PQ subspaces (bootstrap/rebuild only)")
     ap.add_argument("--n-codes", type=int, default=16,
-                    help="PQ codewords per subspace (bootstrap only)")
+                    help="PQ codewords per subspace (bootstrap/rebuild)")
     ap.add_argument("--vacuum-keep", type=int, default=None,
-                    help="run retention GC keeping this many versions")
+                    help="retention GC: keep this many sub-store "
+                         "snapshots AND index versions")
     ap.add_argument("--cores", type=int, default=4)
     args = ap.parse_args(argv)
     if args.queries and not args.output:
@@ -139,7 +157,8 @@ def main(argv: list[str] | None = None) -> int:
         summary = run_ann_batch(
             spark,
             input_path=args.input,
-            index_path=args.index,
+            index_root=args.index,
+            rebuild=args.rebuild,
             queries_path=args.queries,
             output_path=args.output,
             k=args.k,

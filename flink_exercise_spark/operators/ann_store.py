@@ -500,3 +500,80 @@ def vacuum_ann_index(path: str, keep_versions: int = 2) -> dict[str, int]:
         for k in total:
             total[k] += stats[k]
     return total
+
+
+# --- index-root deployment layer: recluster = rebuild + pointer swap --------
+#
+# append_ann_index pins the coarse centroids forever (a cell-moving
+# update is rejected loud), so the RECLUSTER path every docstring above
+# defers to needs a home: an index ROOT holds immutable index versions
+# (v00000001/, v00000002/, ...) plus a _CURRENT pointer file — the
+# manifest.py construction one level up. A rebuild lands as a whole new
+# index directory and becomes visible in one atomic os.replace; readers
+# that resolved the old version keep it until the root's retention GC.
+
+_ROOT_CURRENT = "_CURRENT"
+
+
+def ann_root_current(root: str) -> int | None:
+    """The live index version under ``root``, or None before the
+    first publish."""
+    p = os.path.join(root, _ROOT_CURRENT)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip().lstrip("v"))
+
+
+def ann_root_path(root: str, version: int | None = None) -> str:
+    """The index directory for ``version`` (default: the live one) —
+    pass straight to query_ann_index / append_ann_index."""
+    v = ann_root_current(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(
+            f"no published ANN index under {root!r} — bootstrap with "
+            "rebuild_ann_index"
+        )
+    return os.path.join(root, f"v{v:08d}")
+
+
+def rebuild_ann_index(
+    spark: SparkSession, root: str, emb: DataFrame, **write_kwargs
+) -> dict:
+    """Build a FRESH index (new coarse centroids, new books — the
+    recluster) as the root's next version and publish it atomically.
+    A crash before the pointer swap leaves an unpublished directory
+    (vacuum_ann_root reclaims it); readers mid-rebuild keep the old
+    version. ``write_kwargs`` pass through to write_ann_index."""
+    cur = ann_root_current(root)
+    v = (cur or 0) + 1
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"v{v:08d}")
+    shutil.rmtree(path, ignore_errors=True)  # crashed-rebuild debris
+    meta = write_ann_index(emb, path, **write_kwargs)
+    tmp = os.path.join(root, f".{_ROOT_CURRENT}.tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(f"v{v:08d}")
+    os.replace(tmp, os.path.join(root, _ROOT_CURRENT))  # THE swap
+    return {"version": v, "path": path, **meta}
+
+
+def vacuum_ann_root(root: str, keep_versions: int = 2) -> dict[str, int]:
+    """Delete index versions older than the newest ``keep_versions``
+    (and any unpublished debris beyond the live version) — the
+    root-level half of retention; per-version sub-store GC remains
+    vacuum_ann_index. Never touches the live version."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    live = ann_root_current(root)
+    if live is None:
+        return {"versions_deleted": 0}
+    n = 0
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith("v") or not entry[1:].isdigit():
+            continue
+        v = int(entry[1:])
+        if v <= live - keep_versions:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            n += 1
+    return {"versions_deleted": n}

@@ -1,6 +1,8 @@
-"""ANN lifecycle CLI: day-1 bootstrap, day-2 append, answers equal a
-fresh build under the store's own pinned models, replay idempotence,
-vacuum reclaim, query output wiring, arg validation."""
+"""ANN lifecycle CLI over the index-root deployment layer: day-1
+bootstrap, day-2 append, answers equal a fresh build under the store's
+own pinned models, replay idempotence, RECLUSTER rebuild + atomic
+pointer swap (pinned readers keep the old version), vacuum reclaim at
+both levels, query output wiring, arg validation."""
 
 from __future__ import annotations
 
@@ -12,6 +14,8 @@ from pyspark.sql import functions as F
 from flink_exercise_spark.ann_prep import run_ann_batch
 from flink_exercise_spark.operators import manifest as mft
 from flink_exercise_spark.operators.ann_store import (
+    ann_root_current,
+    ann_root_path,
     query_ann_index,
     read_ann_meta,
     write_ann_index,
@@ -45,22 +49,31 @@ def _q(spark, root):
     return spark.read.parquet(str(root / "queries"))
 
 
+def _answers(spark, index_path, queries, k=3):
+    return sorted(
+        tuple(r)
+        for r in query_ann_index(spark, index_path, queries, k=k).collect()
+    )
+
+
 def test_bootstrap_then_append_equals_fresh_build(
     spark, corpus_paths, tmp_path
 ):
-    index = str(tmp_path / "idx")
+    root = str(tmp_path / "root")
     s1 = run_ann_batch(
-        spark, str(corpus_paths / "day1"), index, n_cells=N_CELLS
+        spark, str(corpus_paths / "day1"), root, n_cells=N_CELLS
     )
     assert s1["mode"] == "bootstrap" and s1["n_corpus"] > 0
-    s2 = run_ann_batch(spark, str(corpus_paths / "day2"), index)
-    assert s2["mode"] == "append"
+    assert s1["index_version"] == 1 == ann_root_current(root)
+    s2 = run_ann_batch(spark, str(corpus_paths / "day2"), root)
+    assert s2["mode"] == "append" and s2["index_version"] == 1
     assert 0 < s2["codes_partitions_rewritten"] <= N_CELLS
 
     # a fresh index over day1 ∪ day2 under the SAME pinned models (the
-    # store's own centroids + books) must answer identically
-    cents = mft.versioned_read(spark, os.path.join(index, "centroids"))
-    books = mft.versioned_read(spark, os.path.join(index, "books"))
+    # live version's own centroids + books) must answer identically
+    live = ann_root_path(root)
+    cents = mft.versioned_read(spark, os.path.join(live, "centroids"))
+    books = mft.versioned_read(spark, os.path.join(live, "books"))
     union = spark.read.parquet(
         str(corpus_paths / "day1"), str(corpus_paths / "day2")
     )
@@ -74,59 +87,87 @@ def test_bootstrap_then_append_equals_fresh_build(
         pq_books=books.select("subspace", "code", "codeword"),
     )
     queries = _q(spark, corpus_paths)
-    got = sorted(
-        tuple(r) for r in query_ann_index(spark, index, queries).collect()
-    )
-    want = sorted(
-        tuple(r) for r in query_ann_index(spark, fresh, queries).collect()
-    )
-    assert got == want and len(got) > 0
+    got = _answers(spark, live, queries)
+    assert got == _answers(spark, fresh, queries) and len(got) > 0
 
 
 def test_append_replay_idempotent_and_vacuum_reclaims(
     spark, corpus_paths, tmp_path
 ):
-    index = str(tmp_path / "idx")
+    root = str(tmp_path / "root")
     run_ann_batch(
-        spark, str(corpus_paths / "day1"), index, n_cells=N_CELLS
+        spark, str(corpus_paths / "day1"), root, n_cells=N_CELLS
     )
-    s2 = run_ann_batch(spark, str(corpus_paths / "day2"), index)
+    s2 = run_ann_batch(spark, str(corpus_paths / "day2"), root)
     queries = _q(spark, corpus_paths)
-    before = sorted(
-        tuple(r) for r in query_ann_index(spark, index, queries).collect()
-    )
+    before = _answers(spark, ann_root_path(root), queries)
     # replay day 2 verbatim: merge-on-key, nothing changes
-    s3 = run_ann_batch(spark, str(corpus_paths / "day2"), index)
+    s3 = run_ann_batch(spark, str(corpus_paths / "day2"), root)
     assert s3["n_corpus"] == s2["n_corpus"]
-    assert (
-        sorted(
-            tuple(r)
-            for r in query_ann_index(spark, index, queries).collect()
-        )
-        == before
-    )
+    assert _answers(spark, ann_root_path(root), queries) == before
     # vacuum via the CLI path: superseded append files reclaimed,
     # current answers untouched
     s4 = run_ann_batch(
-        spark, str(corpus_paths / "day2"), index, vacuum_keep=1
+        spark, str(corpus_paths / "day2"), root, vacuum_keep=1
     )
     assert s4["vacuum"]["files_deleted"] > 0
-    assert (
-        sorted(
-            tuple(r)
-            for r in query_ann_index(spark, index, queries).collect()
-        )
-        == before
+    assert _answers(spark, ann_root_path(root), queries) == before
+
+
+def test_rebuild_swaps_pointer_and_pinned_reader_survives(
+    spark, corpus_paths, tmp_path
+):
+    """--rebuild is the recluster: a WHOLE new index version (fresh
+    centroids from the full corpus) lands beside the old one and the
+    pointer swaps atomically; a reader that resolved v1 keeps
+    answering from it until the root vacuum reclaims old versions."""
+    root = str(tmp_path / "root")
+    run_ann_batch(
+        spark, str(corpus_paths / "day1"), root, n_cells=N_CELLS
     )
+    run_ann_batch(spark, str(corpus_paths / "day2"), root)
+    queries = _q(spark, corpus_paths)
+    v1_path = ann_root_path(root)
+    v1_before = _answers(spark, v1_path, queries)
+
+    # recluster from the union drop (what a real rebuild ingests)
+    union_drop = str(tmp_path / "union")
+    spark.read.parquet(
+        str(corpus_paths / "day1"), str(corpus_paths / "day2")
+    ).write.parquet(union_drop)
+    s = run_ann_batch(
+        spark, union_drop, root, rebuild=True, n_cells=N_CELLS
+    )
+    assert s["mode"] == "rebuild" and s["index_version"] == 2
+    assert ann_root_current(root) == 2
+    live = ann_root_path(root)
+    assert live != v1_path
+    # fresh-centroid index answers the same queries (values may differ
+    # from v1's append-path models; the contract is a complete answer
+    # set from the new version and an untouched old one)
+    got = _answers(spark, live, queries)
+    assert len(got) == len(v1_before) > 0
+    assert _answers(spark, v1_path, queries) == v1_before  # pinned
+    assert read_ann_meta(live)["n_corpus"] == s["n_corpus"]
+
+    # root vacuum reclaims v1 (keep 1), live answers unchanged
+    s2 = run_ann_batch(
+        spark, union_drop, root, rebuild=True, vacuum_keep=1,
+        n_cells=N_CELLS,
+    )
+    assert s2["index_version"] == 3
+    assert s2["vacuum_root"]["versions_deleted"] >= 1
+    assert not os.path.exists(v1_path)
+    assert len(_answers(spark, ann_root_path(root), queries)) == len(got)
 
 
 def test_query_output_written(spark, corpus_paths, tmp_path):
-    index = str(tmp_path / "idx")
+    root = str(tmp_path / "root")
     out = str(tmp_path / "res")
     s = run_ann_batch(
         spark,
         str(corpus_paths / "day1"),
-        index,
+        root,
         queries_path=str(corpus_paths / "queries"),
         output_path=out,
         k=3,
@@ -134,14 +175,9 @@ def test_query_output_written(spark, corpus_paths, tmp_path):
     )
     assert s["n_result_rows"] == 5 * 3  # five queries, k=3 each
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
-    want = sorted(
-        tuple(r)
-        for r in query_ann_index(
-            spark, index, _q(spark, corpus_paths), k=3
-        ).collect()
-    )
+    want = _answers(spark, ann_root_path(root), _q(spark, corpus_paths))
     assert got == want
-    assert read_ann_meta(index)["n_cells"] == N_CELLS
+    assert read_ann_meta(ann_root_path(root))["n_cells"] == N_CELLS
 
 
 def test_queries_requires_output():

@@ -1690,3 +1690,132 @@ def test_dedup_near_dup_clusters_pin(spark):
         int(r["doc_id"]): int(r["cluster_id"]) for _, r in out.iterrows()
     }
     assert got == want and len(want) > 0
+
+
+def test_dedup_simhash_near_pairs_pin(spark):
+    """Pure-python full-pipeline reference: per-token ±1 bit rows from
+    md5 (bit b of the row = bit b of the big-endian int over the first
+    8 digest bytes), per-doc sign-packed 64-bit SimHash, 16-bit chunk
+    banding with the BUCKET_CAP cut, exact Hamming <= 8."""
+    import hashlib
+    from itertools import combinations
+
+    from flink_exercise_spark.operators.dedup import BUCKET_CAP
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+
+    def simhash(text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        sums = [0] * 64
+        for t in toks:
+            d = int.from_bytes(
+                hashlib.md5(t.encode()).digest()[:8], "big"
+            )
+            for b in range(64):
+                sums[b] += 1 if (d >> b) & 1 else -1
+        v = sum(1 << b for b in range(64) if sums[b] > 0)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = {}
+    for _, r in docs.iterrows():
+        t = r["text"]
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            continue
+        sigs[int(r["doc_id"])] = simhash(t)
+    buckets: dict[tuple, list] = {}
+    for d, s in sigs.items():
+        u = s % (1 << 64)
+        for i in range(4):
+            buckets.setdefault(
+                (i, (u >> (16 * i)) & 0xFFFF), []
+            ).append(d)
+    want = set()
+    for members in buckets.values():
+        if len(members) > BUCKET_CAP:
+            continue  # hot-chunk cut
+        for a, b in combinations(sorted(members), 2):
+            h = bin(
+                (sigs[a] % (1 << 64)) ^ (sigs[b] % (1 << 64))
+            ).count("1")
+            if h <= 8:
+                want.add((a, b, h))
+    out = _run(spark, "dedup_simhash_near_pairs")
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
+        for _, r in out.iterrows()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_pipeline_llm_data_prep_pin(spark):
+    """Pure-python reference of the whole prep composition: whitespace
+    tokens, quality features (HALF_UP 4-dp ratios), marker-score
+    language id with first-lang tie precedence, md5 exact dedup
+    (min doc_id canonical), per-language aggregate."""
+    import hashlib
+    import re as _re
+
+    from flink_exercise_spark.operators.pipeline import (
+        MIN_LEXICAL_DIVERSITY,
+        MIN_STOPWORD_RATIO,
+        MIN_TOKENS,
+    )
+    from flink_exercise_spark.operators.text import (
+        LANG_MARKERS,
+        STOPWORDS,
+    )
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    kept = {}
+    for _, r in docs.iterrows():
+        t = r["text"]
+        if t is None or (isinstance(t, float) and pd.isna(t)):
+            continue
+        toks = _re.split(r"\s+", t.strip())
+        n = len(toks)
+        ld = _round_half_up(len(set(toks)) / n, 4)
+        sr = _round_half_up(
+            sum(1 for x in toks if x in STOPWORDS) / n, 4
+        )
+        scores = {
+            lang: sum(1 for x in toks if x in markers)
+            for lang, markers in LANG_MARKERS.items()
+        }
+        best = max(scores.values())
+        if best == 0:
+            lang = "unknown"
+        else:
+            lang = next(
+                lg for lg in LANG_MARKERS if scores[lg] == best
+            )
+        if (
+            n >= MIN_TOKENS
+            and ld >= MIN_LEXICAL_DIVERSITY
+            and sr >= MIN_STOPWORD_RATIO
+            and lang != "unknown"
+        ):
+            kept[int(r["doc_id"])] = (
+                hashlib.md5(t.encode("utf-8")).hexdigest(), n, ld, sr,
+                lang,
+            )
+    canon = {}
+    for d, (h, *_rest) in kept.items():
+        canon[h] = min(canon.get(h, d), d)
+    dedup = {d: v for d, v in kept.items() if canon[v[0]] == d}
+    want = {}
+    for _, (h, n, ld, sr, lang) in dedup.items():
+        agg = want.setdefault(lang, [0, 0, 0.0, 0.0])
+        agg[0] += 1
+        agg[1] += n
+        agg[2] += ld
+        agg[3] += sr
+    out = _run(spark, "pipeline_llm_data_prep")
+    assert set(out["predicted_lang"]) == set(want)
+    for _, r in out.iterrows():
+        a = want[r["predicted_lang"]]
+        assert r["n_docs"] == a[0]
+        assert r["total_tokens"] == a[1]
+        assert abs(r["avg_lexical_diversity"] - _round_half_up(a[2] / a[0], 4)) < 2e-4
+        assert abs(r["avg_stopword_ratio"] - _round_half_up(a[3] / a[0], 4)) < 2e-4
