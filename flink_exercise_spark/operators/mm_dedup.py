@@ -1,0 +1,152 @@
+"""Multimodal dedup front door — ONE pass over a mixed binary corpus
+that routes every payload to its modality's near-dup pipeline and
+returns unified verdicts (r11; composes the dedup matrix the image
+operator completed):
+
+- images (BMP/PNG/GIF/JPEG)  -> DCT perceptual-hash band pairing
+                                (operators/image_dedup.py)
+- audio (16-bit PCM WAV)     -> spectral-fingerprint equi-join pairing
+                                (operators/audio.py)
+- everything else            -> exact content dedup on the raw bytes
+                                (md5 group-by; binary payloads without
+                                a real decoder can still be deduped
+                                exactly, never "near")
+
+Routing is JVM-SIDE: ``modality_expr`` re-states the python container
+sniffs (_looks_bmp/_looks_png/_looks_gif/_looks_jpeg/_looks_wav) as
+pure Column prefix checks over the binary column — zero Python in the
+router, so the full corpus scan stays in codegen and only each
+modality's subset crosses into its Arrow kernel. The prefix checks are
+deliberately the LOOSE superset of the python sniffs (magic bytes
+only, no structural walk): a payload the prefix accepts but the codec
+rejects raises the codec's own loud seam, never a silent misroute to
+the wrong pipeline — the valid/invalid-channel discipline.
+
+Output: ``multimodal_dup_pairs`` = (doc_a, doc_b, modality, evidence)
+with evidence = hamming distance (image), shared-fingerprint count
+(audio), or 0 (exact byte duplicates); modalities partition the doc
+set, so pairs never cross modalities and ``multimodal_dup_clusters``
+(connected components over the union) labels each duplicate group
+with its min doc_id per modality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.caching import persist_tracked
+from flink_exercise_spark.operators.audio import (
+    audio_neardup_pairs,
+    audio_spectral_fingerprint,
+)
+from flink_exercise_spark.operators.image_dedup import (
+    image_phash,
+    image_phash_pairs,
+)
+
+
+def _prefix(col: Column, off: int, lit: bytes) -> Column:
+    # substring on BINARY returns binary; the literal is binary too,
+    # so the comparison stays byte-exact inside codegen
+    return F.substring(col, off, len(lit)) == F.lit(bytearray(lit))
+
+
+def modality_expr(col: str = "payload") -> Column:
+    """'image' | 'audio' | 'other' from magic-byte prefixes — the
+    codegen router. BMP 'BM', PNG signature, GIF 'GIF8', JPEG
+    FF D8 FF, WAV 'RIFF....WAVE'."""
+    c = F.col(col)
+    is_image = (
+        _prefix(c, 1, b"BM")
+        | _prefix(c, 1, b"\x89PNG\r\n\x1a\n")
+        | _prefix(c, 1, b"GIF8")
+        | _prefix(c, 1, b"\xff\xd8\xff")
+    )
+    is_audio = _prefix(c, 1, b"RIFF") & _prefix(c, 9, b"WAVE")
+    return (
+        F.when(is_image, F.lit("image"))
+        .when(is_audio, F.lit("audio"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def multimodal_dup_pairs(
+    with_payload: DataFrame,
+    image_max_distance: int | None = None,
+    audio_min_shared: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, modality, evidence) near/exact-duplicate pairs
+    across the mixed corpus — one routed pass, each modality's bytes
+    touching only its own kernel."""
+    routed = persist_tracked(
+        with_payload.select(
+            "doc_id", "payload", modality_expr().alias("modality")
+        )
+    )
+    img_kwargs = (
+        {} if image_max_distance is None
+        else {"max_distance": image_max_distance}
+    )
+    image_pairs = image_phash_pairs(
+        image_phash(routed.filter(F.col("modality") == "image")),
+        **img_kwargs,
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.lit("image").alias("modality"),
+        F.col("hamming").cast("long").alias("evidence"),
+    )
+    audio_pairs = audio_neardup_pairs(
+        audio_spectral_fingerprint(
+            routed.filter(F.col("modality") == "audio")
+        ),
+        min_shared=audio_min_shared,
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.lit("audio").alias("modality"),
+        F.col("n_shared").cast("long").alias("evidence"),
+    )
+    # exact byte dedup for undecodable payloads: md5 group-by, pairs
+    # against the group's canonical (min id) — group-sized output, not
+    # group-squared (the exact_dedup_map shape)
+    other = routed.filter(F.col("modality") == "other").select(
+        "doc_id", F.md5("payload").alias("_h")
+    )
+    canon = other.groupBy("_h").agg(F.min("doc_id").alias("doc_a"))
+    other_pairs = (
+        other.join(canon, "_h")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select(
+            "doc_a",
+            F.col("doc_id").alias("doc_b"),
+            F.lit("other").alias("modality"),
+            F.lit(0).cast("long").alias("evidence"),
+        )
+    )
+    return image_pairs.unionByName(audio_pairs).unionByName(other_pairs)
+
+
+def multimodal_dup_clusters(
+    with_payload: DataFrame, **pair_kwargs
+) -> DataFrame:
+    """(doc_id, modality, dup_group): connected components over the
+    routed pairs — the keep-one-representative decision for a mixed
+    corpus. Modalities partition the docs, so components never span
+    modalities; docs in no pair are absent (singletons need no
+    decision)."""
+    from flink_exercise_spark.operators.dedup import connected_components
+
+    pairs = persist_tracked(
+        multimodal_dup_pairs(with_payload, **pair_kwargs)
+    )
+    comp = connected_components(pairs.select("doc_a", "doc_b"))
+    modality = pairs.select(
+        F.col("doc_a").alias("doc_id"), "modality"
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), "modality")
+    ).distinct()
+    return comp.join(modality, "doc_id").select(
+        "doc_id", "modality", F.col("cluster_id").alias("dup_group")
+    )

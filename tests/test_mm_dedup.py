@@ -1,0 +1,149 @@
+"""Multimodal dedup front door: JVM-side routing agreement with the
+python sniffs, per-modality pair agreement with the standalone
+operators, exact-byte dedup for undecodable payloads, cluster labels,
+and the codegen-router plan claim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_exercise_spark.operators.audio import (
+    MELODIES,
+    audio_neardup_pairs,
+    audio_spectral_fingerprint,
+    melody_wav_bytes,
+)
+from flink_exercise_spark.operators.image_dedup import (
+    bmp_encode_gray,
+    image_phash,
+    image_phash_pairs,
+    phash_fixture_rasters,
+    png_encode_gray,
+)
+from flink_exercise_spark.operators.mm_dedup import (
+    modality_expr,
+    multimodal_dup_clusters,
+    multimodal_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def mixed_corpus(spark):
+    """Images (ids 0-9, the phash fixture), audio (ids 100-106, the
+    melody fixture), and text-ish bytes (ids 200-204, with 201 an
+    exact byte copy of 200) in ONE relation."""
+    rows = []
+    for d, r in sorted(phash_fixture_rasters().items()):
+        rows.append(
+            (d, png_encode_gray(r) if d == 3 else bmp_encode_gray(r))
+        )
+    for d, (bins, amp) in sorted(MELODIES.items()):
+        rows.append((100 + d, melody_wav_bytes(bins, amp)))
+    texts = [b"alpha beta", b"alpha beta", b"gamma", b"delta", b"gamma"]
+    for i, t in enumerate(texts):
+        rows.append((200 + i, t))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_router_agrees_with_python_sniffs(spark, mixed_corpus):
+    from flink_exercise_spark.operators.multimodal import (
+        _looks_bmp,
+        _looks_gif,
+        _looks_jpeg,
+        _looks_png,
+        _looks_wav,
+    )
+
+    got = {
+        r["doc_id"]: r["m"]
+        for r in mixed_corpus.select(
+            "doc_id", modality_expr().alias("m")
+        ).collect()
+    }
+    for r in mixed_corpus.collect():
+        p = bytes(r["payload"])
+        if any(f(p) for f in (_looks_bmp, _looks_png, _looks_gif,
+                              _looks_jpeg)):
+            want = "image"
+        elif _looks_wav(p):
+            want = "audio"
+        else:
+            want = "other"
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_pairs_agree_with_standalone_operators(spark, mixed_corpus):
+    pairs = multimodal_dup_pairs(mixed_corpus).collect()
+    by_mod = {}
+    for r in pairs:
+        by_mod.setdefault(r["modality"], set()).add(
+            (r["doc_a"], r["doc_b"], r["evidence"])
+        )
+    img_only = mixed_corpus.filter(F.col("doc_id") < 100)
+    want_img = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in image_phash_pairs(image_phash(img_only)).collect()
+    }
+    assert by_mod["image"] == want_img and len(want_img) == 4
+    aud_only = mixed_corpus.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+    )
+    want_aud = {
+        (r["doc_a"], r["doc_b"], r["n_shared"])
+        for r in audio_neardup_pairs(
+            audio_spectral_fingerprint(aud_only)
+        ).collect()
+    }
+    assert by_mod["audio"] == want_aud and len(want_aud) == 2
+    # exact byte dups among the undecodable payloads: 201 copies 200,
+    # 204 copies 202 — pairs anchor on the canonical min id
+    assert by_mod["other"] == {(200, 201, 0), (202, 204, 0)}
+
+
+def test_clusters_label_within_modality(spark, mixed_corpus):
+    got = {
+        r["doc_id"]: (r["modality"], r["dup_group"])
+        for r in multimodal_dup_clusters(mixed_corpus).collect()
+    }
+    # image pairs (0,1),(2,3),(4,5),(6,7); audio (100,101),(102,103);
+    # other (200,201),(202,204) — min-id group labels, singletons absent
+    want = {
+        0: ("image", 0), 1: ("image", 0), 2: ("image", 2),
+        3: ("image", 2), 4: ("image", 4), 5: ("image", 4),
+        6: ("image", 6), 7: ("image", 6),
+        100: ("audio", 100), 101: ("audio", 100),
+        102: ("audio", 102), 103: ("audio", 102),
+        200: ("other", 200), 201: ("other", 200),
+        202: ("other", 202), 204: ("other", 202),
+    }
+    assert got == want
+
+
+def test_router_is_codegen_no_python(spark, mixed_corpus):
+    """The routing projection must stay JVM-side: no Python evaluation
+    node in the routed scan (the kernels run only on each modality's
+    filtered subset)."""
+    plan = (
+        mixed_corpus.select("doc_id", modality_expr().alias("m"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_loose_prefix_misroute_fails_loud(spark):
+    """A payload whose magic matches but whose structure the codec
+    rejects must raise the codec's own seam, never silently land in
+    'other' — the valid/invalid-channel discipline."""
+    fake_bmp = spark.createDataFrame(
+        [(1, b"BMnot-actually-a-bitmap")], "doc_id long, payload binary"
+    )
+    assert (
+        fake_bmp.select(modality_expr().alias("m")).collect()[0]["m"]
+        == "image"
+    )
+    with pytest.raises(Exception, match="BMP|NotImplementedError"):
+        multimodal_dup_pairs(fake_bmp).collect()
