@@ -160,8 +160,13 @@ def audio_neardup_pairs(
     # collect_set here would materialize the hot fingerprint's full
     # doc list in ONE aggregation buffer — the memory bomb the cap
     # exists to avoid (code-review r10). The hot-fp relation is tiny
-    # by definition, so it broadcasts.
-    fps_d = fps.select("fp", "doc_id").distinct()
+    # by definition, so it broadcasts. The distinct landmark relation
+    # feeds THREE subtrees (the hot-fp aggregate and both self-join
+    # sides); unpersisted, each would re-run the upstream FFT kernel
+    # over the audio bytes (r11).
+    from flink_exercise_spark.caching import persist_tracked
+
+    fps_d = persist_tracked(fps.select("fp", "doc_id").distinct())
     hot = (
         fps_d.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -268,22 +268,33 @@ def image_phash_pairs(
             "pigeonhole recall guarantee needs hamming < n_bands — "
             "raise N_BANDS (narrower bands) for looser thresholds"
         )
-    if band_cap is None:
-        # one count() on the hash relation (one row per image — tiny
-        # next to the decode that produced it)
-        band_cap = max(BAND_CAP, 8 * -(-hashes.count() // 256))
-    bands = hashes.select(
-        "doc_id",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("phash", 8 * b).bitwiseAND(F.lit(255))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+    from flink_exercise_spark.caching import persist_tracked
+
+    # the banded relation feeds up to four subtrees (the adaptive-cap
+    # load probe, the hot-band aggregate, both self-join sides);
+    # persisted, the upstream hash lineage — typically the decode+DCT
+    # kernel — runs exactly once (r11)
+    bands = persist_tracked(
+        hashes.select(
+            "doc_id",
+            "phash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("phash", 8 * b).bitwiseAND(
+                            F.lit(255)
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
     )
+    if band_cap is None:
+        # load probe against the persisted bands (n docs = rows / 8)
+        band_cap = max(
+            BAND_CAP, 8 * -(-(bands.count() // N_BANDS) // 256)
+        )
     hot = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -478,7 +489,13 @@ def phash_fixture_corpus(spark) -> DataFrame:
     tags=("multimodal", "dedup", "image"),
 )
 def q_image_phash_pairs(spark, sf_dir):
-    pairs = image_phash_pairs(image_phash(phash_fixture_corpus(spark)))
+    # explicit cap: the adaptive default's count() action would
+    # execute the decode+DCT kernel a second time for its load probe —
+    # pointless on the fixed 10-image corpus (adaptive == BAND_CAP
+    # there anyway)
+    pairs = image_phash_pairs(
+        image_phash(phash_fixture_corpus(spark)), band_cap=BAND_CAP
+    )
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )

@@ -88,8 +88,13 @@ def multimodal_dup_pairs(
         {} if image_max_distance is None
         else {"max_distance": image_max_distance}
     )
+    # persist the hash relation: the adaptive band cap's load probe
+    # (count) and the banded pairing both consume it — unpersisted,
+    # each would re-run the decode+DCT kernel over the image bytes
     image_pairs = image_phash_pairs(
-        image_phash(routed.filter(F.col("modality") == "image")),
+        persist_tracked(
+            image_phash(routed.filter(F.col("modality") == "image"))
+        ),
         **img_kwargs,
     ).select(
         "doc_a",

@@ -721,3 +721,136 @@ def warm_start_ingest_dedup(
         spark.table(f"{name_prefix}_hash"),
         spark.table(f"{name_prefix}_bands"),
     )
+
+
+# --- multimodal streaming ingest (r11) -------------------------------------
+#
+# The dedup matrix's streaming placement for the binary modalities:
+# the feature kernels (perceptual hash, spectral fingerprints, byte
+# md5) are STATELESS per document, so the streaming job's only duty is
+# continuous extraction — each micro-batch routes payloads JVM-side
+# (mm_dedup.modality_expr) and APPENDS the compact feature relations
+# to per-modality parquet logs; the PAIRING is a read-side reduce over
+# the accumulated logs (the ForeachBatchTopHost deployment shape:
+# append change log + read-side resolution). Verdicts are therefore
+# arrival-order independent by construction, and a replayed batch only
+# duplicates log rows, which the read-side distinct folds away —
+# replay-idempotent without a state store, because no cross-batch
+# state exists to corrupt.
+
+
+def ingest_multimodal_features(
+    with_payload: DataFrame,
+    store_path: str,
+    timeout_sec: int | None = None,
+) -> str:
+    """One streaming job: route each micro-batch by container sniff
+    and append (doc_id, phash) / (doc_id, start_window, fp) /
+    (doc_id, byte_hash) to the per-modality logs under
+    ``store_path``. The payload bytes never land — only the compact
+    features a later dedup pass needs (at 100 TB this is the whole
+    point: the log is orders smaller than the corpus)."""
+    from flink_exercise_spark.operators.audio import (
+        audio_spectral_fingerprint,
+    )
+    from flink_exercise_spark.operators.image_dedup import image_phash
+    from flink_exercise_spark.operators.mm_dedup import modality_expr
+
+    if timeout_sec is None:
+        timeout_sec = int(
+            os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "120")
+        )
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        routed = batch.select(
+            "doc_id", "payload", modality_expr().alias("modality")
+        ).localCheckpoint()  # route once per batch, not per consumer
+        image_phash(routed.filter(F.col("modality") == "image")).write.mode(
+            "append"
+        ).parquet(os.path.join(store_path, "image_hashes"))
+        audio_spectral_fingerprint(
+            routed.filter(F.col("modality") == "audio")
+        ).write.mode("append").parquet(
+            os.path.join(store_path, "audio_fps")
+        )
+        routed.filter(F.col("modality") == "other").select(
+            "doc_id", F.md5("payload").alias("byte_hash")
+        ).write.mode("append").parquet(
+            os.path.join(store_path, "other_hashes")
+        )
+
+    q = (
+        with_payload.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:  # the stream_decontaminate stop/await discipline
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"ingest_multimodal_features did not drain within "
+            f"{timeout_sec}s; PARTIAL logs at {store_path}"
+        )
+    return store_path
+
+
+def resolve_multimodal_pairs(
+    spark: SparkSession, store_path: str, **pair_kwargs
+) -> DataFrame:
+    """The read-side reduce: (doc_a, doc_b, modality, evidence) over
+    everything the feature logs have accumulated — the exact
+    ``multimodal_dup_pairs`` output contract (pinned stream == batch
+    in tests). ``distinct()`` on each log folds replayed batches
+    away."""
+    from flink_exercise_spark.operators.audio import audio_neardup_pairs
+    from flink_exercise_spark.operators.image_dedup import (
+        image_phash_pairs,
+    )
+
+    image_pairs = image_phash_pairs(
+        spark.read.parquet(
+            os.path.join(store_path, "image_hashes")
+        ).distinct(),
+        **{
+            k.removeprefix("image_"): v
+            for k, v in pair_kwargs.items()
+            if k.startswith("image_")
+        },
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.lit("image").alias("modality"),
+        F.col("hamming").cast("long").alias("evidence"),
+    )
+    audio_pairs = audio_neardup_pairs(
+        spark.read.parquet(
+            os.path.join(store_path, "audio_fps")
+        ).distinct(),
+        **{
+            k.removeprefix("audio_"): v
+            for k, v in pair_kwargs.items()
+            if k.startswith("audio_")
+        },
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.lit("audio").alias("modality"),
+        F.col("n_shared").cast("long").alias("evidence"),
+    )
+    other = spark.read.parquet(
+        os.path.join(store_path, "other_hashes")
+    ).distinct()
+    canon = other.groupBy("byte_hash").agg(F.min("doc_id").alias("doc_a"))
+    other_pairs = (
+        other.join(canon, "byte_hash")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select(
+            "doc_a",
+            F.col("doc_id").alias("doc_b"),
+            F.lit("other").alias("modality"),
+            F.lit(0).cast("long").alias("evidence"),
+        )
+    )
+    return image_pairs.unionByName(audio_pairs).unionByName(other_pairs)

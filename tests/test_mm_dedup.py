@@ -147,3 +147,51 @@ def test_loose_prefix_misroute_fails_loud(spark):
     )
     with pytest.raises(Exception, match="BMP|NotImplementedError"):
         multimodal_dup_pairs(fake_bmp).collect()
+
+
+def test_streaming_ingest_equals_batch_and_replay_folds(
+    spark, mixed_corpus, tmp_path
+):
+    """The streaming placement: per-batch routed feature extraction
+    into append logs + read-side pairing must equal the batch
+    multimodal_dup_pairs verdicts across a 2-micro-batch arrival
+    split — and a full REPLAY of the stream into the same logs changes
+    nothing (the read-side distinct folds duplicated appends)."""
+    from flink_exercise_spark.streaming.ingest import (
+        ingest_multimodal_features,
+        resolve_multimodal_pairs,
+    )
+
+    src = str(tmp_path / "mm_stream")
+    ids = sorted(r["doc_id"] for r in mixed_corpus.collect())
+    half = ids[len(ids) // 2]
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    mixed_corpus.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    mixed_corpus.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    store = str(tmp_path / "mm_logs")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ingest_multimodal_features(stream, store)
+
+    run_stream()
+    want = sorted(
+        tuple(r) for r in multimodal_dup_pairs(mixed_corpus).collect()
+    )
+    got = sorted(
+        tuple(r) for r in resolve_multimodal_pairs(spark, store).collect()
+    )
+    assert got == want and len(got) == 8
+    run_stream()  # replay the whole stream into the same logs
+    again = sorted(
+        tuple(r) for r in resolve_multimodal_pairs(spark, store).collect()
+    )
+    assert again == want
