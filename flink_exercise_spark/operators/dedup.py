@@ -385,7 +385,16 @@ def simhash_near_pairs(
     join is on 16-bit chunks (any pair within Hamming<=3*16 shares at
     least one of 4 chunks exactly; for small max_hamming this is the
     standard probe structure). Chunk buckets larger than ``bucket_cap``
-    are dropped from the join (see BUCKET_CAP)."""
+    are dropped from the join (see BUCKET_CAP).
+
+    Cap-saturation note (the image_phash_pairs r11 finding, one key
+    space further out): a 16-bit chunk has 65,536 values, so at n docs
+    the UNIFORM load per (chunk_id, value) is n/65536 — a FIXED cap of
+    256 saturates around n ≈ 16.7M documents and would then cut every
+    chunk, duplicates included. ``bucket_cap="adaptive"`` scales the
+    cut to 8x the uniform load (floored at BUCKET_CAP) from one count
+    over the already-persisted banded relation; the MinHash band keys
+    are md5-sized and do not have this failure mode."""
     sigs = simhash_signatures(docs)
     chunks = F.array(
         *[
@@ -404,6 +413,10 @@ def simhash_near_pairs(
         sigs.select("doc_id", "simhash", F.explode(chunks).alias("c"))
         .select("doc_id", "simhash", "c.chunk_id", "c.chunk")
     )
+    if bucket_cap == "adaptive":
+        bucket_cap = max(
+            BUCKET_CAP, 8 * -(-(banded.count() // 4) // 65536)
+        )
     banded = _cap_hot_buckets(banded, ("chunk_id", "chunk"), bucket_cap)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (

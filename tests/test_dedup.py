@@ -297,3 +297,21 @@ def test_cluster_keep_best_consistent_with_clusters(spark):
     mx = j.groupby("cluster_id")["n_chars"].transform("max")
     keepers = j[j["keep"]]
     assert (keepers["n_chars"] == mx[j["keep"]]).all()
+
+
+def test_simhash_adaptive_cap_equals_fixed_at_fixture_scale(spark):
+    """bucket_cap='adaptive' resolves to BUCKET_CAP while the corpus is
+    far below the 16-bit chunk space's saturation point, so results
+    are identical — the option exists for the >16M-doc regime where a
+    fixed cap would cut every chunk (the image band-cap finding)."""
+    from flink_exercise_spark.operators.dedup import simhash_near_pairs
+    from flink_exercise_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fixed = sorted(tuple(r) for r in simhash_near_pairs(docs).collect())
+    adaptive = sorted(
+        tuple(r)
+        for r in simhash_near_pairs(docs, bucket_cap="adaptive").collect()
+    )
+    assert adaptive == fixed and len(fixed) > 0
