@@ -573,7 +573,10 @@ def vacuum_ann_root(root: str, keep_versions: int = 2) -> dict[str, int]:
         if not entry.startswith("v") or not entry[1:].isdigit():
             continue
         v = int(entry[1:])
-        if v <= live - keep_versions:
+        # v > live = crashed-rebuild debris: never published, so no
+        # reader can resolve it (single-writer model — the vacuum runs
+        # in the same batch cadence as rebuilds, never beside one)
+        if v <= live - keep_versions or v > live:
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
             n += 1
     return {"versions_deleted": n}

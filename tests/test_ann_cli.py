@@ -185,3 +185,26 @@ def test_queries_requires_output():
 
     with pytest.raises(SystemExit):
         main(["--input", "/x", "--index", "/y", "--queries", "/q"])
+
+
+def test_root_vacuum_reclaims_crashed_rebuild_debris(
+    spark, corpus_paths, tmp_path
+):
+    """An unpublished version directory (crash before the pointer
+    swap) is unreachable by any reader and must be reclaimed by the
+    root vacuum without touching the live version."""
+    import shutil
+
+    from flink_exercise_spark.operators.ann_store import vacuum_ann_root
+
+    root = str(tmp_path / "root")
+    run_ann_batch(
+        spark, str(corpus_paths / "day1"), root, n_cells=N_CELLS
+    )
+    live = ann_root_path(root)
+    debris = os.path.join(root, "v00000002")  # never published
+    shutil.copytree(live, debris)
+    stats = vacuum_ann_root(root, keep_versions=1)
+    assert stats["versions_deleted"] == 1
+    assert not os.path.exists(debris) and os.path.exists(live)
+    assert ann_root_current(root) == 1
