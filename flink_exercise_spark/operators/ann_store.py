@@ -149,10 +149,17 @@ def write_ann_index(
         pq_books.withColumn("bucket", F.lit("all")),
         os.path.join(path, "books"),
     )
-    codes = pq_encode(
-        resid, pq_books, m=m, vec_col="resid", norm_col="orig_norm",
-        kernel=encode_kernel,
-    ).join(resid.select("vec_id", "cell_id"), "vec_id")
+    # persisted: the versioned write AND the meta row count both
+    # consume this relation — unpersisted, the corpus-wide encode (the
+    # dominant build cost) would run twice (code-review r11, the
+    # append_ann_index no-second-pass rationale at build time); the
+    # cached relation is narrow (codes + norm + ids, ~25 B/vector)
+    codes = persist_tracked(
+        pq_encode(
+            resid, pq_books, m=m, vec_col="resid", norm_col="orig_norm",
+            kernel=encode_kernel,
+        ).join(resid.select("vec_id", "cell_id"), "vec_id")
+    )
     v_codes = mft.versioned_write(
         codes, os.path.join(path, "codes"), partition_col="cell_id"
     )

@@ -420,6 +420,21 @@ def pq_encode_kernel(
     if not cb_rows:
         raise ValueError("pq_encode_kernel: empty codebook relation")
     n_codes = max(r["code"] for r in cb_rows) + 1
+    # The bit-identity contract needs a DENSE codebook: the HOF fold
+    # iterates only the entries that exist, so a missing (subspace,
+    # code) — a trained book with a dropped cluster — would leave a
+    # phantom all-zero codeword in the kernel's matrix that near-zero
+    # residuals happily argmin onto (code-review r11). Fail loud
+    # instead of silently diverging.
+    seen = {(r["subspace"], r["code"]) for r in cb_rows}
+    if len(cb_rows) != m * n_codes or len(seen) != m * n_codes:
+        raise ValueError(
+            f"pq_encode_kernel: codebook must be dense (m={m} x "
+            f"n_codes={n_codes} unique (subspace, code) rows; got "
+            f"{len(cb_rows)} rows, {len(seen)} unique) — re-index a "
+            "sparse trained book to contiguous codes, or use the HOF "
+            "path"
+        )
     seg = len(cb_rows[0]["codeword"])
     CB = np.zeros((m, n_codes, seg))
     for r in cb_rows:

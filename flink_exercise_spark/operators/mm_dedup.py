@@ -79,10 +79,14 @@ def multimodal_dup_pairs(
     """(doc_a, doc_b, modality, evidence) near/exact-duplicate pairs
     across the mixed corpus — one routed pass, each modality's bytes
     touching only its own kernel."""
-    routed = persist_tracked(
-        with_payload.select(
-            "doc_id", "payload", modality_expr().alias("modality")
-        )
+    # NOT persisted: caching this relation would materialize every
+    # payload byte of the corpus into executor storage to save only a
+    # handful of codegen prefix comparisons per re-scan (code-review
+    # r11) — the three modality filters each re-scan the source with
+    # their predicate pushed; the compact per-modality FEATURE
+    # relations are what get persisted below
+    routed = with_payload.select(
+        "doc_id", "payload", modality_expr().alias("modality")
     )
     img_kwargs = (
         {} if image_max_distance is None
@@ -115,9 +119,13 @@ def multimodal_dup_pairs(
     )
     # exact byte dedup for undecodable payloads: md5 group-by, pairs
     # against the group's canonical (min id) — group-sized output, not
-    # group-squared (the exact_dedup_map shape)
-    other = routed.filter(F.col("modality") == "other").select(
-        "doc_id", F.md5("payload").alias("_h")
+    # group-squared (the exact_dedup_map shape); the narrow hash
+    # relation persists so the canonical aggregate and the join probe
+    # don't each re-hash the payload bytes
+    other = persist_tracked(
+        routed.filter(F.col("modality") == "other").select(
+            "doc_id", F.md5("payload").alias("_h")
+        )
     )
     canon = other.groupBy("_h").agg(F.min("doc_id").alias("doc_a"))
     other_pairs = (

@@ -809,10 +809,31 @@ def resolve_multimodal_pairs(
         image_phash_pairs,
     )
 
+    unknown = [
+        k for k in pair_kwargs
+        if not k.startswith(("image_", "audio_"))
+    ]
+    if unknown:
+        # a mis-keyed threshold must fail, not silently fall back to
+        # the defaults (code-review r11) — the batch twin raises
+        # TypeError on unknown kwargs, this is its read-side mirror
+        raise TypeError(
+            f"unknown pair_kwargs {unknown}: prefix image-pipeline "
+            "options with image_ and audio-pipeline options with "
+            "audio_ (e.g. image_max_distance, audio_min_shared)"
+        )
+
+    def _log(name: str, schema: str) -> DataFrame:
+        # an ingest stream that drained zero batches never created the
+        # log directories; the resolve contract is the EMPTY relation,
+        # not a path error (code-review r11)
+        p = os.path.join(store_path, name)
+        if not os.path.exists(p):
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(p).distinct()
+
     image_pairs = image_phash_pairs(
-        spark.read.parquet(
-            os.path.join(store_path, "image_hashes")
-        ).distinct(),
+        _log("image_hashes", "doc_id long, phash long"),
         **{
             k.removeprefix("image_"): v
             for k, v in pair_kwargs.items()
@@ -825,9 +846,7 @@ def resolve_multimodal_pairs(
         F.col("hamming").cast("long").alias("evidence"),
     )
     audio_pairs = audio_neardup_pairs(
-        spark.read.parquet(
-            os.path.join(store_path, "audio_fps")
-        ).distinct(),
+        _log("audio_fps", "doc_id long, start_window int, fp string"),
         **{
             k.removeprefix("audio_"): v
             for k, v in pair_kwargs.items()
@@ -839,9 +858,7 @@ def resolve_multimodal_pairs(
         F.lit("audio").alias("modality"),
         F.col("n_shared").cast("long").alias("evidence"),
     )
-    other = spark.read.parquet(
-        os.path.join(store_path, "other_hashes")
-    ).distinct()
+    other = _log("other_hashes", "doc_id long, byte_hash string")
     canon = other.groupBy("byte_hash").agg(F.min("doc_id").alias("doc_a"))
     other_pairs = (
         other.join(canon, "byte_hash")

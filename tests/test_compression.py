@@ -744,3 +744,23 @@ def test_round_half_up_int_matches_spark_round0(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_pq_encode_kernel_rejects_sparse_codebook(spark):
+    """A trained book with a dropped (subspace, code) entry would
+    leave a phantom all-zero codeword in the kernel's dense matrix —
+    the bit-identity contract requires failing loud instead."""
+    from flink_exercise_spark.operators.compression import pq_encode
+
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    sparse = spark.createDataFrame(
+        [  # subspace 1 is missing code 1
+            (0, 0, [1.0, 2.0]), (0, 1, [9.0, 9.0]),
+            (1, 0, [3.0, 4.0]),
+        ],
+        "subspace int, code int, codeword array<double>",
+    )
+    with pytest.raises(ValueError, match="dense"):
+        pq_encode(emb2, sparse, m=2, kernel=True).collect()

@@ -195,3 +195,25 @@ def test_streaming_ingest_equals_batch_and_replay_folds(
         tuple(r) for r in resolve_multimodal_pairs(spark, store).collect()
     )
     assert again == want
+
+
+def test_resolve_rejects_unknown_pair_kwargs(spark, tmp_path):
+    from flink_exercise_spark.streaming.ingest import (
+        resolve_multimodal_pairs,
+    )
+
+    with pytest.raises(TypeError, match="image_max_distance"):
+        resolve_multimodal_pairs(spark, str(tmp_path), max_distance=3)
+
+
+def test_resolve_empty_store_returns_empty_contract(spark, tmp_path):
+    """A resolve scheduled before the ingest stream ever drained a
+    batch must yield the empty (doc_a, doc_b, modality, evidence)
+    relation, not a path error."""
+    from flink_exercise_spark.streaming.ingest import (
+        resolve_multimodal_pairs,
+    )
+
+    out = resolve_multimodal_pairs(spark, str(tmp_path / "nothing"))
+    assert out.columns == ["doc_a", "doc_b", "modality", "evidence"]
+    assert out.count() == 0
