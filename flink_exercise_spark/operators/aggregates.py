@@ -244,13 +244,6 @@ def q_ref_q1(spark, sf_dir):
 
 @register(
     "ref_q1_top_host_str",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH c AS (
       SELECT {_ORACLE_WIN} AS window_start,
@@ -328,13 +321,6 @@ def cumulative_distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFr
 
 @register(
     "ref_q2_cumulative_distinct",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH firsts AS (
       SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
@@ -385,13 +371,6 @@ def q_ref_q3(spark, sf_dir):
 
 @register(
     "a1_requests_per_host",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="SELECT user_id, count(*) AS n_requests FROM events GROUP BY 1",
     doc="A1: keyed count",
     tags=("aggregate", "events"),
@@ -402,13 +381,6 @@ def q_a1(spark, sf_dir):
 
 @register(
     "a2_count_events",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # A2 (global count) and A4 (exact distinct count) in one entry:
     # both are single-pass global aggregates over the same scan, and
     # Spark computes them in one plan (expand + two-phase hash agg).
@@ -431,13 +403,6 @@ def q_a2(spark, sf_dir):
 
 @register(
     "a3_first_event_per_host",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="""
     SELECT user_id, min(event_id) AS first_event_id,
            arg_min(event_type, event_id) AS first_event_type
@@ -465,13 +430,6 @@ def q_a4_approx(spark, sf_dir):
 
 @register(
     "a6_top3_hosts_per_window",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH c AS (
       SELECT {_ORACLE_WIN} AS window_start, user_id,
@@ -494,6 +452,13 @@ def q_a6_top3(spark, sf_dir):
 
 @register(
     "events_type_stats",
+    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
+    # slot so the 36 r11-demoted entries (freshest pass r10) return to
+    # the driver window (+2 seats for the new video near-dup and
+    # multimodal front-door entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the
@@ -530,6 +495,13 @@ def q_type_stats(spark, sf_dir):
 
 @register(
     "a1_running_counts_analytic",
+    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
+    # slot so the 36 r11-demoted entries (freshest pass r10) return to
+    # the driver window (+2 seats for the new video near-dup and
+    # multimodal front-door entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the
@@ -566,6 +538,13 @@ def q_running_counts(spark, sf_dir):
 
 @register(
     "events_json_props",
+    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
+    # slot so the 36 r11-demoted entries (freshest pass r10) return to
+    # the driver window (+2 seats for the new video near-dup and
+    # multimodal front-door entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the

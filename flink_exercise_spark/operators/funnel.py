@@ -128,13 +128,6 @@ def funnel_summary(
 
 @register(
     "events_funnel_steps",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Pin: tests/test_funnel.py pandas fixture reference.
-    priority=1,
     oracle="""
     WITH s0 AS (
       SELECT user_id, min(ts) AS t0 FROM events

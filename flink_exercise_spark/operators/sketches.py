@@ -173,13 +173,6 @@ def heavy_hitters(
 
 @register(
     "events_heavy_hitters",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Pin: tests/test_sketches.py pandas fixture reference.
-    priority=1,
     oracle=f"""
     WITH tot AS (SELECT count(*) AS total FROM events
                  WHERE user_id IS NOT NULL)

@@ -412,6 +412,13 @@ def classifier_scores_joined(docs: DataFrame, weights: DataFrame) -> DataFrame:
 
 @register(
     "text_stats",
+    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
+    # slot so the 36 r11-demoted entries (freshest pass r10) return to
+    # the driver window (+2 seats for the new video near-dup and
+    # multimodal front-door entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Token statistics AND C4/Gopher-style quality features in one
@@ -555,6 +562,13 @@ def _lang_id_oracle() -> str:
 
 @register(
     "text_language_id",
+    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
+    # slot so the 36 r11-demoted entries (freshest pass r10) return to
+    # the driver window (+2 seats for the new video near-dup and
+    # multimodal front-door entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Absorbed the former text_lang_profile entry in r6 (registry
@@ -667,6 +681,13 @@ def chunk_documents(
 
 @register(
     "text_chunk_overlap",
+    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
+    # slot so the 36 r11-demoted entries (freshest pass r10) return to
+    # the driver window (+2 seats for the new video near-dup and
+    # multimodal front-door entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pin: python fixture reference in tests/test_chunking.py.
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=f"""
@@ -700,13 +721,6 @@ def q_chunk_overlap(spark, sf_dir):
 
 @register(
     "text_fingerprints",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
     # Fingerprints + BPE-ish token budget + PII scrub accounting in one
     # per-document pass (round 6 consolidates the PII scrubber here:
     # same projection shape, no new registry slot). The scrubbed text
@@ -927,14 +941,6 @@ _HTML_ORACLE = """
 
 @register(
     "text_html_extract",
-    # priority=1 (r11 rotation): driver-green in r10; takes a rotation
-    # slot so the 34 r10-demoted entries (freshest pass r9) return to
-    # the driver window (+2 seats for the new image perceptual-hash
-    # and audio fingerprint dedup entries). Hash-verified locally
-    # every round by test_parity_demoted.
-    # Pin: tests/test_html.py fixture round-trip vs a pure-python
-    # extractor.
-    priority=1,
     oracle=_HTML_ORACLE,
     doc="HTML -> text extraction (script/style subtree drop, comment "
         "drop, tag-as-boundary strip, entity unescape, whitespace "

@@ -215,14 +215,6 @@ def _register_roundtrip() -> None:
 
     @register(
         "clf_golden_log",
-        # priority=1 (r11 rotation): driver-green in r10; takes a
-        # rotation slot so the 34 r10-demoted entries (freshest pass
-        # r9) return to the driver window (+2 seats for the new image
-        # perceptual-hash and audio fingerprint dedup entries).
-        # Hash-verified locally every round by test_parity_demoted.
-        # Pin: the hand-computed VALUES oracle below IS the
-        # independent reference (tests/test_clf.py golden log).
-        priority=1,
         # VALUES oracle: expected outputs hand-computed from the
         # immutable checked-in log (see GOLDEN_LOG_PATH comment) — this
         # pins P1-P5 parsing + Q1 (string-key arg-max) + Q2 (windowed
