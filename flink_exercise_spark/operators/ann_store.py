@@ -74,6 +74,11 @@ from flink_exercise_spark.operators.similarity import (
 
 _META = "meta.json"
 _SUBS = ("centroids", "books", "codes", "floats")
+# Broadcast-hint gate for the append guard's (vec_id BIGINT, cell_id
+# INT) projection: ~16 bytes/row keeps 500k rows ~8 MB, inside the
+# 10 MB default autoBroadcastJoinThreshold with headroom; larger
+# batches fall through to AQE's strategy choice (r11 ADVICE).
+_GUARD_BROADCAST_MAX_ROWS = 500_000
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -391,54 +396,58 @@ def append_ann_index(
             F.col("vec_id").alias("neighbor_id"), "cell_id"
         )
     )
+    # materializes the persisted assignment once; also gates the
+    # guard's broadcast hint below
+    n_batch = assigned.count()
     # Cell-stability guard + update accounting in ONE column-pruned
     # (vec_id, cell_id) pass over the codes store (cell_id comes free
-    # from the directory names) + a broadcast hash join against the
-    # batch — no shuffle, and the counts make the post-commit
-    # n_corpus pure arithmetic instead of a second whole-store pass
-    # (planning over every per-cell file was the measured store-read
-    # cost class, r11 bench_ann_store).
-    hits = (
+    # from the directory names) joined against the batch, and the
+    # counts make the post-commit n_corpus pure arithmetic instead of
+    # a second whole-store pass (planning over every per-cell file was
+    # the measured store-read cost class, r11 bench_ann_store). The
+    # broadcast hint is SIZE-GATED (r11 ADVICE): a daily batch is
+    # unbounded, and an unconditional hint bypasses
+    # autoBroadcastJoinThreshold — a recluster-scale batch would OOM
+    # the driver building the broadcast. Under the cap the projected
+    # (vec_id, cell_id) pairs are ~16 bytes/row, well inside the 10 MB
+    # default threshold; over it, AQE picks the strategy.
+    batch_keys = assigned.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cell_id").alias("_new_cell"),
+    )
+    if n_batch <= _GUARD_BROADCAST_MAX_ROWS:
+        batch_keys = F.broadcast(batch_keys)
+    guarded = (
         mft.versioned_read(
             spark, os.path.join(path, "codes"), vers.get("codes")
         )
         .select("vec_id", F.col("cell_id").alias("_old_cell"))
-        .join(
-            F.broadcast(
-                assigned.select(
-                    F.col("neighbor_id").alias("vec_id"),
-                    F.col("cell_id").alias("_new_cell"),
-                )
-            ),
-            "vec_id",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("_updates"),
-            F.sum(
-                (F.col("_old_cell") != F.col("_new_cell")).cast("long")
-            ).alias("_moved"),
-            F.slice(
-                F.collect_list(
-                    F.when(
-                        F.col("_old_cell") != F.col("_new_cell"),
-                        F.struct("vec_id", "_old_cell", "_new_cell"),
-                    )
-                ),
-                1,
-                5,
-            ).alias("_sample"),
-        )
-        .collect()[0]
+        .join(batch_keys, "vec_id")
     )
+    # counts only — no collect_list: a recluster-scale append could
+    # move millions of rows and a single-buffer sample aggregation
+    # would materialize every one of them (r11 ADVICE); the 5-row
+    # sample is fetched by a separate limit(5) scan only on the
+    # error path
+    hits = guarded.agg(
+        F.count(F.lit(1)).alias("_updates"),
+        F.sum(
+            (F.col("_old_cell") != F.col("_new_cell")).cast("long")
+        ).alias("_moved"),
+    ).collect()[0]
     if hits["_moved"]:
-        pairs = [tuple(r) for r in hits["_sample"] if r is not None]
+        pairs = [
+            (r["vec_id"], r["_old_cell"], r["_new_cell"])
+            for r in guarded.filter(
+                F.col("_old_cell") != F.col("_new_cell")
+            ).limit(5).collect()
+        ]
         raise ValueError(
             "append_ann_index: re-appearing vec_ids changed cells "
             f"(vec_id, old_cell, new_cell sample: {pairs}) — the "
             "partition-scoped merge cannot retract the old-cell rows; "
             "recluster = rebuild the index"
         )
-    n_batch = assigned.count()
     resid = residual_vectors(
         corpus.select(
             F.col("vec_id").alias("neighbor_id"),
@@ -565,25 +574,49 @@ def rebuild_ann_index(
     return {"version": v, "path": path, **meta}
 
 
-def vacuum_ann_root(root: str, keep_versions: int = 2) -> dict[str, int]:
+def vacuum_ann_root(
+    root: str,
+    keep_versions: int = 2,
+    debris_min_age_s: float = 6 * 3600.0,
+) -> dict[str, int]:
     """Delete index versions older than the newest ``keep_versions``
     (and any unpublished debris beyond the live version) — the
     root-level half of retention; per-version sub-store GC remains
-    vacuum_ann_index. Never touches the live version."""
+    vacuum_ann_index. Never touches the live version.
+
+    Debris reclamation is AGE-GATED (r11 ADVICE): an unpublished
+    ``v > live`` directory is indistinguishable from a rebuild that is
+    still in flight in another process, and the single-writer model is
+    documented, not enforced. Only unpublished directories whose mtime
+    is older than ``debris_min_age_s`` (default 6 h — far beyond any
+    real rebuild, measured 409 s on the 200k fixture) are treated as
+    crash debris; pass 0 to force immediate reclamation when the
+    caller KNOWS no rebuild is running."""
+    import time
+
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     live = ann_root_current(root)
     if live is None:
         return {"versions_deleted": 0}
     n = 0
+    now = time.time()
     for entry in sorted(os.listdir(root)):
         if not entry.startswith("v") or not entry[1:].isdigit():
             continue
         v = int(entry[1:])
-        # v > live = crashed-rebuild debris: never published, so no
-        # reader can resolve it (single-writer model — the vacuum runs
-        # in the same batch cadence as rebuilds, never beside one)
-        if v <= live - keep_versions or v > live:
-            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-            n += 1
+        target = os.path.join(root, entry)
+        # v > live = never published, so no reader can resolve it —
+        # but it may be a rebuild mid-write, hence the age gate
+        if v > live:
+            try:
+                young = now - os.path.getmtime(target) < debris_min_age_s
+            except OSError:
+                young = True  # racing its own deletion/creation
+            if young:
+                continue
+        elif v > live - keep_versions:
+            continue
+        shutil.rmtree(target, ignore_errors=True)
+        n += 1
     return {"versions_deleted": n}

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -53,6 +54,12 @@ from pyspark.sql import functions as F
 _CURRENT = "_CURRENT"
 _MANIFESTS = "_manifests"
 _DATA = "data"
+# Characters whose str() form is byte-identical to Spark's Hive
+# partition-directory encoding: anything else (Hive-escaped
+# punctuation, empty string, floats, booleans) must be pre-encoded by
+# the caller — versioned_read rejects it rather than silently pruning
+# to an empty relation.
+_HIVE_SAFE = re.compile(r"[A-Za-z0-9._-]+")
 
 
 def current_version(path: str) -> int | None:
@@ -189,14 +196,32 @@ def versioned_read(
     the files-per-partition map, so a reader that knows its
     partitions skips that cost entirely. Values are matched against
     the directory-encoded partition strings via str(value) — exact
-    for the integer and plain-string keys the index stores use
-    (Hive-escaped exotic values would need the caller to pre-encode,
-    the merge-diff convention)."""
+    for the integer and plain-string keys the index stores use. A
+    value whose str() would NOT round-trip through Spark's Hive
+    directory encoding (escaped characters, floats whose Python repr
+    differs from the JVM's, non-int/str types) is REJECTED loud
+    instead of silently pruning to an empty relation (r11 ADVICE);
+    such callers must pre-encode to the directory string themselves,
+    the merge-diff convention."""
     from pyspark.sql.types import StructType
 
     m = read_manifest(path, version)
     file_map = m["files"]
     if partition_values is not None:
+        for v in partition_values:
+            s = str(v)
+            if (
+                not isinstance(v, (int, str))
+                or isinstance(v, bool)  # JVM encodes 'true', not 'True'
+                or not _HIVE_SAFE.fullmatch(s)
+            ):
+                raise ValueError(
+                    f"versioned_read: partition value {v!r} (str {s!r}) "
+                    "is not guaranteed to match its Hive directory "
+                    "encoding — pass the directory-encoded string "
+                    "(int or [A-Za-z0-9._-]+ str) instead of letting a "
+                    "mismatch silently prune to an empty read"
+                )
         wanted = {str(v) for v in partition_values}
         file_map = {p: fl for p, fl in file_map.items() if p in wanted}
     files = [

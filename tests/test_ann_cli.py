@@ -204,7 +204,15 @@ def test_root_vacuum_reclaims_crashed_rebuild_debris(
     live = ann_root_path(root)
     debris = os.path.join(root, "v00000002")  # never published
     shutil.copytree(live, debris)
+    # Fresh unpublished directories are indistinguishable from a
+    # rebuild mid-write in another process, so the default age gate
+    # must SPARE them (r11 ADVICE: nothing enforces single-writer).
     stats = vacuum_ann_root(root, keep_versions=1)
+    assert stats["versions_deleted"] == 0
+    assert os.path.exists(debris)
+    # Past the age gate the debris is reclaimable; min_age=0 is the
+    # caller's "no rebuild is running" assertion.
+    stats = vacuum_ann_root(root, keep_versions=1, debris_min_age_s=0.0)
     assert stats["versions_deleted"] == 1
     assert not os.path.exists(debris) and os.path.exists(live)
     assert ann_root_current(root) == 1

@@ -299,3 +299,28 @@ def test_versioned_read_partition_values_manifest_prune(spark, tmp_path):
     empty = mft.versioned_read(spark, path, partition_values=["nope"])
     assert empty.count() == 0
     assert set(empty.columns) == {"id", "bucket"}
+
+
+def test_versioned_read_rejects_unencodable_partition_values(
+    spark, tmp_path
+):
+    """A partition value whose str() is not guaranteed byte-identical
+    to Spark's Hive directory encoding must FAIL LOUD instead of
+    silently pruning to an empty relation (r11 ADVICE): floats (JVM
+    repr drift, e.g. 1e-07 vs 1.0E-7), booleans ('True' vs 'true'),
+    escaped punctuation, and the empty string are all rejected; plain
+    ints and [A-Za-z0-9._-]+ strings pass through."""
+    import pytest
+
+    from flink_exercise_spark.operators import manifest as mft
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"b{i % 2}") for i in range(8)], "id long, bucket string"
+    )
+    mft.versioned_write(df, path)
+    for bad in [0.1, True, "a b", "x=y", "", "a/b", "a%b"]:
+        with pytest.raises(ValueError, match="Hive directory encoding"):
+            mft.versioned_read(spark, path, partition_values=[bad])
+    ok = mft.versioned_read(spark, path, partition_values=["b1"])
+    assert ok.count() == 4
