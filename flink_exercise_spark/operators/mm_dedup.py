@@ -7,6 +7,9 @@ operator completed):
                                 (operators/image_dedup.py)
 - audio (16-bit PCM WAV)     -> spectral-fingerprint equi-join pairing
                                 (operators/audio.py)
+- video (RIFF/AVI MJPEG)     -> per-sampled-frame pHash landmark runs
+                                (operators/video_dedup.py, r12 — the
+                                fourth modality)
 - everything else            -> exact content dedup on the raw bytes
                                 (md5 group-by; binary payloads without
                                 a real decoder can still be deduped
@@ -24,7 +27,8 @@ the wrong pipeline — the valid/invalid-channel discipline.
 
 Output: ``multimodal_dup_pairs`` = (doc_a, doc_b, modality, evidence)
 with evidence = hamming distance (image), shared-fingerprint count
-(audio), or 0 (exact byte duplicates); modalities partition the doc
+(audio), shared-landmark-run count (video), or 0 (exact byte
+duplicates); modalities partition the doc
 set, so pairs never cross modalities and ``multimodal_dup_clusters``
 (connected components over the union) labels each duplicate group
 with its min doc_id per modality.
@@ -44,6 +48,11 @@ from flink_exercise_spark.operators.image_dedup import (
     image_phash,
     image_phash_pairs,
 )
+from flink_exercise_spark.operators.video_dedup import (
+    video_landmarks,
+    video_neardup_pairs,
+)
+from flink_exercise_spark.registry import register
 
 
 def _prefix(col: Column, off: int, lit: bytes) -> Column:
@@ -53,9 +62,9 @@ def _prefix(col: Column, off: int, lit: bytes) -> Column:
 
 
 def modality_expr(col: str = "payload") -> Column:
-    """'image' | 'audio' | 'other' from magic-byte prefixes — the
-    codegen router. BMP 'BM', PNG signature, GIF 'GIF8', JPEG
-    FF D8 FF, WAV 'RIFF....WAVE'."""
+    """'image' | 'audio' | 'video' | 'other' from magic-byte prefixes
+    — the codegen router. BMP 'BM', PNG signature, GIF 'GIF8', JPEG
+    FF D8 FF, WAV 'RIFF....WAVE', AVI 'RIFF....AVI '."""
     c = F.col(col)
     is_image = (
         _prefix(c, 1, b"BM")
@@ -64,9 +73,11 @@ def modality_expr(col: str = "payload") -> Column:
         | _prefix(c, 1, b"\xff\xd8\xff")
     )
     is_audio = _prefix(c, 1, b"RIFF") & _prefix(c, 9, b"WAVE")
+    is_video = _prefix(c, 1, b"RIFF") & _prefix(c, 9, b"AVI ")
     return (
         F.when(is_image, F.lit("image"))
         .when(is_audio, F.lit("audio"))
+        .when(is_video, F.lit("video"))
         .otherwise(F.lit("other"))
     )
 
@@ -75,6 +86,8 @@ def multimodal_dup_pairs(
     with_payload: DataFrame,
     image_max_distance: int | None = None,
     audio_min_shared: int = 2,
+    video_min_shared: int = 2,
+    video_stride: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, modality, evidence) near/exact-duplicate pairs
     across the mixed corpus — one routed pass, each modality's bytes
@@ -117,6 +130,18 @@ def multimodal_dup_pairs(
         F.lit("audio").alias("modality"),
         F.col("n_shared").cast("long").alias("evidence"),
     )
+    vid_kwargs = {} if video_stride is None else {"stride": video_stride}
+    video_pairs = video_neardup_pairs(
+        video_landmarks(
+            routed.filter(F.col("modality") == "video"), **vid_kwargs
+        ),
+        min_shared=video_min_shared,
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.lit("video").alias("modality"),
+        F.col("n_shared").cast("long").alias("evidence"),
+    )
     # exact byte dedup for undecodable payloads: md5 group-by, pairs
     # against the group's canonical (min id) — group-sized output, not
     # group-squared (the exact_dedup_map shape); the narrow hash
@@ -138,7 +163,11 @@ def multimodal_dup_pairs(
             F.lit(0).cast("long").alias("evidence"),
         )
     )
-    return image_pairs.unionByName(audio_pairs).unionByName(other_pairs)
+    return (
+        image_pairs.unionByName(audio_pairs)
+        .unionByName(video_pairs)
+        .unionByName(other_pairs)
+    )
 
 
 def multimodal_dup_clusters(
@@ -162,4 +191,88 @@ def multimodal_dup_clusters(
     ).distinct()
     return comp.join(modality, "doc_id").select(
         "doc_id", "modality", F.col("cluster_id").alias("dup_group")
+    )
+
+
+# --- registered fixture corpus (the front door's driver-gated domain) ---
+
+
+def mm_fixture_corpus(spark) -> DataFrame:
+    """ALL FOUR modalities in one relation: the image pHash fixture
+    (ids 0-9, BMP + one PNG re-encode), the audio melody fixture
+    shifted to ids 100+, the video frame-melody fixture shifted to ids
+    200+, and undecodable text payloads at ids 300+ with two exact
+    byte copies. Each block reuses its per-modality fixture generator
+    verbatim, so the oracle below is the literal union of the two
+    already-frozen per-modality VALUES oracles, the video oracle, and
+    the md5-equality pairs."""
+    from flink_exercise_spark.operators.audio import (
+        MELODIES,
+        melody_wav_bytes,
+    )
+    from flink_exercise_spark.operators.image_dedup import (
+        bmp_encode_gray,
+        phash_fixture_rasters,
+        png_encode_gray,
+    )
+    from flink_exercise_spark.operators.video_dedup import (
+        VIDEO_MELODIES,
+        gray_jpeg_frame,
+        mjpeg_avi_bytes,
+    )
+
+    rows = []
+    for d, r in sorted(phash_fixture_rasters().items()):
+        rows.append((d, png_encode_gray(r) if d == 3 else bmp_encode_gray(r)))
+    for d, (bins, amp) in sorted(MELODIES.items()):
+        rows.append((100 + d, melody_wav_bytes(bins, amp)))
+    for d, (patterns, q, relevel) in sorted(VIDEO_MELODIES.items()):
+        rows.append(
+            (
+                200 + d,
+                mjpeg_avi_bytes(
+                    [gray_jpeg_frame(p, q, relevel) for p in patterns]
+                ),
+            )
+        )
+    texts = [b"alpha beta", b"alpha beta", b"gamma", b"delta", b"gamma"]
+    for i, t in enumerate(texts):
+        rows.append((300 + i, t))
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+@register(
+    "mm_dedup_front_door",
+    # VALUES oracle: the union of the frozen per-modality oracles —
+    # mm_image_phash_pairs' four Hamming pairs, audio_neardup_pairs'
+    # and video_neardup_pairs' hand-derived run counts (id-shifted by
+    # the fixture's +100/+200 blocks), plus the exact-byte md5 pairs
+    # readable off the text list above. Modalities partition the doc
+    # set, so the union IS the front door's full answer.
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'image', CAST(0 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'image', CAST(0 AS BIGINT)),
+      (CAST(4 AS BIGINT), CAST(5 AS BIGINT), 'image', CAST(2 AS BIGINT)),
+      (CAST(6 AS BIGINT), CAST(7 AS BIGINT), 'image', CAST(0 AS BIGINT)),
+      (CAST(100 AS BIGINT), CAST(101 AS BIGINT), 'audio', CAST(3 AS BIGINT)),
+      (CAST(102 AS BIGINT), CAST(103 AS BIGINT), 'audio', CAST(2 AS BIGINT)),
+      (CAST(200 AS BIGINT), CAST(201 AS BIGINT), 'video', CAST(3 AS BIGINT)),
+      (CAST(202 AS BIGINT), CAST(203 AS BIGINT), 'video', CAST(2 AS BIGINT)),
+      (CAST(300 AS BIGINT), CAST(301 AS BIGINT), 'other', CAST(0 AS BIGINT)),
+      (CAST(302 AS BIGINT), CAST(304 AS BIGINT), 'other', CAST(0 AS BIGINT))
+    ) AS t(doc_a, doc_b, modality, evidence)
+    """,
+    doc="Multimodal dedup front door: ONE codegen-routed pass over a "
+        "mixed image/audio/video/text corpus — per-modality near-dup "
+        "pipelines plus exact byte dedup, unified verdicts",
+    tags=("multimodal", "dedup"),
+)
+def q_mm_dedup_front_door(spark, sf_dir):
+    pairs = multimodal_dup_pairs(mm_fixture_corpus(spark), video_stride=1)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "modality",
+        F.col("evidence").cast("long").alias("evidence"),
     )

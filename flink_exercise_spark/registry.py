@@ -165,6 +165,8 @@ def _load_all_modules() -> None:
         ngram_lm,
         image_dedup,
         audio,
+        video_dedup,
+        mm_dedup,
     )
     from flink_exercise_spark.streaming import jobs  # noqa: F401
 

@@ -743,18 +743,23 @@ def ingest_multimodal_features(
     with_payload: DataFrame,
     store_path: str,
     timeout_sec: int | None = None,
+    video_stride: int | None = None,
 ) -> str:
     """One streaming job: route each micro-batch by container sniff
     and append (doc_id, phash) / (doc_id, start_window, fp) /
-    (doc_id, byte_hash) to the per-modality logs under
-    ``store_path``. The payload bytes never land — only the compact
-    features a later dedup pass needs (at 100 TB this is the whole
-    point: the log is orders smaller than the corpus)."""
+    (doc_id, start_run, fp) / (doc_id, byte_hash) to the per-modality
+    logs under ``store_path``. The payload bytes never land — only the
+    compact features a later dedup pass needs (at 100 TB this is the
+    whole point: the log is orders smaller than the corpus).
+    ``video_stride`` is an EXTRACTION-time choice (the landmark kernel
+    samples frames as it decodes), so it lives here, not on the
+    read-side resolve."""
     from flink_exercise_spark.operators.audio import (
         audio_spectral_fingerprint,
     )
     from flink_exercise_spark.operators.image_dedup import image_phash
     from flink_exercise_spark.operators.mm_dedup import modality_expr
+    from flink_exercise_spark.operators.video_dedup import video_landmarks
 
     if timeout_sec is None:
         timeout_sec = int(
@@ -772,6 +777,12 @@ def ingest_multimodal_features(
             routed.filter(F.col("modality") == "audio")
         ).write.mode("append").parquet(
             os.path.join(store_path, "audio_fps")
+        )
+        vid_kwargs = {} if video_stride is None else {"stride": video_stride}
+        video_landmarks(
+            routed.filter(F.col("modality") == "video"), **vid_kwargs
+        ).write.mode("append").parquet(
+            os.path.join(store_path, "video_fps")
         )
         routed.filter(F.col("modality") == "other").select(
             "doc_id", F.md5("payload").alias("byte_hash")
@@ -808,10 +819,13 @@ def resolve_multimodal_pairs(
     from flink_exercise_spark.operators.image_dedup import (
         image_phash_pairs,
     )
+    from flink_exercise_spark.operators.video_dedup import (
+        video_neardup_pairs,
+    )
 
     unknown = [
         k for k in pair_kwargs
-        if not k.startswith(("image_", "audio_"))
+        if not k.startswith(("image_", "audio_", "video_"))
     ]
     if unknown:
         # a mis-keyed threshold must fail, not silently fall back to
@@ -819,8 +833,9 @@ def resolve_multimodal_pairs(
         # TypeError on unknown kwargs, this is its read-side mirror
         raise TypeError(
             f"unknown pair_kwargs {unknown}: prefix image-pipeline "
-            "options with image_ and audio-pipeline options with "
-            "audio_ (e.g. image_max_distance, audio_min_shared)"
+            "options with image_, audio-pipeline options with audio_, "
+            "and video-pipeline options with video_ (e.g. "
+            "image_max_distance, audio_min_shared, video_min_shared)"
         )
 
     def _log(name: str, schema: str) -> DataFrame:
@@ -858,6 +873,19 @@ def resolve_multimodal_pairs(
         F.lit("audio").alias("modality"),
         F.col("n_shared").cast("long").alias("evidence"),
     )
+    video_pairs = video_neardup_pairs(
+        _log("video_fps", "doc_id long, start_run int, fp string"),
+        **{
+            k.removeprefix("video_"): v
+            for k, v in pair_kwargs.items()
+            if k.startswith("video_")
+        },
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.lit("video").alias("modality"),
+        F.col("n_shared").cast("long").alias("evidence"),
+    )
     other = _log("other_hashes", "doc_id long, byte_hash string")
     canon = other.groupBy("byte_hash").agg(F.min("doc_id").alias("doc_a"))
     other_pairs = (
@@ -870,4 +898,8 @@ def resolve_multimodal_pairs(
             F.lit(0).cast("long").alias("evidence"),
         )
     )
-    return image_pairs.unionByName(audio_pairs).unionByName(other_pairs)
+    return (
+        image_pairs.unionByName(audio_pairs)
+        .unionByName(video_pairs)
+        .unionByName(other_pairs)
+    )

@@ -26,13 +26,21 @@ from flink_exercise_spark.operators.mm_dedup import (
     multimodal_dup_clusters,
     multimodal_dup_pairs,
 )
+from flink_exercise_spark.operators.video_dedup import (
+    VIDEO_MELODIES,
+    gray_jpeg_frame,
+    mjpeg_avi_bytes,
+    video_landmarks,
+    video_neardup_pairs,
+)
 
 
 @pytest.fixture(scope="module")
 def mixed_corpus(spark):
     """Images (ids 0-9, the phash fixture), audio (ids 100-106, the
-    melody fixture), and text-ish bytes (ids 200-204, with 201 an
-    exact byte copy of 200) in ONE relation."""
+    melody fixture), text-ish bytes (ids 200-204, with 201 an exact
+    byte copy of 200), and video (ids 400-406, the frame-melody
+    fixture) in ONE relation."""
     rows = []
     for d, r in sorted(phash_fixture_rasters().items()):
         rows.append(
@@ -43,11 +51,21 @@ def mixed_corpus(spark):
     texts = [b"alpha beta", b"alpha beta", b"gamma", b"delta", b"gamma"]
     for i, t in enumerate(texts):
         rows.append((200 + i, t))
+    for d, (patterns, q, relevel) in sorted(VIDEO_MELODIES.items()):
+        rows.append(
+            (
+                400 + d,
+                mjpeg_avi_bytes(
+                    [gray_jpeg_frame(p, q, relevel) for p in patterns]
+                ),
+            )
+        )
     return spark.createDataFrame(rows, "doc_id long, payload binary")
 
 
 def test_router_agrees_with_python_sniffs(spark, mixed_corpus):
     from flink_exercise_spark.operators.multimodal import (
+        _looks_avi,
         _looks_bmp,
         _looks_gif,
         _looks_jpeg,
@@ -68,13 +86,15 @@ def test_router_agrees_with_python_sniffs(spark, mixed_corpus):
             want = "image"
         elif _looks_wav(p):
             want = "audio"
+        elif _looks_avi(p):
+            want = "video"
         else:
             want = "other"
         assert got[r["doc_id"]] == want, r["doc_id"]
 
 
 def test_pairs_agree_with_standalone_operators(spark, mixed_corpus):
-    pairs = multimodal_dup_pairs(mixed_corpus).collect()
+    pairs = multimodal_dup_pairs(mixed_corpus, video_stride=1).collect()
     by_mod = {}
     for r in pairs:
         by_mod.setdefault(r["modality"], set()).add(
@@ -96,6 +116,14 @@ def test_pairs_agree_with_standalone_operators(spark, mixed_corpus):
         ).collect()
     }
     assert by_mod["audio"] == want_aud and len(want_aud) == 2
+    vid_only = mixed_corpus.filter(F.col("doc_id") >= 400)
+    want_vid = {
+        (r["doc_a"], r["doc_b"], r["n_shared"])
+        for r in video_neardup_pairs(
+            video_landmarks(vid_only, stride=1)
+        ).collect()
+    }
+    assert by_mod["video"] == want_vid and len(want_vid) == 2
     # exact byte dups among the undecodable payloads: 201 copies 200,
     # 204 copies 202 — pairs anchor on the canonical min id
     assert by_mod["other"] == {(200, 201, 0), (202, 204, 0)}
@@ -104,10 +132,13 @@ def test_pairs_agree_with_standalone_operators(spark, mixed_corpus):
 def test_clusters_label_within_modality(spark, mixed_corpus):
     got = {
         r["doc_id"]: (r["modality"], r["dup_group"])
-        for r in multimodal_dup_clusters(mixed_corpus).collect()
+        for r in multimodal_dup_clusters(
+            mixed_corpus, video_stride=1
+        ).collect()
     }
     # image pairs (0,1),(2,3),(4,5),(6,7); audio (100,101),(102,103);
-    # other (200,201),(202,204) — min-id group labels, singletons absent
+    # other (200,201),(202,204); video (400,401),(402,403) — min-id
+    # group labels, singletons absent
     want = {
         0: ("image", 0), 1: ("image", 0), 2: ("image", 2),
         3: ("image", 2), 4: ("image", 4), 5: ("image", 4),
@@ -116,6 +147,8 @@ def test_clusters_label_within_modality(spark, mixed_corpus):
         102: ("audio", 102), 103: ("audio", 102),
         200: ("other", 200), 201: ("other", 200),
         202: ("other", 202), 204: ("other", 202),
+        400: ("video", 400), 401: ("video", 400),
+        402: ("video", 402), 403: ("video", 402),
     }
     assert got == want
 
@@ -180,16 +213,19 @@ def test_streaming_ingest_equals_batch_and_replay_folds(
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        ingest_multimodal_features(stream, store)
+        ingest_multimodal_features(stream, store, video_stride=1)
 
     run_stream()
     want = sorted(
-        tuple(r) for r in multimodal_dup_pairs(mixed_corpus).collect()
+        tuple(r)
+        for r in multimodal_dup_pairs(
+            mixed_corpus, video_stride=1
+        ).collect()
     )
     got = sorted(
         tuple(r) for r in resolve_multimodal_pairs(spark, store).collect()
     )
-    assert got == want and len(got) == 8
+    assert got == want and len(got) == 10
     run_stream()  # replay the whole stream into the same logs
     again = sorted(
         tuple(r) for r in resolve_multimodal_pairs(spark, store).collect()
