@@ -52,10 +52,22 @@ def run_ann_batch(
     m: int = 8,
     n_codes: int = 16,
     vacuum_keep: int | None = None,
+    kmeans_iters: int = 0,
 ) -> dict:
     """One daily batch: bootstrap-or-append (or an explicit rebuild),
     optional query run, optional vacuum. Returns the summary dict the
-    CLI prints."""
+    CLI prints.
+
+    ``kmeans_iters`` > 0 makes a bootstrap/rebuild train the coarse
+    codebook with Lloyd k-means over --input instead of the
+    deterministic first-``n_cells``-vectors init. The deterministic
+    codebook can never RE-cluster: it picks the lowest vec_ids, which
+    after months of appends are the oldest data — a rebuild meant to
+    adapt to drifted appends would pin centroids to exactly the
+    distribution being drifted away from (measured: recall stuck at
+    its decayed level across a --rebuild, BENCH_ANN_RECLUSTER.json).
+    Trained centroids are the recluster; the default stays 0 so
+    existing bootstraps remain byte-reproducible."""
     from flink_exercise_spark.operators.ann_store import (
         ann_root_current,
         ann_root_path,
@@ -70,6 +82,16 @@ def run_ann_batch(
     summary: dict = {"index_root": index_root, "input": input_path}
     cur = ann_root_current(index_root)
     if cur is None or rebuild:
+        codebook = None
+        if kmeans_iters > 0:
+            from flink_exercise_spark.operators.clustering import (
+                kmeans_centroids,
+            )
+
+            codebook = kmeans_centroids(
+                emb, k=n_cells, iters=kmeans_iters
+            )
+            summary["kmeans_iters"] = kmeans_iters
         res = rebuild_ann_index(
             spark,
             index_root,
@@ -78,6 +100,7 @@ def run_ann_batch(
             n_cells=n_cells,
             m=m,
             n_codes=n_codes,
+            codebook=codebook,
             assign_kernel=True,
             encode_kernel=True,
         )
@@ -137,6 +160,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="PQ subspaces (bootstrap/rebuild only)")
     ap.add_argument("--n-codes", type=int, default=16,
                     help="PQ codewords per subspace (bootstrap/rebuild)")
+    ap.add_argument("--kmeans-iters", type=int, default=0,
+                    help="train the coarse codebook with this many "
+                         "Lloyd iterations on bootstrap/rebuild "
+                         "(0 = deterministic first-K init; training "
+                         "is what makes --rebuild a RE-cluster)")
     ap.add_argument("--vacuum-keep", type=int, default=None,
                     help="retention GC: keep this many sub-store "
                          "snapshots AND index versions")
@@ -168,6 +196,7 @@ def main(argv: list[str] | None = None) -> int:
             m=args.m,
             n_codes=args.n_codes,
             vacuum_keep=args.vacuum_keep,
+            kmeans_iters=args.kmeans_iters,
         )
     finally:
         spark.stop()

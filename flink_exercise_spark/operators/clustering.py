@@ -108,9 +108,14 @@ def _lloyd(emb: DataFrame, k: int, iters: int):
     # times; persist once (tracked — released at the next registry
     # query, caching.py). At 100 TB this is the cached/checkpointed
     # working set every iterative algorithm keeps hot.
-    emb = persist_tracked(
-        spread(emb.select("vec_id", "label", "embedding"), "vec_id")
+    # label rides along only when present: kmeans_fit_predict's assign
+    # step emits it, but codebook training (kmeans_centroids as the
+    # IVF recluster, ann_prep --kmeans-iters) runs on bare
+    # (vec_id, embedding) relations
+    cols = ["vec_id", "embedding"] + (
+        ["label"] if "label" in emb.columns else []
     )
+    emb = persist_tracked(spread(emb.select(*cols), "vec_id"))
     init = (
         emb.orderBy("vec_id")
         .limit(k)

@@ -903,3 +903,73 @@ def resolve_multimodal_pairs(
         .unionByName(video_pairs)
         .unionByName(other_pairs)
     )
+
+
+# --- streaming embedding ingest into the persisted ANN store (r12) ---------
+#
+# The text-dedup archive has a full streaming story (exact, near-dup,
+# warm-start); this closes the symmetry for the vector store. Each
+# micro-batch of (vec_id, embedding) assigns + residual-encodes
+# against the live index version's PINNED models (centroids + PQ
+# books are never retrained by ingest — recluster = --rebuild) and
+# lands through append_ann_index's partition-scoped versioned merge:
+# only the cell directories the batch touches rewrite, every other
+# partition carries forward by manifest reference, and a reader
+# mid-stream keeps its snapshot (meta.json republishes last). A
+# replayed micro-batch re-derives the same assignments from the same
+# pinned models, so it is an idempotent merge-on-key update; a vector
+# whose embedding moved cells fails the batch loud (the append
+# contract). Stream-after-N-batches ≡ one-shot append of the union is
+# pinned in tests — the warm-start parity shape applied to vectors.
+
+
+def ingest_embeddings_stream(
+    stream_emb: DataFrame,
+    index_root: str,
+    timeout_sec: int | None = None,
+) -> str:
+    """Run a bounded (vec_id, embedding) stream into the live ANN
+    index version under ``index_root`` (bootstrap day 1 via
+    ann_prep first — streaming into a store that does not exist yet
+    is a deployment-order error and fails loud on the missing
+    meta.json)."""
+    from flink_exercise_spark.operators.ann_store import (
+        ann_root_path,
+        append_ann_index,
+        read_ann_meta,
+    )
+
+    live = ann_root_path(index_root)
+    read_ann_meta(live)  # fail before starting the stream, not inside it
+
+    if timeout_sec is None:
+        timeout_sec = int(
+            os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "120")
+        )
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        # an empty trigger would still bump four sub-store versions;
+        # skip it (availableNow's final empty batch is routine)
+        if batch.isEmpty():
+            return
+        append_ann_index(
+            batch.sparkSession, live, batch,
+            assign_kernel=True, encode_kernel=True,
+        )
+
+    q = (
+        stream_emb.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:  # the ingest_multimodal_features stop/await discipline
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"ingest_embeddings_stream did not drain within "
+            f"{timeout_sec}s; the store holds the batches that "
+            f"committed (each micro-batch is one atomic merge)"
+        )
+    return live
