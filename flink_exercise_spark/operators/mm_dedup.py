@@ -16,8 +16,8 @@ operator completed):
                                 exactly, never "near")
 
 Routing is JVM-SIDE: ``modality_expr`` re-states the python container
-sniffs (_looks_bmp/_looks_png/_looks_gif/_looks_jpeg/_looks_wav) as
-pure Column prefix checks over the binary column — zero Python in the
+sniffs (_looks_bmp/_looks_png/_looks_gif/_looks_jpeg/_looks_wav/
+_looks_avi) as pure Column prefix checks over the binary column — zero Python in the
 router, so the full corpus scan stays in codegen and only each
 modality's subset crosses into its Arrow kernel. The prefix checks are
 deliberately the LOOSE superset of the python sniffs (magic bytes
@@ -95,7 +95,7 @@ def multimodal_dup_pairs(
     # NOT persisted: caching this relation would materialize every
     # payload byte of the corpus into executor storage to save only a
     # handful of codegen prefix comparisons per re-scan (code-review
-    # r11) — the three modality filters each re-scan the source with
+    # r11) — the four modality filters each re-scan the source with
     # their predicate pushed; the compact per-modality FEATURE
     # relations are what get persisted below
     routed = with_payload.select(

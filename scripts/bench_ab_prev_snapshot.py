@@ -77,6 +77,15 @@ def main() -> int:
         help="git ref of the comparison snapshot (default: the last "
              "'round N:' commit)",
     )
+    ap.add_argument(
+        "--order", choices=("forward", "reversed", "both"),
+        default="both",
+        help="run order: forward = snapshot first; reversed = current "
+             "first; both (default) = the r11 order-reversal control — "
+             "forward then reversed, verdict = geometric mean of the "
+             "two ratio-of-ratios (forward-only reads misled by "
+             "10-25%% on this host, SCALE.md r11 note)",
+    )
     args = ap.parse_args()
     ref = args.ref or _last_round_snapshot()
     sha = subprocess.run(
@@ -91,29 +100,49 @@ def main() -> int:
             ["git", "worktree", "add", "--detach", wt, sha],
             cwd=REPO, check=True,
         )
+    def ror(cur: dict, snap: dict) -> float | None:
+        if snap.get("ratio") and cur.get("ratio"):
+            return round(cur["ratio"] / snap["ratio"], 4)
+        return None
+
+    result: dict = {"metric": "ab_vs_prev_snapshot", "snapshot_ref": sha}
     try:
-        # snapshot FIRST, current second — if anything warms the host
-        # (page cache, CPU governor), it favors the side whose number
-        # we are trying to defend against, not our own.
-        snap = _run_bench(wt, f"snapshot {sha[:12]}")
-        cur = _run_bench(REPO, "working tree")
+        if args.order in ("forward", "both"):
+            # snapshot FIRST, current second — if anything warms the
+            # host (page cache, CPU governor), it favors the side whose
+            # number we are trying to defend against, not our own.
+            snap = _run_bench(wt, f"snapshot {sha[:12]}")
+            cur = _run_bench(REPO, "working tree")
+            result["forward_order"] = {
+                "snapshot_first": snap,
+                "current_second": cur,
+                "ratio_of_ratios": ror(cur, snap),
+            }
+        if args.order in ("reversed", "both"):
+            cur_r = _run_bench(REPO, "working tree (first)")
+            snap_r = _run_bench(wt, f"snapshot {sha[:12]} (second)")
+            result["reversed_order"] = {
+                "current_first": cur_r,
+                "snapshot_second": snap_r,
+                "ratio_of_ratios": ror(cur_r, snap_r),
+            }
     finally:
         if fresh:
             subprocess.run(
                 ["git", "worktree", "remove", "--force", wt],
                 cwd=REPO, check=False,
             )
-    result = {
-        "metric": "ab_vs_prev_snapshot",
-        "snapshot_ref": sha,
-        "snapshot": snap,
-        "current": cur,
-        "ratio_of_ratios": (
-            round(cur["ratio"] / snap["ratio"], 4)
-            if snap.get("ratio") and cur.get("ratio")
-            else None
-        ),
-    }
+    rors = [
+        result[k]["ratio_of_ratios"]
+        for k in ("forward_order", "reversed_order")
+        if k in result and result[k]["ratio_of_ratios"]
+    ]
+    if rors:
+        import math
+
+        result["geometric_mean_ratio_of_ratios"] = round(
+            math.exp(sum(math.log(r) for r in rors) / len(rors)), 4
+        )
     print(json.dumps(result))
     return 0
 

@@ -56,6 +56,9 @@ def _answers(spark, index_path, queries, k=3):
     )
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps test_ann_store's operator-level twins of the same contracts
+@pytest.mark.slow
 def test_bootstrap_then_append_equals_fresh_build(
     spark, corpus_paths, tmp_path
 ):
@@ -91,6 +94,9 @@ def test_bootstrap_then_append_equals_fresh_build(
     assert got == _answers(spark, fresh, queries) and len(got) > 0
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps test_ann_store's operator-level twins of the same contracts
+@pytest.mark.slow
 def test_append_replay_idempotent_and_vacuum_reclaims(
     spark, corpus_paths, tmp_path
 ):

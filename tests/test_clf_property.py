@@ -8,6 +8,11 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+
+# slow (r12 suite-trim): hypothesis property fuzzes over the parser;
+# the default loop keeps the hand-computed golden log (test_clf.py)
+# and the oracle-parity rows for clf_parse_roundtrip/clf_golden_log
+pytestmark = pytest.mark.slow
 from hypothesis import given, settings, strategies as st
 
 from flink_exercise_spark.sources.clf import (

@@ -120,6 +120,9 @@ def test_equals_knn_ivf_with_covering_shortlist(spark, emb):
     assert a == b and len(a) > 0
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the covering-shortlist equalities and the bit-equal kernel pins
+@pytest.mark.slow
 def test_recall_improves_with_shortlist(spark, emb):
     """Tight shortlists trade recall for float-store reads; recall@k
     vs knn_ivf must be high at the default and monotone-ish in the
@@ -312,6 +315,9 @@ def test_knn_pq_plan_no_python_no_cartesian(spark, emb):
         assert marker not in plan
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the covering-shortlist equalities and the bit-equal kernel pins
+@pytest.mark.slow
 def test_pq_trained_codebooks_beat_deterministic(spark, emb):
     """Per-subspace k-means codebooks must cut reconstruction MSE vs
     the deterministic first-vectors codebook (Lloyd monotonically
@@ -406,6 +412,9 @@ def test_knn_ivf_pq_recall_and_plan(spark, emb):
         assert marker not in plan
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the covering-shortlist equalities and the bit-equal kernel pins
+@pytest.mark.slow
 def test_knn_ivf_pq_trained_models_flow_through(spark, emb):
     """Both models swappable independently: a trained coarse codebook
     (kmeans_centroids) + trained PQ books run the same plan and return
@@ -468,6 +477,9 @@ def _clustered_emb(
     )
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the covering-shortlist equalities and the bit-equal kernel pins
+@pytest.mark.slow
 def test_residual_encoding_beats_raw_mse_on_clustered_data(spark):
     """The point of residual encoding (Jegou et al. IVFPQ): when the
     corpus has more cluster structure than the PQ budget can encode
@@ -515,6 +527,9 @@ def test_residual_encoding_beats_raw_mse_on_clustered_data(spark):
     assert res_mse < 0.1 * raw_mse, (res_mse, raw_mse)
 
 
+# slow (r12 suite-trim): heavy equality re-run; the default loop
+# keeps the cheaper covering-shortlist equalities and the store==operator pin
+@pytest.mark.slow
 def test_knn_ivf_pq_residual_equals_knn_ivf_with_covering_shortlist(
     spark, emb
 ):
@@ -537,6 +552,9 @@ def test_knn_ivf_pq_residual_equals_knn_ivf_with_covering_shortlist(
     assert a == b and len(a) > 0
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the covering-shortlist equalities and the bit-equal kernel pins
+@pytest.mark.slow
 def test_knn_ivf_pq_residual_recall_dominates_raw_on_clustered_data(
     spark,
 ):
@@ -612,6 +630,9 @@ def test_dims_probe_skips_null_vectors(spark):
     _pq_guard(all_null, 3, "embedding")  # degrades to empty-input: no raise
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the covering-shortlist equalities and the bit-equal kernel pins
+@pytest.mark.slow
 def test_ivf_family_assign_kernel_equals_hof(spark, emb):
     """assign_kernel=True must be output-invariant across the whole
     compressed-IVF family (the assignment is bit-identical, so every
@@ -707,6 +728,9 @@ def test_pq_encode_kernel_tie_breaks_to_lowest_code(spark):
         assert got[2][1] == 0, kernel
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the covering-shortlist equalities and the bit-equal kernel pins
+@pytest.mark.slow
 def test_knn_ivf_pq_residual_encode_kernel_end_to_end(spark, emb):
     """The composed operators with encode_kernel=True answer row for
     row what the fold path answers — tight AND covering shortlists."""

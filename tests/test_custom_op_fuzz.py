@@ -20,6 +20,8 @@ import datetime as dt
 import itertools
 import random
 
+import pytest
+
 from flink_exercise_spark.operators.asof import range_join_counts
 from flink_exercise_spark.operators.timeseries import (
     pattern_search,
@@ -72,6 +74,10 @@ def test_range_join_fuzz_vs_quadratic(spark):
         assert got == want, f"case {case}: band={band} mode={mode}"
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps each operator's fixture reference and rotation pin (the range-join
+# quadratic fuzz stays default: it is part of that entry's pin story)
+@pytest.mark.slow
 def test_bucketed_pattern_search_fuzz_vs_full_series(spark):
     rng = random.Random(20260814)
     base = dt.datetime(2024, 3, 1)
@@ -145,6 +151,10 @@ def _py_substring_dedup(rows, k):
     return out
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps each operator's fixture reference and rotation pin (the range-join
+# quadratic fuzz stays default: it is part of that entry's pin story)
+@pytest.mark.slow
 def test_substring_dedup_fuzz_vs_python(spark):
     """Random small-vocabulary corpora (to force gram collisions),
     random k, duplicated runs planted and emergent — the keep-first
@@ -220,6 +230,10 @@ def _py_decontaminate(rows, n):
     return out
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps each operator's fixture reference and rotation pin (the range-join
+# quadratic fuzz stays default: it is part of that entry's pin story)
+@pytest.mark.slow
 def test_decontaminate_fuzz_vs_python(spark):
     """Random small-vocabulary corpora against a dict-based reference:
     split assignment, distinct-gram counting, and the hits/contamination
@@ -253,6 +267,10 @@ def test_decontaminate_fuzz_vs_python(spark):
         assert got == exp, f"case {case} (n={n}): {got} != {exp}"
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps each operator's fixture reference and rotation pin (the range-join
+# quadratic fuzz stays default: it is part of that entry's pin story)
+@pytest.mark.slow
 def test_token_rarity_fuzz_vs_python(spark):
     """Random corpora vs a dict-based reference: corpus frequency,
     scalar total, and the per-doc mean inverse frequency (rounded as

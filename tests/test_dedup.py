@@ -177,6 +177,9 @@ def test_near_dup_clusters_transitive(spark):
     assert got[40] == got[50] == 40
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the transitivity test, the oracle parity rows, and the rotation pin
+@pytest.mark.slow
 def test_connected_components_property(spark):
     """Label propagation vs a pure-Python union-find on a batch of
     adversarial small graphs (chains force multi-round propagation;
@@ -248,6 +251,9 @@ def test_positioned_grams_pos_guard_raises(spark, monkeypatch):
     assert sorted(r["pos"] for r in grams_ok.collect()) == list(range(1, 8))
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the transitivity test, the oracle parity rows, and the rotation pin
+@pytest.mark.slow
 def test_cluster_keep_best_prefers_quality_then_min_id(spark):
     from flink_exercise_spark.operators.dedup import cluster_keep_best
 
@@ -274,6 +280,9 @@ def test_cluster_keep_best_prefers_quality_then_min_id(spark):
     }
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the transitivity test, the oracle parity rows, and the rotation pin
+@pytest.mark.slow
 def test_cluster_keep_best_consistent_with_clusters(spark):
     # same clustering as near_dup_clusters; exactly one keeper per
     # cluster, and the keeper has the cluster's max n_chars

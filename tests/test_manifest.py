@@ -65,6 +65,10 @@ def test_reader_pins_snapshot_across_merge(spark, tmp_path):
     assert after == want and after != before
 
 
+# slow (r12 suite-trim): heavy equality re-run; the default loop
+# keeps the idempotence, crash-invisibility, snapshot-pin, and
+# carry-forward merge tests
+@pytest.mark.slow
 def test_versioned_merge_equals_inplace_merge(spark, tmp_path):
     """Same increment into both store forms -> identical content
     (the versioned path changes durability, not arithmetic); holds

@@ -404,6 +404,9 @@ def _py_bm25(doc_rows, query_rows, k):
     return sorted(out)
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the fixture python-reference pins cited at the register sites
+@pytest.mark.slow
 def test_bm25_fuzz_vs_python_reference(spark):
     import random
 
@@ -440,6 +443,9 @@ def test_bm25_fuzz_vs_python_reference(spark):
         assert got == want, f"case {case}: {got} != {want}"
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the fixture python-reference pins cited at the register sites
+@pytest.mark.slow
 def test_rrf_fuzz_vs_python_reference(spark):
     import random
 

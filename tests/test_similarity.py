@@ -163,6 +163,9 @@ def test_ivf_with_trained_kmeans_codebook(spark):
     assert all(len(v) == 3 for v in per_q.values())
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the fixed-fixture bit-equal kernel pins
+@pytest.mark.slow
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Multi-probe LSH must (a) return a superset of single-probe's
     candidate coverage per query — probe 1 IS the query's own bucket —
@@ -377,6 +380,9 @@ def test_kernel_knn_empty_query_set(spark):
     assert out.count() == 0
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the fixed-fixture bit-equal kernel pins
+@pytest.mark.slow
 def test_kernel_knn_fuzz_bit_equal(spark):
     # random vectors with exact-duplicate rows (rounded-cosine ties)
     # and near-boundary values — the sequential-dim accumulation must

@@ -251,6 +251,9 @@ def test_update_mode_running_counts(spark):
     assert got == exp
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps test_streaming_ingest's horizon-readmit twin
+@pytest.mark.slow
 def test_dedup_within_watermark_bounds_state(spark):
     """dropDuplicatesWithinWatermark: state is evicted past the
     watermark delay, so a key recurring AFTER the horizon is re-emitted

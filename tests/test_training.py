@@ -31,6 +31,9 @@ def labeled_docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string, label int")
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the gradient-step and scoring pins
+@pytest.mark.slow
 def test_loss_descends_and_separates(spark, labeled_docs):
     from flink_exercise_spark.operators.text import clf_bucket_expr
     from flink_exercise_spark.operators.training import (
@@ -51,6 +54,9 @@ def test_loss_descends_and_separates(spark, labeled_docs):
     assert wmap[b_good["b"]] > 0 > wmap[b_good["b2"]]
 
 
+# slow (r12 suite-trim): heavy exhaustive/statistical run; the
+# default loop keeps the gradient-step and scoring pins
+@pytest.mark.slow
 def test_trained_weights_deploy_through_joined_inference(
     spark, labeled_docs
 ):
