@@ -138,6 +138,21 @@ SHOWCASE = [
      "prefix/OOV model subtrees; the corpus-side scoring join "
      "aggregates long micro-nats with partial_sum below the "
      "Exchange (map-side combine), one rounded division at the top"),
+    ("video_neardup_pairs",
+     "video bytes reduce to per-frame BIGINT hashes before any join",
+     "one MapInPandas crossing (demux + JPEG decode + DCT pHash + run "
+     "construction in a single kernel); the pairing subtree joins only "
+     "the (doc_id, fp) landmark relation — hash equi-join behind the "
+     "hot-fp anti-join cap, no cartesian, no payload column in any "
+     "Exchange"),
+    ("mm_dedup_front_door",
+     "codegen modality router; each modality's bytes cross into its "
+     "own kernel only",
+     "the routing projection is pure Column prefix checks inside the "
+     "scan stage (no BatchEvalPython/ArrowEvalPython at the router); "
+     "four filtered subtrees, each with its own single Arrow crossing "
+     "or md5 projection; the unioned verdict relation carries only "
+     "(doc_a, doc_b, modality, evidence)"),
 ]
 
 

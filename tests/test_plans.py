@@ -333,3 +333,42 @@ def test_vocab_topk_uses_take_ordered(spark):
     plan = formatted_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "SortAggregate" not in plan, plan
+
+
+def _exchange_inputs(plan: str) -> list[str]:
+    """The detail segments of every Exchange node in a formatted plan."""
+    return [
+        seg for seg in plan.split("\n\n")
+        if seg.strip()
+        and seg.splitlines()[0].lstrip("(0123456789) ").startswith("Exchange")
+    ]
+
+
+def test_video_neardup_payload_never_shuffles(spark):
+    """Video near-dup: the binary payload reduces to (doc_id, fp)
+    landmarks inside the Arrow kernel — no Exchange carries the
+    payload column, there is no row-at-a-time Python node, and the
+    pairing is hash-join-only. (Kernel single-execution is pinned
+    behaviorally: the landmark relation is persist_tracked, and a
+    formatted pre-materialization plan legitimately repeats the
+    persisted subtree under each consumer, so node COUNTS are not
+    asserted here.)"""
+    df = specs()["video_neardup_pairs"].fn(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    for seg in _exchange_inputs(plan):
+        assert "payload" not in seg, seg
+
+
+def test_mm_front_door_router_is_codegen_no_payload_shuffle(spark):
+    """The registered front door: the modality router adds no
+    row-at-a-time Python node (the prefix checks are codegen Column
+    expressions), the corpus payload bytes appear in no Exchange, and
+    nothing is cartesian."""
+    df = specs()["mm_dedup_front_door"].fn(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    for seg in _exchange_inputs(plan):
+        assert "payload" not in seg, seg
