@@ -108,6 +108,16 @@ def run_ann_batch(
         summary["index_version"] = res["version"]
         summary["n_corpus"] = res["n_corpus"]
     else:
+        if kmeans_iters > 0:
+            # an append NEVER retrains (pinned models are the append
+            # contract) — dropping the option silently would leave the
+            # operator believing a recluster happened (the loud-fail
+            # convention of resolve_multimodal_pairs; code-review r12)
+            raise ValueError(
+                "--kmeans-iters only applies to a bootstrap or "
+                "--rebuild; an append assigns against the live "
+                "version's PINNED models. Pass --rebuild to recluster."
+            )
         stats = append_ann_index(
             spark, ann_root_path(index_root), emb,
             assign_kernel=True, encode_kernel=True,

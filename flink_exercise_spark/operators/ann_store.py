@@ -587,11 +587,17 @@ def vacuum_ann_root(
     Debris reclamation is AGE-GATED (r11 ADVICE): an unpublished
     ``v > live`` directory is indistinguishable from a rebuild that is
     still in flight in another process, and the single-writer model is
-    documented, not enforced. Only unpublished directories whose mtime
-    is older than ``debris_min_age_s`` (default 6 h — far beyond any
-    real rebuild, measured 409 s on the 200k fixture) are treated as
-    crash debris; pass 0 to force immediate reclamation when the
-    caller KNOWS no rebuild is running."""
+    documented, not enforced. Only unpublished directories whose LAST
+    WRITE ACTIVITY is older than ``debris_min_age_s`` (default 6 h —
+    far beyond any real rebuild, measured 409 s on the 200k fixture)
+    are treated as crash debris; pass 0 to force immediate reclamation
+    when the caller KNOWS no rebuild is running. Activity = the max
+    mtime over the version's DIRECTORY tree down to the per-cell
+    level (a rebuild streaming part files into cell directories bumps
+    those directories' mtimes; the version root's own mtime only
+    changes when direct children appear, so it alone would mis-age a
+    long rebuild — code-review r12). Directory-only scan: O(cells),
+    never O(files)."""
     import time
 
     if keep_versions < 1:
@@ -599,6 +605,25 @@ def vacuum_ann_root(
     live = ann_root_current(root)
     if live is None:
         return {"versions_deleted": 0}
+
+    def last_activity(path: str, depth: int = 4) -> float:
+        try:
+            latest = os.path.getmtime(path)
+        except OSError:
+            return time.time()  # racing its own creation: young
+        if depth > 0:
+            try:
+                entries = os.scandir(path)
+            except OSError:
+                return time.time()
+            with entries:
+                for e in entries:
+                    if e.is_dir(follow_symlinks=False):
+                        latest = max(
+                            latest, last_activity(e.path, depth - 1)
+                        )
+        return latest
+
     n = 0
     now = time.time()
     for entry in sorted(os.listdir(root)):
@@ -607,13 +632,9 @@ def vacuum_ann_root(
         v = int(entry[1:])
         target = os.path.join(root, entry)
         # v > live = never published, so no reader can resolve it —
-        # but it may be a rebuild mid-write, hence the age gate
+        # but it may be a rebuild mid-write, hence the activity gate
         if v > live:
-            try:
-                young = now - os.path.getmtime(target) < debris_min_age_s
-            except OSError:
-                young = True  # racing its own deletion/creation
-            if young:
+            if now - last_activity(target) < debris_min_age_s:
                 continue
         elif v > live - keep_versions:
             continue

@@ -153,6 +153,16 @@ def kmeans_fit_predict(
 ) -> DataFrame:
     """(vec_id, label, cluster) after ``iters`` Lloyd iterations with
     deterministic init (the k lowest vec_ids)."""
+    if "label" not in emb.columns:
+        # fail at plan time, not as a KeyError inside the assign
+        # kernel after the full Lloyd loop already ran (code-review
+        # r12 — _lloyd itself accepts bare relations for codebook
+        # training, so the emit-side requirement is checked here)
+        raise ValueError(
+            "kmeans_fit_predict emits the label column and requires "
+            "it on the input; use kmeans_centroids for bare "
+            "(vec_id, embedding) relations"
+        )
     emb, cents = _lloyd(emb, k, iters)
     return emb.mapInPandas(
         _assign_kernel(cents), schema="vec_id long, label int, cluster int"

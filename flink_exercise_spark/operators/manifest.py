@@ -44,7 +44,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 import uuid
 
@@ -54,12 +53,21 @@ from pyspark.sql import functions as F
 _CURRENT = "_CURRENT"
 _MANIFESTS = "_manifests"
 _DATA = "data"
-# Characters whose str() form is byte-identical to Spark's Hive
-# partition-directory encoding: anything else (Hive-escaped
-# punctuation, empty string, floats, booleans) must be pre-encoded by
-# the caller — versioned_read rejects it rather than silently pruning
-# to an empty relation.
-_HIVE_SAFE = re.compile(r"[A-Za-z0-9._-]+")
+# Spark's Hive partition-directory escaping (ExternalCatalogUtils.
+# escapePathName): these characters and all control chars become
+# %XX (uppercase hex) in the directory name. Re-implemented here so
+# versioned_read can match RAW string values against encoded
+# directories instead of rejecting them (code-review r12: the first
+# cut rejected values like 'a b' that Hive stores verbatim, and
+# rejected the pre-encoded form too, making pruned reads impossible).
+_HIVE_ESCAPED = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_encode(value: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPED or ord(c) < 0x20 else c
+        for c in value
+    )
 
 
 def current_version(path: str) -> int | None:
@@ -194,35 +202,33 @@ def versioned_read(
     store (measured ~40 s of a 47 s ANN query against 2 x 16.7k
     per-cell files, r11 bench_ann_store); the manifest already holds
     the files-per-partition map, so a reader that knows its
-    partitions skips that cost entirely. Values are matched against
-    the directory-encoded partition strings via str(value) — exact
-    for the integer and plain-string keys the index stores use. A
-    value whose str() would NOT round-trip through Spark's Hive
-    directory encoding (escaped characters, floats whose Python repr
-    differs from the JVM's, non-int/str types) is REJECTED loud
-    instead of silently pruning to an empty relation (r11 ADVICE);
-    such callers must pre-encode to the directory string themselves,
-    the merge-diff convention."""
+    partitions skips that cost entirely. RAW int and str values are
+    matched against the directory-encoded partition strings through
+    the same Hive escaping Spark applied at write time (so 'a b' or
+    'x=y' prune correctly); value types whose str() is NOT guaranteed
+    to match the JVM's encoding (floats — '1e-07' vs '1.0E-7' —
+    booleans — 'True' vs 'true' — the empty string, None) are
+    REJECTED loud instead of silently pruning to an empty relation
+    (r11 ADVICE)."""
     from pyspark.sql.types import StructType
 
     m = read_manifest(path, version)
     file_map = m["files"]
     if partition_values is not None:
         for v in partition_values:
-            s = str(v)
             if (
                 not isinstance(v, (int, str))
                 or isinstance(v, bool)  # JVM encodes 'true', not 'True'
-                or not _HIVE_SAFE.fullmatch(s)
+                or v == ""  # Spark writes __HIVE_DEFAULT_PARTITION__
             ):
                 raise ValueError(
-                    f"versioned_read: partition value {v!r} (str {s!r}) "
-                    "is not guaranteed to match its Hive directory "
-                    "encoding — pass the directory-encoded string "
-                    "(int or [A-Za-z0-9._-]+ str) instead of letting a "
-                    "mismatch silently prune to an empty read"
+                    f"versioned_read: partition value {v!r} has no "
+                    "byte-exact Hive directory encoding from Python "
+                    "(pass ints or non-empty strings) — rejecting "
+                    "instead of letting a mismatch silently prune to "
+                    "an empty read"
                 )
-        wanted = {str(v) for v in partition_values}
+        wanted = {_hive_encode(str(v)) for v in partition_values}
         file_map = {p: fl for p, fl in file_map.items() if p in wanted}
     files = [
         os.path.join(path, f) for fl in file_map.values() for f in fl

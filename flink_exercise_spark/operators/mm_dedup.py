@@ -28,7 +28,9 @@ the wrong pipeline — the valid/invalid-channel discipline.
 Output: ``multimodal_dup_pairs`` = (doc_a, doc_b, modality, evidence)
 with evidence = hamming distance (image), shared-fingerprint count
 (audio), shared-landmark-run count (video), or 0 (exact byte
-duplicates); modalities partition the doc
+duplicates — both the 'other' channel and the exact-byte FLOOR that
+catches byte-identical audio/video clips too short for min_shared
+landmark runs); modalities partition the doc
 set, so pairs never cross modalities and ``multimodal_dup_clusters``
 (connected components over the union) labels each duplicate group
 with its min doc_id per modality.
@@ -163,9 +165,42 @@ def multimodal_dup_pairs(
             F.lit(0).cast("long").alias("evidence"),
         )
     )
+    landmark_pairs = audio_pairs.unionByName(video_pairs)
+    # exact-byte FLOOR for the landmark modalities (code-review r12):
+    # a byte-identical clip too short to yield min_shared landmark
+    # runs — any AVI under stride*(FP_FRAMES+1) frames, any WAV at or
+    # under FP_WINDOWS windows — would otherwise be silently MISSED,
+    # a detection r11 had (AVIs routed to 'other' then). Exactness is
+    # free: one codegen md5 over the two modalities' payloads, pairs
+    # anchored at the canonical min id (evidence 0 = exact, the
+    # 'other' convention), and pairs the landmark channel already
+    # proved drop out via the anti-join so nothing is double-reported.
+    av = persist_tracked(
+        routed.filter(F.col("modality").isin("audio", "video")).select(
+            "doc_id", "modality", F.md5("payload").alias("_h")
+        )
+    )
+    av_canon = av.groupBy("_h", "modality").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    av_floor = (
+        av.join(av_canon, ["_h", "modality"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select(
+            "doc_a",
+            F.col("doc_id").alias("doc_b"),
+            "modality",
+            F.lit(0).cast("long").alias("evidence"),
+        )
+        .join(
+            landmark_pairs.select("doc_a", "doc_b"),
+            ["doc_a", "doc_b"],
+            "left_anti",
+        )
+    )
     return (
-        image_pairs.unionByName(audio_pairs)
-        .unionByName(video_pairs)
+        image_pairs.unionByName(landmark_pairs)
+        .unionByName(av_floor)
         .unionByName(other_pairs)
     )
 

@@ -784,6 +784,15 @@ def ingest_multimodal_features(
         ).write.mode("append").parquet(
             os.path.join(store_path, "video_fps")
         )
+        # the exact-byte floor's feature (see multimodal_dup_pairs):
+        # byte-identical clips too short for min_shared landmark runs
+        routed.filter(
+            F.col("modality").isin("audio", "video")
+        ).select(
+            "doc_id", "modality", F.md5("payload").alias("byte_hash")
+        ).write.mode("append").parquet(
+            os.path.join(store_path, "av_hashes")
+        )
         routed.filter(F.col("modality") == "other").select(
             "doc_id", F.md5("payload").alias("byte_hash")
         ).write.mode("append").parquet(
@@ -886,6 +895,28 @@ def resolve_multimodal_pairs(
         F.lit("video").alias("modality"),
         F.col("n_shared").cast("long").alias("evidence"),
     )
+    landmark_pairs = audio_pairs.unionByName(video_pairs)
+    # the exact-byte floor, mirrored from multimodal_dup_pairs: pairs
+    # the landmark channels already proved drop out via the anti-join
+    av = _log("av_hashes", "doc_id long, modality string, byte_hash string")
+    av_canon = av.groupBy("byte_hash", "modality").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    av_floor = (
+        av.join(av_canon, ["byte_hash", "modality"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select(
+            "doc_a",
+            F.col("doc_id").alias("doc_b"),
+            "modality",
+            F.lit(0).cast("long").alias("evidence"),
+        )
+        .join(
+            landmark_pairs.select("doc_a", "doc_b"),
+            ["doc_a", "doc_b"],
+            "left_anti",
+        )
+    )
     other = _log("other_hashes", "doc_id long, byte_hash string")
     canon = other.groupBy("byte_hash").agg(F.min("doc_id").alias("doc_a"))
     other_pairs = (
@@ -899,8 +930,8 @@ def resolve_multimodal_pairs(
         )
     )
     return (
-        image_pairs.unionByName(audio_pairs)
-        .unionByName(video_pairs)
+        image_pairs.unionByName(landmark_pairs)
+        .unionByName(av_floor)
         .unionByName(other_pairs)
     )
 

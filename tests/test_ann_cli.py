@@ -312,3 +312,61 @@ def test_rebuild_with_kmeans_iters_trains_the_codebook(
     assert _answers(spark, ann_root_path(root), queries) == _answers(
         spark, twin, queries
     )
+
+
+def test_kmeans_iters_on_append_fails_loud(spark, corpus_paths, tmp_path):
+    """--kmeans-iters without --rebuild against an existing index must
+    raise, not silently append with the pinned models (code-review
+    r12: the operator believes a recluster happened, recall stays at
+    its decayed level)."""
+    root = str(tmp_path / "root")
+    run_ann_batch(
+        spark, str(corpus_paths / "day1"), root, n_cells=N_CELLS
+    )
+    with pytest.raises(ValueError, match="only applies to a bootstrap"):
+        run_ann_batch(
+            spark, str(corpus_paths / "day2"), root, kmeans_iters=3
+        )
+
+
+def test_root_vacuum_age_gate_sees_deep_write_activity(
+    spark, corpus_paths, tmp_path
+):
+    """The debris age gate must key off the deepest write activity,
+    not the version directory's own mtime: a rebuild streaming part
+    files into cell directories never bumps the version root, so a
+    root-mtime gate would delete a live rebuild mid-write (code-review
+    r12)."""
+    import shutil
+    import time
+
+    from flink_exercise_spark.operators.ann_store import vacuum_ann_root
+
+    root = str(tmp_path / "root")
+    run_ann_batch(
+        spark, str(corpus_paths / "day1"), root, n_cells=N_CELLS
+    )
+    debris = os.path.join(root, "v00000002")
+    shutil.copytree(ann_root_path(root), debris)
+    # age every directory 7 hours into the past...
+    old = time.time() - 7 * 3600
+    for dirpath, _dirnames, _files in os.walk(debris):
+        os.utime(dirpath, (old, old))
+    # ...then simulate an in-flight rebuild writing DEEP inside a cell
+    # directory (touches only that directory's mtime)
+    cell_dirs = [
+        os.path.join(dp, d)
+        for dp, dns, _ in os.walk(os.path.join(debris, "codes"))
+        for d in dns
+        if d.startswith("cell_id=")
+    ]
+    assert cell_dirs, "fixture store has no cell directories"
+    with open(os.path.join(cell_dirs[0], "part-inflight.parquet"), "wb"):
+        pass
+    stats = vacuum_ann_root(root, keep_versions=1)
+    assert stats["versions_deleted"] == 0 and os.path.exists(debris)
+    # once the deep activity is old too, the debris is reclaimable
+    for dirpath, _dirnames, _files in os.walk(debris):
+        os.utime(dirpath, (old, old))
+    stats = vacuum_ann_root(root, keep_versions=1)
+    assert stats["versions_deleted"] == 1 and not os.path.exists(debris)

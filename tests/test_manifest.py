@@ -305,26 +305,33 @@ def test_versioned_read_partition_values_manifest_prune(spark, tmp_path):
     assert set(empty.columns) == {"id", "bucket"}
 
 
-def test_versioned_read_rejects_unencodable_partition_values(
-    spark, tmp_path
-):
-    """A partition value whose str() is not guaranteed byte-identical
-    to Spark's Hive directory encoding must FAIL LOUD instead of
-    silently pruning to an empty relation (r11 ADVICE): floats (JVM
-    repr drift, e.g. 1e-07 vs 1.0E-7), booleans ('True' vs 'true'),
-    escaped punctuation, and the empty string are all rejected; plain
-    ints and [A-Za-z0-9._-]+ strings pass through."""
+def test_versioned_read_partition_values_hive_encoding(spark, tmp_path):
+    """Raw string values prune through the SAME Hive escaping Spark
+    applied at write time — including values Hive stores verbatim
+    ('a b') and values it escapes ('x=y' -> 'x%3Dy' on disk) — while
+    value types whose Python str() is not guaranteed byte-identical to
+    the JVM's encoding (floats, booleans, empty string) FAIL LOUD
+    instead of silently pruning to an empty relation (r11 ADVICE +
+    code-review r12: the first guard rejected 'a b' and the
+    pre-encoded form both, making pruned reads impossible)."""
     import pytest
 
     from flink_exercise_spark.operators import manifest as mft
 
     path = str(tmp_path / "store")
     df = spark.createDataFrame(
-        [(i, f"b{i % 2}") for i in range(8)], "id long, bucket string"
+        [(0, "a b"), (1, "a b"), (2, "x=y"), (3, "plain"), (4, "a/b")],
+        "id long, bucket string",
     )
     mft.versioned_write(df, path)
-    for bad in [0.1, True, "a b", "x=y", "", "a/b", "a%b"]:
+    for value, ids in [("a b", {0, 1}), ("x=y", {2}), ("plain", {3}),
+                       ("a/b", {4})]:
+        got = mft.versioned_read(spark, path, partition_values=[value])
+        assert {r["id"] for r in got.collect()} == ids, value
+        assert {r["bucket"] for r in got.collect()} == {value}
+    for bad in [0.1, True, ""]:
         with pytest.raises(ValueError, match="Hive directory encoding"):
             mft.versioned_read(spark, path, partition_values=[bad])
-    ok = mft.versioned_read(spark, path, partition_values=["b1"])
-    assert ok.count() == 4
+    # absent-but-encodable value: empty relation, schema preserved
+    none = mft.versioned_read(spark, path, partition_values=["absent"])
+    assert none.count() == 0 and set(none.columns) == {"id", "bucket"}

@@ -253,3 +253,53 @@ def test_resolve_empty_store_returns_empty_contract(spark, tmp_path):
     out = resolve_multimodal_pairs(spark, str(tmp_path / "nothing"))
     assert out.columns == ["doc_a", "doc_b", "modality", "evidence"]
     assert out.count() == 0
+
+
+def test_exact_byte_floor_catches_short_identical_clips(spark, tmp_path):
+    """Byte-identical audio/video clips too short to yield min_shared
+    landmark runs must still be detected (code-review r12: r11 routed
+    AVIs to the exact 'other' channel and caught them; the landmark
+    channel alone would silently miss them) — and a byte-identical
+    pair the landmark channel DOES prove is not double-reported."""
+    from flink_exercise_spark.operators.audio import melody_wav_bytes
+    from flink_exercise_spark.streaming.ingest import (
+        ingest_multimodal_features,
+        resolve_multimodal_pairs,
+    )
+
+    short_vid = mjpeg_avi_bytes([gray_jpeg_frame(50), gray_jpeg_frame(51)])
+    short_wav = melody_wav_bytes((30,), 9000)  # one window: one run
+    long_vid = mjpeg_avi_bytes(
+        [gray_jpeg_frame(60 + i) for i in range(6)]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, short_vid), (1, short_vid),  # floor-only video pair
+            (2, short_wav), (3, short_wav),  # floor-only audio pair
+            (4, long_vid), (5, long_vid),  # landmark-proved identical
+        ],
+        "doc_id long, payload binary",
+    )
+    got = sorted(
+        tuple(r)
+        for r in multimodal_dup_pairs(corpus, video_stride=1).collect()
+    )
+    assert got == [
+        (0, 1, "video", 0),
+        (2, 3, "audio", 0),
+        (4, 5, "video", 3),  # 3 shared runs, floor row anti-joined out
+    ]
+    # streaming twin: same verdicts through the feature logs
+    src = str(tmp_path / "src")
+    corpus.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "logs")
+    ingest_multimodal_features(stream, store, video_stride=1)
+    resolved = sorted(
+        tuple(r) for r in resolve_multimodal_pairs(spark, store).collect()
+    )
+    assert resolved == got

@@ -638,3 +638,22 @@ def test_probe_cells_kernel_bit_equal_to_hof(spark):
         for r in _probe_cells_kernel(queries, cents, 3).collect()
     )
     assert got == want and len(got) == 30  # 10 queries x 3 probes
+
+
+def test_kmeans_fit_predict_requires_label_at_plan_time(spark):
+    """A bare (vec_id, embedding) relation must fail LOUD before the
+    Lloyd loop runs — not as a KeyError inside the assign kernel after
+    the iterations completed (code-review r12; kmeans_centroids is the
+    bare-relation entry point)."""
+    import pytest
+
+    from flink_exercise_spark.operators.clustering import (
+        kmeans_fit_predict,
+    )
+
+    bare = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="kmeans_centroids"):
+        kmeans_fit_predict(bare, k=2, iters=1)
