@@ -202,6 +202,51 @@ def main() -> None:
                 n: round(timings[n] / duck_raw[n], 3) for n in matched
             },
         }
+        # Fixture-domain split, classified MECHANICALLY: a query whose
+        # oracle SQL references none of the data tables runs over a
+        # self-contained fixture corpus (frozen VALUES / hand-derived
+        # constants — the audio/image/video dedup entries and the
+        # golden log). Those pit a multi-second Spark pipeline against
+        # a sub-millisecond literal fetch, so they can only push the
+        # blended ratio UP without saying anything about data-scaled
+        # throughput; the sf-scaled subtotal is the apples-to-apples
+        # read of the same artifact.
+        import re
+
+        tables = (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split()
+        # word-boundary match so a column alias like n_events does not
+        # classify the golden-log VALUES oracle as data-scaled
+        fixture = [
+            n for n in matched
+            if not any(
+                re.search(rf"\b{t}\b", specs[n].oracle or "")
+                for t in tables
+            )
+        ]
+        sf_scaled = [n for n in matched if n not in fixture]
+        duck_sf = sum(duck_raw[n] for n in sf_scaled)
+        out["ratio"]["fixture_split"] = {
+            "n_fixture": len(fixture),
+            "spark_fixture_total": round(
+                sum(timings[n] for n in fixture), 4
+            ),
+            "duckdb_fixture_total": round(
+                sum(duck_raw[n] for n in fixture), 4
+            ),
+            "n_sf_scaled": len(sf_scaled),
+            "spark_sf_total": round(
+                sum(timings[n] for n in sf_scaled), 4
+            ),
+            "duckdb_sf_total": round(duck_sf, 4),
+            "ratio_sf_scaled": round(
+                sum(timings[n] for n in sf_scaled) / duck_sf, 3
+            )
+            if duck_sf > 0
+            else None,
+        }
 
     print(json.dumps(out))
     # The driver's artifact capture keeps only the TAIL of stdout when
@@ -222,6 +267,9 @@ def main() -> None:
         summary["spark_matched_total_s"] = out["ratio"]["spark_matched_total"]
         summary["ratio"] = out["ratio"]["value"]
         summary["matched"] = out["ratio"]["matched_queries"]
+        split = out["ratio"]["fixture_split"]
+        summary["ratio_sf_scaled"] = split["ratio_sf_scaled"]
+        summary["n_fixture"] = split["n_fixture"]
     print(json.dumps(summary))
     spark.stop()
 
