@@ -303,3 +303,41 @@ def test_r10_backoff_lm_on_empty_and_degenerate(spark):
     }
     assert set(out) == {1, 2, 3}
     assert out[1][0] == 2 and out[2] == (0, 0) and out[3] == (0, 0)
+
+
+def test_multimodal_front_door_empty_and_null_payloads(spark):
+    """The r12 front door on degenerate inputs: an empty corpus yields
+    the empty pairs relation (no kernel crash on zero batches), and
+    NULL payloads never pair with each other — md5(NULL) is NULL and
+    equi-join keys drop NULLs, so two NULL-payload docs are NOT 'exact
+    duplicates' of one another (pinned deliberately: a NULL payload is
+    absent content, not empty content)."""
+    from flink_exercise_spark.operators.mm_dedup import (
+        multimodal_dup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    out = multimodal_dup_pairs(empty, video_stride=1)
+    assert out.count() == 0
+    assert out.columns == ["doc_a", "doc_b", "modality", "evidence"]
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None), (3, b"same"), (4, b"same")],
+        "doc_id long, payload binary",
+    )
+    got = sorted(tuple(r) for r in multimodal_dup_pairs(nulls).collect())
+    assert got == [(3, 4, "other", 0)]
+
+
+def test_video_ops_on_empty_corpus(spark):
+    from flink_exercise_spark.operators.video_dedup import (
+        video_frame_phash,
+        video_landmarks,
+        video_neardup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert video_frame_phash(empty, stride=1).count() == 0
+    lm = video_landmarks(empty, stride=1)
+    assert lm.count() == 0
+    assert video_neardup_pairs(lm).count() == 0
