@@ -88,6 +88,16 @@ def run_ann_batch(
                 kmeans_centroids,
             )
 
+            # default 'lowest' init, MEASURED not assumed: the
+            # intuitive alternative ('spread' — seed proportionally
+            # across the id range so appended modes get seeds) was
+            # A/B'd on the drifted-append experiment and LOST where it
+            # matters: far-drift recovery fell 0.96 -> 0.67 (appended
+            # modes outnumber their proportional seed share, while
+            # lowest-init's duplicated seeds inside old clusters free
+            # centroids that Lloyd hands to far modes); spread's only
+            # win was sub-resolution drift (+0.07), which rebuilds
+            # don't fix anyway — shortlist does. SCALE.md r12 addendum.
             codebook = kmeans_centroids(
                 emb, k=n_cells, iters=kmeans_iters
             )

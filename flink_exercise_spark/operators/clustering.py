@@ -96,12 +96,23 @@ def _assign_kernel(cents):
     return compute
 
 
-def _lloyd(emb: DataFrame, k: int, iters: int):
+def _lloyd(emb: DataFrame, k: int, iters: int, init: str = "lowest"):
     """Run the Lloyd loop; return (persisted corpus, centroids ndarray).
 
     Shared by ``kmeans_fit_predict`` (assign step appended) and
     ``kmeans_centroids`` (centroids exported as a relation — e.g. as a
-    trained IVF codebook, similarity.knn_ivf)."""
+    trained IVF codebook, similarity.knn_ivf).
+
+    ``init``: 'lowest' (default, the historical contract) seeds from
+    the k lowest vec_ids; 'spread' seeds from a deterministic
+    xxhash64-spread sample of the WHOLE id range. The difference
+    matters exactly when id order encodes arrival order: a recluster
+    over base + appended data seeded 'lowest' draws every centroid
+    from the OLDEST rows and appended modes must pull centroids over
+    from the old mass, while 'spread' seeds them proportionally to
+    their share of the corpus (measured on the drifted-append
+    experiment, BENCH_ANN_RECLUSTER.json). Both are deterministic for
+    a fixed corpus."""
     import numpy as np
 
     # The corpus is read 1 (init) + iters (update) + 1 (final assign)
@@ -116,13 +127,27 @@ def _lloyd(emb: DataFrame, k: int, iters: int):
         ["label"] if "label" in emb.columns else []
     )
     emb = persist_tracked(spread(emb.select(*cols), "vec_id"))
-    init = (
-        emb.orderBy("vec_id")
+    if init == "spread":
+        # one filter + tiny sort: keep rows whose id-hash falls in a
+        # ~2k-sized pseudo-random slice (deterministic — xxhash64 of
+        # the id, no RNG state), then the k lowest of THOSE; no global
+        # sort or row_number over the corpus
+        n = emb.count()
+        stride = max(n // max(2 * k, 1), 1)
+        seed_pool = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0
+        )
+    elif init == "lowest":
+        seed_pool = emb
+    else:
+        raise ValueError(f"unknown kmeans init {init!r}")
+    init_rows = (
+        seed_pool.orderBy("vec_id")
         .limit(k)
         .select(F.col("embedding").cast("array<double>").alias("e"))
         .collect()
     )
-    cents = np.array([list(r["e"]) for r in init], dtype=np.float64)
+    cents = np.array([list(r["e"]) for r in init_rows], dtype=np.float64)
     if cents.shape[0] == 0:
         raise ValueError("kmeans_fit_predict: empty corpus")
     # Degenerate corpus (< k vectors): init yields m < k centroids, and
@@ -169,13 +194,16 @@ def kmeans_fit_predict(
     )
 
 
-def kmeans_centroids(emb: DataFrame, k: int = 10, iters: int = 3) -> DataFrame:
+def kmeans_centroids(
+    emb: DataFrame, k: int = 10, iters: int = 3, init: str = "lowest"
+) -> DataFrame:
     """Trained centroids as a (cell_id, cent) relation — k x dims of
     driver-held model state turned back into a (tiny, broadcastable)
     DataFrame, e.g. to serve as the IVF codebook
-    (similarity.knn_ivf(codebook=...))."""
+    (similarity.knn_ivf(codebook=...)). See ``_lloyd`` for the
+    init choice; reclusters over append-ordered ids want 'spread'."""
     spark = emb.sparkSession
-    _, cents = _lloyd(emb, k, iters)
+    _, cents = _lloyd(emb, k, iters, init=init)
     rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     return spark.createDataFrame(rows, "cell_id int, cent array<double>")
 

@@ -657,3 +657,41 @@ def test_kmeans_fit_predict_requires_label_at_plan_time(spark):
     )
     with pytest.raises(ValueError, match="kmeans_centroids"):
         kmeans_fit_predict(bare, k=2, iters=1)
+
+
+def test_kmeans_spread_init_deterministic_and_covers_id_range(spark):
+    """'spread' init is deterministic (two runs, identical centroids)
+    and seeds from the WHOLE id range — on a corpus whose high-id half
+    sits in a far-away region, lowest-init draws every seed from the
+    low-id mass while spread-init seeds both regions (the recluster
+    failure mode BENCH_ANN_RECLUSTER measured)."""
+    import numpy as np
+
+    from flink_exercise_spark.operators.clustering import (
+        kmeans_centroids,
+    )
+
+    rows = [(i, [0.0, 0.0]) for i in range(200)] + [
+        (10_000_000 + i, [100.0, 100.0]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        [(v, [x + (v % 7) * 0.01 for x in e]) for v, e in rows],
+        "vec_id long, embedding array<double>",
+    )
+    a = {
+        r["cell_id"]: r["cent"]
+        for r in kmeans_centroids(emb, k=8, iters=1, init="spread").collect()
+    }
+    b = {
+        r["cell_id"]: r["cent"]
+        for r in kmeans_centroids(emb, k=8, iters=1, init="spread").collect()
+    }
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert np.allclose(a[cid], b[cid])
+    # spread init must seed BOTH regions; lowest init cannot (all 8
+    # lowest ids sit at the origin)
+    near_far = [1 for c in a.values() if c[0] > 50]
+    assert near_far, "spread init never seeded the high-id region"
+    lowest = kmeans_centroids(emb, k=8, iters=0, init="lowest").collect()
+    assert all(r["cent"][0] < 50 for r in lowest)
