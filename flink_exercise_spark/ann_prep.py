@@ -53,6 +53,7 @@ def run_ann_batch(
     n_codes: int = 16,
     vacuum_keep: int | None = None,
     kmeans_iters: int = 0,
+    kmeans_init: str = "lowest",
 ) -> dict:
     """One daily batch: bootstrap-or-append (or an explicit rebuild),
     optional query run, optional vacuum. Returns the summary dict the
@@ -81,6 +82,13 @@ def run_ann_batch(
     emb = spark.read.parquet(input_path).select("vec_id", "embedding")
     summary: dict = {"index_root": index_root, "input": input_path}
     cur = ann_root_current(index_root)
+    # Deployment split: every --input vector is corpus (no fixture
+    # query rows). Declared ONCE so the codebook-training input and
+    # the write_ann_index split can never diverge: training on rows
+    # the write keeps out of the store would leak query vectors into
+    # the model that is then recall-benchmarked against those same
+    # queries (ADVICE r12).
+    n_queries = 0
     if cur is None or rebuild:
         codebook = None
         if kmeans_iters > 0:
@@ -91,22 +99,29 @@ def run_ann_batch(
             # default 'lowest' init, MEASURED not assumed: the
             # intuitive alternative ('spread' — seed proportionally
             # across the id range so appended modes get seeds) was
-            # A/B'd on the drifted-append experiment and LOST where it
-            # matters: far-drift recovery fell 0.96 -> 0.67 (appended
-            # modes outnumber their proportional seed share, while
-            # lowest-init's duplicated seeds inside old clusters free
-            # centroids that Lloyd hands to far modes); spread's only
-            # win was sub-resolution drift (+0.07), which rebuilds
-            # don't fix anyway — shortlist does. SCALE.md r12 addendum.
+            # A/B'd on the drifted-append experiment (re-run in r13
+            # after the r12 spread selection bias was fixed,
+            # scripts/bench_ann_recluster.py SPARK_GRAFT_RECL_INIT)
+            # and 'lowest' stays the default per that record; 'spread'
+            # is exposed here for corpora where appended data
+            # dominates the row count. SCALE.md addendum.
+            from pyspark.sql import functions as F
+
+            train = (
+                emb.filter(F.col("vec_id") >= n_queries)
+                if n_queries
+                else emb
+            )
             codebook = kmeans_centroids(
-                emb, k=n_cells, iters=kmeans_iters
+                train, k=n_cells, iters=kmeans_iters, init=kmeans_init
             )
             summary["kmeans_iters"] = kmeans_iters
+            summary["kmeans_init"] = kmeans_init
         res = rebuild_ann_index(
             spark,
             index_root,
             emb,
-            n_queries=0,  # deployment: every input vector is corpus
+            n_queries=n_queries,
             n_cells=n_cells,
             m=m,
             n_codes=n_codes,
@@ -185,6 +200,12 @@ def main(argv: list[str] | None = None) -> int:
                          "Lloyd iterations on bootstrap/rebuild "
                          "(0 = deterministic first-K init; training "
                          "is what makes --rebuild a RE-cluster)")
+    ap.add_argument("--kmeans-init", default="lowest",
+                    choices=("lowest", "spread"),
+                    help="k-means seed selection for --kmeans-iters: "
+                         "'lowest' (default, measured best on the "
+                         "drifted-append record) or 'spread' "
+                         "(hash-uniform over the id range)")
     ap.add_argument("--vacuum-keep", type=int, default=None,
                     help="retention GC: keep this many sub-store "
                          "snapshots AND index versions")
@@ -217,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
             n_codes=args.n_codes,
             vacuum_keep=args.vacuum_keep,
             kmeans_iters=args.kmeans_iters,
+            kmeans_init=args.kmeans_init,
         )
     finally:
         spark.stop()

@@ -112,7 +112,20 @@ def _lloyd(emb: DataFrame, k: int, iters: int, init: str = "lowest"):
     from the old mass, while 'spread' seeds them proportionally to
     their share of the corpus (measured on the drifted-append
     experiment, BENCH_ANN_RECLUSTER.json). Both are deterministic for
-    a fixed corpus."""
+    a fixed corpus.
+
+    'spread' seed selection is ordered by the id HASH, not the id
+    (ADVICE r12): taking the k lowest vec_ids of the hash-thinned
+    pool would concentrate every seed in the low-id (oldest) half of
+    the corpus — exactly the bias 'spread' exists to avoid. Hash
+    order is uniform over ids, so the k hash-lowest pool rows land
+    proportionally across the id range; ties break on vec_id so runs
+    stay deterministic even under xxhash64 collisions. If the
+    hash-thinned pool undershoots k (hash unevenness on small
+    corpora), selection falls back to the FULL corpus in the same
+    hash order instead of silently training fewer cells than asked
+    (ADVICE r12); only a corpus with fewer than k vectors still
+    clamps, matching 'lowest'."""
     import numpy as np
 
     # The corpus is read 1 (init) + iters (update) + 1 (final assign)
@@ -128,25 +141,42 @@ def _lloyd(emb: DataFrame, k: int, iters: int, init: str = "lowest"):
     )
     emb = persist_tracked(spread(emb.select(*cols), "vec_id"))
     if init == "spread":
-        # one filter + tiny sort: keep rows whose id-hash falls in a
+        # one filter + tiny top-k: keep rows whose id-hash falls in a
         # ~2k-sized pseudo-random slice (deterministic — xxhash64 of
-        # the id, no RNG state), then the k lowest of THOSE; no global
-        # sort or row_number over the corpus
+        # the id, no RNG state), then the k HASH-lowest of those
+        # (uniform over the id range; vec_id tie-break keeps runs
+        # deterministic under hash collisions). No global sort or
+        # row_number over the corpus — the pool filter bounds the
+        # TakeOrdered input so per-partition top-k heaps never ship
+        # k rows per partition of the full corpus to the driver.
         n = emb.count()
         stride = max(n // max(2 * k, 1), 1)
         seed_pool = emb.filter(
             F.pmod(F.xxhash64(F.col("vec_id")), F.lit(stride)) == 0
         )
+        seed_order = [F.xxhash64(F.col("vec_id")).asc(), F.col("vec_id").asc()]
     elif init == "lowest":
         seed_pool = emb
+        seed_order = [F.col("vec_id").asc()]
     else:
         raise ValueError(f"unknown kmeans init {init!r}")
-    init_rows = (
-        seed_pool.orderBy("vec_id")
-        .limit(k)
-        .select(F.col("embedding").cast("array<double>").alias("e"))
-        .collect()
-    )
+
+    def _collect_seeds(pool):
+        return (
+            pool.orderBy(*seed_order)
+            .limit(k)
+            .select(F.col("embedding").cast("array<double>").alias("e"))
+            .collect()
+        )
+
+    init_rows = _collect_seeds(seed_pool)
+    if init == "spread" and len(init_rows) < k:
+        # hash-thinned pool undershot k (small corpus + hash
+        # unevenness): top up from the FULL corpus in the same hash
+        # order rather than silently training fewer cells than asked
+        # (ADVICE r12). A corpus itself smaller than k still clamps
+        # below, matching 'lowest'.
+        init_rows = _collect_seeds(emb)
     cents = np.array([list(r["e"]) for r in init_rows], dtype=np.float64)
     if cents.shape[0] == 0:
         raise ValueError("kmeans_fit_predict: empty corpus")

@@ -499,3 +499,117 @@ def q_image_phash_pairs(spark, sf_dir):
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+def decontaminate_images(
+    corpus_hashes: DataFrame,
+    benchmark_hashes: DataFrame,
+    max_distance: int = N_BANDS - 1,
+) -> DataFrame:
+    """Benchmark-image decontamination: flag every corpus image within
+    ``max_distance`` Hamming bits of ANY benchmark image — the vision
+    twin of ``pipeline.decontaminate_against`` (exact 13-gram text
+    overlap) and ``pipeline.decontaminate_fuzzy`` (near-dup text
+    overlap): benchmark images leaking into a vision training corpus
+    as brightness-shifted / re-encoded / lightly-noised copies defeat
+    an exact-byte check but land within a few pHash bits.
+
+    Inputs are HASHED relations (``image_phash`` output): corpus as
+    (doc_id, phash), benchmark as (doc_id, phash) — the benchmark's
+    ids come back as ``bench_id``. Returns (doc_id, bench_id,
+    hamming), one row per flagged (corpus image, benchmark image)
+    pair.
+
+    Scale shape: the benchmark side is fixed-size by production
+    contract (the decontaminate_against broadcast argument), so its
+    8 one-byte bands broadcast — the corpus side never shuffles at
+    all: one scan producing 8 band rows per image into a broadcast
+    hash join, then one ``bit_count`` per candidate. Pigeonhole recall
+    is exact for hamming < N_BANDS, same as ``image_phash_pairs``. No
+    band cap: the per-band candidate volume is bounded by the
+    benchmark's size, not the corpus's, so the hot-band N^2 bomb
+    structurally cannot ignite (a corpus band value colliding with at
+    most |benchmark| rows)."""
+    if max_distance >= N_BANDS:
+        raise ValueError(
+            f"max_distance {max_distance} >= {N_BANDS} bands: the "
+            "pigeonhole recall guarantee needs hamming < n_bands"
+        )
+
+    def banded(hashes: DataFrame, id_alias: str, h_alias: str) -> DataFrame:
+        return hashes.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("phash").alias(h_alias),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("phash", 8 * b).bitwiseAND(F.lit(255))
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    cand = (
+        banded(corpus_hashes, "doc_id", "_pc")
+        .join(
+            F.broadcast(banded(benchmark_hashes, "bench_id", "_pb")),
+            ["band_idx", "band_val"],
+        )
+        .select("doc_id", "bench_id", "_pc", "_pb")
+        .distinct()  # a pair may collide on several bands
+    )
+    return cand.select(
+        "doc_id",
+        "bench_id",
+        F.bit_count(F.col("_pc").bitwiseXOR(F.col("_pb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_distance)
+
+
+def decontam_benchmark_corpus(spark) -> DataFrame:
+    """Two held-out 'benchmark' images as (doc_id, payload): the hyper
+    pattern as BMP and the waves pattern RE-ENCODED as PNG — so the
+    registered query pins cross-container matching (corpus doc 6
+    carries the same waves raster as BMP)."""
+    rasters = phash_fixture_rasters()
+    return spark.createDataFrame(
+        [
+            (100, bmp_encode_gray(rasters[0])),
+            (101, png_encode_gray(rasters[6])),
+        ],
+        "doc_id long, payload binary",
+    )
+
+
+@register(
+    "mm_image_decontaminate",
+    # VALUES oracle (frozen, re-derived by the pure-python reference
+    # in tests/test_image_dedup.py): corpus docs 0/1 (hyper +
+    # brightness copy) flag against benchmark 100 (the same hyper
+    # raster) and docs 6/7 (waves + contrast copy) against benchmark
+    # 101 (waves re-encoded as PNG) — brightness, contrast, AND
+    # container re-encode leaks all land at their pair hammings from
+    # the mm_image_phash_pairs oracle; the six unrelated corpus
+    # images stay unflagged.
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(1 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(6 AS BIGINT), CAST(101 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(7 AS BIGINT), CAST(101 AS BIGINT), CAST(0 AS BIGINT))
+    ) AS t(doc_id, bench_id, hamming)
+    """,
+    doc="Benchmark-image decontamination: corpus images within "
+        "Hamming 7 of a broadcast benchmark pHash set — the vision "
+        "twin of text decontamination; brightness/contrast/re-encode "
+        "leaks flagged, unrelated images untouched",
+    tags=("multimodal", "dedup", "image", "pipeline"),
+)
+def q_image_decontaminate(spark, sf_dir):
+    flags = decontaminate_images(
+        image_phash(phash_fixture_corpus(spark)),
+        image_phash(decontam_benchmark_corpus(spark)),
+    )
+    return flags.select(
+        "doc_id", "bench_id", F.col("hamming").cast("long").alias("hamming")
+    )

@@ -771,3 +771,111 @@ def decontaminate_fuzzy(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _decontam_fuzzy_oracle(threshold: float = 0.5) -> str:
+    """DuckDB twin of the registered ``decontaminate_fuzzy`` run: the
+    shared banded-signature CTE (dedup.py's md5 minhash construction,
+    verbatim) built PER SPLIT SIDE of the same hash split
+    ``_decontam_oracle`` states, candidates from the cross-side band
+    join, exact shingle Jaccard on the candidates."""
+    from flink_exercise_spark.operators.dedup import BAND_ROWS, N_MINHASH
+
+    k, r = N_MINHASH, BAND_ROWS
+    sig_cols = ",\n               ".join(
+        f"min(md5('{i}|' || tok)) AS h{i}" for i in range(k)
+    )
+    bands = ", ".join(
+        f"md5(h{b * r} || '|' || h{b * r + 1}) AS band{b}"
+        for b in range(k // r)
+    )
+
+    def unions(side: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band_id, band{b} AS band_hash "
+            f"FROM sigs_{side}"
+            for b in range(k // r)
+        )
+
+    return f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, bucket,
+             unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS tok
+      FROM (SELECT doc_id, bucket,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM b)
+    ),
+    toks_tr AS (SELECT doc_id, tok FROM toks
+                WHERE bucket < {SPLIT_PCT["val"]}),
+    toks_ev AS (SELECT doc_id, tok FROM toks
+                WHERE bucket >= {SPLIT_PCT["val"]}),
+    sigs_tr AS (
+      SELECT doc_id, {bands} FROM (
+        SELECT doc_id, {sig_cols}
+        FROM toks_tr GROUP BY doc_id)
+    ),
+    sigs_ev AS (
+      SELECT doc_id, {bands} FROM (
+        SELECT doc_id, {sig_cols}
+        FROM toks_ev GROUP BY doc_id)
+    ),
+    banded_tr AS (
+      {unions("tr")}
+    ),
+    banded_ev AS (
+      {unions("ev")}
+    ),
+    cands AS (
+      SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+      FROM banded_tr t JOIN banded_ev e
+        ON t.band_id = e.band_id AND t.band_hash = e.band_hash
+    ),
+    sz_tr AS (SELECT doc_id, count(*) AS n_tr FROM toks_tr GROUP BY 1),
+    sz_ev AS (SELECT doc_id, count(*) AS n_ev FROM toks_ev GROUP BY 1),
+    shared AS (
+      SELECT c.doc_id, c.eval_id, count(*) AS n_shared
+      FROM cands c
+      JOIN toks_tr t ON t.doc_id = c.doc_id
+      JOIN toks_ev e ON e.doc_id = c.eval_id AND e.tok = t.tok
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_id, s.eval_id,
+           round(n_shared / (a.n_tr + v.n_ev - n_shared), 4) AS jaccard
+    FROM shared s
+    JOIN sz_tr a ON a.doc_id = s.doc_id
+    JOIN sz_ev v ON v.doc_id = s.eval_id
+    WHERE round(n_shared / (a.n_tr + v.n_ev - n_shared), 4)
+          >= {threshold}
+    """
+
+
+@register(
+    "pipeline_decontaminate_fuzzy",
+    oracle=_decontam_fuzzy_oracle(),
+    doc="FUZZY benchmark decontamination (Dolma-style): train docs "
+        "near-duplicating a held-out doc — MinHash-LSH candidates "
+        "(benchmark side broadcasts) verified by exact shingle "
+        "Jaccard; catches paraphrased leakage the exact 13-gram "
+        "overlap provably misses",
+    tags=("pipeline", "documents", "dedup", "text", "minhash"),
+)
+def q_decontaminate_fuzzy(spark, sf_dir):
+    docs = load_table(prep(spark), sf_dir, "documents")
+    with_split = docs.withColumn("split", hash_split_expr("doc_id"))
+    return decontaminate_fuzzy(
+        with_split.filter(F.col("split") != "test").select(
+            "doc_id", "text"
+        ),
+        with_split.filter(F.col("split") == "test").select(
+            "doc_id", "text"
+        ),
+        threshold=0.5,
+    )

@@ -59,6 +59,13 @@ K = 3
 N_PROBE = 2
 SHORTLIST = 12
 APPEND_ID0 = 10_000_000
+# 'lowest' (default) runs the full experiment and overwrites the main
+# record; 'spread' re-runs ONLY the rebuild arm (the pinned side is
+# init-independent) and folds the result into the artifact's
+# spread_init_ab block — the reproducible form of the r12 hand-run A/B
+# (ADVICE r13: the r12 spread selection was biased to the low id
+# range; clustering.py now orders the pool by the id hash).
+INIT = os.environ.get("SPARK_GRAFT_RECL_INIT", "lowest")
 
 
 def main() -> None:
@@ -217,27 +224,28 @@ def main() -> None:
         return out
 
     root = os.path.join(work, "index_root")
-    timed(
-        "bootstrap",
-        lambda: run_ann_batch(
-            spark, base_path, root, n_cells=N_CELLS,
-        ),
-    )
-    append_stats = timed(
-        "append",
-        lambda: run_ann_batch(spark, append_path, root),
-    )
-    rec["append_mode"] = append_stats["mode"]
-    rec["recall_pinned"] = timed(
-        "query_pinned", lambda: recall_by_drift(root, N_PROBE)
-    )
-    rec["recall_pinned_2x_probe"] = timed(
-        "query_pinned_2x", lambda: recall_by_drift(root, 2 * N_PROBE)
-    )
-    rec["recall_pinned_4x_shortlist"] = timed(
-        "query_pinned_4x_short",
-        lambda: recall_by_drift(root, N_PROBE, shortlist=4 * SHORTLIST),
-    )
+    if INIT == "lowest":
+        timed(
+            "bootstrap",
+            lambda: run_ann_batch(
+                spark, base_path, root, n_cells=N_CELLS,
+            ),
+        )
+        append_stats = timed(
+            "append",
+            lambda: run_ann_batch(spark, append_path, root),
+        )
+        rec["append_mode"] = append_stats["mode"]
+        rec["recall_pinned"] = timed(
+            "query_pinned", lambda: recall_by_drift(root, N_PROBE)
+        )
+        rec["recall_pinned_2x_probe"] = timed(
+            "query_pinned_2x", lambda: recall_by_drift(root, 2 * N_PROBE)
+        )
+        rec["recall_pinned_4x_shortlist"] = timed(
+            "query_pinned_4x_short",
+            lambda: recall_by_drift(root, N_PROBE, shortlist=4 * SHORTLIST),
+        )
     # the recluster: trained centroids (kmeans) over the union, cell
     # budget scaled so the appended modes can earn their own cells —
     # the deterministic first-K codebook would re-pick the OLDEST
@@ -249,7 +257,7 @@ def main() -> None:
         "rebuild",
         lambda: run_ann_batch(
             spark, union_path, root, rebuild=True,
-            n_cells=rebuild_cells, kmeans_iters=5,
+            n_cells=rebuild_cells, kmeans_iters=5, kmeans_init=INIT,
         ),
     )
     rec["rebuild_mode"] = rebuild_stats["mode"]
@@ -261,9 +269,38 @@ def main() -> None:
         lambda: recall_by_drift(root, N_PROBE, shortlist=4 * SHORTLIST),
     )
 
-    print(json.dumps({"bench": "ann_recluster", "rec": rec}))
-    with open(os.path.join(repo, "BENCH_ANN_RECLUSTER.json"), "w") as f:
-        json.dump({"bench": "ann_recluster", "rec": rec}, f, indent=1)
+    artifact_path = os.path.join(repo, "BENCH_ANN_RECLUSTER.json")
+    if INIT == "lowest":
+        artifact = {"bench": "ann_recluster", "rec": rec}
+        try:
+            with open(artifact_path) as f:
+                prev = json.load(f)
+            if "spread_init_ab" in prev:
+                artifact["spread_init_ab"] = prev["spread_init_ab"]
+        except (OSError, json.JSONDecodeError):
+            pass
+    else:
+        # spread arm: fold ONLY the rebuild-side numbers into the
+        # standing artifact; the main (lowest-init) record and its
+        # pinned-side measurements stay untouched
+        with open(artifact_path) as f:
+            artifact = json.load(f)
+        artifact["spread_init_ab"] = {
+            "note": (
+                "identical fixture, rebuild-only re-run with kmeans "
+                "init='spread' (SPARK_GRAFT_RECL_INIT=spread; the "
+                "pinned side is init-independent) — r13 re-measure "
+                "after the hash-order selection fix in clustering.py"
+            ),
+            "rebuild_sec": rec["rebuild_sec"],
+            "recall_rebuilt": rec["recall_rebuilt"],
+            "recall_rebuilt_4x_shortlist": rec[
+                "recall_rebuilt_4x_shortlist"
+            ],
+        }
+    print(json.dumps(artifact))
+    with open(artifact_path, "w") as f:
+        json.dump(artifact, f, indent=1)
 
 
 if __name__ == "__main__":

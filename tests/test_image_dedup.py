@@ -340,3 +340,76 @@ def test_luma_plane_png_16bit_gray():
     for y in range(2):
         for x in range(3):
             assert abs(luma[y][x] - rows[y][x]) < 1e-9, (y, x)
+
+
+# --- benchmark-image decontamination (r13) -----------------------------------
+
+
+def test_decontaminate_registered_query_matches_frozen_values(spark):
+    """The registered mm_image_decontaminate result, re-derived by the
+    pure-python reference: hash every corpus raster AND both benchmark
+    rasters independently, band both sides, keep corpus docs sharing a
+    band with a benchmark image within 7 Hamming bits."""
+    from flink_exercise_spark import registry
+    from flink_exercise_spark.operators.image_dedup import (
+        phash_fixture_rasters,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in registry.specs()["mm_image_decontaminate"]
+        .fn(spark, "unused")
+        .collect()
+    )
+    rasters = phash_fixture_rasters()
+    corpus = {d: _ref_phash(r) for d, r in rasters.items()}
+    bench = {100: _ref_phash(rasters[0]), 101: _ref_phash(rasters[6])}
+    want = []
+    for d, hc in sorted(corpus.items()):
+        for b, hb in sorted(bench.items()):
+            bands_c = {(i, (hc >> (8 * i)) & 0xFF) for i in range(N_BANDS)}
+            bands_b = {(i, (hb >> (8 * i)) & 0xFF) for i in range(N_BANDS)}
+            h = _ham(hc, hb)
+            if bands_c & bands_b and h <= N_BANDS - 1:
+                want.append((d, b, h))
+    assert got == sorted(want)
+    # the frozen VALUES oracle, literally: brightness (1), contrast
+    # (7) and container re-encode (6 vs PNG benchmark) leaks flagged;
+    # the six unrelated corpus images untouched
+    assert got == [(0, 100, 0), (1, 100, 0), (6, 101, 0), (7, 101, 0)]
+
+
+def test_decontaminate_images_plan_is_broadcast_no_cartesian(spark):
+    """The corpus side must never shuffle and the benchmark side must
+    broadcast: the physical plan is a BroadcastHashJoin with zero
+    cartesian/nested-loop operators and zero Exchange on the corpus
+    band relation (scan -> generate -> join)."""
+    from flink_exercise_spark.operators.image_dedup import (
+        decontam_benchmark_corpus,
+        decontaminate_images,
+        image_phash,
+        phash_fixture_corpus,
+    )
+
+    flags = decontaminate_images(
+        image_phash(phash_fixture_corpus(spark)),
+        image_phash(decontam_benchmark_corpus(spark)),
+    )
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_images_rejects_unpigeonholeable_distance(spark):
+    import pytest
+
+    from flink_exercise_spark.operators.image_dedup import (
+        decontaminate_images,
+    )
+
+    hashes = spark.createDataFrame(
+        [(0, 0)], "doc_id long, phash long"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        decontaminate_images(hashes, hashes, max_distance=N_BANDS)

@@ -678,20 +678,61 @@ def test_kmeans_spread_init_deterministic_and_covers_id_range(spark):
         [(v, [x + (v % 7) * 0.01 for x in e]) for v, e in rows],
         "vec_id long, embedding array<double>",
     )
+    # iters=0 on BOTH arms: centroids == the raw seeds, so the
+    # coverage assertion tests the INIT, not a Lloyd update that
+    # would move a centroid to the far mass regardless of init
+    # (ADVICE r12 — the iters=1 form was vacuous)
     a = {
         r["cell_id"]: r["cent"]
-        for r in kmeans_centroids(emb, k=8, iters=1, init="spread").collect()
+        for r in kmeans_centroids(emb, k=8, iters=0, init="spread").collect()
     }
     b = {
         r["cell_id"]: r["cent"]
-        for r in kmeans_centroids(emb, k=8, iters=1, init="spread").collect()
+        for r in kmeans_centroids(emb, k=8, iters=0, init="spread").collect()
     }
     assert a.keys() == b.keys()
     for cid in a:
         assert np.allclose(a[cid], b[cid])
-    # spread init must seed BOTH regions; lowest init cannot (all 8
-    # lowest ids sit at the origin)
+    # spread init must SEED both regions (high-id half = half the
+    # corpus, so hash-ordered seeds land there w.p. 1-2^-8 per run,
+    # and deterministically for this fixed corpus); lowest init
+    # cannot (all 8 lowest ids sit at the origin)
     near_far = [1 for c in a.values() if c[0] > 50]
+    near_origin = [1 for c in a.values() if c[0] < 50]
     assert near_far, "spread init never seeded the high-id region"
+    assert near_origin, "spread init never seeded the low-id region"
     lowest = kmeans_centroids(emb, k=8, iters=0, init="lowest").collect()
     assert all(r["cent"][0] < 50 for r in lowest)
+
+
+def test_kmeans_spread_init_tops_up_when_pool_undershoots(spark):
+    """When the hash-thinned pool yields fewer than k rows, 'spread'
+    must fall back to the full corpus instead of silently training
+    fewer cells than asked (ADVICE r12): with corpus >= k the
+    trained codebook has exactly k cells."""
+    from pyspark.sql import functions as F
+
+    from flink_exercise_spark.operators.clustering import (
+        kmeans_centroids,
+    )
+
+    # Build a corpus whose ids are chosen ADVERSARIALLY against the
+    # pool filter: n=40, k=10 -> stride=2, pool = ids with even
+    # xxhash64. Pick 37 odd-hash ids and 3 even-hash ids from the
+    # candidate range, so the pool holds exactly 3 < k rows.
+    hashes = {
+        r["id"]: r["h"]
+        for r in spark.range(4000)
+        .select("id", F.pmod(F.xxhash64(F.col("id")), F.lit(2)).alias("h"))
+        .collect()
+    }
+    odd = [i for i, h in hashes.items() if h == 1][:37]
+    even = [i for i, h in hashes.items() if h == 0][:3]
+    ids = sorted(odd + even)
+    assert len(ids) == 40
+    emb = spark.createDataFrame(
+        [(int(i), [float(i % 11), float(i % 7)]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    cb = kmeans_centroids(emb, k=10, iters=0, init="spread")
+    assert cb.count() == 10, "pool undershoot must top up to k seeds"
