@@ -251,13 +251,6 @@ def range_join_counts(
 
 @register(
     "range_join_concurrent_events",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pin: hand-computed + quadratic-reference fuzz in tests/test_asof_range.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the
@@ -294,6 +287,13 @@ def q_range_join(spark, sf_dir):
 
 @register(
     "asof_purchase_attribution",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # DuckDB's native ASOF JOIN is the oracle for our windowed
     # composition; >= semantics on the timestamp, per-user key.
     oracle="""

@@ -456,6 +456,13 @@ _ORACLE_SHINGLE_CTE = """
 
 @register(
     "dedup_exact_map",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pandas pin: tests/test_rotation_pins.py.
+    priority=1,
     # Subsumes the former dedup_exact_stats entry: corpus-level
     # accounting (n_docs / n_distinct / n_dups) is a trivial aggregate
     # over this map, and exact_dedup_stats remains a library operator.
@@ -486,6 +493,13 @@ def _minhash_oracle(k: int = N_MINHASH) -> str:
 
 @register(
     "dedup_minhash_signatures",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=_minhash_oracle(),
     doc="8-permutation MinHash signatures over 3-gram shingles "
         "(md5 hash family)",
@@ -527,6 +541,13 @@ def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
 
 @register(
     "dedup_minhash_band_pairs",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=_band_pairs_oracle(),
     doc="MinHash-LSH candidate pairs over 3-gram shingles "
         "(4 bands x 2 rows)",
@@ -538,6 +559,13 @@ def q_minhash_pairs(spark, sf_dir):
 
 @register(
     "dedup_jaccard_pairs",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Python-set pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH toks AS (
       {_ORACLE_SHINGLE_CTE}
@@ -630,13 +658,6 @@ def lsh_verified_pairs(
 
 @register(
     "dedup_lsh_verified_pairs",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py (pre-paid in r11).
-    priority=1,
     oracle=f"""
     WITH cands AS (
       {_band_pairs_oracle()}
@@ -793,13 +814,6 @@ def _clusters_oracle_cte() -> str:
 
 @register(
     "dedup_near_dup_clusters",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py (pre-paid in r11).
-    priority=1,
     # Recursive-CTE transitive closure: cluster_id = min doc_id
     # reachable through the verified-pair graph.
     oracle=f"""
@@ -862,13 +876,6 @@ def cluster_keep_best(
 
 @register(
     "dedup_cluster_keep_best",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Reuses the transitive-closure CTE; canonical member = max
@@ -904,13 +911,6 @@ def q_cluster_keep_best(spark, sf_dir):
 
 @register(
     "dedup_simhash_near_pairs",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py (pre-paid in r11).
-    priority=1,
     # Value-oracled since r5 (was rows-only): the md5-derived bit
     # construction (_SimhashVocab: bit b of the row = bit b, LSB-first,
     # of the big-endian int over the md5 digest's first 8 bytes) is
@@ -1061,6 +1061,13 @@ def line_dedup(
 
 @register(
     "dedup_line_boilerplate",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pure-python pin: tests/test_rotation_pins.py.
+    priority=1,
     # Oracle mirror notes: (1) DuckDB's zipped unnest pairs each line
     # with its 1-based position (ordering key only — not emitted);
     # (2) coalesce('' ) matches Spark's concat_ws over an empty kept
@@ -1363,6 +1370,13 @@ def _substring_oracle(k: int = SUBSTR_K) -> str:
 
 @register(
     "dedup_exact_substring",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pure-python pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=_substring_oracle(),
     doc="Exact-substring dedup (Lee et al. ExactSubstr): token spans "
         "of any k-gram occurring >= 2 times corpus-wide are removed "

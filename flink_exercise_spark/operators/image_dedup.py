@@ -468,6 +468,14 @@ def phash_fixture_corpus(spark) -> DataFrame:
 
 @register(
     "mm_image_phash_pairs",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pin: tests/test_image_dedup.py pure-python re-derivation of
+    # the frozen VALUES oracle.
+    priority=1,
     # VALUES oracle: the four perturbed-duplicate pairs with their
     # exact Hamming distances, independently re-derived by the
     # pure-python (no-numpy) reference in tests/test_image_dedup.py,

@@ -277,13 +277,6 @@ def _dsir_oracle(n: int = DSIR_N, k: int = DSIR_BUCKETS) -> str:
 
 @register(
     "text_dsir_weights",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pin: pure-python fixture reference in tests/test_importance.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_dsir_oracle(),

@@ -276,13 +276,6 @@ WHERE {sw_d}
 
 @register(
     "text_ngram_logprob",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pin: pure-python fixture reference in tests/test_ngram_lm.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_lm_oracle(train_where="TRUE", score_where="TRUE"),
@@ -306,13 +299,6 @@ LM_SPLIT = 250
 
 @register(
     "text_lm_cross_score",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pin: pure-python fixture reference in tests/test_ngram_lm.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_lm_oracle(
@@ -636,6 +622,14 @@ WHERE {sw_d}
 
 @register(
     "text_lm_backoff_trigram",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pin: tests/test_ngram_lm.py::test_backoff_fixture_matches_py
+    # thon_reference.
+    priority=1,
     # priority=0: takes the window seat reserved by the r10 rotation
     # for this entry's FIRST driver pass.
     oracle=_backoff_oracle(

@@ -388,6 +388,13 @@ def _mix_threshold_sql() -> str:
 
 @register(
     "pipeline_hash_split",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH b AS (
       SELECT *,
@@ -423,13 +430,6 @@ def q_hash_split(spark, sf_dir):
 
 @register(
     "pipeline_temperature_mix",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pin: python profile reference + fuzz in tests/test_pipeline.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Rates are corpus-derived, so the oracle restates the whole
@@ -489,13 +489,6 @@ def q_temperature_mix(spark, sf_dir):
 
 @register(
     "pipeline_llm_data_prep",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Hashlib pin: tests/test_rotation_pins.py (pre-paid in r11).
-    priority=1,
     oracle=_oracle(),
     doc="End-to-end LLM data prep: quality gate -> language gate -> "
         "exact dedup -> per-language token budget (one declarative plan)",
@@ -685,6 +678,14 @@ def _decontam_oracle(n: int = DECONTAM_N) -> str:
 
 @register(
     "pipeline_decontaminate",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pin: tests/test_pipeline.py hand-computed leak/clean cases +
+    # hashlib bucket pin.
+    priority=1,
     oracle=_decontam_oracle(),
     doc="Benchmark decontamination: train-side documents sharing any "
         "word 13-gram with the held-out split (GPT-3/Gopher exact "

@@ -140,13 +140,6 @@ def source_quantile_profile(docs: DataFrame) -> DataFrame:
 
 @register(
     "doc_quantiles_by_source",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pin: rank-reference fixture test in tests/test_profiling.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=f"""

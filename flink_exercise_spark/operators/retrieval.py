@@ -472,13 +472,6 @@ _HYBRID_ORACLE = f"""
 
 @register(
     "retrieval_hybrid_rrf",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pin: pure-python fixture reference in tests/test_retrieval.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_HYBRID_ORACLE,
@@ -499,13 +492,6 @@ def q_hybrid_rrf(spark, sf_dir):
 
 @register(
     "text_bm25_topk",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pin: pure-python fixture reference in tests/test_retrieval.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_BM25_ORACLE,

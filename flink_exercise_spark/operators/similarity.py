@@ -1203,6 +1203,13 @@ _VEC_CTE = f"""
 
 @register(
     "sim_knn_brute_force",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Numpy pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=_VEC_CTE + f""",
     scored AS (
       SELECT query_id, neighbor_id, round(dot / (qn * cn), 6) AS cosine
@@ -1232,6 +1239,13 @@ def _bucket_sql(alias: str) -> str:
 
 @register(
     "sim_knn_lsh_bucketed",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Numpy pin: tests/test_rotation_pins.py.
+    priority=1,
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
@@ -1271,13 +1285,6 @@ def q_knn_lsh(spark, sf_dir):
 
 @register(
     "sim_knn_ivf",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Numpy pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH u AS (
       SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1344,13 +1351,6 @@ def q_knn_ivf(spark, sf_dir):
 
 @register(
     "sim_embedding_near_dup_pairs",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Numpy pin: tests/test_rotation_pins.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Threshold 0.35 sits inside the fixture corpus's in-bucket cosine
@@ -1393,13 +1393,6 @@ def q_near_dup(spark, sf_dir):
 
 @register(
     "dedup_semantic_prune",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Numpy pin: tests/test_rotation_pins.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=f"""
@@ -1460,13 +1453,6 @@ def q_semantic_prune(spark, sf_dir):
 
 @register(
     "sim_label_centroid_norms",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Numpy pin: tests/test_rotation_pins.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the

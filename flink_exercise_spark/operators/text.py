@@ -412,13 +412,6 @@ def classifier_scores_joined(docs: DataFrame, weights: DataFrame) -> DataFrame:
 
 @register(
     "text_stats",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Token statistics AND C4/Gopher-style quality features in one
@@ -562,13 +555,6 @@ def _lang_id_oracle() -> str:
 
 @register(
     "text_language_id",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Absorbed the former text_lang_profile entry in r6 (registry
@@ -681,13 +667,6 @@ def chunk_documents(
 
 @register(
     "text_chunk_overlap",
-    # priority=1 (r12 rotation): driver-green in r11; takes a rotation
-    # slot so the 36 r11-demoted entries (freshest pass r10) return to
-    # the driver window (+2 seats for the new video near-dup and
-    # multimodal front-door entries). Hash-verified locally every
-    # round by test_parity_demoted.
-    # Pin: python fixture reference in tests/test_chunking.py.
-    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=f"""
@@ -721,6 +700,13 @@ def q_chunk_overlap(spark, sf_dir):
 
 @register(
     "text_fingerprints",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Hashlib pin: tests/test_rotation_pins.py.
+    priority=1,
     # Fingerprints + BPE-ish token budget + PII scrub accounting in one
     # per-document pass (round 6 consolidates the PII scrubber here:
     # same projection shape, no new registry slot). The scrubbed text
@@ -941,6 +927,14 @@ _HTML_ORACLE = """
 
 @register(
     "text_html_extract",
+    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+    # slot so the 38 r12-demoted entries (freshest pass r11) return to
+    # the driver window (+2 seats for the new fuzzy-decontamination
+    # and image-decontamination entries). Hash-verified locally every
+    # round by test_parity_demoted.
+    # Pin: tests/test_html.py fixture round-trip vs a pure-python
+    # extractor.
+    priority=1,
     oracle=_HTML_ORACLE,
     doc="HTML -> text extraction (script/style subtree drop, comment "
         "drop, tag-as-boundary strip, entity unescape, whitespace "

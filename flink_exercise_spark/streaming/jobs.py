@@ -587,6 +587,14 @@ def _register_streaming() -> None:
 
     @register(
         "stream_interval_join_attribution",
+        # priority=1 (r13 rotation): driver-green in r12; takes a rotation
+        # slot so the 38 r12-demoted entries (freshest pass r11) return to
+        # the driver window (+2 seats for the new fuzzy-decontamination
+        # and image-decontamination entries). Hash-verified locally every
+        # round by test_parity_demoted.
+        # Pin: tests/test_streaming.py stream==batch interval-join
+        # parity.
+        priority=1,
         # Oracled since r7 (was rows-only): the batch twin of the
         # interval join is plain SQL DuckDB runs natively, and the
         # stream-equals-batch parity test (test_streaming.py) pins
