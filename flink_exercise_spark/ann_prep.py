@@ -4,8 +4,9 @@ text-dedup archive got via ``prep.py --index-path``).
 
     python -m flink_exercise_spark.ann_prep \\
         --input /data/new_embeddings --index /data/ann_root \\
-        [--rebuild] \\
+        [--rebuild] [--kmeans-iters 5] [--kmeans-init lowest] \\
         [--queries /data/queries --output /data/results --k 5] \\
+        [--probe-recall [--probe-sample 64] [--probe-threshold 0.8]] \\
         [--vacuum-keep 2] [--n-cells 64] [--m 8] [--n-codes 16] \\
         [--cores 8]
 
@@ -21,6 +22,16 @@ recluster: a whole new index version (fresh centroids + books) built
 from --input and published in one pointer swap, old version kept for
 pinned readers until ``--vacuum-keep`` reclaims it (which also runs
 the per-sub-store retention GC on the live version).
+
+``--probe-recall`` runs the recall-decay monitor after the batch
+commits (ann_store.probe_appended_recall — the SCALE.md recluster
+decision rule as a product surface): it samples the just-ingested
+batch, computes exact ground truth for the sample over the full float
+store, queries the live index at the deployment settings, and adds a
+``probe`` block to the JSON summary with ``recall`` and
+``rebuild_recommended`` (true when recall < --probe-threshold; the
+remedy is ``--rebuild --kmeans-iters N``, the measured recovery in
+BENCH_ANN_RECLUSTER.json).
 
 ``--queries`` answers a (query_id, embedding) parquet against the
 post-commit live version and writes (query_id, neighbor_id, cosine,
@@ -54,6 +65,9 @@ def run_ann_batch(
     vacuum_keep: int | None = None,
     kmeans_iters: int = 0,
     kmeans_init: str = "lowest",
+    probe_recall: bool = False,
+    probe_sample: int = 64,
+    probe_threshold: float = 0.8,
 ) -> dict:
     """One daily batch: bootstrap-or-append (or an explicit rebuild),
     optional query run, optional vacuum. Returns the summary dict the
@@ -73,6 +87,7 @@ def run_ann_batch(
         ann_root_current,
         ann_root_path,
         append_ann_index,
+        probe_appended_recall,
         query_ann_index,
         rebuild_ann_index,
         vacuum_ann_index,
@@ -151,6 +166,20 @@ def run_ann_batch(
         summary["index_version"] = cur
         summary.update(stats)
     live = ann_root_path(index_root)
+    if probe_recall:
+        # the recall-decay monitor (SCALE.md decision rule): probe the
+        # batch just ingested against the post-commit live version at
+        # the SAME read settings the --queries path uses, so the
+        # reported recall is the number a deployment's own queries
+        # will see; "probe" carries recall + rebuild_recommended
+        summary["probe"] = probe_appended_recall(
+            spark, live, emb,
+            n_sample=probe_sample,
+            k=k,
+            n_probe=n_probe,
+            shortlist=shortlist if shortlist is not None else max(4 * k, 32),
+            threshold=probe_threshold,
+        )
     if queries_path:
         if not output_path:
             raise ValueError("--queries requires --output")
@@ -206,6 +235,25 @@ def main(argv: list[str] | None = None) -> int:
                          "'lowest' (default, measured best on the "
                          "drifted-append record) or 'spread' "
                          "(hash-uniform over the id range)")
+    ap.add_argument("--probe-recall", action="store_true",
+                    help="recall-decay monitor: sample the ingested "
+                         "batch, compute exact ground truth on the "
+                         "sample over the full float store (self "
+                         "excluded), query the live index at the "
+                         "--k/--n-probe/--shortlist settings, and "
+                         "emit a 'probe' block in the JSON summary: "
+                         "{n_sample, k, n_probe, shortlist, recall, "
+                         "threshold, rebuild_recommended} — "
+                         "rebuild_recommended=true means recall fell "
+                         "under --probe-threshold and a --rebuild "
+                         "with --kmeans-iters is due (the measured "
+                         "decision rule, BENCH_ANN_RECLUSTER.json)")
+    ap.add_argument("--probe-sample", type=int, default=64,
+                    help="probe sample size (deterministic "
+                         "xxhash64-ordered draw from the batch)")
+    ap.add_argument("--probe-threshold", type=float, default=0.8,
+                    help="recall floor under which the probe "
+                         "recommends a rebuild")
     ap.add_argument("--vacuum-keep", type=int, default=None,
                     help="retention GC: keep this many sub-store "
                          "snapshots AND index versions")
@@ -239,6 +287,9 @@ def main(argv: list[str] | None = None) -> int:
             vacuum_keep=args.vacuum_keep,
             kmeans_iters=args.kmeans_iters,
             kmeans_init=args.kmeans_init,
+            probe_recall=args.probe_recall,
+            probe_sample=args.probe_sample,
+            probe_threshold=args.probe_threshold,
         )
     finally:
         spark.stop()

@@ -641,3 +641,162 @@ def vacuum_ann_root(
         shutil.rmtree(target, ignore_errors=True)
         n += 1
     return {"versions_deleted": n}
+
+
+def probe_appended_recall(
+    spark: SparkSession,
+    path: str,
+    appended: DataFrame,
+    n_sample: int = 64,
+    k: int = 3,
+    n_probe: int = 2,
+    shortlist: int | None = None,
+    threshold: float = 0.8,
+) -> dict:
+    """The recall-decay monitor, productized (VERDICT r12 ask #2): the
+    SCALE.md recluster decision record prescribes "run the appended-
+    cohort recall probe with every append and alert on the decay" —
+    this operator IS that probe, so a deployment runs it via
+    ``ann_prep --probe-recall`` instead of re-implementing
+    scripts/bench_ann_recluster.py's measurement harness.
+
+    Samples ``n_sample`` vectors of the just-appended cohort
+    (deterministic xxhash64 order — no RNG state), computes the EXACT
+    cosine top-``k`` for each over the FULL float store (self
+    excluded: a store member's nearest neighbor is itself, which
+    would inflate every recall to >= 1/k), runs the same sample
+    through the deployment read path (``query_ann_index`` at the
+    given ``n_probe``/``shortlist``), and reports
+    ``recall = |exact ∩ approx| / (k x n_queries)`` plus
+    ``rebuild_recommended = recall < threshold``.
+
+    Why the appended cohort: drift enters through appends (their
+    residuals grow against the PINNED models — the measured decay
+    geometry, BENCH_ANN_RECLUSTER.json), so appended vectors whose
+    true neighbors are fellow appends are exactly the queries the
+    pinned index starts missing. Base-cohort recall stays high right
+    up until the rebuild is overdue.
+
+    Cost shape: the exact side is ONE scan of the float store against
+    a model-sized broadcast query block (n_sample x dims in the
+    kernel closure), per-partition top-k, driver merge of
+    n_partitions x n_sample x k score rows (bounded, model-sized —
+    the measurement-harness collect class); ~24 s at 200k store rows
+    (the bench script's probe). The approximate side is a normal
+    partition-pruned store query. Tie discipline: the exact side
+    scores on cosine ROUNDED to 6 decimals and breaks ties by LOWEST
+    neighbor_id — the store query's own ``F.round`` + ``_rank_top_k``
+    convention — so under exhaustive settings (every cell probed,
+    covering shortlist) the two sides are the SAME metric and recall
+    is exactly 1.0 (structurally pinned in test_ann_cli.py; near-
+    identical vectors tie at the rounded digit, where an unrounded
+    exact side would order them differently)."""
+    import numpy as np
+
+    meta = read_ann_meta(path)
+    vers = meta.get("versions") or {}
+    if shortlist is None:
+        shortlist = max(4 * k, 32)
+    q_rows = (
+        appended.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(n_sample)
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError(
+            "probe_appended_recall: empty appended cohort — nothing "
+            "to probe"
+        )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in q_rows]
+    )
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+
+    floats = mft.versioned_read(
+        spark, os.path.join(path, "floats"), vers.get("floats")
+    ).select("vec_id", "c_emb", "c_norm")
+
+    def exact_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["c_emb"]]
+            )
+            cn = pdf["c_norm"].to_numpy(np.float64)
+            S = np.round(
+                (M @ Q.T) / (cn[:, None] * q_norms[None, :]), 6
+            )
+            out_q: list[int] = []
+            out_n: list[int] = []
+            out_c: list[float] = []
+            for j in range(len(q_ids)):
+                idx = np.nonzero(ids != q_ids[j])[0]  # self excluded
+                if not len(idx):
+                    continue
+                # per-batch top-k on (-rounded cosine, neighbor_id):
+                # the store's F.round + _rank_top_k order, so the
+                # driver merge below reproduces the store query's
+                # ranking bit for bit, ties included
+                order = np.lexsort((ids[idx], -S[idx, j]))[:k]
+                top = idx[order]
+                out_q.extend([int(q_ids[j])] * len(top))
+                out_n.extend(int(x) for x in ids[top])
+                out_c.extend(float(x) for x in S[top, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partial_rows = floats.mapInPandas(
+        exact_partials, schema="query_id long, neighbor_id long, cosine double"
+    ).collect()
+    truth: dict[int, set[int]] = {}
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partial_rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (-r["cosine"], r["neighbor_id"])
+        )
+    for qid, scored in by_q.items():
+        truth[qid] = {n for _, n in sorted(scored)[:k]}
+
+    queries = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in q_rows
+        ],
+        "query_id long, embedding array<double>",
+    )
+    # ask k+1 so a self-hit (the sampled vector IS in the store)
+    # doesn't eat a neighbor slot, then drop self and keep the first
+    # k by the store's own rank
+    approx_rows = query_ann_index(
+        spark, path, queries, k=k + 1, n_probe=n_probe,
+        shortlist=max(shortlist, k + 1),
+    ).collect()
+    got: dict[int, list[tuple[int, int]]] = {}
+    for r in approx_rows:
+        if r["neighbor_id"] == r["query_id"]:
+            continue
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    hits = 0
+    for qid, t in truth.items():
+        kept = {n for _, n in sorted(got.get(qid, []))[:k]}
+        hits += len(kept & t)
+    denom = k * len(truth)
+    recall = round(hits / denom, 4) if denom else 0.0
+    return {
+        "n_sample": len(q_rows),
+        "k": k,
+        "n_probe": n_probe,
+        "shortlist": shortlist,
+        "recall": recall,
+        "threshold": threshold,
+        "rebuild_recommended": recall < threshold,
+    }

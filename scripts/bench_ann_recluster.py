@@ -246,6 +246,23 @@ def main() -> None:
             "query_pinned_4x_short",
             lambda: recall_by_drift(root, N_PROBE, shortlist=4 * SHORTLIST),
         )
+        # the productized monitor (ann_prep --probe-recall, r13)
+        # against the same pinned store: its blended appended-cohort
+        # recall should sit near the drift-mean of recall_pinned —
+        # recording it here pins the product surface to the bench's
+        # own measurement
+        from flink_exercise_spark.operators.ann_store import (
+            probe_appended_recall,
+        )
+
+        rec["probe_pinned"] = timed(
+            "probe_pinned",
+            lambda: probe_appended_recall(
+                spark, ann_root_path(root),
+                spark.read.parquet(append_path),
+                n_sample=64, k=K, n_probe=N_PROBE, shortlist=SHORTLIST,
+            ),
+        )
     # the recluster: trained centroids (kmeans) over the union, cell
     # budget scaled so the appended modes can earn their own cells —
     # the deterministic first-K codebook would re-pick the OLDEST
@@ -268,6 +285,19 @@ def main() -> None:
         "query_rebuilt_4x_short",
         lambda: recall_by_drift(root, N_PROBE, shortlist=4 * SHORTLIST),
     )
+    if INIT == "lowest":
+        from flink_exercise_spark.operators.ann_store import (
+            probe_appended_recall,
+        )
+
+        rec["probe_rebuilt"] = timed(
+            "probe_rebuilt",
+            lambda: probe_appended_recall(
+                spark, ann_root_path(root),
+                spark.read.parquet(append_path),
+                n_sample=64, k=K, n_probe=N_PROBE, shortlist=SHORTLIST,
+            ),
+        )
 
     artifact_path = os.path.join(repo, "BENCH_ANN_RECLUSTER.json")
     if INIT == "lowest":

@@ -370,3 +370,138 @@ def test_root_vacuum_age_gate_sees_deep_write_activity(
         os.utime(dirpath, (old, old))
     stats = vacuum_ann_root(root, keep_versions=1)
     assert stats["versions_deleted"] == 1 and not os.path.exists(debris)
+
+
+# --- recall-decay probe (r13: the SCALE.md decision rule productized) --------
+
+
+@pytest.fixture(scope="module")
+def drifted_paths(spark, tmp_path_factory):
+    """The recluster-bench geometry, miniaturized: 200 base vectors in
+    8 tight well-separated clusters (vec_id i -> cluster i%8, so the
+    deterministic first-8 codebook seeds every cluster), plus 40
+    appended vectors forming 8 FAR-drifted 5-member modes at ids
+    10M+ — the cohort whose true neighbors are fellow appends and
+    whose residuals the pinned PQ books cannot represent."""
+    root = tmp_path_factory.mktemp("ann_probe")
+    dims = 8
+    base_rows = []
+    for i in range(200):
+        c = i % 8
+        v = [0.0] * dims
+        v[c] = 10.0
+        # deterministic jitter, all pairwise-distinct distances
+        v[(c + 1) % dims] += (i % 13) * 0.01
+        v[(c + 3) % dims] += (i % 7) * 0.015
+        base_rows.append((i, v))
+    append_rows = []
+    vid = 10_000_000
+    for m in range(8):
+        # the bench's drift-6 regime: each mode sits at distance ~6
+        # from its parent cluster — comparable to the inter-cluster
+        # scale, so a trained rebuild CAN earn the mode its own cell
+        # while the pinned store's residuals for it are ~60x the base
+        # noise (PQ-resolution decay, the measured failure mode)
+        center = [0.0] * dims
+        center[m] = 10.0
+        center[(m + 4) % dims] = 6.0
+        for j in range(5):
+            v = list(center)
+            v[(m + 1) % dims] += j * 0.01
+            v[(m + 5) % dims] += ((j * 3) % 5) * 0.012
+            append_rows.append((vid, v))
+            vid += 1
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(base_rows, schema).write.parquet(
+        str(root / "base")
+    )
+    spark.createDataFrame(append_rows, schema).write.parquet(
+        str(root / "append")
+    )
+    spark.createDataFrame(base_rows + append_rows, schema).write.parquet(
+        str(root / "union")
+    )
+    return root
+
+
+def test_probe_recall_flags_decay_and_clears_after_recluster(
+    spark, drifted_paths, tmp_path
+):
+    """The productized monitor must reproduce the recluster decision
+    record's shape end to end: append drifted modes -> probe reports
+    decayed recall + rebuild_recommended; kmeans rebuild -> the same
+    probe on the same cohort reports recovered recall and no
+    recommendation. Settings mirror the bench's sub-covering
+    shortlist (the regime where PQ-resolution decay is visible)."""
+    from flink_exercise_spark.operators.ann_store import (
+        probe_appended_recall,
+    )
+
+    root = str(tmp_path / "root")
+    run_ann_batch(
+        spark, str(drifted_paths / "base"), root, n_cells=N_CELLS
+    )
+    s = run_ann_batch(
+        spark, str(drifted_paths / "append"), root,
+        k=3, shortlist=4,
+        probe_recall=True, probe_sample=40, probe_threshold=0.8,
+    )
+    assert s["mode"] == "append"
+    pinned = s["probe"]
+    assert pinned["n_sample"] == 40 and pinned["k"] == 3
+    assert pinned["rebuild_recommended"] is True
+    assert pinned["recall"] < 0.8
+
+    run_ann_batch(
+        spark, str(drifted_paths / "union"), root, rebuild=True,
+        n_cells=16, kmeans_iters=4,
+    )
+    rebuilt = probe_appended_recall(
+        spark, ann_root_path(root),
+        spark.read.parquet(str(drifted_paths / "append")),
+        n_sample=40, k=3, shortlist=4, threshold=0.8,
+    )
+    assert rebuilt["recall"] > pinned["recall"]
+    assert rebuilt["recall"] >= 0.8
+    assert rebuilt["rebuild_recommended"] is False
+
+
+def test_probe_recall_exactness_under_exhaustive_settings(
+    spark, drifted_paths, tmp_path
+):
+    """Structural pin of the probe's two sides: with every cell probed
+    and a covering shortlist the store query IS brute force, so the
+    probe must report recall exactly 1.0 — any disagreement (self
+    handling, tie order, metric) would break this identity."""
+    from flink_exercise_spark.operators.ann_store import (
+        probe_appended_recall,
+    )
+
+    root = str(tmp_path / "root")
+    run_ann_batch(
+        spark, str(drifted_paths / "base"), root, n_cells=N_CELLS
+    )
+    run_ann_batch(spark, str(drifted_paths / "append"), root)
+    res = probe_appended_recall(
+        spark, ann_root_path(root),
+        spark.read.parquet(str(drifted_paths / "append")),
+        n_sample=16, k=3, n_probe=N_CELLS, shortlist=1000,
+    )
+    assert res["recall"] == 1.0
+    assert res["rebuild_recommended"] is False
+
+
+def test_probe_recall_empty_cohort_fails_loud(spark, drifted_paths, tmp_path):
+    from flink_exercise_spark.operators.ann_store import (
+        probe_appended_recall,
+    )
+
+    root = str(tmp_path / "root")
+    run_ann_batch(
+        spark, str(drifted_paths / "base"), root, n_cells=N_CELLS
+    )
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty appended cohort"):
+        probe_appended_recall(spark, ann_root_path(root), empty)
