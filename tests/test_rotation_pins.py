@@ -1819,3 +1819,78 @@ def test_pipeline_llm_data_prep_pin(spark):
         assert r["total_tokens"] == a[1]
         assert abs(r["avg_lexical_diversity"] - _round_half_up(a[2] / a[0], 4)) < 2e-4
         assert abs(r["avg_stopword_ratio"] - _round_half_up(a[3] / a[0], 4)) < 2e-4
+
+
+def test_pipeline_decontaminate_fuzzy_pin(spark):
+    """Pure-python re-derivation of the REGISTERED fuzzy
+    decontamination run (r13 pre-pay for a future demotion): hashlib
+    md5 split buckets, 3-gram shingle sets, the 8-perm md5 minhash +
+    4x2 banding candidate gate, exact Jaccard — no DuckDB, no Spark
+    expressions."""
+    import hashlib
+
+    docs = pd.read_parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+
+    def bucket(doc_id) -> int:
+        return (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            % 100
+        )
+
+    def shingles(t) -> set:
+        toks = (t or "").strip().split()
+        return {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def bands(sh: set) -> set:
+        sig = [
+            min(
+                hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+                for s in sh
+            )
+            for i in range(8)
+        ]
+        return {
+            (
+                b,
+                hashlib.md5(
+                    f"{sig[2 * b]}|{sig[2 * b + 1]}".encode()
+                ).hexdigest(),
+            )
+            for b in range(4)
+        }
+
+    tr = {d: shingles(t) for d, t in texts.items() if bucket(d) < 90}
+    ev = {d: shingles(t) for d, t in texts.items() if bucket(d) >= 90}
+    tr_bands = {d: bands(sh) for d, sh in tr.items() if sh}
+    ev_bands = {d: bands(sh) for d, sh in ev.items() if sh}
+    want = {}
+    for d, db in tr_bands.items():
+        for e, eb in ev_bands.items():
+            if db & eb:
+                inter = len(tr[d] & ev[e])
+                j = round(inter / (len(tr[d]) + len(ev[e]) - inter), 4)
+                if j >= 0.5:
+                    want[(d, e)] = j
+    out = _run(spark, "pipeline_decontaminate_fuzzy")
+    got = {
+        (r.doc_id, r.eval_id): r.jaccard for r in out.itertuples()
+    }
+    assert got == want
+    assert len(got) > 0  # the fixture's cross-split near-dups surface
+
+
+def test_mm_image_decontaminate_pin_is_own_file():
+    """mm_image_decontaminate's independent pin lives in its own file
+    (tests/test_image_dedup.py::
+    test_decontaminate_registered_query_matches_frozen_values — a
+    pure-python pHash re-derivation of the frozen VALUES oracle, the
+    mm_image_phash_pairs convention); this marker test documents the
+    citation so the rotation ledger's pre-pay claim is greppable."""
+    import tests.test_image_dedup as t
+
+    assert hasattr(
+        t, "test_decontaminate_registered_query_matches_frozen_values"
+    )
