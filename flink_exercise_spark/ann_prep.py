@@ -98,11 +98,11 @@ def run_ann_batch(
     summary: dict = {"index_root": index_root, "input": input_path}
     cur = ann_root_current(index_root)
     # Deployment split: every --input vector is corpus (no fixture
-    # query rows). Declared ONCE so the codebook-training input and
-    # the write_ann_index split can never diverge: training on rows
-    # the write keeps out of the store would leak query vectors into
-    # the model that is then recall-benchmarked against those same
-    # queries (ADVICE r12).
+    # query rows), declared ONCE and passed to rebuild_ann_index so
+    # the codebook-training input and the write split can never
+    # diverge — training on rows the write keeps out of the store
+    # would leak query vectors into the model that is then
+    # recall-benchmarked against those same queries (ADVICE r12).
     n_queries = 0
     if cur is None or rebuild:
         codebook = None
@@ -120,15 +120,13 @@ def run_ann_batch(
             # and 'lowest' stays the default per that record; 'spread'
             # is exposed here for corpora where appended data
             # dominates the row count. SCALE.md addendum.
-            from pyspark.sql import functions as F
-
-            train = (
-                emb.filter(F.col("vec_id") >= n_queries)
-                if n_queries
-                else emb
-            )
+            # trains on emb DIRECTLY because n_queries=0 above means
+            # every input row enters the store — training input ==
+            # stored corpus by construction, no filter arm to diverge
+            # (ADVICE r12 / code-review r13: a conditional filter on
+            # a literal 0 was dead code dressed as configurability)
             codebook = kmeans_centroids(
-                train, k=n_cells, iters=kmeans_iters, init=kmeans_init
+                emb, k=n_cells, iters=kmeans_iters, init=kmeans_init
             )
             summary["kmeans_iters"] = kmeans_iters
             summary["kmeans_init"] = kmeans_init
@@ -177,7 +175,9 @@ def run_ann_batch(
             n_sample=probe_sample,
             k=k,
             n_probe=n_probe,
-            shortlist=shortlist if shortlist is not None else max(4 * k, 32),
+            # None falls through to the read path's own default inside
+            # the probe — never restate it here (code-review r13)
+            shortlist=shortlist,
             threshold=probe_threshold,
         )
     if queries_path:

@@ -212,6 +212,7 @@ def query_ann_index(
     n_probe: int = 2,
     shortlist: int | None = None,
     probe_kernel: bool = True,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Top-k neighbors for ``queries`` (query_id, embedding) against
     the persisted index: probe selection against the broadcast
@@ -226,8 +227,12 @@ def query_ann_index(
 
     All four sub-stores are read at the snapshot versions meta.json
     pins, so one query never mixes index states even while an append
-    is between its codes and floats commits."""
-    meta = read_ann_meta(path)
+    is between its codes and floats commits. Callers that pair this
+    read with ANOTHER read of the same index (probe_appended_recall's
+    exact side) pass the meta they already pinned via ``meta`` so
+    both sides see one snapshot (code-review r13)."""
+    if meta is None:
+        meta = read_ann_meta(path)
     if shortlist is None:
         shortlist = max(4 * k, 32)
     if shortlist < k:
@@ -771,12 +776,20 @@ def probe_appended_recall(
         ],
         "query_id long, embedding array<double>",
     )
-    # ask k+1 so a self-hit (the sampled vector IS in the store)
-    # doesn't eat a neighbor slot, then drop self and keep the first
-    # k by the store's own rank
+    # ask k+1 AND one extra shortlist seat: the sampled vector IS in
+    # the store, so its (near-1.0) self-score occupies both a result
+    # slot and a shortlist seat a deployment's fresh query would not
+    # spend — without the +1 the probe systematically under-reports
+    # deployment recall at tight shortlists (code-review r13). The
+    # reported dict carries the DEPLOYMENT shortlist, the number the
+    # probe is calibrated to measure. meta is threaded through so the
+    # approx side reads the exact same snapshot the ground-truth scan
+    # pinned above (a concurrent append between the two reads would
+    # otherwise mix index states).
     approx_rows = query_ann_index(
         spark, path, queries, k=k + 1, n_probe=n_probe,
-        shortlist=max(shortlist, k + 1),
+        shortlist=max(shortlist, k + 1) + 1,
+        meta=meta,
     ).collect()
     got: dict[int, list[tuple[int, int]]] = {}
     for r in approx_rows:

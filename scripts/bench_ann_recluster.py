@@ -76,9 +76,22 @@ def main() -> None:
     from flink_exercise_spark.caching import release_persisted
     from flink_exercise_spark.operators.ann_store import (
         ann_root_path,
+        probe_appended_recall,
         query_ann_index,
     )
     from flink_exercise_spark.session import get_spark
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifact_path = os.path.join(repo, "BENCH_ANN_RECLUSTER.json")
+    if INIT != "lowest" and not os.path.exists(artifact_path):
+        # the spread arm FOLDS into the standing artifact — dying at
+        # the open() after ~6 min of rebuild work would be the
+        # quiet-late-failure anti-pattern (code-review r13)
+        raise SystemExit(
+            "SPARK_GRAFT_RECL_INIT=spread folds into an existing "
+            "BENCH_ANN_RECLUSTER.json — run the lowest (default) arm "
+            "first to produce the main record"
+        )
 
     spark = get_spark(
         app_name="bench-ann-recluster",
@@ -93,7 +106,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     work = os.path.join(repo, ".localdata", "ann_recluster")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
@@ -251,10 +263,6 @@ def main() -> None:
         # recall should sit near the drift-mean of recall_pinned —
         # recording it here pins the product surface to the bench's
         # own measurement
-        from flink_exercise_spark.operators.ann_store import (
-            probe_appended_recall,
-        )
-
         rec["probe_pinned"] = timed(
             "probe_pinned",
             lambda: probe_appended_recall(
@@ -286,10 +294,6 @@ def main() -> None:
         lambda: recall_by_drift(root, N_PROBE, shortlist=4 * SHORTLIST),
     )
     if INIT == "lowest":
-        from flink_exercise_spark.operators.ann_store import (
-            probe_appended_recall,
-        )
-
         rec["probe_rebuilt"] = timed(
             "probe_rebuilt",
             lambda: probe_appended_recall(
@@ -299,7 +303,6 @@ def main() -> None:
             ),
         )
 
-    artifact_path = os.path.join(repo, "BENCH_ANN_RECLUSTER.json")
     if INIT == "lowest":
         artifact = {"bench": "ann_recluster", "rec": rec}
         try:

@@ -51,6 +51,15 @@ FRAMES = 8
 AUD_BASE = 1_000_000
 VID_BASE = 2_000_000
 OTH_BASE = 3_000_000
+# each modality block owns a 1M doc-id range; an overscaled block
+# would silently collide with the next one and corrupt every planted
+# metric — fail loud instead (code-review r13)
+for _n, _base in ((N_IMG, AUD_BASE), (N_AUD, VID_BASE - AUD_BASE),
+                  (N_VID, OTH_BASE - VID_BASE), (N_OTH, 1_000_000)):
+    assert _n <= _base, (
+        f"block size {_n} exceeds its 1M doc-id range — lower "
+        f"SPARK_GRAFT_MM_SCALE (max ~50) or widen the id bases"
+    )
 
 
 def main() -> None:

@@ -9,7 +9,12 @@ claims) — and writes ONE artifact, FULLSUITE.json, with pass/fail
 counts, wall-clock, and the git commit it ran against. A round whose
 FULLSUITE.json is missing, red, or stamped with a stale commit has
 NOT satisfied the end-of-round rule; the artifact makes that check
-mechanical instead of conventional.
+mechanical instead of conventional. Stamp semantics: the artifact
+records the code commit the suites EXECUTED against, and is then
+committed in a follow-up artifact commit — so a valid FULLSUITE.json
+is stamped with its committing commit's PARENT (it cannot contain
+its own hash), and "stale" means the stamp is not an ancestor-of-or-
+equal-to the round's last code-touching commit.
 
 Usage:
     python scripts/run_full_suite.py          # both halves, ~25 min
@@ -40,8 +45,8 @@ def run_half(marker_expr: str) -> dict:
     counts = dict.fromkeys(("passed", "failed", "error", "skipped"), 0)
     for n, kind in re.findall(r"(\d+) (passed|failed|error|skipped)", tail):
         counts[kind] = int(n)
-    print(f"# [{marker_expr or 'ALL'}] {tail.splitlines()[-1]}",
-          file=sys.stderr)
+    last = tail.splitlines()[-1] if tail else "(no pytest stdout)"
+    print(f"# [{marker_expr or 'ALL'}] {last}", file=sys.stderr)
     return {
         "marker": marker_expr,
         "exit_code": proc.returncode,
