@@ -153,6 +153,20 @@ SHOWCASE = [
      "four filtered subtrees, each with its own single Arrow crossing "
      "or md5 projection; the unioned verdict relation carries only "
      "(doc_a, doc_b, modality, evidence)"),
+    ("pipeline_decontaminate_fuzzy",
+     "benchmark side broadcasts at BOTH stages (band gate + verify); "
+     "the corpus never shuffles on the n-gram",
+     "the eval-side banded relation and shingle inverted index enter "
+     "BroadcastExchange; the train side's only wide exchanges are its "
+     "own signature groupBy and the per-pair aggregates over the "
+     "candidate-gated survivor set; no cartesian"),
+    ("mm_image_decontaminate",
+     "corpus images never shuffle: banded corpus hashes probe a "
+     "broadcast benchmark band set",
+     "ONE BroadcastHashJoin on (band_idx, band_val) with the "
+     "bit_count Hamming verify folded into the join condition; no "
+     "Exchange on the corpus side above the scan+Generate; no "
+     "cartesian/BNLJ"),
 ]
 
 

@@ -372,3 +372,38 @@ def test_mm_front_door_router_is_codegen_no_payload_shuffle(spark):
     assert "BatchEvalPython" not in plan
     for seg in _exchange_inputs(plan):
         assert "payload" not in seg, seg
+
+
+def test_fuzzy_decontam_benchmark_broadcasts_both_stages(spark):
+    """Registered fuzzy decontamination: the benchmark side enters
+    BroadcastExchange (band gate AND shingle verify), there is no
+    cartesian, no row-at-a-time Python, and no SHUFFLE-REQUIRED
+    Exchange carries the text column — the corpus never shuffles its
+    payload or its n-grams to meet the benchmark. (The one permitted
+    text-carrying exchange is sources.tables.spread's
+    REPARTITION_BY_NUM, the under-partitioned-fixture scan fix that
+    is a no-op at scale — its own docstring carries the measured
+    rationale.)"""
+    df = specs()["pipeline_decontaminate_fuzzy"].fn(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    for seg in _exchange_inputs(plan):
+        if "REPARTITION_BY_NUM" in seg:
+            continue
+        assert "text#" not in seg, seg
+
+
+def test_image_decontam_is_single_broadcast_join(spark):
+    """mm_image_decontaminate: corpus bands probe a BROADCAST
+    benchmark band set — BroadcastHashJoin present, no cartesian/
+    BNLJ, and no Exchange on the corpus side below the join (the
+    only wide exchange is the post-join candidate distinct, whose
+    volume the benchmark's size bounds)."""
+    df = specs()["mm_image_decontaminate"].fn(spark, SF_SMOKE)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    for seg in _exchange_inputs(plan):
+        assert "payload" not in seg, seg
