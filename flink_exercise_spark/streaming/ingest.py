@@ -225,6 +225,66 @@ def stream_decontaminate(
     return path
 
 
+def stream_decontaminate_images(
+    images: DataFrame,
+    benchmark_hashes: DataFrame,
+    store_path: str | None = None,
+    max_distance: int | None = None,
+    timeout_sec: int = 120,
+) -> str:
+    """Streaming ingest decontamination for the IMAGE modality (r13 —
+    the vision twin of ``stream_decontaminate``): every arriving
+    micro-batch of (doc_id, payload) images is pHashed through the
+    real decoders and checked against a STATIC benchmark hash set
+    (``image_phash`` output — fixed size by production contract);
+    flagged (doc_id, bench_id, hamming) rows append to an
+    executor-side parquet store. Returns the store path.
+
+    Same placement argument as the text pass: the benchmark side does
+    not grow with the stream, so it sits on the static side of a
+    per-micro-batch broadcast band join — stateless, no watermark,
+    and ``foreachBatch`` runs the exact BATCH operator
+    (``decontaminate_images``) because each image's verdict depends
+    only on its own bytes plus the static set, so no state ever spans
+    micro-batches. Parity contract (tests/test_streaming_ingest.py):
+    union of per-batch outputs == the batch operator over the union,
+    for ANY micro-batch partitioning.
+    """
+    from flink_exercise_spark.operators.image_dedup import (
+        N_BANDS,
+        decontaminate_images,
+        image_phash,
+    )
+    from flink_exercise_spark.streaming.jobs import tracked_tempdir
+
+    dist = N_BANDS - 1 if max_distance is None else max_distance
+    path = store_path or tracked_tempdir("stream_img_decontam_")
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate_images(
+            image_phash(batch_df), benchmark_hashes, max_distance=dist
+        ).write.mode("append").parquet(path)
+
+    q = (
+        images.writeStream.foreachBatch(check_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"stream_decontaminate_images did not drain within "
+            f"{timeout_sec}s; PARTIAL store at {path} — rerun with a "
+            f"fresh store_path (per-batch appends are not "
+            f"checkpointed, so a retry into the same path would "
+            f"duplicate rows)"
+        )
+    return path
+
+
 def ingest_data_prep(
     docs: DataFrame,
     eval_grams: DataFrame,

@@ -644,3 +644,41 @@ def test_warm_start_restart_replay(spark, tmp_path):
     assert got_b.loc[102, "verdict"] == "exact_dup"
     assert got_b.loc[102, "canonical_doc_id"] == 101
     assert got_b.loc[104, "verdict"] == "near_dup"
+
+
+def test_stream_decontaminate_images_equals_batch(spark, tmp_path):
+    """The streaming image-decontamination placement (foreachBatch
+    over a static benchmark pHash set) must produce EXACTLY the batch
+    operator's flagged set — verdicts are micro-batch-local (one
+    image's bytes + the static set), so the union of per-batch
+    outputs equals the batch result for any input partitioning."""
+    from flink_exercise_spark.operators.image_dedup import (
+        decontam_benchmark_corpus,
+        decontaminate_images,
+        image_phash,
+        phash_fixture_corpus,
+    )
+    from flink_exercise_spark.streaming.ingest import (
+        stream_decontaminate_images,
+    )
+
+    src = str(tmp_path / "img_src")
+    # three files -> three micro-batches at maxFilesPerTrigger=1
+    phash_fixture_corpus(spark).repartition(3).write.parquet(src)
+    bench = image_phash(decontam_benchmark_corpus(spark))
+
+    exp = {
+        tuple(r)
+        for r in decontaminate_images(
+            image_phash(spark.read.parquet(src)), bench
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    path = stream_decontaminate_images(stream, bench)
+    got = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert got == exp and len(exp) > 0
