@@ -424,6 +424,10 @@ def drifted_paths(spark, tmp_path_factory):
     return root
 
 
+# slow (r13 suite-trim): full bootstrap/append/rebuild cycles through the CLI
+# path — the test_ann_cli heavy-lifecycle convention; the default loop keeps
+# the empty-cohort guard and test_ann_store's operator-level twins
+@pytest.mark.slow
 def test_probe_recall_flags_decay_and_clears_after_recluster(
     spark, drifted_paths, tmp_path
 ):
@@ -466,6 +470,10 @@ def test_probe_recall_flags_decay_and_clears_after_recluster(
     assert rebuilt["rebuild_recommended"] is False
 
 
+# slow (r13 suite-trim): full bootstrap/append/rebuild cycles through the CLI
+# path — the test_ann_cli heavy-lifecycle convention; the default loop keeps
+# the empty-cohort guard and test_ann_store's operator-level twins
+@pytest.mark.slow
 def test_probe_recall_exactness_under_exhaustive_settings(
     spark, drifted_paths, tmp_path
 ):
