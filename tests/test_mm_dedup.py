@@ -303,3 +303,134 @@ def test_exact_byte_floor_catches_short_identical_clips(spark, tmp_path):
         tuple(r) for r in resolve_multimodal_pairs(spark, store).collect()
     )
     assert resolved == got
+
+
+# --- multimodal benchmark decontamination (r13) ------------------------------
+
+
+def _decontam_benchmark(spark):
+    """Mixed benchmark set with one held-out item per modality plus a
+    too-short-for-runs floor case, every expected flag hand-derivable:
+    900 = the hyper raster (corpus 0's image; 1 is its brightness
+    copy), 901 = corpus 100's melody re-leveled (runs are the literal
+    4-note subsequences of MELODIES[0] -> all 3 shared), 902 = corpus
+    200's frame melody transcoded (VIDEO_MELODIES[0] at the re-encode
+    quant + re-level, the PROVEN hash invariances -> all 3 runs
+    shared), 903 = the text payload planted twice in the corpus, and
+    904 = a byte-identical copy of corpus 106's 4-note WAV — one run
+    only, below min_shared, so ONLY the exact-byte floor can flag
+    it."""
+    from flink_exercise_spark.operators.audio import (
+        MELODIES,
+        melody_wav_bytes,
+    )
+    from flink_exercise_spark.operators.image_dedup import (
+        bmp_encode_gray,
+        phash_fixture_rasters,
+    )
+    from flink_exercise_spark.operators.video_dedup import (
+        VIDEO_MELODIES,
+        _Q_RE,
+        gray_jpeg_frame,
+        mjpeg_avi_bytes,
+    )
+
+    return spark.createDataFrame(
+        [
+            (900, bmp_encode_gray(phash_fixture_rasters()[0])),
+            (901, melody_wav_bytes(MELODIES[0][0], 5000)),
+            (
+                902,
+                mjpeg_avi_bytes(
+                    [
+                        gray_jpeg_frame(p, _Q_RE, True)
+                        for p in VIDEO_MELODIES[0][0]
+                    ]
+                ),
+            ),
+            (903, b"gamma"),
+            (904, melody_wav_bytes(MELODIES[6][0], MELODIES[6][1])),
+        ],
+        "doc_id long, payload binary",
+    )
+
+
+def test_multimodal_decontaminate_hand_derived_flags(spark):
+    """The routed decontamination front door over the full mixed
+    fixture corpus: every modality's leak flagged with its
+    hand-derived evidence, the byte-identical short clip caught by
+    the floor (landmarks structurally cannot flag it), and NOTHING
+    else — no cross-modality flags, no false positives on the 18
+    unrelated corpus docs."""
+    from flink_exercise_spark.operators.mm_dedup import (
+        mm_fixture_corpus,
+        multimodal_decontaminate,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in multimodal_decontaminate(
+            mm_fixture_corpus(spark),
+            _decontam_benchmark(spark),
+            video_stride=1,
+        ).collect()
+    )
+    assert got == [
+        (0, 900, "image", 0),
+        (1, 900, "image", 0),
+        (100, 901, "audio", 3),
+        (101, 901, "audio", 3),
+        (106, 904, "audio", 0),  # the floor: byte-equal, 1 run < 2
+        (200, 902, "video", 3),
+        (201, 902, "video", 3),
+        (302, 903, "other", 0),
+        (304, 903, "other", 0),
+    ]
+
+
+def test_multimodal_decontaminate_plan_broadcast_no_payload_shuffle(spark):
+    """Scale shape of the decontamination front door: no cartesian/
+    BNLJ, no row-at-a-time Python, and the payload column rides no
+    shuffle-required Exchange (the benchmark's feature relations all
+    broadcast; spread's REPARTITION_BY_NUM fixture fix is exempt as
+    everywhere)."""
+    from flink_exercise_spark.operators.mm_dedup import (
+        mm_fixture_corpus,
+        multimodal_decontaminate,
+    )
+
+    df = multimodal_decontaminate(
+        mm_fixture_corpus(spark), _decontam_benchmark(spark),
+        video_stride=1,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_decontaminate_landmarks_below_min_shared_unflagged(spark):
+    """The generic landmark core: a corpus doc sharing exactly one
+    fingerprint with a benchmark doc stays unflagged at
+    min_shared=2 and appears at min_shared=1 — the threshold is the
+    single-coincidence false-positive guard."""
+    from flink_exercise_spark.operators.mm_dedup import (
+        decontaminate_landmarks,
+    )
+
+    c = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 99)], "doc_id long, fp long"
+    )
+    b = spark.createDataFrame(
+        [(7, 10), (7, 11), (8, 99)], "doc_id long, fp long"
+    )
+    strict = decontaminate_landmarks(c, b, min_shared=2).collect()
+    assert [(r["doc_id"], r["bench_id"], r["n_shared"]) for r in strict] == [
+        (1, 7, 2)
+    ]
+    loose = sorted(
+        (r["doc_id"], r["bench_id"], r["n_shared"])
+        for r in decontaminate_landmarks(c, b, min_shared=1).collect()
+    )
+    assert loose == [(1, 7, 2), (2, 8, 1)]
