@@ -184,14 +184,19 @@ def _jaccard_scores(
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = N_MINHASH, toks: DataFrame | None = None
+) -> DataFrame:
     """k-permutation MinHash signature columns h0..h{k-1} over shingles.
 
     Explode -> groupBy(min) rather than a per-row array fold: the
     shuffle then carries partial minima (map-side combine), and the
     shingle column is pruned to exactly what each hash needs.
+    ``toks`` optionally supplies an already-computed (doc_id, tok)
+    shingle relation so a composed pipeline shares one pass.
     """
-    toks = _doc_shingles(docs)
+    if toks is None:
+        toks = _doc_shingles(docs)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
         for i in range(k)
@@ -223,6 +228,7 @@ def minhash_band_pairs(
     k: int = N_MINHASH,
     r: int = BAND_ROWS,
     bucket_cap: int | None = BUCKET_CAP,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on at least one signature band.
 
@@ -231,8 +237,14 @@ def minhash_band_pairs(
     buckets larger than ``bucket_cap`` are excluded from the join (see
     BUCKET_CAP — the N-identical-docs N^2 bomb; ``lsh_hot_buckets``
     reports what was dropped). ``bucket_cap=None`` disables the cap.
+
+    ``toks`` lets a caller that already holds the (persisted) shingle
+    relation feed it in, so the tokenize+explode pass is not re-run
+    (guide §2.4: two operations keyed the same way share one pass) —
+    ``lsh_verified_pairs`` needs the identical relation again for the
+    exact-Jaccard verify stage.
     """
-    sigs = minhash_signatures(docs, k)
+    sigs = minhash_signatures(docs, k, toks=toks)
     # Persist BELOW the cap: the hot-bucket aggregate and both join
     # sides all read the banded relation, and without materialization
     # each reference would re-run the whole signature pipeline.
@@ -633,13 +645,18 @@ def lsh_verified_pairs(
     braces path for AQE-off runs and for engines fronting the join
     with a persisted relation AQE cannot see through.
     """
-    cands = persist_tracked(minhash_band_pairs(docs, k, r))
+    # ONE persisted shingle relation feeds both the MinHash signature
+    # stage and the exact-Jaccard verify stage (r13 optimization, guide
+    # §2.4/§1.2: before this, the scan+tokenize+explode pipeline ran
+    # twice per query — two parquet scans and two Generate passes in
+    # the physical plan for the identical (doc_id, tok) relation).
+    toks = persist_tracked(_doc_shingles(docs))
+    cands = persist_tracked(minhash_band_pairs(docs, k, r, toks=toks))
     n_cands = cands.count()
     cands = (
         F.broadcast(cands) if n_cands <= broadcast_limit
         else cands.hint("merge")
     )
-    toks = persist_tracked(_doc_shingles(docs))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     l, rt = toks.alias("l"), toks.alias("r")
     shared = (
@@ -713,47 +730,65 @@ def connected_components(
             )
         )
     )
-    labels = persist_tracked(
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-    )
+    # Round 1 folded into initialization (r13 optimization, guide §1.2:
+    # fewer jobs/passes): with labels == identity, round 1's
+    # join-then-aggregate reduces to ONE aggregate straight over the
+    # edge list — label(v) = min(v ∪ direct neighbors) — so the
+    # separate identity-labels distinct+persist AND the first round's
+    # join are both gone. groupBy subsumes the old ``.distinct()``.
+    labels: DataFrame | None = None
     for _ in range(max_iters):
-        nbr = edges.join(
-            labels, edges["doc_b"] == labels["doc_id"]
-        ).select(F.col("doc_a").alias("doc_id"), F.col("cluster_id"))
-        # localCheckpoint, not persist: persist caches the DATA but the
-        # logical plan still nests every previous round's lineage, so
-        # plan depth (and Catalyst analysis cost) grows per round —
-        # a long-diameter graph overflows the driver around 30 rounds.
-        # Eager localCheckpoint materializes the round (the one action)
-        # AND truncates lineage, keeping the plan constant-depth. The
-        # caveat is the standard one: localCheckpoint blocks don't
-        # survive executor loss — a production run on a real cluster
-        # uses reliable checkpointing (sc.setCheckpointDir) at the same
+        if labels is None:
+            stepped = edges.select(
+                F.col("doc_a").alias("doc_id"),
+                F.col("doc_a").alias("cluster_id"),
+            ).unionByName(
+                edges.select(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("cluster_id"),
+                )
+            )
+        else:
+            nbr = edges.join(
+                labels, edges["doc_b"] == labels["doc_id"]
+            ).select(F.col("doc_a").alias("doc_id"), F.col("cluster_id"))
+            stepped = labels.unionByName(nbr)
+        # Lazy localCheckpoint (r13 optimization): the eager form spent
+        # one job materializing the round and the fixpoint count spent
+        # a second; eager=False lets the count job below materialize
+        # the checkpoint as its side effect — one job per round instead
+        # of two — while still truncating lineage every round, so plan
+        # depth (and Catalyst analysis cost) stays constant and a
+        # long-diameter graph cannot overflow the driver (~30 rounds
+        # with raw persist, measured in an earlier round). The caveat
+        # is the standard one: localCheckpoint blocks don't survive
+        # executor loss — a production run on a real cluster uses
+        # reliable checkpointing (sc.setCheckpointDir) at the same
         # call site.
         new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
+            stepped.groupBy("doc_id")
             .agg(
                 F.min("cluster_id").alias("cluster_id"),
                 F.max("cluster_id").alias("_max_seen"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Fixpoint ⟺ every vertex and all its neighbors already share
         # one label ⟺ min == max of the agg inputs (own label ∪
         # neighbor labels) at EVERY vertex. Any vertex with min < max
         # saw a differing label, so at least one assignment moved (or
-        # will move next round) — iterate.
-        changed = (
-            new_labels.filter(F.col("cluster_id") < F.col("_max_seen"))
-            .limit(1)
-            .count()
-        )
+        # will move next round) — iterate. A FULL count (no limit):
+        # every partition must compute anyway for the checkpoint to
+        # cover the relation, so the count is free coverage, and a
+        # limit(1) short-circuit would leave partitions unmaterialized
+        # for the next round to recompute.
+        changed = new_labels.filter(
+            F.col("cluster_id") < F.col("_max_seen")
+        ).count()
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    assert labels is not None  # max_iters >= 1 always holds
     return labels
 
 
