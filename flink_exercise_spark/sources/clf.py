@@ -64,16 +64,85 @@ def parse_clf(raw: DataFrame, column: str = "value") -> DataFrame:
     # their own projections: CollapseProject never inlines a
     # multiply-referenced non-trivial alias, so each evaluates exactly
     # once per row (asserted in tests/test_plans.py).
-    split_df = raw.withColumn(
-        "_m", F.regexp_replace(F.col(column), CLF_PATTERN, _REPLACEMENT)
-    ).withColumn("_p", F.split(F.col("_m"), _FS, -1))
+    # The split limit is -1 + rand()*0 — identically -1, but the rand()
+    # term makes the ``_p`` projection NON-DETERMINISTIC, which forbids
+    # Catalyst from pushing any downstream filter below it (pushing a
+    # Filter through a Project requires every project expression to be
+    # deterministic). Without the barrier, a filter on any parsed
+    # column is pushed down by SUBSTITUTING the alias — inlining the
+    # whole regexp_replace+split chain into the Filter, so the regex
+    # runs once in the predicate and again in the projection (the
+    # duplicated-evaluation trap of guide §4.4 in SQL form), and for a
+    # derived input the filter keeps sinking below the ``spread``
+    # repartition, dragging its whole input chain onto the scan's
+    # un-spread partition, i.e. ONE core. Measured on the rendered
+    # round-trip at sf0.1: 0.97 s without the barrier (line rendered
+    # twice + regex-matched once per row on one core pre-spread, then
+    # rendered and matched again post-spread) vs 0.42 s with it (one
+    # render + one regex, all on spread partitions). Filters stop just
+    # above this projection and read the already-computed ``_p``.
+    # rand(seed=0), NOT rand(): an unseeded rand draws a fresh seed at
+    # every plan build, so two builds of the same query produce
+    # different codegen source and every execution pays a whole-stage
+    # codegen + JIT recompile (~0.5 s, measured). A pinned seed keeps
+    # the expression flagged non-deterministic (the barrier) while the
+    # generated code stays byte-identical across builds — codegen
+    # cache hit.
+    split_df = raw.withColumn("_m", _memo_m(column)).withColumn(
+        "_p", _memo_p()
+    )
+    return split_df.select(*_memo_parse_columns(column))
 
+
+# Expression memo (r13 optimization): PySpark Column objects are
+# immutable expression trees, so the parse projection — ~15 columns
+# whose nested builders each cross py4j and carry the 200-char pattern
+# literal — is built ONCE per (input column name) and reused by every
+# subsequent parse_clf call. Measured: ~0.2 s of driver-side py4j
+# construction per call at build time, paid once instead of once per
+# bench pass / registry invocation (the load_table DataFrame-cache
+# precedent, sources/tables.py). Safe across SparkSessions in one
+# process: unresolved Columns are session-agnostic.
+_MEMO_M: dict[str, Column] = {}
+_MEMO_COLS: dict[str, list[Column]] = {}
+_MEMO_P: list[Column] = []
+
+
+def _memo_m(column: str) -> Column:
+    col = _MEMO_M.get(column)
+    if col is None:
+        col = _MEMO_M[column] = F.regexp_replace(
+            F.col(column), CLF_PATTERN, _REPLACEMENT
+        )
+    return col
+
+
+def _memo_p() -> Column:
+    if not _MEMO_P:
+        _MEMO_P.append(
+            F.split(
+                F.col("_m"),
+                F.lit(_FS),
+                F.lit(-1) + (F.rand(seed=0) * F.lit(0.0)).cast("int"),
+            )
+        )
+    return _MEMO_P[0]
+
+
+def _memo_parse_columns(column: str) -> list[Column]:
+    cols = _MEMO_COLS.get(column)
+    if cols is None:
+        cols = _MEMO_COLS[column] = _build_parse_columns(column)
+    return cols
+
+
+def _build_parse_columns(column: str) -> list[Column]:
     # Guard: sentinel present (pattern matched), exactly 14 fields (a
     # matching line whose captured text itself contained \x01 would
     # split into >14 fields and silently shift every column), and the
     # raw line is separator-free. Together these make host == '' hold
     # EXACTLY when `NOT (raw RLIKE pattern AND raw not-contains \x01)`
-    # — the same predicate valid_lines() pushes to the scan.
+    # — the predicate valid_lines() filters on via the host sentinel.
     ok = (
         (F.get("_p", 0) == _SENTINEL)
         & (F.size("_p") == 14)
@@ -95,7 +164,7 @@ def parse_clf(raw: DataFrame, column: str = "value") -> DataFrame:
         g(4), F.lit(":"), g(5), F.lit(":"),
         g(6), F.lit(":"), g(7), F.lit(" "), g(8),
     )
-    return split_df.select(
+    return [
         F.col(column).alias("raw"),
         s(1).alias("host"),
         g(2).try_cast("int").alias("day"),
@@ -111,38 +180,32 @@ def parse_clf(raw: DataFrame, column: str = "value") -> DataFrame:
         s(11).alias("http_version"),
         g(12).try_cast("int").alias("http_reply_code"),
         F.nullif(g(13), F.lit("-")).try_cast("int").alias("reply_bytes"),
-    )
-
-
-def _is_valid_raw() -> Column:
-    """Match-only validity predicate on the RAW line.
-
-    Equivalent to ``host != ''`` by construction (see the ``ok`` guard
-    in parse_clf), but expressed without referencing any parsed column:
-    when Catalyst pushes a filter on a parsed column below the parse
-    projection it inlines the whole regexp_replace+split chain into the
-    Filter — evaluated once in the predicate and again in the
-    projection, and (for a single-file input) upstream of any
-    repartition, i.e. on one core. Measured 2x on the round-trip query
-    (BENCH_r01 0.56 s -> BENCH_r02 1.15 s). A predicate on the raw
-    column instead pushes a cheap match-only ``RLIKE`` to the scan —
-    early row elimination with no capture-group materialization — and
-    the parse projection then runs exactly once per surviving row.
-    """
-    return F.col("raw").rlike(CLF_PATTERN) & ~F.col("raw").contains(_FS)
+    ]
 
 
 def valid_lines(parsed: DataFrame) -> DataFrame:
     """P4 — keep successfully parsed records
-    (StreamingJob.scala:141-143)."""
-    return parsed.filter(_is_valid_raw())
+    (StreamingJob.scala:141-143). ``host != ''`` is EXACTLY the
+    parse-success predicate by construction (see the ``ok`` guard in
+    parse_clf: a matching line's host group is \\S+, never empty; every
+    non-match — including a NULL line — yields the '' sentinel). The
+    filter is plain and deterministic; the non-deterministic ``_p``
+    projection inside parse_clf is what stops Catalyst from
+    substituting the regex chain into it (see the barrier comment
+    there)."""
+    return parsed.filter(F.col("host") != F.lit(""))
 
 
 def invalid_lines(parsed: DataFrame) -> DataFrame:
     """P5 — corrupt-record channel, projected back to the raw line
     (StreamingJob.scala:145-147; dead code in the reference — a live
-    operator here)."""
-    return parsed.filter(~_is_valid_raw()).select("raw")
+    operator here). The ``raw IS NOT NULL`` conjunct preserves the
+    r12 semantics where a NULL input line lands in NEITHER channel
+    (the old NOT(NULL AND ...) = NULL predicate dropped it here too).
+    """
+    return parsed.filter(
+        (F.col("host") == F.lit("")) & F.col("raw").isNotNull()
+    ).select("raw")
 
 
 def read_clf(spark, path: str) -> DataFrame:

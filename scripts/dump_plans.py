@@ -52,9 +52,11 @@ SHOWCASE = [
      "the text column never appears in any Exchange input schema; "
      "persisted post-gate features feed both dedup subtrees"),
     ("clf_parse_roundtrip",
-     "single-pass regex parse + scan-level validity filter",
-     "one regexp_replace + one split in the whole plan; the validity "
-     "RLIKE sits in the scan stage, not re-deriving the parse"),
+     "single-pass regex parse + pushdown-barriered validity filter",
+     "one regexp_replace + one split in the whole plan (no RLIKE); "
+     "the non-deterministic _p projection pins the validity filter "
+     "above the parse and above the spread Exchange, so the regex "
+     "runs exactly once per row on spread partitions (r13)"),
     ("skew_salted_distinct_count",
      "skew-resistant exact distinct",
      "two-stage salted partial aggregation — disjoint hash slices, "

@@ -158,6 +158,40 @@ def test_clf_parse_single_regex_execution(spark):
     assert "regexp_extract" not in plan
 
 
+def test_clf_valid_filter_does_not_redrive_regex(spark):
+    """valid_lines must stay a single-regex pipeline (r13): the
+    non-deterministic ``_p`` projection barrier pins the validity
+    filter above the parse, so the filter reads the computed split
+    array instead of Catalyst substituting the regexp_replace chain
+    into the Filter (and, on a derived input, dragging it below the
+    spread repartition onto one core — the r12 plan paid two renders
+    and two regex matches per row that way, 0.97 s vs 0.42 s on the
+    sf0.1 round-trip)."""
+    import re
+
+    from flink_exercise_spark.sources.clf import parse_clf, valid_lines
+
+    raw = spark.createDataFrame([("x",)], ["value"])
+    plan = formatted_plan(
+        valid_lines(parse_clf(raw)).select("host", "reply_bytes")
+    )
+    assert plan.count("regexp_replace") == 1
+    assert len(re.findall(r"\bsplit\(", plan)) == 1
+    assert "RLIKE" not in plan
+
+    df = specs()["clf_parse_roundtrip"].fn(spark, SF_SMOKE)
+    rplan = formatted_plan(df)
+    assert rplan.count("regexp_replace") == 1
+    assert rplan.count("format_string") == 1
+    # The filter must sit ABOVE the spread Exchange: in formatted
+    # explain the operator list is printed root-first, so the Filter
+    # line must come before (= downstream of) the DEEPEST Exchange —
+    # the round-robin spread one just above the scan. (The first
+    # Exchange in print order is the aggregate's, above the filter.)
+    ops = rplan[: rplan.index("(1) Scan")]
+    assert ops.index("Filter") < ops.rindex("Exchange")
+
+
 def test_string_key_argmax_stays_hash_aggregate(spark):
     """The two-pass string-key arg-max (ref_q1_top_host_str) must plan
     as HashAggregates + a broadcast join of the tiny per-window maxima:
