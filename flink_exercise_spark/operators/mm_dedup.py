@@ -90,6 +90,7 @@ def multimodal_dup_pairs(
     audio_min_shared: int = 2,
     video_min_shared: int = 2,
     video_stride: int | None = None,
+    image_band_cap: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, modality, evidence) near/exact-duplicate pairs
     across the mixed corpus — one routed pass, each modality's bytes
@@ -107,6 +108,8 @@ def multimodal_dup_pairs(
         {} if image_max_distance is None
         else {"max_distance": image_max_distance}
     )
+    if image_band_cap is not None:
+        img_kwargs["band_cap"] = image_band_cap
     # persist the hash relation: the adaptive band cap's load probe
     # (count) and the banded pairing both consume it — unpersisted,
     # each would re-run the decode+DCT kernel over the image bytes
@@ -304,7 +307,17 @@ def mm_fixture_corpus(spark) -> DataFrame:
     tags=("multimodal", "dedup"),
 )
 def q_mm_dedup_front_door(spark, sf_dir):
-    pairs = multimodal_dup_pairs(mm_fixture_corpus(spark), video_stride=1)
+    from flink_exercise_spark.operators.image_dedup import BAND_CAP
+
+    # explicit image band cap (r13 optimization): the adaptive
+    # default's count() load probe is a synchronous extra job at
+    # plan-build time, and on the fixed 27-doc corpus the adaptive
+    # formula max(BAND_CAP, 8*ceil(n/256)) == BAND_CAP anyway (it
+    # exceeds the floor only past 2048 images) — the same reasoning
+    # q_image_phash_pairs documents; identical pairs, one fewer job.
+    pairs = multimodal_dup_pairs(
+        mm_fixture_corpus(spark), video_stride=1, image_band_cap=BAND_CAP
+    )
     return pairs.select(
         "doc_a",
         "doc_b",
