@@ -40,6 +40,10 @@ from pyspark.sql import functions as F
 
 from flink_exercise_spark.session import prep
 
+# path -> raw parquet StructType (schemas of immutable fixture files,
+# process-lifetime cache; see documents_stream)
+_RAW_SCHEMA_CACHE: dict[str, object] = {}
+
 
 def documents_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -48,7 +52,14 @@ def documents_stream(
     no event-time column; ingest-time semantics are supplied by the
     caller where needed, see ``with_ingest_ts``)."""
     prep(spark)
-    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    # Raw-file schema memo (r13, the jobs.events_stream fix): the
+    # parquet footer read is ~50-100 ms of driver work per invocation
+    # and the fixture file's schema is immutable.
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = _RAW_SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _RAW_SCHEMA_CACHE[path] = schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
