@@ -238,11 +238,14 @@ def minhash_band_pairs(
     BUCKET_CAP — the N-identical-docs N^2 bomb; ``lsh_hot_buckets``
     reports what was dropped). ``bucket_cap=None`` disables the cap.
 
-    ``toks`` lets a caller that already holds the (persisted) shingle
-    relation feed it in, so the tokenize+explode pass is not re-run
-    (guide §2.4: two operations keyed the same way share one pass) —
-    ``lsh_verified_pairs`` needs the identical relation again for the
-    exact-Jaccard verify stage.
+    ``toks`` lets a caller that already holds a MATERIALIZED shingle
+    relation (e.g. a deployment that wrote the inverted index to a
+    bucketed table) feed it in so the tokenize+explode pass is not
+    re-run. Deliberately NOT used by ``lsh_verified_pairs``' in-memory
+    persist: measured at sf1, reading the ~10x exploded relation back
+    through the columnar cache costs more than re-running the explode
+    (1.8x slower end to end); the seam pays only when the relation is
+    already materialized at rest.
     """
     sigs = minhash_signatures(docs, k, toks=toks)
     # Persist BELOW the cap: the hot-bucket aggregate and both join
@@ -645,18 +648,21 @@ def lsh_verified_pairs(
     braces path for AQE-off runs and for engines fronting the join
     with a persisted relation AQE cannot see through.
     """
-    # ONE persisted shingle relation feeds both the MinHash signature
-    # stage and the exact-Jaccard verify stage (r13 optimization, guide
-    # §2.4/§1.2: before this, the scan+tokenize+explode pipeline ran
-    # twice per query — two parquet scans and two Generate passes in
-    # the physical plan for the identical (doc_id, tok) relation).
-    toks = persist_tracked(_doc_shingles(docs))
-    cands = persist_tracked(minhash_band_pairs(docs, k, r, toks=toks))
+    # The signature stage deliberately RE-COMPUTES the shingle explode
+    # rather than reading the persisted ``toks`` relation below (r13:
+    # feeding the persisted relation into minhash_band_pairs via its
+    # ``toks=`` seam was measured 1.21x faster at sf0.1 — one fewer
+    # scan+explode — but 1.8x SLOWER at sf1, where the columnar cache
+    # write+read of the ~10x larger exploded shingle relation costs
+    # far more than re-running the explode with idle cores; the
+    # recompute form is the one that scales).
+    cands = persist_tracked(minhash_band_pairs(docs, k, r))
     n_cands = cands.count()
     cands = (
         F.broadcast(cands) if n_cands <= broadcast_limit
         else cands.hint("merge")
     )
+    toks = persist_tracked(_doc_shingles(docs))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
     l, rt = toks.alias("l"), toks.alias("r")
     shared = (
