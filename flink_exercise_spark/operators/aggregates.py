@@ -244,13 +244,9 @@ def q_ref_q1(spark, sf_dir):
 
 @register(
     "ref_q1_top_host_str",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH c AS (
       SELECT {_ORACLE_WIN} AS window_start,
@@ -328,13 +324,9 @@ def cumulative_distinct_hosts(events: DataFrame, key: str = "user_id") -> DataFr
 
 @register(
     "ref_q2_cumulative_distinct",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH firsts AS (
       SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
@@ -385,13 +377,9 @@ def q_ref_q3(spark, sf_dir):
 
 @register(
     "a1_requests_per_host",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="SELECT user_id, count(*) AS n_requests FROM events GROUP BY 1",
     doc="A1: keyed count",
     tags=("aggregate", "events"),
@@ -402,13 +390,9 @@ def q_a1(spark, sf_dir):
 
 @register(
     "a2_count_events",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # A2 (global count) and A4 (exact distinct count) in one entry:
     # both are single-pass global aggregates over the same scan, and
     # Spark computes them in one plan (expand + two-phase hash agg).
@@ -431,13 +415,9 @@ def q_a2(spark, sf_dir):
 
 @register(
     "a3_first_event_per_host",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle="""
     SELECT user_id, min(event_id) AS first_event_id,
            arg_min(event_type, event_id) AS first_event_type
@@ -465,13 +445,9 @@ def q_a4_approx(spark, sf_dir):
 
 @register(
     "a6_top3_hosts_per_window",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH c AS (
       SELECT {_ORACLE_WIN} AS window_start, user_id,
@@ -494,6 +470,12 @@ def q_a6_top3(spark, sf_dir):
 
 @register(
     "events_type_stats",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the
@@ -530,6 +512,12 @@ def q_type_stats(spark, sf_dir):
 
 @register(
     "a1_running_counts_analytic",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the
@@ -566,6 +554,12 @@ def q_running_counts(spark, sf_dir):
 
 @register(
     "events_json_props",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the

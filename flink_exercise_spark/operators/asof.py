@@ -251,6 +251,12 @@ def range_join_counts(
 
 @register(
     "range_join_concurrent_events",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_custom_op_fuzz.py quadratic-reference fuzz
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the
@@ -287,13 +293,9 @@ def q_range_join(spark, sf_dir):
 
 @register(
     "asof_purchase_attribution",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # DuckDB's native ASOF JOIN is the oracle for our windowed
     # composition; >= semantics on the timestamp, per-user key.
     oracle="""

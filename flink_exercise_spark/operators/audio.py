@@ -260,14 +260,10 @@ def melody_fixture_corpus(spark) -> DataFrame:
 
 @register(
     "audio_neardup_pairs",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pin: tests/test_audio.py pure-python re-derivation of the
     # frozen VALUES oracle.
-    priority=1,
     # VALUES oracle: hand-derived from the MELODIES table above (the
     # landmark runs are literal 4-note subsequences; see the expected-
     # pairs comment) and independently re-derived by the pure-python

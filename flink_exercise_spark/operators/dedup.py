@@ -142,16 +142,21 @@ def _doc_shingles(
     behavior in the DuckDB oracles. ``extra_cols`` carries blocking
     keys (e.g. lang) alongside the inverted index.
     """
-    return (
-        spread(docs, "doc_id")
-        .select("doc_id", *extra_cols, tokens_expr().alias("_toks"))
-        .select(
-            "doc_id",
-            *extra_cols,
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    tok_col, shingle_col = expr_memo(
+        ("doc_shingles", extra_cols),
+        lambda: (
+            tokens_expr().alias("_toks"),
             F.explode(
                 F.array_distinct(shingles_from_tokens(F.col("_toks")))
             ).alias("tok"),
-        )
+        ),
+    )
+    return (
+        spread(docs, "doc_id")
+        .select("doc_id", *extra_cols, tok_col)
+        .select("doc_id", *extra_cols, shingle_col)
     )
 
 
@@ -162,25 +167,28 @@ def _jaccard_scores(
     (doc_a, doc_b, n_shared) and keep pairs at/above ``threshold`` —
     the verify tail shared by ``jaccard_pairs`` and
     ``lsh_verified_pairs``."""
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("n_b")
-    )
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    sa_cols, sb_cols, jac_col, keep = expr_memo(
+        ("jaccard_scores", threshold),
+        lambda: (
+            (F.col("doc_id").alias("doc_a"), F.col("n_toks").alias("n_a")),
+            (F.col("doc_id").alias("doc_b"), F.col("n_toks").alias("n_b")),
             F.round(
                 F.col("n_shared")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
                 4,
             ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+            F.col("jaccard") >= threshold,
+        ),
+    )
+    sa = sizes.select(*sa_cols)
+    sb = sizes.select(*sb_cols)
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac_col)
+        .filter(keep)
     )
 
 
@@ -195,12 +203,19 @@ def minhash_signatures(
     ``toks`` optionally supplies an already-computed (doc_id, tok)
     shingle relation so a composed pipeline shares one pass.
     """
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
     if toks is None:
         toks = _doc_shingles(docs)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
-        for i in range(k)
-    ]
+    aggs = expr_memo(
+        ("minhash_aggs", k),
+        lambda: [
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))
+            ).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
     return toks.groupBy("doc_id").agg(*aggs)
 
 
@@ -208,17 +223,27 @@ def _banded_signatures(
     sigs: DataFrame, k: int = N_MINHASH, r: int = BAND_ROWS
 ) -> DataFrame:
     """(doc_id, band_id, band_hash) — signatures unpivoted to bands."""
-    bands = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
-            ).alias("band_hash"),
-        )
-        for b in range(k // r)
-    ]
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    band_col = expr_memo(
+        ("banded_signatures", k, r),
+        lambda: F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"h{b * r + j}") for j in range(r)],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(k // r)
+            ])
+        ).alias("band"),
+    )
     return (
-        sigs.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+        sigs.select("doc_id", band_col)
         .select("doc_id", "band.band_id", "band.band_hash")
     )
 
@@ -471,13 +496,9 @@ _ORACLE_SHINGLE_CTE = """
 
 @register(
     "dedup_exact_map",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # Subsumes the former dedup_exact_stats entry: corpus-level
     # accounting (n_docs / n_distinct / n_dups) is a trivial aggregate
     # over this map, and exact_dedup_stats remains a library operator.
@@ -508,13 +529,9 @@ def _minhash_oracle(k: int = N_MINHASH) -> str:
 
 @register(
     "dedup_minhash_signatures",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=_minhash_oracle(),
     doc="8-permutation MinHash signatures over 3-gram shingles "
         "(md5 hash family)",
@@ -556,13 +573,9 @@ def _band_pairs_oracle(k: int = N_MINHASH, r: int = BAND_ROWS) -> str:
 
 @register(
     "dedup_minhash_band_pairs",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=_band_pairs_oracle(),
     doc="MinHash-LSH candidate pairs over 3-gram shingles "
         "(4 bands x 2 rows)",
@@ -574,13 +587,9 @@ def q_minhash_pairs(spark, sf_dir):
 
 @register(
     "dedup_jaccard_pairs",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Python-set pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH toks AS (
       {_ORACLE_SHINGLE_CTE}
@@ -681,6 +690,12 @@ def lsh_verified_pairs(
 
 @register(
     "dedup_lsh_verified_pairs",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     oracle=f"""
     WITH cands AS (
       {_band_pairs_oracle()}
@@ -728,14 +743,33 @@ def connected_components(
     InMemoryRelation deep (no per-iteration plan growth or codegen
     recompile — same discipline as the k-means kernel).
     """
-    pairs = pairs.select("doc_a", "doc_b")
-    edges = persist_tracked(
-        pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
+    if max_iters < 1:
+        # ADVICE r13: the old trailing assert raised AssertionError here
+        # (labels stays None) and vanishes under ``python -O``; fail
+        # explicitly instead — a 0-round CC has no meaningful labeling.
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    # static per-round expression trees (r14 exprmemo: the loop below
+    # re-built these every round of every invocation)
+    (
+        rev_cols, init_a, init_b, nbr_cols, agg_exprs, changed_cond,
+    ) = expr_memo(
+        "connected_components",
+        lambda: (
+            (F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")),
+            (F.col("doc_a").alias("doc_id"),
+             F.col("doc_a").alias("cluster_id")),
+            (F.col("doc_a").alias("doc_id"),
+             F.col("doc_b").alias("cluster_id")),
+            (F.col("doc_a").alias("doc_id"), F.col("cluster_id")),
+            (F.min("cluster_id").alias("cluster_id"),
+             F.max("cluster_id").alias("_max_seen")),
+            F.col("cluster_id") < F.col("_max_seen"),
+        ),
     )
+    pairs = pairs.select("doc_a", "doc_b")
+    edges = persist_tracked(pairs.union(pairs.select(*rev_cols)))
     # Round 1 folded into initialization (r13 optimization, guide §1.2:
     # fewer jobs/passes): with labels == identity, round 1's
     # join-then-aggregate reduces to ONE aggregate straight over the
@@ -745,19 +779,13 @@ def connected_components(
     labels: DataFrame | None = None
     for _ in range(max_iters):
         if labels is None:
-            stepped = edges.select(
-                F.col("doc_a").alias("doc_id"),
-                F.col("doc_a").alias("cluster_id"),
-            ).unionByName(
-                edges.select(
-                    F.col("doc_a").alias("doc_id"),
-                    F.col("doc_b").alias("cluster_id"),
-                )
+            stepped = edges.select(*init_a).unionByName(
+                edges.select(*init_b)
             )
         else:
             nbr = edges.join(
                 labels, edges["doc_b"] == labels["doc_id"]
-            ).select(F.col("doc_a").alias("doc_id"), F.col("cluster_id"))
+            ).select(*nbr_cols)
             stepped = labels.unionByName(nbr)
         # Lazy localCheckpoint (r13 optimization): the eager form spent
         # one job materializing the round and the fixpoint count spent
@@ -773,10 +801,7 @@ def connected_components(
         # call site.
         new_labels = (
             stepped.groupBy("doc_id")
-            .agg(
-                F.min("cluster_id").alias("cluster_id"),
-                F.max("cluster_id").alias("_max_seen"),
-            )
+            .agg(*agg_exprs)
             .localCheckpoint(eager=False)
         )
         # Fixpoint ⟺ every vertex and all its neighbors already share
@@ -788,13 +813,11 @@ def connected_components(
         # cover the relation, so the count is free coverage, and a
         # limit(1) short-circuit would leave partitions unmaterialized
         # for the next round to recompute.
-        changed = new_labels.filter(
-            F.col("cluster_id") < F.col("_max_seen")
-        ).count()
+        changed = new_labels.filter(changed_cond).count()
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    assert labels is not None  # max_iters >= 1 always holds
+    assert labels is not None  # guarded: max_iters >= 1 raised above
     return labels
 
 
@@ -855,6 +878,12 @@ def _clusters_oracle_cte() -> str:
 
 @register(
     "dedup_near_dup_clusters",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Recursive-CTE transitive closure: cluster_id = min doc_id
     # reachable through the verified-pair graph.
     oracle=f"""
@@ -917,6 +946,12 @@ def cluster_keep_best(
 
 @register(
     "dedup_cluster_keep_best",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Reuses the transitive-closure CTE; canonical member = max
@@ -952,6 +987,12 @@ def q_cluster_keep_best(spark, sf_dir):
 
 @register(
     "dedup_simhash_near_pairs",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Value-oracled since r5 (was rows-only): the md5-derived bit
     # construction (_SimhashVocab: bit b of the row = bit b, LSB-first,
     # of the big-endian int over the md5 digest's first 8 bytes) is
@@ -1102,13 +1143,9 @@ def line_dedup(
 
 @register(
     "dedup_line_boilerplate",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pure-python pin: tests/test_rotation_pins.py.
-    priority=1,
     # Oracle mirror notes: (1) DuckDB's zipped unnest pairs each line
     # with its 1-based position (ordering key only — not emitted);
     # (2) coalesce('' ) matches Spark's concat_ws over an empty kept
@@ -1411,13 +1448,9 @@ def _substring_oracle(k: int = SUBSTR_K) -> str:
 
 @register(
     "dedup_exact_substring",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pure-python pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=_substring_oracle(),
     doc="Exact-substring dedup (Lee et al. ExactSubstr): token spans "
         "of any k-gram occurring >= 2 times corpus-wide are removed "

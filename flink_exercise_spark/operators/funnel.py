@@ -128,13 +128,9 @@ def funnel_summary(
 
 @register(
     "events_funnel_steps",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pin: tests/test_funnel.py pandas fixture reference.
-    priority=1,
     oracle="""
     WITH s0 AS (
       SELECT user_id, min(ts) AS t0 FROM events

@@ -468,14 +468,10 @@ def phash_fixture_corpus(spark) -> DataFrame:
 
 @register(
     "mm_image_phash_pairs",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pin: tests/test_image_dedup.py pure-python re-derivation of
     # the frozen VALUES oracle.
-    priority=1,
     # VALUES oracle: the four perturbed-duplicate pairs with their
     # exact Hamming distances, independently re-derived by the
     # pure-python (no-numpy) reference in tests/test_image_dedup.py,
@@ -591,6 +587,12 @@ def decontam_benchmark_corpus(spark) -> DataFrame:
 
 @register(
     "mm_image_decontaminate",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_image_dedup.py pHash re-derivation
+    priority=1,
     # VALUES oracle (frozen, re-derived by the pure-python reference
     # in tests/test_image_dedup.py): corpus docs 0/1 (hyper +
     # brightness copy) flag against benchmark 100 (the same hyper

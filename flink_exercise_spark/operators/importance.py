@@ -74,14 +74,24 @@ def gram_instances(
     dedups. explode_outer + post-explode filter for the same reason
     documented there: a non-outer explode's inferred predicate drags
     the whole shingle expression into the scan filter."""
-    toked = spread(docs, key).select(F.col(key), tokens_expr().alias("_t"))
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    tok_col, gram_arr, gram_col, not_null, bucket_col = expr_memo(
+        ("dsir_gram_instances", n, key, k),
+        lambda: (
+            tokens_expr().alias("_t"),
+            shingles_from_tokens(F.col("_t"), n).alias("_g"),
+            F.explode_outer("_g").alias("gram"),
+            F.col("gram").isNotNull(),
+            dsir_bucket_expr(F.col("gram"), k).alias("bucket"),
+        ),
+    )
+    toked = spread(docs, key).select(F.col(key), tok_col)
     return (
-        toked.select(
-            key, shingles_from_tokens(F.col("_t"), n).alias("_g")
-        )
-        .select(key, F.explode_outer("_g").alias("gram"))
-        .filter(F.col("gram").isNotNull())
-        .select(key, dsir_bucket_expr(F.col("gram"), k).alias("bucket"))
+        toked.select(key, gram_arr)
+        .select(key, gram_col)
+        .filter(not_null)
+        .select(key, bucket_col)
     )
 
 
@@ -117,6 +127,13 @@ def dsir_weight_model(
         .join(raw_counts.withColumnRenamed("cnt", "q_cnt"), "bucket", "left")
         .crossJoin(F.broadcast(totals))
     )
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    r_col = expr_memo(("dsir_r_micronats", k), lambda: _dsir_r_col(k))
+    return joined.select("bucket", r_col)
+
+
+def _dsir_r_col(k: int) -> F.Column:
     ratio = (
         (F.coalesce("p_cnt", F.lit(0)) + 1).cast("double")
         * (F.col("q_total") + k).cast("double")
@@ -124,11 +141,9 @@ def dsir_weight_model(
         (F.coalesce("q_cnt", F.lit(0)) + 1).cast("double")
         * (F.col("p_total") + k).cast("double")
     )
-    return joined.select(
-        "bucket",
-        F.round(F.log(ratio) * 1_000_000, 0).cast("long").alias(
-            "r_micronats"
-        ),
+    return (
+        F.round(F.log(ratio) * 1_000_000, 0).cast("long")
+        .alias("r_micronats")
     )
 
 
@@ -175,26 +190,30 @@ def dsir_score_with_model(
     against the static broadcast model. Per-document and exact-integer
     by construction, so any micro-batch partitioning of the input
     unions to the batch answer."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    aggs, out_cols = expr_memo(
+        "dsir_score_exprs",
+        lambda: (
+            (
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum("r_micronats").alias("dsir_micronats"),
+            ),
+            (
+                F.coalesce("n_grams", F.lit(0)).cast("long")
+                .alias("n_grams"),
+                F.coalesce("dsir_micronats", F.lit(0)).cast("long")
+                .alias("dsir_micronats"),
+            ),
+        ),
+    )
     scored = (
         gram_instances(docs, n, key, k)
         .join(F.broadcast(weights), "bucket")
         .groupBy(key)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("r_micronats").alias("dsir_micronats"),
-        )
+        .agg(*aggs)
     )
-    return (
-        docs.select(key)
-        .join(scored, key, "left")
-        .select(
-            key,
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("dsir_micronats", F.lit(0)).cast("long").alias(
-                "dsir_micronats"
-            ),
-        )
-    )
+    return docs.select(key).join(scored, key, "left").select(key, *out_cols)
 
 
 def dsir_scores(
@@ -277,6 +296,12 @@ def _dsir_oracle(n: int = DSIR_N, k: int = DSIR_BUCKETS) -> str:
 
 @register(
     "text_dsir_weights",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_importance.py DSIR python reference
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_dsir_oracle(),

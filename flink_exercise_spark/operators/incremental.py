@@ -138,27 +138,37 @@ def incremental_dedup(
     on adversarial all-duplicate batches (code-review r9: the capped
     self-join formulation silently dropped >cap buckets' verdicts).
     """
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    # static expression trees (r14 exprmemo)
+    E = expr_memo(
+        "incremental_dedup",
+        lambda: {
+            "hash": F.md5("text").alias("text_hash"),
+            "inc_first": F.min("doc_id").alias("_inc_first"),
+            "idx_exact": F.col("canonical_doc_id").alias("_idx_exact"),
+            "exact_src": F.least("_idx_exact", "_inc_first")
+            .alias("_exact_src"),
+            "idx_m": F.col("min_doc_id").alias("_m"),
+            "idx_near": F.min("_m").alias("_idx_near"),
+            "bmin": F.min("doc_id").alias("_bmin"),
+            "bmin_lt": F.col("_bmin") < F.col("doc_id"),
+            "inc_near": F.min("_bmin").alias("_inc_near"),
+            "near_src": F.least("_idx_near", "_inc_near")
+            .alias("_near_src"),
+        },
+    )
     inc = spread(increment, "doc_id")
-    hashed = persist_tracked(
-        inc.select("doc_id", F.md5("text").alias("text_hash"))
-    )
-    inc_first = hashed.groupBy("text_hash").agg(
-        F.min("doc_id").alias("_inc_first")
-    )
+    hashed = persist_tracked(inc.select("doc_id", E["hash"]))
+    inc_first = hashed.groupBy("text_hash").agg(E["inc_first"])
     exact = (
         hashed.join(
-            fingerprints.select(
-                "text_hash",
-                F.col("canonical_doc_id").alias("_idx_exact"),
-            ),
+            fingerprints.select("text_hash", E["idx_exact"]),
             "text_hash",
             "left",
         )
         .join(inc_first, "text_hash", "left")
-        .select(
-            "doc_id",
-            F.least("_idx_exact", "_inc_first").alias("_exact_src"),
-        )
+        .select("doc_id", E["exact_src"])
     )
 
     banded = persist_tracked(
@@ -166,40 +176,39 @@ def incremental_dedup(
     )
     idx_near = (
         banded.join(
-            bands.select(
-                "band_id", "band_hash", F.col("min_doc_id").alias("_m")
-            ),
+            bands.select("band_id", "band_hash", E["idx_m"]),
             ["band_id", "band_hash"],
         )
         .groupBy("doc_id")
-        .agg(F.min("_m").alias("_idx_near"))
+        .agg(E["idx_near"])
     )
     # within-increment: per-bucket minimum joined back (no pair join,
     # see docstring); min_b < d <=> a smaller-id member shares the
     # bucket, and min_b is then the smallest such
-    bucket_min = banded.groupBy("band_id", "band_hash").agg(
-        F.min("doc_id").alias("_bmin")
-    )
+    bucket_min = banded.groupBy("band_id", "band_hash").agg(E["bmin"])
     within_near = (
         banded.join(bucket_min, ["band_id", "band_hash"])
-        .filter(F.col("_bmin") < F.col("doc_id"))
+        .filter(E["bmin_lt"])
         .groupBy("doc_id")
-        .agg(F.min("_bmin").alias("_inc_near"))
+        .agg(E["inc_near"])
     )
 
     joined = (
         exact.join(idx_near, "doc_id", "left")
         .join(within_near, "doc_id", "left")
-        .select(
-            "doc_id",
-            "_exact_src",
-            F.least("_idx_near", "_inc_near").alias("_near_src"),
-        )
+        .select("doc_id", "_exact_src", E["near_src"])
     )
+    verdict_cols = expr_memo(
+        "incremental_verdict",
+        lambda: _incremental_verdict_cols(),
+    )
+    return joined.select("doc_id", *verdict_cols)
+
+
+def _incremental_verdict_cols():
     is_exact = F.col("_exact_src") < F.col("doc_id")
     is_near = F.col("_near_src") < F.col("doc_id")
-    return joined.select(
-        "doc_id",
+    return (
         F.when(is_exact, F.lit("exact_dup"))
         .when(is_near, F.lit("near_dup"))
         .otherwise(F.lit("new"))
@@ -604,6 +613,12 @@ def _incremental_oracle(
 
 @register(
     "dedup_incremental_snapshot",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_incremental.py fixture-vs-reference
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_incremental_oracle(),

@@ -94,7 +94,17 @@ def multimodal_dup_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, modality, evidence) near/exact-duplicate pairs
     across the mixed corpus — one routed pass, each modality's bytes
-    touching only its own kernel."""
+    touching only its own kernel.
+
+    ``image_band_cap`` pins the pHash banding's per-band candidate cap
+    instead of the adaptive default (which sizes itself to the image
+    count with a synchronous probe job). CAVEAT (ADVICE r13, mirroring
+    image_phash_pairs' warning): a FIXED cap on a >2048-image corpus
+    reintroduces the recall-saturation failure the adaptive default
+    was added to fix (measured recall 0.50 at 20k docs, r11) — pin it
+    only when the image count is known to sit under the adaptive
+    formula's floor (``max(BAND_CAP, 8*ceil(n/256))`` == BAND_CAP up
+    to 2048 images), as the registered fixture query does."""
     # NOT persisted: caching this relation would materialize every
     # payload byte of the corpus into executor storage to save only a
     # handful of codegen prefix comparisons per re-scan (code-review

@@ -1035,13 +1035,9 @@ def resize_images(with_payload: DataFrame, target: int = 64) -> DataFrame:
 
 @register(
     "mm_binary_metadata",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pandas pin: tests/test_rotation_pins.py.
-    priority=1,
     # The engine hashes the BINARY payload directly (binary-safe).
     # DuckDB's md5 only accepts VARCHAR, but it hashes the string's
     # UTF-8 encoding — exactly the bytes attach_binary_payload
@@ -1065,13 +1061,9 @@ def q_binary_meta(spark, sf_dir):
 
 @register(
     "mm_decode_features",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pure-python pin: tests/test_rotation_pins.py.
-    priority=1,
     # Value-oracled since r5 (was rows-only): FakeImageCodec.decode is
     # pure md5-byte arithmetic (width/height from digest bytes 0-1,
     # mean_luma from byte 2), so the whole decode pipeline is
@@ -1102,13 +1094,9 @@ def q_decode_features(spark, sf_dir):
 
 @register(
     "mm_frame_sample",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
     # The fake prober's arithmetic (md5-derived frame count, integer
     # frame timestamps, per-frame content hash) is reproduced exactly
     # in SQL, so this Pandas-UDF fan-out op IS value-hash-checked.
@@ -1137,13 +1125,9 @@ def q_frame_sample(spark, sf_dir):
 
 @register(
     "mm_audio_energy",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
     # Promoted back for r6 (demoted in r5, driver-green r4): the
     # rotation contract requires a driver pass within two rounds.
     # The fake prober's arithmetic (md5-derived rate/window count,
@@ -1182,13 +1166,9 @@ def q_audio_energy(spark, sf_dir):
 
 @register(
     "mm_resize_thumbs",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pure-python pin: tests/test_rotation_pins.py.
-    priority=1,
     # Value-oracled since r6 (was rows-only): the registered form
     # renders the BINARY thumb as lowercase hex — the cross-engine
     # hash has no stable text rendering for raw blobs, but hex(thumb)

@@ -77,40 +77,49 @@ def bigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
 
     All three are vocabulary-sized or smaller; every ``ln`` in the
     operator lives here."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    # static expression trees (r14 exprmemo); try_divide: an EMPTY
+    # training corpus has V = 0, and ANSI mode turns the uniform
+    # fallback's 1/V into a hard DIVIDE_BY_ZERO at scoring time — the
+    # degenerate model instead scores everything with NULL fallbacks
+    # (NULL-safe zero sums downstream), pinned in
+    # test_empty_and_null_inputs.py
+    n12_agg, n1_agg, nv_col, lm_lp, pf_lp, ov_lp = expr_memo(
+        "bigram_lm", _bigram_lm_exprs
+    )
     c12 = persist_tracked(
-        bigram_instances(docs)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n12"))
+        bigram_instances(docs).groupBy("w1", "w2").agg(n12_agg)
     )
-    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
-    v = c12.select(
-        F.countDistinct("w2").cast("long").alias("nv")
-    )
+    c1 = c12.groupBy("w1").agg(n1_agg)
+    v = c12.select(nv_col)
     lm = (
         c12.join(c1, "w1")
         .crossJoin(F.broadcast(v))
-        .select(
-            "w1",
-            "w2",
-            F.round(
-                F.log(
-                    (F.col("n12") + 1).cast("double")
-                    / (F.col("n1") + F.col("nv")).cast("double")
-                )
-                * MICRO,
-                0,
-            )
-            .cast("long")
-            .alias("logp_micronats"),
-        )
+        .select("w1", "w2", lm_lp)
     )
-    # try_divide: an EMPTY training corpus has V = 0, and ANSI mode
-    # turns the uniform fallback's 1/V into a hard DIVIDE_BY_ZERO at
-    # scoring time — the degenerate model instead scores everything
-    # with NULL fallbacks (NULL-safe zero sums downstream), pinned in
-    # test_empty_and_null_inputs.py
-    prefixes = c1.crossJoin(F.broadcast(v)).select(
-        "w1",
+    prefixes = c1.crossJoin(F.broadcast(v)).select("w1", pf_lp)
+    oov = v.select(ov_lp, "nv")
+    return lm, prefixes, oov
+
+
+def _bigram_lm_exprs():
+    n12_agg = F.count(F.lit(1)).alias("n12")
+    n1_agg = F.sum("n12").cast("long").alias("n1")
+    nv_col = F.countDistinct("w2").cast("long").alias("nv")
+    lm_lp = (
+        F.round(
+            F.log(
+                (F.col("n12") + 1).cast("double")
+                / (F.col("n1") + F.col("nv")).cast("double")
+            )
+            * MICRO,
+            0,
+        )
+        .cast("long")
+        .alias("logp_micronats")
+    )
+    pf_lp = (
         F.round(
             F.log(
                 F.try_divide(
@@ -122,19 +131,18 @@ def bigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             0,
         )
         .cast("long")
-        .alias("oov_w2_micronats"),
+        .alias("oov_w2_micronats")
     )
-    oov = v.select(
+    ov_lp = (
         F.round(
             F.log(F.try_divide(F.lit(1.0), F.col("nv").cast("double")))
             * MICRO,
             0,
         )
         .cast("long")
-        .alias("oov_w1_micronats"),
-        "nv",
+        .alias("oov_w1_micronats")
     )
-    return lm, prefixes, oov
+    return n12_agg, n1_agg, nv_col, lm_lp, pf_lp, ov_lp
 
 
 def score_with_lm(
@@ -155,44 +163,46 @@ def score_with_lm(
 
     OOV fallbacks (unseen bigram under a seen prefix; unseen prefix)
     resolve from the model-sized relations — no per-row ``ln``."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    lp_col, aggs, out_cols = expr_memo(
+        ("score_with_lm", key), lambda: _score_with_lm_exprs(key)
+    )
     inst = bigram_instances(docs, key)
     scored = (
         inst.join(lm, ["w1", "w2"], "left")
         .join(prefixes, "w1", "left")
         .crossJoin(F.broadcast(oov.select("oov_w1_micronats")))
-        .select(
-            key,
-            F.coalesce(
-                "logp_micronats", "oov_w2_micronats", "oov_w1_micronats"
-            ).alias("_lp"),
-        )
+        .select(key, lp_col)
         .groupBy(key)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum("_lp").cast("long").alias("sum_logp_micronats"),
-        )
+        .agg(*aggs)
     )
-    return (
-        docs.select(key)
-        .join(scored, key, "left")
-        .select(
-            key,
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
-                "n_bigrams"
-            ),
-            F.coalesce("sum_logp_micronats", F.lit(0)).cast("long").alias(
-                "sum_logp_micronats"
-            ),
-            F.when(
-                F.col("n_bigrams") > 0,
-                F.round(
-                    F.col("sum_logp_micronats")
-                    / (F.col("n_bigrams") * F.lit(float(MICRO))),
-                    6,
-                ),
-            ).alias("mean_logp"),
-        )
+    return docs.select(key).join(scored, key, "left").select(key, *out_cols)
+
+
+def _score_with_lm_exprs(key: str):
+    lp_col = F.coalesce(
+        "logp_micronats", "oov_w2_micronats", "oov_w1_micronats"
+    ).alias("_lp")
+    aggs = (
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_lp").cast("long").alias("sum_logp_micronats"),
     )
+    out_cols = (
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("sum_logp_micronats", F.lit(0)).cast("long").alias(
+            "sum_logp_micronats"
+        ),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(
+                F.col("sum_logp_micronats")
+                / (F.col("n_bigrams") * F.lit(float(MICRO))),
+                6,
+            ),
+        ).alias("mean_logp"),
+    )
+    return lp_col, aggs, out_cols
 
 
 def doc_logprob(docs: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -276,6 +286,12 @@ WHERE {sw_d}
 
 @register(
     "text_ngram_logprob",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_ngram_lm.py fixture python reference
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_lm_oracle(train_where="TRUE", score_where="TRUE"),
@@ -299,6 +315,12 @@ LM_SPLIT = 250
 
 @register(
     "text_lm_cross_score",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_ngram_lm.py cross-corpus OOV reference
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_lm_oracle(
@@ -346,24 +368,27 @@ def trigram_instances(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     bind-the-array-before-the-lambda discipline). Documents with < 3
     tokens have no trigrams and drop here — the scorer restores them
     via left join."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
     from flink_exercise_spark.operators.text import tokens_expr
     from flink_exercise_spark.sources.tables import spread
 
-    src = spread(
-        docs.filter(F.col("text").isNotNull()).select(key, "text"), key
+    not_null, tok_col, size_ge3, tri_col = expr_memo(
+        ("trigram_instances", key),
+        lambda: (
+            F.col("text").isNotNull(),
+            tokens_expr().alias("_t"),
+            F.size("_t") >= 3,
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(_t) - 1), "
+                    "i -> struct(_t[i-2] AS w1, _t[i-1] AS w2, _t[i] AS w3))"
+                )
+            ).alias("_g"),
+        ),
     )
-    toked = src.select(key, tokens_expr().alias("_t")).filter(
-        F.size("_t") >= 3
-    )
-    return toked.select(
-        key,
-        F.explode(
-            F.expr(
-                "transform(sequence(2, size(_t) - 1), "
-                "i -> struct(_t[i-2] AS w1, _t[i-1] AS w2, _t[i] AS w3))"
-            )
-        ).alias("_g"),
-    ).select(key, "_g.w1", "_g.w2", "_g.w3")
+    src = spread(docs.filter(not_null).select(key, "text"), key)
+    toked = src.select(key, tok_col).filter(size_ge3)
+    return toked.select(key, tri_col).select(key, "_g.w1", "_g.w2", "_g.w3")
 
 
 def backoff_trigram_lm(
@@ -386,40 +411,58 @@ def backoff_trigram_lm(
     Scale shape: one corpus pass per order builds each histogram
     (distinct n-grams shuffle, not occurrences — two-phase hash agg);
     context sums and the scoring joins are model-sized."""
-    from flink_exercise_spark.operators.text import tokens_expr
+    from flink_exercise_spark.functions.exprmemo import expr_memo
     from flink_exercise_spark.operators.tokenizer import bigram_pairs
     from flink_exercise_spark.sources.tables import spread
 
+    # static expression trees (r14 exprmemo); try_divide: the
+    # empty-corpus degenerate model scores everything with NULL
+    # fallbacks instead of an ANSI DIVIDE_BY_ZERO (the bigram_lm
+    # convention).
+    (
+        n123_agg, n12_agg, lp3_col, n23_agg, n2_agg, lp2_col,
+        uni_filter, uni_col, n3_agg, n_agg, lp1_col, lp0_col,
+    ) = expr_memo("backoff_trigram_lm", _backoff_lm_exprs)
     c123 = persist_tracked(
-        trigram_instances(docs)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("n123"))
+        trigram_instances(docs).groupBy("w1", "w2", "w3").agg(n123_agg)
     )
-    c12 = c123.groupBy("w1", "w2").agg(
-        F.sum("n123").cast("long").alias("n12")
+    c12 = c123.groupBy("w1", "w2").agg(n12_agg)
+    t3 = c123.join(c12, ["w1", "w2"]).select("w1", "w2", "w3", lp3_col)
+    c23 = persist_tracked(
+        bigram_pairs(docs)
+        .withColumnsRenamed({"a": "w2", "b": "w3"})
+        .groupBy("w2", "w3")
+        .agg(n23_agg)
     )
-    t3 = c123.join(c12, ["w1", "w2"]).select(
-        "w1",
-        "w2",
-        "w3",
+    c2 = c23.groupBy("w2").agg(n2_agg)
+    b2 = c23.join(c2, "w2").select("w2", "w3", lp2_col)
+    # Unigram histogram: all tokens of non-blank documents (a blank
+    # document tokenizes to [''], which must not count as vocabulary).
+    uni = spread(docs.filter(uni_filter).select("text")).select(uni_col)
+    c3 = persist_tracked(uni.groupBy("w3").agg(n3_agg))
+    n_total = c3.select(n_agg)
+    u1 = c3.crossJoin(F.broadcast(n_total)).select("w3", lp1_col)
+    oov = n_total.select(lp0_col)
+    return t3, b2, u1, oov
+
+
+def _backoff_lm_exprs():
+    from flink_exercise_spark.operators.text import tokens_expr
+
+    n123_agg = F.count(F.lit(1)).alias("n123")
+    n12_agg = F.sum("n123").cast("long").alias("n12")
+    lp3_col = (
         F.round(
             F.log(F.col("n123").cast("double") / F.col("n12").cast("double"))
             * MICRO,
             0,
         )
         .cast("long")
-        .alias("lp3"),
+        .alias("lp3")
     )
-    c23 = persist_tracked(
-        bigram_pairs(docs)
-        .withColumnsRenamed({"a": "w2", "b": "w3"})
-        .groupBy("w2", "w3")
-        .agg(F.count(F.lit(1)).alias("n23"))
-    )
-    c2 = c23.groupBy("w2").agg(F.sum("n23").cast("long").alias("n2"))
-    b2 = c23.join(c2, "w2").select(
-        "w2",
-        "w3",
+    n23_agg = F.count(F.lit(1)).alias("n23")
+    n2_agg = F.sum("n23").cast("long").alias("n2")
+    lp2_col = (
         F.round(
             F.log(
                 F.lit(BACKOFF_ALPHA)
@@ -430,27 +473,13 @@ def backoff_trigram_lm(
             0,
         )
         .cast("long")
-        .alias("lp2"),
+        .alias("lp2")
     )
-    # Unigram histogram: all tokens of non-blank documents (a blank
-    # document tokenizes to [''], which must not count as vocabulary).
-    uni = (
-        spread(
-            docs.filter(
-                F.col("text").isNotNull() & (F.trim("text") != "")
-            ).select("text")
-        )
-        .select(F.explode(tokens_expr()).alias("w3"))
-    )
-    c3 = persist_tracked(
-        uni.groupBy("w3").agg(F.count(F.lit(1)).alias("n3"))
-    )
-    n_total = c3.select(F.sum("n3").cast("long").alias("n"))
-    # try_divide: the empty-corpus degenerate model scores everything
-    # with NULL fallbacks instead of an ANSI DIVIDE_BY_ZERO (the
-    # bigram_lm convention).
-    u1 = c3.crossJoin(F.broadcast(n_total)).select(
-        "w3",
+    uni_filter = F.col("text").isNotNull() & (F.trim("text") != "")
+    uni_col = F.explode(tokens_expr()).alias("w3")
+    n3_agg = F.count(F.lit(1)).alias("n3")
+    n_agg = F.sum("n3").cast("long").alias("n")
+    lp1_col = (
         F.round(
             F.log(
                 F.lit(BACKOFF_ALPHA2)
@@ -462,9 +491,9 @@ def backoff_trigram_lm(
             0,
         )
         .cast("long")
-        .alias("lp1"),
+        .alias("lp1")
     )
-    oov = n_total.select(
+    lp0_col = (
         F.round(
             F.log(
                 F.lit(BACKOFF_ALPHA2)
@@ -474,9 +503,12 @@ def backoff_trigram_lm(
             0,
         )
         .cast("long")
-        .alias("lp0"),
+        .alias("lp0")
     )
-    return t3, b2, u1, oov
+    return (
+        n123_agg, n12_agg, lp3_col, n23_agg, n2_agg, lp2_col,
+        uni_filter, uni_col, n3_agg, n_agg, lp1_col, lp0_col,
+    )
 
 
 def score_with_backoff(
@@ -494,43 +526,45 @@ def score_with_backoff(
     of successively lower-order model relations plus the broadcast
     1-row floor — no per-row ``ln``, exact long sums, one rounded
     float division at the end (the score_with_lm contract)."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    lp_col, aggs, out_cols = expr_memo(
+        ("score_with_backoff", key), lambda: _score_backoff_exprs(key)
+    )
     inst = trigram_instances(docs, key)
     scored = (
         inst.join(t3, ["w1", "w2", "w3"], "left")
         .join(b2, ["w2", "w3"], "left")
         .join(u1, "w3", "left")
         .crossJoin(F.broadcast(oov))
-        .select(
-            key,
-            F.coalesce("lp3", "lp2", "lp1", "lp0").alias("_lp"),
-        )
+        .select(key, lp_col)
         .groupBy(key)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-            F.sum("_lp").cast("long").alias("sum_logp_micronats"),
-        )
+        .agg(*aggs)
     )
-    return (
-        docs.select(key)
-        .join(scored, key, "left")
-        .select(
-            key,
-            F.coalesce("n_trigrams", F.lit(0)).cast("long").alias(
-                "n_trigrams"
-            ),
-            F.coalesce("sum_logp_micronats", F.lit(0)).cast("long").alias(
-                "sum_logp_micronats"
-            ),
-            F.when(
-                F.col("n_trigrams") > 0,
-                F.round(
-                    F.col("sum_logp_micronats")
-                    / (F.col("n_trigrams") * F.lit(float(MICRO))),
-                    6,
-                ),
-            ).alias("mean_logp"),
-        )
+    return docs.select(key).join(scored, key, "left").select(key, *out_cols)
+
+
+def _score_backoff_exprs(key: str):
+    lp_col = F.coalesce("lp3", "lp2", "lp1", "lp0").alias("_lp")
+    aggs = (
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("_lp").cast("long").alias("sum_logp_micronats"),
     )
+    out_cols = (
+        F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+        F.coalesce("sum_logp_micronats", F.lit(0)).cast("long").alias(
+            "sum_logp_micronats"
+        ),
+        F.when(
+            F.col("n_trigrams") > 0,
+            F.round(
+                F.col("sum_logp_micronats")
+                / (F.col("n_trigrams") * F.lit(float(MICRO))),
+                6,
+            ),
+        ).alias("mean_logp"),
+    )
+    return lp_col, aggs, out_cols
 
 
 def _backoff_oracle(train_where: str, score_where: str) -> str:
@@ -622,14 +656,10 @@ WHERE {sw_d}
 
 @register(
     "text_lm_backoff_trigram",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pin: tests/test_ngram_lm.py::test_backoff_fixture_matches_py
     # thon_reference.
-    priority=1,
     # priority=0: takes the window seat reserved by the r10 rotation
     # for this entry's FIRST driver pass.
     oracle=_backoff_oracle(

@@ -139,6 +139,12 @@ def packing_profile(
 
 @register(
     "pipeline_pack_chunks",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_packing.py::test_matches_naive_python
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # The oracle is the NAIVE single-window statement of the same

@@ -388,13 +388,9 @@ def _mix_threshold_sql() -> str:
 
 @register(
     "pipeline_hash_split",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH b AS (
       SELECT *,
@@ -430,6 +426,12 @@ def q_hash_split(spark, sf_dir):
 
 @register(
     "pipeline_temperature_mix",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_pipeline.py temperature python reference
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Rates are corpus-derived, so the oracle restates the whole
@@ -489,6 +491,12 @@ def q_temperature_mix(spark, sf_dir):
 
 @register(
     "pipeline_llm_data_prep",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     oracle=_oracle(),
     doc="End-to-end LLM data prep: quality gate -> language gate -> "
         "exact dedup -> per-language token budget (one declarative plan)",
@@ -516,20 +524,24 @@ def _doc_grams(
     """(key[, extra_cols], _g) with the distinct word n-gram array per
     document — tokens bound before the shingle build (the
     ``shingles_from_tokens`` CSE rule)."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
     from flink_exercise_spark.operators.text import shingles_from_tokens
     from flink_exercise_spark.sources.tables import spread
 
+    sel1, gram_col = expr_memo(
+        ("doc_grams", n, key, extra_cols),
+        lambda: (
+            [F.col(key), *[F.col(c) for c in extra_cols],
+             tokens_expr().alias("_t")],
+            F.array_distinct(
+                shingles_from_tokens(F.col("_t"), n)
+            ).alias("_g"),
+        ),
+    )
     return (
         spread(docs, key)
-        .select(F.col(key), *[F.col(c) for c in extra_cols],
-                tokens_expr().alias("_t"))
-        .select(
-            key,
-            *extra_cols,
-            F.array_distinct(shingles_from_tokens(F.col("_t"), n)).alias(
-                "_g"
-            ),
-        )
+        .select(*sel1)
+        .select(key, *extra_cols, gram_col)
         # Consumers use explode_outer below, NOT explode + a
         # size(_g) > 0 filter: both an explicit size filter and the
         # predicate Catalyst infers from a non-outer explode get
@@ -549,10 +561,19 @@ def eval_ngram_set(
     one-column (``tok``) relation ``decontaminate_against`` broadcasts.
     The ``distinct()`` shuffle moves the benchmark's n-grams only —
     a fixed-size relation regardless of corpus scale."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    tok_col, not_null = expr_memo(
+        "eval_ngram_set",
+        lambda: (
+            F.explode_outer("_g").alias("tok"),
+            F.col("tok").isNotNull(),
+        ),
+    )
     return (
         _doc_grams(docs, n, key)
-        .select(F.explode_outer("_g").alias("tok"))
-        .filter(F.col("tok").isNotNull())
+        .select(tok_col)
+        .filter(not_null)
         .distinct()
     )
 
@@ -584,26 +605,35 @@ def decontaminate_against(
     rides through the explode as a projected column, so no second
     corpus-wide aggregate is needed.
     """
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    explode_cols, not_null, hits_agg, contam_col = expr_memo(
+        ("decontaminate_against", key, extra_cols),
+        lambda: (
+            (
+                F.size("_g").cast("long").alias("n_shingles"),
+                F.explode_outer("_g").alias("tok"),
+            ),
+            F.col("tok").isNotNull(),
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.round(
+                F.col("n_eval_hits") / F.col("n_shingles"), 4
+            ).alias("contamination"),
+        ),
+    )
     return (
         _doc_grams(train, n, key, extra_cols)
-        .select(
-            key,
-            *extra_cols,
-            F.size("_g").cast("long").alias("n_shingles"),
-            F.explode_outer("_g").alias("tok"),
-        )
-        .filter(F.col("tok").isNotNull())
+        .select(key, *extra_cols, *explode_cols)
+        .filter(not_null)
         .join(F.broadcast(eval_grams), "tok")
         .groupBy(key, *extra_cols, "n_shingles")
-        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+        .agg(hits_agg)
         .select(
             key,
             *extra_cols,
             "n_shingles",
             "n_eval_hits",
-            F.round(F.col("n_eval_hits") / F.col("n_shingles"), 4).alias(
-                "contamination"
-            ),
+            contam_col,
         )
     )
 
@@ -678,14 +708,10 @@ def _decontam_oracle(n: int = DECONTAM_N) -> str:
 
 @register(
     "pipeline_decontaminate",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pin: tests/test_pipeline.py hand-computed leak/clean cases +
     # hashlib bucket pin.
-    priority=1,
     oracle=_decontam_oracle(),
     doc="Benchmark decontamination: train-side documents sharing any "
         "word 13-gram with the held-out split (GPT-3/Gopher exact "
@@ -860,6 +886,12 @@ def _decontam_fuzzy_oracle(threshold: float = 0.5) -> str:
 
 @register(
     "pipeline_decontaminate_fuzzy",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     oracle=_decontam_fuzzy_oracle(),
     doc="FUZZY benchmark decontamination (Dolma-style): train docs "
         "near-duplicating a held-out doc — MinHash-LSH candidates "

@@ -85,39 +85,58 @@ def postings(docs: DataFrame) -> DataFrame:
     doc-partitioned window that rides the aggregate's doc_id exchange
     (``Window.partitionBy`` with no ordering: whole-partition frame,
     no sort)."""
-    post = (
-        _corpus_tokens(docs)
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    tf_agg, dl_col = expr_memo(
+        "retrieval_postings",
+        lambda: (
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sum("tf").over(Window.partitionBy("doc_id"))
+            .cast("long").alias("dl"),
+        ),
     )
-    return post.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
-    )
+    post = _corpus_tokens(docs).groupBy("doc_id", "tok").agg(tf_agg)
+    return post.select("doc_id", "tok", "tf", dl_col)
 
 
 def doc_frequencies(post: DataFrame) -> DataFrame:
     """(tok, df): document frequency per term — postings already hold
     one row per (doc, tok), so df is a plain count."""
-    return post.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    return post.groupBy("tok").agg(expr_memo(
+        "retrieval_df",
+        lambda: F.count(F.lit(1)).cast("long").alias("df"),
+    ))
 
 
 def corpus_stats(post: DataFrame) -> DataFrame:
     """1-row (D, T): corpus document count and token count, from the
     postings relation so empty/NULL-text documents are excluded the
     same way on both engines."""
-    return post.agg(
-        F.countDistinct("doc_id").cast("long").alias("D"),
-        F.sum("tf").cast("long").alias("T"),
-    )
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    return post.agg(*expr_memo(
+        "retrieval_stats",
+        lambda: (
+            F.countDistinct("doc_id").cast("long").alias("D"),
+            F.sum("tf").cast("long").alias("T"),
+        ),
+    ))
 
 
 def bm25_score_expr():
     """Exact-integer per-term BM25 score (see module docstring).
     Expects columns tf, dl, df, D, T; all products in decimal(38,0);
     ``div`` on decimals is Spark's IntegralDivide → LongType, matching
-    DuckDB HUGEINT ``//`` exactly (verified in tests)."""
+    DuckDB HUGEINT ``//`` exactly (verified in tests). Static tree —
+    memoized (r14, exprmemo)."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    return expr_memo("bm25_score_expr", _bm25_score_expr_build)
+
+
+def _bm25_score_expr_build():
     tf = F.col("tf").cast(_D38)
     t = F.col("T").cast(_D38)
     dl = F.col("dl").cast(_D38)
@@ -190,15 +209,24 @@ def bm25_topk(
     matched = post.join(F.broadcast(qside), "tok")
     if exclude_self:
         matched = matched.filter(F.col("doc_id") != F.col("query_id"))
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
     num, den = bm25_score_expr()
+    s_col, aggs = expr_memo(
+        "bm25_score_agg",
+        lambda: (
+            F.expr("_num div _den").alias("_s"),
+            (
+                F.sum("_s").cast("long").alias("score"),
+                F.count(F.lit(1)).cast("int").alias("n_terms"),
+            ),
+        ),
+    )
     scored = (
         matched.select("query_id", "doc_id", num, den)
-        .withColumn("_s", F.expr("_num div _den"))
+        .select("query_id", "doc_id", s_col)
         .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum("_s").cast("long").alias("score"),
-            F.count(F.lit(1)).cast("int").alias("n_terms"),
-        )
+        .agg(*aggs)
     )
     return _rank_top_k_int(scored, k)
 
@@ -208,18 +236,22 @@ def query_terms(docs: DataFrame, n_terms: int = QUERY_TERMS) -> DataFrame:
     (de-duplicated) as a query keyed by the document id. Callers
     filter ``docs`` down to the query subset FIRST so tokenization
     touches only query documents."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
     from flink_exercise_spark.operators.text import tokens_expr
 
-    return (
-        docs.select(
-            F.col("doc_id").alias("query_id"),
-            F.explode_outer(
-                F.slice(tokens_expr(), 1, n_terms)
-            ).alias("tok"),
-        )
-        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
-        .distinct()
+    sel, cond = expr_memo(
+        ("retrieval_query_terms", n_terms),
+        lambda: (
+            [
+                F.col("doc_id").alias("query_id"),
+                F.explode_outer(
+                    F.slice(tokens_expr(), 1, n_terms)
+                ).alias("tok"),
+            ],
+            F.col("tok").isNotNull() & (F.col("tok") != ""),
+        ),
     )
+    return docs.select(*sel).filter(cond).distinct()
 
 
 def corpus_queries(
@@ -335,33 +367,40 @@ def rrf_fuse(
     touch corpus-scale data — the expensive work already happened
     inside the arms. Ties in the fused score break on doc_id asc,
     deterministically on both engines."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    # static expression trees per (n_arms, k0) — r14 exprmemo
+    rank_cols, score_cols = expr_memo(
+        ("rrf_fuse", len(arms), k0),
+        lambda: _rrf_fuse_exprs(len(arms), k0),
+    )
     fused = None
     for i, arm in enumerate(arms):
-        a = arm.select(
-            "query_id",
-            "doc_id",
-            F.col("rank").alias(f"_r{i}"),
-        )
+        a = arm.select("query_id", "doc_id", rank_cols[i])
         fused = a if fused is None else fused.join(
             a, ["query_id", "doc_id"], "full_outer"
         )
+    scored = fused.select("query_id", "doc_id", *score_cols)
+    out = _rank_top_k_int(scored, k, payload="n_arms")
+    return out.withColumnRenamed("score", "rrf_score")
+
+
+def _rrf_fuse_exprs(n_arms: int, k0: int):
+    rank_cols = [F.col("rank").alias(f"_r{i}") for i in range(n_arms)]
     per_arm = [
         F.coalesce(
             F.expr(f"{SCALE} div ({k0} + _r{i})").cast("long"), F.lit(0)
         )
-        for i in range(len(arms))
+        for i in range(n_arms)
     ]
     present = [
-        F.col(f"_r{i}").isNotNull().cast("int") for i in range(len(arms))
+        F.col(f"_r{i}").isNotNull().cast("int") for i in range(n_arms)
     ]
-    scored = fused.select(
-        "query_id",
-        "doc_id",
+    score_cols = (
         sum(per_arm[1:], per_arm[0]).cast("long").alias("score"),
         sum(present[1:], present[0]).cast("int").alias("n_arms"),
     )
-    out = _rank_top_k_int(scored, k, payload="n_arms")
-    return out.withColumnRenamed("score", "rrf_score")
+    return rank_cols, score_cols
 
 
 def hybrid_rrf_topk(
@@ -472,6 +511,12 @@ _HYBRID_ORACLE = f"""
 
 @register(
     "retrieval_hybrid_rrf",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_retrieval.py hybrid python reference
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_HYBRID_ORACLE,
@@ -492,6 +537,12 @@ def q_hybrid_rrf(spark, sf_dir):
 
 @register(
     "text_bm25_topk",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_retrieval.py BM25 python reference + fuzz
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=_BM25_ORACLE,

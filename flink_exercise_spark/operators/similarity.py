@@ -74,7 +74,27 @@ def _rank_top_k(
     The sort key packs (cosine desc, neighbor_id asc) as an ascending
     struct((-cosine), neighbor_id); double negation is bit-exact (sign
     flip), so the emitted cosine is unchanged. Plan-asserted
-    window-free in tests/test_plans.py."""
+    window-free in tests/test_plans.py.
+
+    Expression construction is memoized per (k, score_col, id_col,
+    payload) — static deterministic trees, see functions/exprmemo.py
+    (r14, VERDICT r13 item 5: this ranking tail is shared by every kNN
+    variant AND the retrieval family, so its ~100 py4j round trips
+    recurred several times per query build)."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    key = ("rank_top_k", k, score_col, id_col, payload)
+    pid, item, agg_p, agg_m, out_cols, pos = expr_memo(
+        key, lambda: _rank_top_k_exprs(k, score_col, id_col, payload)
+    )
+    partial = scored.groupBy(pid, "query_id").agg(agg_p)
+    merged = partial.groupBy("query_id").agg(agg_m)
+    return merged.select("query_id", pos).select("query_id", *out_cols)
+
+
+def _rank_top_k_exprs(
+    k: int, score_col: str, id_col: str, payload: str | None
+):
     fields = [
         (-F.col(score_col)).alias("_nc"),
         F.col(id_col).alias("_id"),
@@ -82,14 +102,11 @@ def _rank_top_k(
     if payload is not None:
         fields.append(F.col(payload).alias("_pl"))
     item = F.struct(*fields)
-    partial = scored.groupBy(
-        F.spark_partition_id().alias("_pid"), "query_id"
-    ).agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top"))
-    merged = partial.groupBy("query_id").agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
-        ).alias("_top")
-    )
+    pid = F.spark_partition_id().alias("_pid")
+    agg_p = F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("_top")
+    agg_m = F.slice(
+        F.sort_array(F.flatten(F.collect_list("_top"))), 1, k
+    ).alias("_top")
     out_cols = [
         F.col("_item._id").alias(id_col),
         (-F.col("_item._nc")).alias(score_col),
@@ -97,9 +114,8 @@ def _rank_top_k(
     if payload is not None:
         out_cols.append(F.col("_item._pl").alias(payload))
     out_cols.append((F.col("_i") + 1).cast("int").alias("rank"))
-    return merged.select(
-        "query_id", F.posexplode("_top").alias("_i", "_item")
-    ).select("query_id", *out_cols)
+    pos = F.posexplode("_top").alias("_i", "_item")
+    return pid, item, agg_p, agg_m, out_cols, pos
 
 
 def embedding_norms(emb: DataFrame) -> DataFrame:
@@ -1203,13 +1219,9 @@ _VEC_CTE = f"""
 
 @register(
     "sim_knn_brute_force",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Numpy pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=_VEC_CTE + f""",
     scored AS (
       SELECT query_id, neighbor_id, round(dot / (qn * cn), 6) AS cosine
@@ -1239,13 +1251,9 @@ def _bucket_sql(alias: str) -> str:
 
 @register(
     "sim_knn_lsh_bucketed",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Numpy pin: tests/test_rotation_pins.py.
-    priority=1,
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
@@ -1285,6 +1293,12 @@ def q_knn_lsh(spark, sf_dir):
 
 @register(
     "sim_knn_ivf",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     oracle=f"""
     WITH u AS (
       SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1351,6 +1365,12 @@ def q_knn_ivf(spark, sf_dir):
 
 @register(
     "sim_embedding_near_dup_pairs",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Threshold 0.35 sits inside the fixture corpus's in-bucket cosine
@@ -1393,6 +1413,12 @@ def q_near_dup(spark, sf_dir):
 
 @register(
     "dedup_semantic_prune",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=f"""
@@ -1453,6 +1479,12 @@ def q_semantic_prune(spark, sf_dir):
 
 @register(
     "sim_label_centroid_norms",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Promoted back for r7 (demoted in r6, driver-green r5): the

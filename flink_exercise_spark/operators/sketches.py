@@ -173,13 +173,9 @@ def heavy_hitters(
 
 @register(
     "events_heavy_hitters",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pin: tests/test_sketches.py pandas fixture reference.
-    priority=1,
     oracle=f"""
     WITH tot AS (SELECT count(*) AS total FROM events
                  WHERE user_id IS NOT NULL)

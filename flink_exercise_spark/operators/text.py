@@ -46,9 +46,17 @@ IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
 def tokens_expr(text: str | Column = "text") -> Column:
-    """Whitespace tokens of a trimmed document."""
-    c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    """Whitespace tokens of a trimmed document. Memoized per column
+    NAME (r14 exprmemo) — the single most-referenced expression in the
+    text/dedup/retrieval families."""
+    if not isinstance(text, str):
+        return F.split(F.trim(text), r"\s+")
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    return expr_memo(
+        ("tokens_expr", text),
+        lambda: F.split(F.trim(F.col(text)), r"\s+"),
+    )
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
@@ -412,6 +420,12 @@ def classifier_scores_joined(docs: DataFrame, weights: DataFrame) -> DataFrame:
 
 @register(
     "text_stats",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Token statistics AND C4/Gopher-style quality features in one
@@ -555,6 +569,12 @@ def _lang_id_oracle() -> str:
 
 @register(
     "text_language_id",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     # Absorbed the former text_lang_profile entry in r6 (registry
@@ -667,6 +687,12 @@ def chunk_documents(
 
 @register(
     "text_chunk_overlap",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_chunking.py python reference + hand cases
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=f"""
@@ -700,13 +726,9 @@ def q_chunk_overlap(spark, sf_dir):
 
 @register(
     "text_fingerprints",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Hashlib pin: tests/test_rotation_pins.py.
-    priority=1,
     # Fingerprints + BPE-ish token budget + PII scrub accounting in one
     # per-document pass (round 6 consolidates the PII scrubber here:
     # same projection shape, no new registry slot). The scrubbed text
@@ -927,14 +949,10 @@ _HTML_ORACLE = """
 
 @register(
     "text_html_extract",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pin: tests/test_html.py fixture round-trip vs a pure-python
     # extractor.
-    priority=1,
     oracle=_HTML_ORACLE,
     doc="HTML -> text extraction (script/style subtree drop, comment "
         "drop, tag-as-boundary strip, entity unescape, whitespace "

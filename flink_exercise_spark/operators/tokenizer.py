@@ -162,6 +162,12 @@ def bpe_train(
 
 @register(
     "text_vocab_topk",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle=f"""
@@ -297,6 +303,12 @@ def token_rarity(docs: DataFrame) -> DataFrame:
 
 @register(
     "text_token_rarity",
+    # priority=1 (r14 rotation): driver-green in r13; takes a rotation
+    # slot so the 40 r13-demoted entries (freshest pass r12) return to
+    # the driver window. Hash-verified locally every round by
+    # test_parity_demoted.
+    # Pin: tests/test_rotation_pins.py
+    priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
     oracle="""
@@ -429,23 +441,31 @@ def bigram_pairs(docs: DataFrame, key: str | None = None) -> DataFrame:
     cannot be blank (split on ``\\s+`` of trimmed text), so no blank
     filter is needed here — single-token and blank documents drop at
     the size guard."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
     keep = [key] if key is not None else []
+    # static expression trees per key column (r14 exprmemo — this pair
+    # fold is shared by bigram_lift and all three LM entries)
+    not_null, tok_col, size_ge2, pair_col = expr_memo(
+        ("bigram_pairs", key),
+        lambda: (
+            F.col("text").isNotNull(),
+            tokens_expr().alias("_t"),
+            F.size("_t") >= 2,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> struct(_t[i-1] AS a, _t[i] AS b))"
+                )
+            ).alias("_p"),
+        ),
+    )
     src = spread(
-        docs.filter(F.col("text").isNotNull()).select(*keep, "text"),
+        docs.filter(not_null).select(*keep, "text"),
         *keep,
     )
-    toked = src.select(*keep, tokens_expr().alias("_t")).filter(
-        F.size("_t") >= 2
-    )
-    return toked.select(
-        *keep,
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(_t) - 1), "
-                "i -> struct(_t[i-1] AS a, _t[i] AS b))"
-            )
-        ).alias("_p"),
-    ).select(*keep, "_p.a", "_p.b")
+    toked = src.select(*keep, tok_col).filter(size_ge2)
+    return toked.select(*keep, pair_col).select(*keep, "_p.a", "_p.b")
 
 
 def bigram_lift(
@@ -517,14 +537,10 @@ def bigram_lift(
 
 @register(
     "text_bigram_lift",
-    # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-    # slot so the 38 r12-demoted entries (freshest pass r11) return to
-    # the driver window (+2 seats for the new fuzzy-decontamination
-    # and image-decontamination entries). Hash-verified locally every
-    # round by test_parity_demoted.
+    # Promoted back for r14 (demoted in r13, driver-green r12):
+    # the rotation contract requires a driver pass within two rounds.
     # Pin: tests/test_tokenizer.py fixture Counter-reference
     # equality.
-    priority=1,
     oracle=f"""
     WITH toked AS (
       SELECT regexp_split_to_array(trim(text), '\\s+') AS t

@@ -248,13 +248,9 @@ def _register_roundtrip() -> None:
 
     @register(
         "clf_parse_roundtrip",
-        # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-        # slot so the 38 r12-demoted entries (freshest pass r11) return to
-        # the driver window (+2 seats for the new fuzzy-decontamination
-        # and image-decontamination entries). Hash-verified locally every
-        # round by test_parity_demoted.
+        # Promoted back for r14 (demoted in r13, driver-green r12):
+        # the rotation contract requires a driver pass within two rounds.
         # Pin: tests/test_clf.py golden-log hand-computed reference.
-        priority=1,
     # Promoted back for r11 (demoted in r10, driver-green r9): the
     # rotation contract requires a driver pass within two rounds.
         # Oracle computes straight on events: host = 'user'||user_id,
@@ -285,13 +281,9 @@ def _register_roundtrip() -> None:
 
     @register(
         "clf_golden_log",
-        # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-        # slot so the 38 r12-demoted entries (freshest pass r11) return to
-        # the driver window (+2 seats for the new fuzzy-decontamination
-        # and image-decontamination entries). Hash-verified locally every
-        # round by test_parity_demoted.
+        # Promoted back for r14 (demoted in r13, driver-green r12):
+        # the rotation contract requires a driver pass within two rounds.
         # Pin: tests/test_clf.py golden-log hand-computed reference.
-        priority=1,
         # VALUES oracle: expected outputs hand-computed from the
         # immutable checked-in log (see GOLDEN_LOG_PATH comment) — this
         # pins P1-P5 parsing + Q1 (string-key arg-max) + Q2 (windowed

@@ -88,6 +88,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (path, mtime_ns) -> raw parquet StructType. The streaming sources
+# seed readStream with the batch file's footer schema (~50-100 ms of
+# driver work per read); one shared memo replaces the two dicts that
+# jobs.py and ingest.py each kept keyed by path alone (ADVICE r13).
+# Keying on mtime_ns means a fixture parquet REGENERATED in-process
+# with a different schema gets a fresh footer read instead of a stale
+# schema; same metadata-only class as _TABLE_CACHE above.
+_RAW_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+
+
+def raw_parquet_schema(spark: SparkSession, path: str):
+    """Footer schema of one parquet file, memoized by (path, mtime)."""
+    key = (path, os.stat(path).st_mtime_ns)
+    schema = _RAW_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _RAW_SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition ahead of a per-row-expensive stage (explode, Pandas
     UDF, array fold) — but only when the input is actually

@@ -39,10 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_exercise_spark.session import prep
-
-# path -> raw parquet StructType (schemas of immutable fixture files,
-# process-lifetime cache; see documents_stream)
-_RAW_SCHEMA_CACHE: dict[str, object] = {}
+from flink_exercise_spark.sources.tables import raw_parquet_schema
 
 
 def documents_stream(
@@ -52,14 +49,12 @@ def documents_stream(
     no event-time column; ingest-time semantics are supplied by the
     caller where needed, see ``with_ingest_ts``)."""
     prep(spark)
-    # Raw-file schema memo (r13, the jobs.events_stream fix): the
-    # parquet footer read is ~50-100 ms of driver work per invocation
-    # and the fixture file's schema is immutable.
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = _RAW_SCHEMA_CACHE.get(path)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _RAW_SCHEMA_CACHE[path] = schema
+    # Raw-file schema memo (r13, the jobs.events_stream fix; shared
+    # (path, mtime)-keyed helper since r14, ADVICE r13): the parquet
+    # footer read is ~50-100 ms of driver work per invocation.
+    schema = raw_parquet_schema(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

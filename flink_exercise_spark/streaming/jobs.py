@@ -38,11 +38,11 @@ from pyspark.sql import functions as F
 
 from flink_exercise_spark.operators.aggregates import WINDOW_31D
 from flink_exercise_spark.session import prep
-from flink_exercise_spark.sources.tables import NANOS_TS_COLUMNS, load_table
-
-# path -> raw parquet StructType (see events_stream; schemas of
-# immutable fixture files, process-lifetime cache)
-_RAW_SCHEMA_CACHE: dict[str, object] = {}
+from flink_exercise_spark.sources.tables import (
+    NANOS_TS_COLUMNS,
+    load_table,
+    raw_parquet_schema,
+)
 
 
 def events_stream(
@@ -52,16 +52,13 @@ def events_stream(
     loader, including the nanos->timestamp conversion)."""
     prep(spark)
     batch = load_table(spark, sf_dir, "events")
-    # Raw-file schema memo (r13): the parquet footer read is ~50-100 ms
-    # of driver-side work repeated by every streaming query invocation
-    # (six registered entries x bench passes). The RAW schema of a
-    # fixture file is immutable, so memoize per path — same class of
-    # input-metadata memo as tables._TABLE_CACHE.
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = _RAW_SCHEMA_CACHE.get(path)
-    if raw_schema is None:
-        raw_schema = spark.read.parquet(path).schema
-        _RAW_SCHEMA_CACHE[path] = raw_schema
+    # Raw-file schema memo (r13; shared helper + (path, mtime) key
+    # since r14, ADVICE r13): the parquet footer read is ~50-100 ms of
+    # driver-side work repeated by every streaming query invocation
+    # (six registered entries x bench passes).
+    raw_schema = raw_parquet_schema(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -598,14 +595,10 @@ def _register_streaming() -> None:
 
     @register(
         "stream_interval_join_attribution",
-        # priority=1 (r13 rotation): driver-green in r12; takes a rotation
-        # slot so the 38 r12-demoted entries (freshest pass r11) return to
-        # the driver window (+2 seats for the new fuzzy-decontamination
-        # and image-decontamination entries). Hash-verified locally every
-        # round by test_parity_demoted.
+        # Promoted back for r14 (demoted in r13, driver-green r12):
+        # the rotation contract requires a driver pass within two rounds.
         # Pin: tests/test_streaming.py stream==batch interval-join
         # parity.
-        priority=1,
         # Oracled since r7 (was rows-only): the batch twin of the
         # interval join is plain SQL DuckDB runs natively, and the
         # stream-equals-batch parity test (test_streaming.py) pins

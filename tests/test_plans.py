@@ -166,7 +166,16 @@ def test_clf_valid_filter_does_not_redrive_regex(spark):
     into the Filter (and, on a derived input, dragging it below the
     spread repartition onto one core — the r12 plan paid two renders
     and two regex matches per row that way, 0.97 s vs 0.42 s on the
-    sf0.1 round-trip)."""
+    sf0.1 round-trip).
+
+    SPARK-UPGRADE COUPLING (ADVICE r13): the barrier is the
+    ``rand(seed=0) * 0.0`` term in the ``_p`` projection (clf.py) —
+    it relies on Catalyst NOT constant-folding rand*0. A future Spark
+    release that adds that simplification silently drops the barrier
+    and reintroduces the double-regex/one-core plan; THIS test is the
+    tripwire and must stay in the must-run gate on any Spark upgrade
+    (the RLIKE/regexp_replace counts and the Filter-above-Exchange
+    assertion below all fail if the barrier stops working)."""
     import re
 
     from flink_exercise_spark.sources.clf import parse_clf, valid_lines

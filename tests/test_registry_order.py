@@ -28,65 +28,63 @@ def test_demoted_showcases_sort_last_within_oracled():
     specs = registry.specs()
     oracled = [n for n in _names() if specs[n].oracle is not None]
     demoted = [n for n in oracled if specs[n].priority > 0]
-    # Round-13 rotation (executes VERDICT r12 ask #1): the 38 entries
-    # demoted in r12 return to the driver window (their freshest
-    # driver pass is r11 — one more round out would break the 2-round
-    # bound). Forty entries green in r12 (CORRECTNESS_r12: 50/50) take
-    # the rotation slots — the 38 returners' seats plus two more so
-    # the new fuzzy-decontamination (pipeline_decontaminate_fuzzy) and
-    # image-decontamination (mm_image_decontaminate) entries collect
-    # their FIRST hash-checked passes inside the window. The window
-    # keeps the three reference queries, five of the six streaming
-    # parity entries plus stream_neardup_ingest, and the two r12
-    # first-pass entries (video_neardup_pairs, mm_dedup_front_door)
-    # for second consecutive passes; stream_interval_join_attribution
-    # takes a one-round demotion (r12-green, own-file stream==batch
-    # parity pin) to free the seat those second passes need. Every
-    # demoted entry holds an r12 driver pass (enforced below) and an
-    # independent non-DuckDB pin, noted at its register() site.
+    # Round-14 rotation (executes VERDICT r13 ask #7): the 40 entries
+    # demoted in r13 return to the driver window (their freshest
+    # driver pass is r12 — one more round out would break the 2-round
+    # bound). Forty entries green in r13 (CORRECTNESS_r13: 50/50) take
+    # the rotation slots. The window keeps the three reference
+    # queries, the five streaming parity entries plus
+    # stream_neardup_ingest, and video_neardup_pairs /
+    # mm_dedup_front_door for consecutive passes (same keep set as
+    # r13; stream_interval_join_attribution returns after its
+    # one-round seat loan). Every demoted entry holds an r13 driver
+    # pass (enforced below) and an independent non-DuckDB pin, noted
+    # at its register() site — the r14 wave was pre-paid in r13
+    # (COVERAGE.md mid-round note; pins for the two newest entries
+    # landed in bc3b18b).
     assert set(demoted) == {
         # test_rotation_pins.py pins
-        "ref_q1_top_host_str",
-        "ref_q2_cumulative_distinct",
-        "a1_requests_per_host",
-        "a2_count_events",
-        "a3_first_event_per_host",
-        "a6_top3_hosts_per_window",
-        "t4_session_windows",
-        "sim_knn_brute_force",
-        "sim_knn_lsh_bucketed",
-        "text_fingerprints",
-        "dedup_exact_map",
-        "dedup_minhash_signatures",
-        "dedup_minhash_band_pairs",
-        "dedup_jaccard_pairs",
-        "dedup_line_boilerplate",
-        "dedup_exact_substring",
-        "asof_purchase_attribution",
-        "mm_binary_metadata",
-        "mm_decode_features",
-        "mm_frame_sample",
-        "mm_audio_energy",
-        "mm_resize_thumbs",
-        "pipeline_hash_split",
-        "join_outer_order_counts",
-        "cube_orders_status_priority",
-        "grouping_sets_lineitem",
-        "sort_limit_top_orders",
-        "union_orders_and_purchases",
-        "scalar_functions_showcase",
+        "events_type_stats",
+        "a1_running_counts_analytic",
+        "events_json_props",
+        "t4_sliding_window_counts",
+        "hypertable_rollup_events",
+        "sim_knn_ivf",
+        "sim_embedding_near_dup_pairs",
+        "dedup_semantic_prune",
+        "sim_label_centroid_norms",
+        "skew_salted_distinct_count",
+        "text_stats",
+        "text_language_id",
+        "dedup_lsh_verified_pairs",
+        "dedup_near_dup_clusters",
+        "dedup_cluster_keep_best",
+        "dedup_simhash_near_pairs",
+        "pipeline_llm_data_prep",
+        "pipeline_decontaminate_fuzzy",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+        "tpch_q14_promo_revenue",
+        "join_semi_anti_customers",
+        "intersect_except_custkeys",
+        "ts_pattern_search",
+        "text_vocab_topk",
+        "text_token_rarity",
         # own-file fixture-reference pins (cited at the register site)
-        "clf_parse_roundtrip",
-        "clf_golden_log",
-        "text_html_extract",
-        "text_bigram_lift",
-        "events_heavy_hitters",
-        "events_funnel_steps",
-        "text_lm_backoff_trigram",
-        "pipeline_decontaminate",
-        "mm_image_phash_pairs",
-        "audio_neardup_pairs",
-        "stream_interval_join_attribution",
+        "text_chunk_overlap",
+        "range_join_concurrent_events",
+        "pipeline_temperature_mix",
+        "pipeline_pack_chunks",
+        "text_dsir_weights",
+        "doc_quantiles_by_source",
+        "retrieval_hybrid_rrf",
+        "text_bm25_topk",
+        "dedup_incremental_snapshot",
+        "text_ngram_logprob",
+        "text_lm_cross_score",
+        "mm_image_decontaminate",
     }
     assert sorted(oracled[-len(demoted):]) == sorted(demoted)  # contiguous tail
 
