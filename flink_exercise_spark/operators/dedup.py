@@ -769,7 +769,22 @@ def connected_components(
         ),
     )
     pairs = pairs.select("doc_a", "doc_b")
-    edges = persist_tracked(pairs.union(pairs.select(*rev_cols)))
+    # Persist the symmetrized edge list HASH-PARTITIONED ON doc_b, the
+    # column every round's join probes (r14, guide §2.4 "two
+    # operations keyed the same way can share one exchange"): labels
+    # leave each round's groupBy hash-partitioned on doc_id at
+    # spark.sql.shuffle.partitions, and a keyless repartition here uses
+    # the same conf value, so edges⋈labels is co-partitioned and NO
+    # per-round edge exchange is planned — one up-front edge shuffle
+    # replaces one per round (strict win at any round count ≥ 1, and
+    # scale-adaptive: the partition count is the session's shuffle
+    # conf, not a constant). It also bounds the cached partition count:
+    # un-repartitioned, the union carried 2x the verify join's
+    # partitioning (16 cache partitions → a 32-task map stage per
+    # round-1 at fixture scale, pure scheduling tax).
+    edges = persist_tracked(
+        pairs.union(pairs.select(*rev_cols)).repartition("doc_b")
+    )
     # Round 1 folded into initialization (r13 optimization, guide §1.2:
     # fewer jobs/passes): with labels == identity, round 1's
     # join-then-aggregate reduces to ONE aggregate straight over the

@@ -576,6 +576,40 @@ def test_session_window_stream_equals_batch(spark):
     assert appended <= exp
 
 
+def test_finalize_false_output_identical_and_conf_restored(spark):
+    """The r14 finalization-batch suppression (run_to_memory
+    finalize=False): for the registered entries' modes (complete /
+    update / dedup-append / inner-join-append) the bounded output must
+    be IDENTICAL with and without the trailing no-data micro-batch,
+    and the session conf must be restored afterwards — the suppression
+    is scoped to the one bounded run, never leaked to a later query
+    (the append session-window test above RELIES on the default)."""
+    from flink_exercise_spark.streaming.jobs import (
+        _NO_DATA_BATCH_KEY,
+        windowed_first_per_host_stream,
+        windowed_floor_avg_stream,
+    )
+
+    before = spark.conf.get(_NO_DATA_BATCH_KEY, "true")
+    # complete-mode windowed agg (the q3 shape)
+    for fin, table in ((True, "fin_q3_on"), (False, "fin_q3_off")):
+        stream = windowed_floor_avg_stream(events_stream(spark, SF_SMOKE))
+        run_to_memory(stream, table, "complete", finalize=fin)
+    assert _rows(spark, "SELECT * FROM fin_q3_on") == _rows(
+        spark, "SELECT * FROM fin_q3_off"
+    )
+    # append-mode streaming dedup (the q2 shape)
+    for fin, table in ((True, "fin_q2_on"), (False, "fin_q2_off")):
+        stream = windowed_first_per_host_stream(
+            events_stream(spark, SF_SMOKE)
+        )
+        run_to_memory(stream, table, "append", finalize=fin)
+    assert _rows(
+        spark, "SELECT w.start, user_id FROM fin_q2_on"
+    ) == _rows(spark, "SELECT w.start, user_id FROM fin_q2_off")
+    assert spark.conf.get(_NO_DATA_BATCH_KEY, "true") == before
+
+
 def test_run_to_memory_timeout_is_loud(spark, tmp_path):
     """A timed-out availableNow query has not committed its batch;
     run_to_memory must RAISE, never let the caller read an empty sink
