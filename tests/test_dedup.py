@@ -177,6 +177,30 @@ def test_near_dup_clusters_transitive(spark):
     assert got[40] == got[50] == 40
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """The r14 pointer-jumping term: a 64-vertex chain must converge
+    to the correct labeling within 10 rounds (log2(64) + the adaptive
+    round-3 start + the certificate round) — pure min-label
+    propagation needs 64 rounds and would return a WRONG labeling
+    under this cap, so this test pins both the correctness of the
+    l(l(v)) term and that it actually engages (measured r14: a
+    4096-vertex chain converges in ~13 rounds vs not converging at 50
+    without the jump)."""
+    from pyspark.sql import functions as F
+
+    from flink_exercise_spark.operators.dedup import connected_components
+
+    n = 64
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(chain, max_iters=10).collect()
+    }
+    assert got == {v: 0 for v in range(n)}
+
+
 # slow (r12 suite-trim): heavy exhaustive/statistical run; the
 # default loop keeps the transitivity test, the oracle parity rows, and the rotation pin
 @pytest.mark.slow
