@@ -260,15 +260,21 @@ def knn_brute_force_kernel(
 
 
 def sign_bucket_expr(col: str = "embedding", bits: int = 8):
-    """Deterministic LSH bucket: sign bits of the first ``bits`` dims."""
-    terms = [
-        F.when(F.col(col)[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(bits)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("int")
+    """Deterministic LSH bucket: sign bits of the first ``bits`` dims.
+    Memoized per (col, bits) — static tree (r14 exprmemo)."""
+    from flink_exercise_spark.functions.exprmemo import expr_memo
+
+    def build():
+        terms = [
+            F.when(F.col(col)[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(bits)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("int")
+
+    return expr_memo(("sign_bucket_expr", col, bits), build)
 
 
 def knn_lsh_bucketed(
